@@ -1,0 +1,59 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation on
+executors, no driver collect — measures the plan, not the pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: kept deliberately stable across rounds so BENCH_r{N}.json
+# trends are comparable.
+HEADLINE = [
+    "geo_flagship",
+    "geo_project_points",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from posting_lines_spark.session import get_spark
+
+    spark = get_spark(app="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] or list(qs)
+
+    # warm the JVM + parquet footer cache once with a trivial action
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named (PySpark callable, DuckDB oracle SQL) pair here. The driver contract
+(`__spark_entry__.py`) is a thin view over this registry.
+
+Oracle parity rules every query in this package follows:
+  1. Float literals in shared SQL are e-notation (DOUBLE in both engines).
+  2. Trig-derived math goes through functions/geo.py's deterministic
+     kernels (bit-identical across Spark/DuckDB/Python).
+  3. Aggregates over doubles are order-dependent in floating point, so
+     sums/avgs are computed in DECIMAL (exact, associative) and cast back
+     to DOUBLE — see `parity.dsum`/`parity.davg`.
+  4. Every computed column is aliased identically on both sides (the
+     driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from posting_lines_spark.queries import (  # noqa: F401
+        geo_q,
+    )
+
+    return REGISTRY

@@ -1,0 +1,130 @@
+"""Geodesy queries — the reference's computational core as Spark plans.
+
+Covers SURVEY.md §2.7 operators O16-O22 (make line, set SRID, Albers
+4326→3005 transform, planar length, SOG knots) over the synthetic AIS
+segments derivation (plans/ais.py, FIXTURES.md §B1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions import geo
+from posting_lines_spark.plans import ais
+from posting_lines_spark.queries import register
+from posting_lines_spark.queries.parity import davg, davg_expr, dsum, dsum_expr
+
+_POINTS = [("start_lon", "start_lat", "1"), ("end_lon", "end_lat", "2")]
+_SEG_COLS = [
+    "segment_id",
+    "uid",
+    "mmsi",
+    "start_time",
+    "duration",
+    "needs_geom",
+    "returnflag",
+]
+
+
+def enriched_sql() -> str:
+    """Shared SQL: segments + projected endpoints + len_m + sog_kt."""
+    proj = geo.albers_cte_sql(ais.SEGMENTS_SQL, _POINTS, keep=_SEG_COLS)
+    with_len = (
+        f"SELECT *, {geo.line_length_m_sql('x1', 'y1', 'x2', 'y2')} AS len_m FROM ({proj})"
+    )
+    return f"SELECT *, {geo.sog_kt_sql('len_m', 'duration')} AS sog_kt FROM ({with_len})"
+
+
+def enrich_all_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form of `enriched_sql` — same expression tree, built with
+    the Column API so Catalyst sees a declarative plan (scan → project;
+    no shuffle)."""
+    df = ais.segments_df(spark, sf_dir)
+    df = geo.with_albers(df, _POINTS)
+    df = df.withColumn("len_m", geo.line_length_m("x1", "y1", "x2", "y2"))
+    return df.withColumn("sog_kt", geo.sog_kt("len_m", "duration"))
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT returnflag,
+       count(*) AS n_segments,
+       count(sog_kt) AS n_with_sog,
+       {davg("len_m", "avg_len_m")},
+       {davg("sog_kt", "avg_sog_kt")},
+       {dsum("len_m", "total_len_m")}
+FROM ({enriched_sql()})
+GROUP BY returnflag
+ORDER BY returnflag
+"""
+
+
+@register(
+    "geo_flagship",
+    oracle=FLAGSHIP_ORACLE,
+    description="O16-O21 end-to-end: derive segments, project EPSG:3005, "
+    "length + SOG, aggregate per returnflag (sql_to_line.py:205-224)",
+)
+def geo_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enrich_all_df(spark, sf_dir)
+    return (
+        df.groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count("sog_kt").alias("n_with_sog"),
+            F.expr(davg_expr("len_m")).alias("avg_len_m"),
+            F.expr(davg_expr("sog_kt")).alias("avg_sog_kt"),
+            F.expr(dsum_expr("len_m")).alias("total_len_m"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+PROJECT_POINTS_ORACLE = f"""
+SELECT segment_id, x1, y1, x2, y2, len_m, sog_kt
+FROM ({enriched_sql()})
+ORDER BY segment_id
+LIMIT 1000
+"""
+
+
+@register(
+    "geo_project_points",
+    oracle=PROJECT_POINTS_ORACLE,
+    description="Per-row O19 projection + O20/O21 outputs, top-1000 by key "
+    "(bit-identical doubles — deterministic kernel, no rounding needed)",
+)
+def geo_project_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enrich_all_df(spark, sf_dir)
+    return (
+        df.select("segment_id", "x1", "y1", "x2", "y2", "len_m", "sog_kt")
+        .orderBy("segment_id")
+        .limit(1000)
+    )
+
+
+WKT_ORACLE = f"""
+SELECT segment_id,
+       'LINESTRING(' || CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', '
+                     || CAST(x2 AS VARCHAR) || ' ' || CAST(y2 AS VARCHAR) || ')' AS wkt
+FROM ({enriched_sql()})
+ORDER BY segment_id
+LIMIT 100
+"""
+
+
+@register(
+    "geo_line_wkt",
+    oracle=None,  # rows-only: double→string formatting differs across engines
+    description="O17 interop form: WKT LINESTRING export (PostGIS parity, "
+    "sql_to_line.py:211); rows-only — float→text rendering is engine-specific",
+)
+def geo_line_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = enrich_all_df(spark, sf_dir)
+    geom = geo.make_line(3005, F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    return (
+        df.withColumn("geom", geom)
+        .select("segment_id", geo.line_wkt(F.col("geom")).alias("wkt"))
+        .orderBy("segment_id")
+        .limit(100)
+    )

@@ -1,0 +1,79 @@
+"""Table sources.
+
+The reference's only source is a PostgreSQL table via psycopg2
+(sql_to_line.py:17-22, operator O1 in SURVEY.md §2.1). Here the primary
+source is columnar Parquet (vectorized scan, predicate pushdown, column
+pruning all for free); JDBC and CSV readers cover the reference's
+connector surface (O1, O7 `loaderDb` csv loading, auth_class.py:19-20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated testdata tables (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet table scan. Catalyst pushes filters/projections into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register the testdata tables as temp views for spark.sql queries."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source (reference O7: `loaderDb` for "loading csv into test
+    database", auth_class.py:19-20 — declared there, implemented here).
+    Schema should be explicit at scale; inference reads the data twice.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """JDBC source (reference O1 parity: psycopg2 connect, sql_to_line.py:17-22).
+
+    At scale a single-connection JDBC read is a bottleneck; callers should
+    pass `partition_column`/bounds so Spark issues `num_partitions` parallel
+    range-predicated queries.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
