@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (its `isUnique` flag is computed upstream,
+sql_to_line.py:197): exact dedup, MinHash+LSH near-dup, SimHash near-dup,
+and n-gram Jaccard — the standard toolkit for training-data curation.
+
+Scale design (100 TB):
+  - exact_dedup: hash-aggregate on a content digest — one shuffle on the
+    digest (uniform keys, no skew), map-side combine.
+  - MinHash: one explode (doc → shingles) + one hash-aggregate computing
+    all H mins in a single pass; signatures are H·8 bytes per doc. LSH
+    banding turns all-pairs O(n²) into a shuffle on band keys; hot buckets
+    (boilerplate docs) are the skew risk — cap bucket width or salt.
+  - SimHash: explode tokens, one aggregate per doc; near-pair search is a
+    band-equality join (pigeonhole: hamming ≤ d needs ≥1 equal band among
+    d+1 bands) then exact hamming filter — equivalent output to brute
+    force, linear-ish cost.
+  - Jaccard verification joins candidate pairs back to shingle sets —
+    only candidates pay the exact-set cost.
+
+All hashes are md5-derived (functions/hashing.py) so a DuckDB oracle can
+replay every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions.hashing import md5_int_spark
+
+# --- shingling (Spark side; the DuckDB twin lives in queries/dedup_q.py) ---
+
+def shingle_array_spark(text_col: str, k: int = 3) -> str:
+    """SQL expr: array of word k-shingles of `text_col` (space-tokenized)."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(k))
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs, set semantics (distinct within doc)."""
+    return (
+        df.select(id_col, F.explode(F.expr(shingle_array_spark(text_col, k))).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup ---
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup via content-digest group: keeps the min-id row per
+    distinct content, reports the multiplicity. One shuffle on the digest."""
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    return (
+        df.groupBy(digest.alias("content_digest"))
+        .agg(F.min(id_col).alias(f"{id_col}_kept"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- MinHash + LSH ---
+
+def minhash_signature(
+    sh: DataFrame, id_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """H min-hashes per doc in ONE aggregation pass over (id, shingle).
+    Hash family = salted md5 (portable across engines)."""
+    aggs = [
+        F.min(F.expr(md5_int_spark("shingle", salt=f"mh{j}"))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key): docs
+    sharing any band become candidate pairs (id_a < id_b). The band join
+    is the scale path — no all-pairs comparison ever materializes."""
+    rows = num_hashes // bands
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only. intersection and
+    union are int64 counts → the ratio is bit-deterministic."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out
+
+
+# --- SimHash ---
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over word tokens: bit b is the sign of the sum of
+    (±1) votes from each distinct token's hash bit b. One explode + one
+    aggregate (bits columns folded into a single int)."""
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    )
+    h = F.expr(md5_int_spark("tok", salt="simhash"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-pairs with hamming(simhash) ≤ max_hamming. Scale path: split
+    the hash into (max_hamming+1) bands; pigeonhole guarantees every
+    qualifying pair shares ≥1 exact band, so a band-equality join yields a
+    candidate superset, then the exact hamming filter makes the output
+    IDENTICAL to brute force."""
+    bands = max_hamming + 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,128 @@
+"""Embedding similarity search over array<float> columns.
+
+Two paths (SURVEY.md §7 phase 5 / the driver's north star):
+  - brute-force cosine top-k: exact baseline, O(n·q) — right answer for
+    few queries; JVM-side `aggregate(zip_with(...))` (no Python, no UDF).
+  - LSH-bucketed ANN (random-hyperplane signatures): the scale path. A
+    small deterministic hyperplane table is broadcast; each vector gets a
+    B-bit bucket (sign of dot with each plane); search touches only the
+    query's bucket. At 100 TB the bucket join replaces the all-pairs
+    cross join; recall tunes with plane count / multi-probe.
+
+Determinism: hyperplane weights derive from md5 (functions/hashing.py),
+so a DuckDB oracle rebuilds identical planes, buckets, and cosines —
+float dot products fold sequentially in index order on both engines
+(measured bit-identical on the full embeddings table).
+
+Float→double products are exact (24-bit mantissas), so the only rounding
+is in the fold adds — identical order ⇒ identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# --- portable expression fragments (Spark dialect) ---
+
+def dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_spark(a: str) -> str:
+    return f"sqrt({dot_spark(a, a)})"
+
+
+def cosine_spark(a: str, b: str) -> str:
+    return f"({dot_spark(a, b)} / ({norm_spark(a)} * {norm_spark(b)}))"
+
+
+# --- deterministic random-hyperplane table ---
+
+def plane_weight_spark(plane: str, dim: str) -> str:
+    """Pseudo-random weight in [-1, 1): md5-derived, portable."""
+    h = (
+        f"CAST(conv(substring(md5(concat('plane', CAST({plane} AS STRING), '_', "
+        f"CAST({dim} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return f"(({h} % 2001) - 1000) / 1000.0e0"
+
+
+def hyperplanes(spark: SparkSession, num_planes: int, dims: int) -> DataFrame:
+    """(plane_idx, weights array<double>) — tiny, broadcast at use sites."""
+    return spark.sql(
+        f"""
+        SELECT p AS plane_idx,
+               transform(sequence(1, {dims}), d -> {plane_weight_spark('p', 'd')}) AS w
+        FROM (SELECT explode(sequence(0, {num_planes - 1})) AS p)
+        """
+    )
+
+
+def bucketize(
+    emb: DataFrame, planes: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """B-bit LSH bucket per vector: bit p = sign(dot(v, plane_p))."""
+    joined = emb.crossJoin(F.broadcast(planes))
+    bit = F.when(F.expr(dot_spark(vec_col, "w")) > 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        joined.select(id_col, vec_col, "plane_idx", bit.alias("bit"))
+        .groupBy(id_col, vec_col)
+        .agg(F.sum(F.expr("bit * CAST(pow(2, plane_idx) AS BIGINT)")).alias("bucket"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Queries are broadcast; ranking
+    window is per-query with id tiebreak (fully deterministic)."""
+    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", F.expr(cosine_spark(vec_col, "qv")))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, then
+    exact cosine rank inside it. Scale path: the bucket equi-join shuffles
+    on bucket id instead of materializing the n×q cross product."""
+    eb = bucketize(emb, planes, id_col, vec_col)
+    qb = bucketize(queries, planes, id_col, vec_col).select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        eb.join(qb, "bucket")
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("cosine", F.expr(cosine_spark(vec_col, "qv")))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

@@ -7,7 +7,12 @@ FIXTURES.md §B1 fixes deterministic formulas that derive one from
 state is needed and the oracle sees the same rows.
 
 Column mapping to the reference schema:
-  segment_id ← segmentId (PK, sql_to_line.py:184)
+  segment_id ← segmentId (sql_to_line.py:184). NOT unique here: the
+               datagen repeats (l_orderkey, l_linenumber) pairs, so
+               segment_id carries duplicates — mirroring the reference's
+               reality that dedup happens upstream (the isUnique flag,
+               sql_to_line.py:197). Tests therefore compare multisets
+               rather than joining on segment_id.
   uid        ← uid       (:185)
   mmsi       ← mmsi      (:186)  — synthesized vessel pool
   start_time ← startTime (:187)  — drives per-day batching semantics

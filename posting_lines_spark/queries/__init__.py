@@ -42,7 +42,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from posting_lines_spark.queries import (  # noqa: F401
+        dedup_q,
         geo_q,
+        pipeline_q,
+        relational_q,
+        scalar_q,
+        stream_q,
+        text_q,
+        vectors_q,
+        windows_q,
     )
 
     return REGISTRY

@@ -1,0 +1,231 @@
+"""Dedup queries over `documents`, each with a DuckDB oracle that replays
+the same md5-derived hash math (functions/hashing.py) bit-for-bit.
+
+The corpus has no natural duplicates (500 distinct texts), so each query
+derives a deterministic augmented corpus inline: exact copies (id+100000)
+for exact dedup, tail-truncated near-copies for the near-dup families —
+identical derivation on both engines, no random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions.hashing import md5_int_duck
+from posting_lines_spark.operators import dedup
+from posting_lines_spark.queries import register
+from posting_lines_spark.sources import load_table
+
+NUM_HASHES, BANDS = 12, 4
+JACCARD_T = 0.5
+
+# --- augmented corpora (Spark + DuckDB twins; identical rows) ---
+
+EXACT_BASE_SPARK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+"""
+EXACT_BASE_DUCK = EXACT_BASE_SPARK
+
+# near-copies: drop the last 2 tokens of every 5th doc
+NEAR_BASE_SPARK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ') AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+NEAR_BASE_DUCK = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       array_to_string((string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 2, 1)], ' ') AS text
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def shingle_sql_duck(text: str, k: int = 3) -> str:
+    toks = f"string_split({text}, ' ')"
+    parts = ", ".join(f"({toks})[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+_SH_DUCK = f"""
+SELECT DISTINCT doc_id, unnest({shingle_sql_duck('text')}) AS shingle
+FROM ({NEAR_BASE_DUCK})
+"""
+
+# --- exact dedup ---
+
+EXACT_ORACLE = f"""
+SELECT md5(text) AS content_digest, min(doc_id) AS doc_id_kept, count(*) AS n_copies
+FROM ({EXACT_BASE_DUCK})
+GROUP BY md5(text)
+ORDER BY doc_id_kept
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=EXACT_ORACLE,
+    description="exact dedup: content-digest hash-aggregate keeping min id "
+    "(one uniform-key shuffle; the engine-side recomputation of the "
+    "reference's upstream isUnique flag, sql_to_line.py:197)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(EXACT_BASE_SPARK)
+    return dedup.exact_dedup(base, ["text"], "doc_id").orderBy("doc_id_kept")
+
+
+# --- MinHash + LSH near-dup ---
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min({md5_int_duck('shingle', salt=f'mh{j}')}) AS mh{j}" for j in range(NUM_HASHES)
+    )
+    rows = NUM_HASHES // BANDS
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_SH_DUCK}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b, i.n_common,
+       i.n_common / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_common / (za.n_sh + zb.n_sh - i.n_common) >= {JACCARD_T!r}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description="MinHash(12)+LSH(4 bands) near-dup: shingle→signature in one "
+    "aggregate pass, band-join candidates, exact-Jaccard verify ≥ 0.5 "
+    "(no all-pairs comparison; hot-bucket skew documented in operators/dedup.py)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK)
+    sh = dedup.shingles(base, "doc_id", "text")
+    sig = dedup.minhash_signature(sh, "doc_id", NUM_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
+    return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
+
+
+# --- n-gram Jaccard (inverted-index all-candidates) ---
+
+NGRAM_ORACLE = f"""
+WITH sh AS ({_SH_DUCK}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       i.n_common / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_common / (za.n_sh + zb.n_sh - i.n_common) >= {JACCARD_T!r}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_ORACLE,
+    description="n-gram Jaccard near-dup via shingle inverted-index join "
+    "(exact, no approximation; at scale: cap high-frequency shingles to "
+    "bound the per-shingle self-join fanout)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK)
+    sh = dedup.shingles(base, "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- SimHash near-dup ---
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    h = md5_int_duck("tok", salt="simhash")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM ({NEAR_BASE_DUCK})
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    description="SimHash(32-bit) near-dup, hamming ≤ 3 via pigeonhole band "
+    "join (output provably identical to the oracle's brute-force all-pairs)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK)
+    sig = dedup.simhash(base, "doc_id", "text", bits=32)
+    return dedup.simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=3).orderBy("id_a", "id_b")

@@ -1,0 +1,107 @@
+"""Pipeline queries: the reference's incremental ETL semantics, oracle-checked.
+
+The synthetic `segments` table (plans/ais.py) carries a deterministic
+`needs_geom` flag replaying the reference's `geom IS NULL` contract
+(sql_to_line.py:38-41). Rows with needs_geom=false carry "previously
+computed" values, quantized with floor(x*1000)/1000 — exact FP ops, so
+both engines see identical doubles AND merged output rows reveal whether
+a row was preserved (quantized) or enriched (full precision): the merge
+semantics are observable in the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions import geo
+from posting_lines_spark.operators import pipeline
+from posting_lines_spark.queries import register
+from posting_lines_spark.queries.geo_q import enrich_all_df, enriched_sql
+
+_Q = "floor({c} * 1000.0e0) / 1000.0e0"  # deterministic quantizer (exact FP ops)
+
+
+def segments_state_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segments with pipeline state: geom/len_m/sog_kt NULL where
+    needs_geom (the reference's "unprocessed" rows), quantized
+    previously-computed values elsewhere (FIXTURES.md §A1 geom contract)."""
+    df = enrich_all_df(spark, sf_dir)
+    done = ~F.col("needs_geom")
+    pre = {c: F.expr(_Q.format(c=c)) for c in ("x1", "y1", "x2", "y2", "len_m", "sog_kt")}
+    geom = geo.make_line(3005, pre["x1"], pre["y1"], pre["x2"], pre["y2"])
+    return (
+        df.withColumn("__geom", F.when(done, geom))
+        .withColumn("len_m", F.when(done, pre["len_m"]))
+        .withColumn("sog_kt", F.when(done, pre["sog_kt"]))
+        .drop("x1", "y1", "x2", "y2")
+        .withColumnRenamed("__geom", "geom")
+    )
+
+
+DETECT_ORACLE = f"""
+SELECT segment_id FROM ({enriched_sql()}) WHERE needs_geom
+"""
+
+
+@register(
+    "pipeline_detect",
+    oracle=DETECT_ORACLE,
+    description="O2 change-detection scan: keys of rows with NULL geom "
+    "(sql_to_line.py:41-45); single-column projection pruned at the scan",
+)
+def pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.detect_unprocessed(segments_state_df(spark, sf_dir))
+
+
+ENRICH_ORACLE = f"""
+SELECT segment_id, duration,
+       CASE WHEN needs_geom THEN x1 ELSE {_Q.format(c='x1')} END AS x1,
+       CASE WHEN needs_geom THEN y1 ELSE {_Q.format(c='y1')} END AS y1,
+       CASE WHEN needs_geom THEN x2 ELSE {_Q.format(c='x2')} END AS x2,
+       CASE WHEN needs_geom THEN y2 ELSE {_Q.format(c='y2')} END AS y2,
+       CASE WHEN needs_geom THEN len_m ELSE {_Q.format(c='len_m')} END AS len_m,
+       CASE WHEN needs_geom THEN sog_kt ELSE {_Q.format(c='sog_kt')} END AS sog_kt
+FROM ({enriched_sql()})
+WHERE duration != 0
+"""
+
+
+@register(
+    "pipeline_enrich",
+    oracle=ENRICH_ORACLE,
+    description="Full v1 pipeline (detect → clean → enrich → merge) as one "
+    "shuffle-free pass (sql_to_line.py:24-141); per-row output proves merge "
+    "semantics: preserved rows stay quantized, enriched rows are full precision",
+)
+def pipeline_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = pipeline.enrich_segments(segments_state_df(spark, sf_dir))
+    return out.select(
+        "segment_id",
+        "duration",
+        F.col("geom.x1").alias("x1"),
+        F.col("geom.y1").alias("y1"),
+        F.col("geom.x2").alias("x2"),
+        F.col("geom.y2").alias("y2"),
+        "len_m",
+        "sog_kt",
+    )
+
+
+DAILY_ORACLE = f"""
+SELECT CAST(start_time AS DATE) AS day, count(*) AS n_segments
+FROM ({enriched_sql()})
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "pipeline_daily_counts",
+    oracle=DAILY_ORACLE,
+    description="O14+O15: distinct processing days + per-day segment counts "
+    "(the reference's client-side set()/len() at sql_to_line.py:81-88,113-131) "
+    "as one engine-side hash aggregate",
+)
+def pipeline_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.daily_counts(enrich_all_df(spark, sf_dir))

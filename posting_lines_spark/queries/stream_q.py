@@ -1,0 +1,105 @@
+"""Streaming + multimodal queries for the driver contract.
+
+`stream_enrich` proves the incremental (availableNow) path produces
+byte-identical results to the batch pipeline — its oracle IS the batch
+pipeline oracle. `stream_sessions` runs the stateful session_window
+operator; its oracle is the batch gaps-and-islands derivation of the same
+sessions. `multimodal_features` proves the Arrow/mapInPandas plumbing
+against a pure-SQL byte-level oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.operators import multimodal
+from posting_lines_spark.queries import register
+from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df
+from posting_lines_spark.sources import load_table
+from posting_lines_spark.streaming import incremental
+
+
+@register(
+    "stream_enrich",
+    oracle=ENRICH_ORACLE,
+    description="the reference's re-runnable incremental batch as Structured "
+    "Streaming: parquet source + availableNow + foreachBatch(enrich_segments) "
+    "— hash-matches the BATCH oracle, proving the paths are equivalent",
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="pls_seg_src_")
+    out = tempfile.mkdtemp(prefix="pls_seg_out_")
+    ckpt = tempfile.mkdtemp(prefix="pls_seg_ckpt_")
+    segments_state_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+    incremental.enrich_available_now(spark, src, out, ckpt)
+    res = spark.read.parquet(out)
+    return res.select(
+        "segment_id",
+        "duration",
+        F.col("geom.x1").alias("x1"),
+        F.col("geom.y1").alias("y1"),
+        F.col("geom.x2").alias("x2"),
+        F.col("geom.y2").alias("y2"),
+        "len_m",
+        "sog_kt",
+    )
+
+
+SESSIONS_ORACLE = """
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) + 1800000000 AS session_end_us,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts, event_id,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) AS gap_us
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+@register(
+    "stream_sessions",
+    oracle=SESSIONS_ORACLE,
+    description="stateful streaming sessionization (session_window + "
+    "watermark, availableNow); oracle = the batch gaps-and-islands twin — "
+    "identical session boundaries",
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = incremental.session_windows_available_now(spark, events, gap="30 minutes")
+    return out.orderBy("user_id", "session_start_us")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=MULTIMODAL_ORACLE,
+    description="multimodal plumbing: binary payload column + Arrow-batched "
+    "mapInPandas feature extraction (decode stubbed — no codecs in env; "
+    "oracle checks the byte-level features end to end)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d)
+    return multimodal.extract_features(media, mode="meta").orderBy("doc_id")

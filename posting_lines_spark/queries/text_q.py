@@ -1,0 +1,204 @@
+"""Text-analysis queries over `documents` (the training-data-pipeline
+operators from the driver's north star): language-ID scoring, quality
+scoring, tokenization stats, document fingerprinting.
+
+Note on the corpus: the synthetic texts share one vocabulary across all
+`lang` labels, so no classifier can recover the labels — the queries
+demonstrate the *mechanics* (marker-count scoring, argmax with
+deterministic tie-break, ratio features) with fully deterministic output.
+All arithmetic is int counts + divisions of identical values → exact
+cross-engine parity; no decimal routing needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark
+from posting_lines_spark.queries import register
+from posting_lines_spark.queries.dedup_q import shingle_sql_duck
+from posting_lines_spark.operators.dedup import shingle_array_spark
+from posting_lines_spark.sources import load_table
+
+# language marker words (function words per language; the en set matches
+# this corpus' actual function words)
+MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "y"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _score_spark(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return f"size(filter(split(text, ' '), t -> t IN ({lst})))"
+
+
+def _score_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+def _argmax(score_of) -> str:
+    """CASE argmax over langs, priority order = MARKERS order (ties go to
+    the earlier language — deterministic)."""
+    langs = list(MARKERS)
+    out = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        later = langs[langs.index(lang) + 1 :]
+        cond = " AND ".join(f"{score_of(lang)} >= {score_of(lg)}" for lg in later)
+        out = f"CASE WHEN {cond} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+LANG_ID_ORACLE = f"""
+SELECT predicted_lang, lang AS actual_lang, count(*) AS n_docs,
+       sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct
+FROM (
+  SELECT lang, {_argmax(_score_duck)} AS predicted_lang
+  FROM documents
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=LANG_ID_ORACLE,
+    description="language-ID heuristic: per-language marker-word counts + "
+    "deterministic argmax; confusion-matrix output (north-star text op)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT predicted_lang, lang AS actual_lang, count(*) AS n_docs,
+               sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct
+        FROM (SELECT lang, {_argmax(_score_spark)} AS predicted_lang FROM documents)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+QUALITY_ORACLE = """
+SELECT doc_id,
+       n_tokens,
+       n_distinct_tokens,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS lexical_diversity,
+       CAST(n_chars_actual AS DOUBLE) / n_tokens AS mean_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens >= 30
+             AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens >= 0.3e0
+             AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01e0
+            THEN 1 ELSE 0 END AS passes_quality
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         length(replace(text, ' ', '')) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_quality",
+    oracle=QUALITY_ORACLE,
+    description="document quality scoring: length/diversity/stopword-ratio "
+    "features + threshold gate (north-star text op; pure column math, no UDF)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               n_tokens,
+               n_distinct_tokens,
+               CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS lexical_diversity,
+               CAST(n_chars_actual AS DOUBLE) / n_tokens AS mean_token_len,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+               CASE WHEN n_tokens >= 30
+                     AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens >= 0.3e0
+                     AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01e0
+                    THEN 1 ELSE 0 END AS passes_quality
+        FROM (
+          SELECT doc_id,
+                 size(split(text, ' ')) AS n_tokens,
+                 size(array_distinct(split(text, ' '))) AS n_distinct_tokens,
+                 length(replace(text, ' ', '')) AS n_chars_actual,
+                 size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+          FROM documents
+        )
+        ORDER BY doc_id
+        """
+    )
+
+
+TOKEN_STATS_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS total_re_tokens,
+       sum(length(text)) AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=TOKEN_STATS_ORACLE,
+    description="token counting per source: whitespace tokens + regex "
+    "(BPE-ish pretokenizer) tokens + char totals (north-star text op)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_ws_tokens"),
+            F.sum(F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))).alias(
+                "total_re_tokens"
+            ),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, min({md5_int_duck('shingle', salt='fp')}) AS fingerprint
+FROM (
+  SELECT DISTINCT doc_id, unnest({shingle_sql_duck('text', k=5)}) AS shingle
+  FROM documents
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_fingerprint",
+    oracle=FINGERPRINT_ORACLE,
+    description="document fingerprinting: min-sampled 5-gram rolling hash "
+    "(winnowing-style single-value signature; north-star text op)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.expr(shingle_array_spark("text", k=5))).alias("shingle")
+    ).distinct()
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.min(F.expr(md5_int_spark("shingle", salt="fp"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,168 @@
+"""Similarity-search queries over `embeddings` (array<float>), each with a
+DuckDB oracle replaying identical float math.
+
+Cross-engine float policy: float→double products are exact; both engines
+fold the dot product sequentially in index order seeded with +0.0 (Spark
+`aggregate` init, DuckDB `list_prepend`), so cosines are bit-identical —
+measured 0 mismatches over the full table. Rankings order by (cosine
+DESC, vec_id) and are therefore deterministic too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.operators import similarity as sim
+from posting_lines_spark.queries import register
+from posting_lines_spark.sources import load_table
+
+NUM_PLANES = 4
+DIMS = 64
+K = 10
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+# --- DuckDB dialect fragments ---
+
+def dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_duck(a: str, b: str) -> str:
+    return f"({dot_duck(a, b)} / (sqrt({dot_duck(a, a)}) * sqrt({dot_duck(b, b)})))"
+
+
+def plane_weight_duck(plane: str, dim: str) -> str:
+    h = (
+        f"CAST('0x' || substring(md5(concat('plane', CAST({plane} AS VARCHAR), '_', "
+        f"CAST({dim} AS VARCHAR))), 1, 15) AS BIGINT)"
+    )
+    return f"(({h} % 2001) - 1000) / 1000.0e0"
+
+
+PLANES_DUCK = f"""
+SELECT p AS plane_idx,
+       list_transform(range(1, {DIMS + 1}), d -> {plane_weight_duck('p', 'd')}) AS w
+FROM range(0, {NUM_PLANES}) t(p)
+"""
+
+_QIDS = ", ".join(str(v) for v in QUERY_IDS)
+
+BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ({_QIDS})),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cosine_duck('e.embedding', 'q.qv')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=BRUTE_ORACLE,
+    description="exact cosine top-k (brute force baseline): broadcast query "
+    "vectors, JVM-side zip_with/aggregate dot products, per-query ranking "
+    "window — the exact-answer path for small query sets",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return sim.brute_force_topk(emb, queries, K).orderBy("query_id", "rank")
+
+
+_BUCKET_DUCK = f"""
+SELECT eb.vec_id, sum(CASE WHEN {dot_duck('eb.embedding', 'pl.w')} > 0 THEN 1 ELSE 0 END
+       * CAST(pow(2, pl.plane_idx) AS BIGINT)) AS bucket
+FROM embeddings eb CROSS JOIN ({PLANES_DUCK}) pl
+GROUP BY eb.vec_id
+"""
+
+IVF_ORACLE = f"""
+WITH buckets AS ({_BUCKET_DUCK}),
+eb AS (SELECT b.vec_id, e.embedding, b.bucket FROM buckets b JOIN embeddings e USING (vec_id)),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id IN ({_QIDS})),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {cosine_duck('eb.embedding', 'qb.qv')} AS cosine
+  FROM eb JOIN qb USING (bucket)
+  WHERE eb.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=IVF_ORACLE,
+    description="ANN top-k via deterministic random-hyperplane LSH buckets "
+    "(the 100 TB path: bucket equi-join replaces the n×q cross product; "
+    "recall tunes with plane count/multi-probe)",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+    return sim.ivf_topk(emb, queries, planes, K).orderBy("query_id", "rank")
+
+
+EMB_BASE_DUCK = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+EMB_DEDUP_ORACLE = f"""
+WITH base AS ({EMB_BASE_DUCK}),
+buckets AS (
+  SELECT eb.vec_id, sum(CASE WHEN {dot_duck('eb.embedding', 'pl.w')} > 0 THEN 1 ELSE 0 END
+         * CAST(pow(2, pl.plane_idx) AS BIGINT)) AS bucket
+  FROM base eb CROSS JOIN ({PLANES_DUCK}) pl
+  GROUP BY eb.vec_id
+),
+eb AS (SELECT b.vec_id, e.embedding, b.bucket FROM buckets b JOIN base e USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cosine_duck('a.embedding', 'b.embedding')} AS cosine
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cosine_duck('a.embedding', 'b.embedding')} >= 0.95e0
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=EMB_DEDUP_ORACLE,
+    description="embedding near-dup: LSH-bucketed candidate pairs + exact "
+    "cosine ≥ 0.95 (no all-pairs at scale; duplicate vectors land in the "
+    "same bucket by construction)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    base = spark.sql(EMB_BASE_DUCK)  # same text is valid Spark SQL
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+    eb = sim.bucketize(base, planes)
+    a = eb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = eb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(sim.cosine_spark("va", "vb")))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,170 @@
+"""Window-function queries (SURVEY.md §2.5).
+
+The reference has no OVER clauses, but its input schema is the OUTPUT of
+the canonical window use-case: pairing consecutive AIS point postings
+into (start,end) segments per vessel (SURVEY.md §2.5 — "the upstream
+producer"). `events` stands in as the point stream (user_id ≙ vessel
+mmsi, ts ≙ posting time), so `window_segments_producer` manufactures
+exactly the reference's input columns (start/end point pairs + duration,
+sql_to_line.py:187-192).
+
+Parity: window frames are ordered, so even double-summation is
+deterministic — but we still route sums through DECIMAL for exactness.
+Timestamp arithmetic uses unix_micros (Spark) / epoch_us (DuckDB): both
+produce int64 microseconds, no float drift. Window ORDER BY includes a
+unique tiebreak (event_id) everywhere so ranks are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from posting_lines_spark.queries import register
+from posting_lines_spark.sources import load_table
+
+TOPK_PER_TYPE_ORACLE = """
+SELECT event_type, event_id, value, rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 3
+ORDER BY event_type, rn
+"""
+
+
+@register(
+    "window_topk_per_type",
+    oracle=TOPK_PER_TYPE_ORACLE,
+    description="ranking window: top-3 per group via row_number "
+    "(engine surface §2.5; deterministic tiebreak on event_id)",
+)
+def window_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+WHERE user_id < 10
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "window_running_total",
+    oracle=RUNNING_ORACLE,
+    description="analytic window: running sum with explicit frame spec "
+    "(rowsBetween; decimal-routed for exactness)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    return (
+        e.withColumn("running_value", running)
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+SEGMENTS_PRODUCER_ORACLE = """
+SELECT user_id,
+       event_id AS start_event_id,
+       epoch_us(ts) AS start_us,
+       epoch_us(lead(ts) OVER w) AS end_us,
+       epoch_us(lead(ts) OVER w) - epoch_us(ts) AS duration_us,
+       value AS start_value,
+       lead(value) OVER w AS end_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+QUALIFY end_us IS NOT NULL
+ORDER BY user_id, start_us
+"""
+
+
+@register(
+    "window_segments_producer",
+    oracle=SEGMENTS_PRODUCER_ORACLE,
+    description="the postings→segments producer (SURVEY.md §2.5): lead() per "
+    "vessel/user manufactures the reference's input pairs "
+    "(sql_to_line.py:187-192); int64-microsecond arithmetic, no float drift",
+)
+def window_segments_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        e.select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.unix_micros("ts").alias("start_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("end_us"),
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("duration_us"),
+            F.col("value").alias("start_value"),
+            F.lead("value").over(w).alias("end_value"),
+        )
+        .filter(F.col("end_us").isNotNull())
+        .orderBy("user_id", "start_us")
+    )
+    return out
+
+
+SESSIONIZE_ORACLE = """
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) AS gap_us
+    FROM events
+  )
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "window_sessionize",
+    oracle=SESSIONIZE_ORACLE,
+    description="batch sessionization (gaps-and-islands): lag + cumulative "
+    "session counter, 30-min gap (SURVEY.md §2.8 extension; the batch twin "
+    "of streaming session_window)",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("session_id", F.sum(is_new).over(cum))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -27,7 +27,21 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet table scan. Catalyst pushes filters/projections into it."""
+    """Parquet table scan. Catalyst pushes filters/projections into it.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's timestamp type
+    (microseconds) refuses outright; we read it as raw int64 nanos
+    (legacy.parquet.nanosAsLong) and truncate to micros with integer
+    division — the same ns→µs truncation DuckDB's epoch_us applies, so
+    both engines agree on every derived value. (Sub-µs precision is real
+    in this data and is deliberately dropped on both sides.)
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

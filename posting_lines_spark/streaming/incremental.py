@@ -1,0 +1,80 @@
+"""Structured Streaming twins of the batch pipeline (SURVEY.md §2.8/§7 ph.4).
+
+The reference encodes incrementality in DATA (`geom IS NULL`, rerun the
+script — sql_to_line.py:38-41); the engine facility for that pattern is a
+file-source stream with `trigger(availableNow=True)` + `foreachBatch`
+running the SAME batch transformation: each run drains exactly the new
+files, checkpoint state replaces the geom-null scan, and the enrichment
+code is shared verbatim with batch (no dual implementation).
+
+Sessionization is the genuinely stateful op: `session_window` with a
+watermark — the streaming twin of the batch gaps-and-islands query
+(queries/windows_q.py::window_sessionize).
+
+Scale notes: availableNow batches respect maxFilesPerTrigger for bounded
+memory; checkpoints make re-runs exactly-once into idempotent sinks
+(dynamic partition overwrite pairs with per-day partitioning, P7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.operators.pipeline import enrich_segments
+
+
+def enrich_available_now(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Run the batch enrichment as an incremental stream over a parquet
+    directory: drain-all-available, then stop. Re-running after new files
+    arrive processes only the delta (checkpoint-tracked)."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        enrich_segments(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def session_windows_available_now(
+    spark: SparkSession, events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Stateful streaming sessionization via session_window + watermark,
+    driven to completion on a bounded input (memory sink). Returns one row
+    per (user_id, session): start/end epoch-micros + event count."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="pls_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = f"sessions_{abs(hash(src)) % 10**8}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

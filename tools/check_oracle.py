@@ -60,6 +60,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"ERROR: unknown queries: {unknown}; known: {sorted(qs)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:
