@@ -18,10 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: kept deliberately stable across rounds so BENCH_r{N}.json
-# trends are comparable.
+# trends are comparable. One representative per operator family.
 HEADLINE = [
     "geo_flagship",
     "geo_project_points",
+    "pipeline_enrich",
+    "q1_pricing_summary",
+    "join_region_revenue",
+    "window_sessionize",
+    "window_segments_producer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_ivf",
+    "sim_topk_bruteforce",
+    "text_token_stats",
+    "text_fingerprint",
+    "json_funcs",
 ]
 
 

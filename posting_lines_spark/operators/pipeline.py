@@ -18,7 +18,17 @@ covers the case where updates genuinely arrive from elsewhere.
 
 Scale notes (100 TB): `enrich_segments` is shuffle-free — a map-only plan
 over columnar batches, fully whole-stage-codegen'd; it scales linearly
-with input splits. `merge_update` shuffles both sides on the key unless
+with input splits.
+
+Plan-size hazard: the geodesy kernel is a large expression tree; pushing
+predicates *through* it (filtering on derived columns of a still-lazy
+enrichment) makes Catalyst inline the kernel into the predicate — past
+~64KB of generated code Janino refuses and Spark falls back to
+interpreted evaluation. Consume enriched outputs across a storage
+boundary (write parquet / read back — exactly what the reference's
+UPDATE does) before filtering on derived values, or filter on the
+assembled `geom` struct (non-null by construction → the common
+`geom IS NULL` incrementality predicate constant-folds away). `merge_update` shuffles both sides on the key unless
 the update side is small enough to broadcast (pass broadcast_updates=True
 or let AQE convert it); `write_daily_partitioned` hash-partitions by day
 so each output partition is written by one task — idempotent dynamic
@@ -59,17 +69,31 @@ def enrich_segments(df: DataFrame, srid: int = 3005) -> DataFrame:
     """
     out = clean_zero_duration(df).withColumn("__todo", F.col("geom").isNull())
     out = geo.with_albers(out, _ENRICH_POINTS)
-    new_geom = geo.make_line(
-        srid, F.col("x_new1"), F.col("y_new1"), F.col("x_new2"), F.col("y_new2")
-    )
     new_len = geo.line_length_m("x_new1", "y_new1", "x_new2", "y_new2")
+    # Merge per SCALAR, then assemble the struct from the merged scalars:
+    # the output geom is a struct constructor (provably non-null), so a
+    # downstream `geom IS NULL` constant-folds to false instead of pushing
+    # a kernel-sized predicate into the plan (Janino's 64KB method limit
+    # turns such predicates into interpreted evaluation — measured 200s
+    # for two counts; see also the materialize-at-the-boundary note below).
+    merged = {
+        f"__m{c}{p}": F.when(F.col("__todo"), F.col(f"{c}_new{p}")).otherwise(F.col(f"geom.{c}{p}"))
+        for p in ("1", "2")
+        for c in ("x", "y")
+    }
+    out = out.withColumns(merged)
     out = out.withColumn("len_m", F.when(F.col("__todo"), new_len).otherwise(F.col("len_m")))
     out = out.withColumn(
         "sog_kt",
         F.when(F.col("__todo"), geo.sog_kt("len_m", "duration")).otherwise(F.col("sog_kt")),
     )
-    out = out.withColumn("geom", F.when(F.col("__todo"), new_geom).otherwise(F.col("geom")))
-    return out.drop("__todo", "x_new1", "y_new1", "x_new2", "y_new2")
+    out = out.withColumn(
+        "geom",
+        geo.make_line(srid, F.col("__mx1"), F.col("__my1"), F.col("__mx2"), F.col("__my2")),
+    )
+    return out.drop(
+        "__todo", "x_new1", "y_new1", "x_new2", "y_new2", "__mx1", "__my1", "__mx2", "__my2"
+    )
 
 
 def merge_update(
@@ -115,7 +139,13 @@ def daily_counts(df: DataFrame, ts_col: str = "start_time") -> DataFrame:
 def write_daily_partitioned(df: DataFrame, path: str, ts_col: str = "start_time") -> None:
     """O6/P2: per-day commit granularity → dynamic partition overwrite on
     to_date(ts). Idempotent re-runs replace only the days present in `df`
-    (the reference's crash-safety motive, S1:92-94 / Q6)."""
+    (the reference's crash-safety motive, S1:92-94 / Q6).
+
+    Scale note: partition granularity is a real design choice — day
+    partitions over years of sparse data create a small-files problem
+    (N_days × N_tasks files); repartition("__day") keeps it to one file
+    per day here. At 100 TB with dense days, add a second bucket column
+    or coalesce per partition to target ~128MB-1GB files."""
     (
         df.withColumn("__day", F.to_date(ts_col))
         .repartition("__day")

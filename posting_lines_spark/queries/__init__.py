@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational_q,
         scalar_q,
         stream_q,
+        temporal_q,
         text_q,
         vectors_q,
         windows_q,

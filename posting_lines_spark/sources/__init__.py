@@ -1,3 +1,9 @@
-from posting_lines_spark.sources.tables import TABLES, load_table, register_views
+from posting_lines_spark.sources.tables import (
+    TABLES,
+    load_csv,
+    load_jdbc,
+    load_table,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "load_csv", "load_jdbc", "load_table", "register_views"]

@@ -1,0 +1,138 @@
+"""Unit tests for the extension operators: dedup, similarity, temporal
+joins, multimodal plumbing, sources."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from posting_lines_spark.operators import dedup, multimodal, temporal
+from posting_lines_spark.operators import similarity as sim
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_groups_copies(self, spark):
+        df = docs_df(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+        out = {r.doc_id_kept: r.n_copies for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_shingles(self, spark):
+        df = docs_df(spark, [(1, "a b c d")])
+        got = {r.shingle for r in dedup.shingles(df, "doc_id", "text", k=3).collect()}
+        assert got == {"a b c", "b c d"}
+
+    def test_identical_docs_same_signature_and_lsh_pair(self, spark):
+        df = docs_df(spark, [(1, "the quick brown fox jumps over dogs"),
+                             (2, "the quick brown fox jumps over dogs"),
+                             (3, "completely different words here folks again")])
+        sh = dedup.shingles(df, "doc_id", "text")
+        sig = dedup.minhash_signature(sh, "doc_id", num_hashes=8)
+        rows = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in sig.collect()}
+        assert rows[1] == rows[2] != rows[3]
+        pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+        verified = dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.99).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in verified] == [(1, 2, 1.0)]
+
+    def test_simhash_identical_zero_hamming(self, spark):
+        df = docs_df(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                             (3, "epsilon zeta eta theta iota kappa")])
+        sig = dedup.simhash(df, "doc_id", "text", bits=32)
+        pairs = dedup.simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=3).collect()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+class TestSimilarity:
+    def test_duplicate_vector_is_top1(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]), (4, [0.5, 0.5, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 1")
+        top = sim.brute_force_topk(emb, q, k=2).collect()
+        assert top[0].vec_id == 2 and top[0].rank == 1
+        assert abs(top[0].cosine - 1.0) < 1e-12
+
+    def test_ivf_bucket_join_contains_duplicate(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5]) for i in range(12)]
+            + [(100, [1.0, 0.0, 0.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        planes = sim.hyperplanes(spark, num_planes=3, dims=4)
+        q = emb.filter("vec_id = 100")
+        out = sim.ivf_topk(emb, q, planes, k=5).collect()
+        assert out, "query bucket should not be empty"
+        assert out[0].vec_id in (0, 3, 6, 9)  # identical-direction vectors
+
+
+class TestTemporal:
+    def _events(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        mk = lambda s: base + datetime.timedelta(seconds=s)
+        left = spark.createDataFrame(
+            [(1, 1, mk(10)), (2, 1, mk(100)), (3, 2, mk(50))], "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(11, 1, mk(5), 1.5), (12, 1, mk(60), 2.5), (13, 3, mk(1), 9.9)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        return left, right
+
+    def test_as_of_join_latest_prior(self, spark):
+        left, right = self._events(spark)
+        out = {r.event_id: r.asof_value for r in
+               temporal.as_of_join(left, right, "user_id", "ts", ["value"]).collect()}
+        # event 1 (t=10) ← right t=5 (1.5); event 2 (t=100) ← right t=60 (2.5);
+        # event 3 (user 2) has no right rows → NULL
+        assert out == {1: 1.5, 2: 2.5, 3: None}
+
+    def test_as_of_join_tolerance(self, spark):
+        left, right = self._events(spark)
+        out = {r.event_id: r.asof_value for r in
+               temporal.as_of_join(left, right, "user_id", "ts", ["value"],
+                                   tolerance_us=10_000_000).collect()}
+        # event 1: 5s old → within 10s tolerance; event 2: 40s old → dropped
+        assert out == {1: 1.5, 2: None, 3: None}
+
+    def test_range_join_half_open(self, spark):
+        base = datetime.datetime(2024, 1, 1)
+        mk = lambda s: base + datetime.timedelta(seconds=s)
+        left = spark.createDataFrame([(1, mk(0))], "lid long, lts timestamp")
+        right = spark.createDataFrame(
+            [(10, mk(0)), (11, mk(59)), (12, mk(60)), (13, mk(-1))], "rid long, rts timestamp"
+        )
+        out = temporal.range_join_bucketed(left, right, "lts", "rts", 0, 60_000_000)
+        got = sorted(r.rid for r in out.collect())
+        assert got == [10, 11]  # [lower, upper): 60s excluded, -1s excluded
+
+
+class TestMultimodal:
+    def test_feature_extraction_matches_bytes(self, spark):
+        df = spark.createDataFrame([(1, "hi"), (2, "abc")], "doc_id long, text string")
+        media = multimodal.attach_payload(df)
+        feats = {r.doc_id: (r.n_bytes, r.first_byte, r.last_byte)
+                 for r in multimodal.extract_features(media).collect()}
+        assert feats == {1: (2, ord("h"), ord("i")), 2: (3, ord("a"), ord("c"))}
+
+    def test_decode_mode_is_stubbed(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(multimodal.attach_payload(df), mode="decode")
+
+
+class TestSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        from posting_lines_spark.sources import load_csv
+
+        p = str(tmp_path / "t.csv")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.option(
+            "header", "true"
+        ).csv(p)
+        back = load_csv(spark, p, schema="id long, s string")
+        assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]

@@ -5,14 +5,27 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from posting_lines_spark.operators import pipeline
 from tests.conftest import SF0001
 
+_state_path = {}
+
 
 def _state(spark):
+    """Parquet-backed pipeline state: materialized once per session — the
+    realistic shape (state arrives from storage, not as a live expression
+    tree) and the plan-size guidance from operators/pipeline.py."""
     from posting_lines_spark.queries.pipeline_q import segments_state_df
 
-    return segments_state_df(spark, SF0001)
+    if "p" not in _state_path:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pls_state_")
+        segments_state_df(spark, SF0001).write.mode("overwrite").parquet(path)
+        _state_path["p"] = path
+    return spark.read.parquet(_state_path["p"])
 
 
 def test_enrich_fills_every_surviving_row(spark):
@@ -80,7 +93,11 @@ def test_merge_update_matches_single_pass_enrich(spark):
 
 
 def test_write_daily_partitioned_idempotent(spark, tmp_path):
-    out = pipeline.enrich_segments(_state(spark))
+    # one quarter's worth of days — enough to exercise dynamic partition
+    # overwrite without creating ~2500 day directories twice
+    out = pipeline.enrich_segments(_state(spark)).filter(
+        "start_time >= TIMESTAMP '1996-01-01 00:00:00' AND start_time < TIMESTAMP '1996-04-01 00:00:00'"
+    )
     path = str(tmp_path / "segments_out")
     pipeline.write_daily_partitioned(out, path)
     n1 = spark.read.parquet(path).count()
