@@ -14,11 +14,13 @@ functions (MinHash needs k of them).
 from __future__ import annotations
 
 
-def md5_int_spark(expr: str, salt: str | None = None) -> str:
+def md5_int_spark(expr: str, salt: str | None = None, slot: int = 0) -> str:
+    """`slot` 0/1 selects hex chars 1-15 / 16-30 — two independent 60-bit
+    hashes per md5 evaluation (halves the hash cost of MinHash families)."""
     s = f"concat('{salt}|', {expr})" if salt is not None else expr
-    return f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(conv(substring(md5({s}), {1 + slot * 15}, 15), 16, 10) AS BIGINT)"
 
 
-def md5_int_duck(expr: str, salt: str | None = None) -> str:
+def md5_int_duck(expr: str, salt: str | None = None, slot: int = 0) -> str:
     s = f"concat('{salt}|', {expr})" if salt is not None else expr
-    return f"CAST('0x' || substring(md5({s}), 1, 15) AS BIGINT)"
+    return f"CAST('0x' || substring(md5({s}), {1 + slot * 15}, 15) AS BIGINT)"

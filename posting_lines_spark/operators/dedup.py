@@ -67,9 +67,10 @@ def minhash_signature(
     sh: DataFrame, id_col: str, num_hashes: int = 12
 ) -> DataFrame:
     """H min-hashes per doc in ONE aggregation pass over (id, shingle).
-    Hash family = salted md5 (portable across engines)."""
+    Hash family = salted md5, two 60-bit slots per digest — ⌈H/2⌉ md5
+    evaluations per shingle instead of H."""
     aggs = [
-        F.min(F.expr(md5_int_spark("shingle", salt=f"mh{j}"))).alias(f"mh{j}")
+        F.min(F.expr(md5_int_spark("shingle", salt=f"mh{j // 2}", slot=j % 2))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -143,11 +144,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     aggregate (bits columns folded into a single int)."""
     toks = df.select(
         id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
-    )
-    h = F.expr(md5_int_spark("tok", salt="simhash"))
+    ).withColumn("h", F.expr(md5_int_spark("tok", salt="simhash")))  # ONE md5 per token
     votes = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(bits)
     ]

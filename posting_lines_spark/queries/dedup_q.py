@@ -87,7 +87,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ",\n       ".join(
-        f"min({md5_int_duck('shingle', salt=f'mh{j}')}) AS mh{j}" for j in range(NUM_HASHES)
+        f"min({md5_int_duck('shingle', salt=f'mh{j // 2}', slot=j % 2)}) AS mh{j}"
+        for j in range(NUM_HASHES)
     )
     rows = NUM_HASHES // BANDS
     band_selects = "\nUNION ALL\n".join(

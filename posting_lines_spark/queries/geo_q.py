@@ -27,9 +27,9 @@ _SEG_COLS = [
 ]
 
 
-def enriched_sql() -> str:
+def enriched_sql(keep_extra: list[str] | None = None) -> str:
     """Shared SQL: segments + projected endpoints + len_m + sog_kt."""
-    proj = geo.albers_cte_sql(ais.SEGMENTS_SQL, _POINTS, keep=_SEG_COLS)
+    proj = geo.albers_cte_sql(ais.SEGMENTS_SQL, _POINTS, keep=_SEG_COLS + (keep_extra or []))
     with_len = (
         f"SELECT *, {geo.line_length_m_sql('x1', 'y1', 'x2', 'y2')} AS len_m FROM ({proj})"
     )

@@ -136,3 +136,17 @@ class TestSources:
         ).csv(p)
         back = load_csv(spark, p, schema="id long, s string")
         assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark):
+        from posting_lines_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [(1, i) for i in range(100)] + [(2, 0), (3, 7)], "k long, payload long"
+        )
+        right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unused")], "k long, tag string")
+        plain = left.join(right, "k").select("k", "payload", "tag")
+        salted = salted_join(left, right, "k", salt_n=4).select("k", "payload", "tag")
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0

@@ -1,0 +1,77 @@
+"""Property-based tests for the geodesy kernel (SURVEY.md §5.3) — pure
+Python against the bit-exact mirror (`forward_py` ≡ Spark ≡ DuckDB, proven
+in test_geo.py), so these run without a session."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from posting_lines_spark.functions import geo
+
+lats = st.floats(min_value=44.0, max_value=62.0, allow_nan=False)
+lons = st.floats(min_value=-140.0, max_value=-112.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats)
+def test_projection_finite_and_in_range(lon, lat):
+    x, y = geo.forward_py(lon, lat)
+    assert math.isfinite(x) and math.isfinite(y)
+    # BC Albers coordinates for the province's bounding box stay within
+    # a few thousand km of the false origin
+    assert -3e6 < x < 5e6
+    assert -3e6 < y < 5e6
+
+
+@settings(max_examples=100, deadline=None)
+@given(lats)
+def test_x_monotonic_in_lon(lat):
+    xs = [geo.forward_py(lon, lat)[0] for lon in (-134.0, -130.0, -126.0, -122.0, -118.0)]
+    assert xs == sorted(xs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lons)
+def test_y_monotonic_in_lat(lon):
+    ys = [geo.forward_py(lon, lat)[1] for lat in (45.0, 48.0, 52.0, 56.0, 60.0)]
+    assert ys == sorted(ys)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.floats(-0.05, 0.05), st.floats(-0.05, 0.05))
+def test_short_segment_length_tracks_haversine(lon, lat, dlon, dlat):
+    x1, y1 = geo.forward_py(lon, lat)
+    x2, y2 = geo.forward_py(lon + dlon, lat + dlat)
+    planar = math.hypot(x2 - x1, y2 - y1)
+    R = 6371008.8
+    p1, p2, dl = math.radians(lat), math.radians(lat + dlat), math.radians(dlon)
+    h = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    gc = 2 * R * math.asin(math.sqrt(h))
+    if gc > 1.0:  # metre-scale floors avoid 0/0
+        assert abs(planar - gc) / gc < 0.02
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats)
+def test_zero_length_iff_same_point(lon, lat):
+    x, y = geo.forward_py(lon, lat)
+    assert math.hypot(x - x, y - y) == 0.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(0.1, 1e6), st.integers(1, 86400))
+def test_sog_positive_and_scales(len_m, duration):
+    sog = len_m / duration * geo.KNOTS_PER_MPS
+    assert sog > 0
+    assert abs(sog / 2 - (len_m / (2 * duration)) * geo.KNOTS_PER_MPS) < 1e-9 * max(1.0, sog)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(-1.6, 1.6))
+def test_polynomial_sin_cos_accuracy(x):
+    assert abs(geo.dsin_py(x) - math.sin(x)) < 5e-16
+    assert abs(geo.dcos_py(x) - math.cos(x)) < 5e-16
+    assert abs(geo.dsin_py(x) ** 2 + geo.dcos_py(x) ** 2 - 1.0) < 1e-16 * 10
