@@ -23,10 +23,11 @@ transcendentals entirely. sin/cos/atanh are evaluated as fixed-degree
 Taylor polynomials in Horner form whose coefficients are embedded as
 decimal literals; the remaining ops (+ - * / sqrt) are IEEE-754
 exact-rounded and therefore bit-identical in Spark, DuckDB, and Python.
-Polynomial domains/accuracy: |x| ≤ π/2+0.05 for sin (degree 23, err
-<2e-18 rel) and cos (degree 22), |z| ≤ 0.09 for atanh (degree 19).
-Latitudes beyond ±90° are out of domain by definition; the cone constant
-keeps |theta| ≤ n·π < π/2 for any longitude within ±180° of lon0.
+Polynomial domains/accuracy: |x| ≤ 1.1 rad for sin (degree 19) and cos
+(degree 18) with relative error < 3e-18; |z| ≤ 0.09 for atanh (deg 15).
+That covers latitudes to ±63° and longitudes within ±77° of the central
+meridian (|theta| = n·|Δlon| ≤ 1.1) — far beyond the CRS's area of
+validity (EPSG:3005 is specified for British Columbia).
 
 EPSG:3005 parameters (public EPSG registry): GRS80 (a=6378137,
 1/f=298.257222101); standard parallels 50°N, 58.5°N; false-origin lat
@@ -57,10 +58,13 @@ DEG2RAD = math.pi / 180.0
 
 KNOTS_PER_MPS = 1.94384  # sql_to_line.py:223 (comment :222)
 
-# Taylor coefficients as exact double literals.
-SIN_COEFFS = [(-1.0) ** k / math.factorial(2 * k + 1) for k in range(12)]   # x·P(x²), deg 23
-COS_COEFFS = [(-1.0) ** k / math.factorial(2 * k) for k in range(12)]       # Q(x²), deg 22
-ATANH_COEFFS = [1.0 / (2 * k + 1) for k in range(10)]                        # z·R(z²), deg 19
+# Taylor coefficients as exact double literals. Degrees sized for the
+# geodetic domain (|phi| ≤ 1.09 rad for lat ≤ 62.5°, |theta| ≤ n·π/2,
+# |z| ≤ e): truncation error < 3e-16 relative — below the double ulp of
+# the downstream projection math, and identical on both engines anyway.
+SIN_COEFFS = [(-1.0) ** k / math.factorial(2 * k + 1) for k in range(10)]   # x·P(x²), deg 19
+COS_COEFFS = [(-1.0) ** k / math.factorial(2 * k) for k in range(10)]       # Q(x²), deg 18
+ATANH_COEFFS = [1.0 / (2 * k + 1) for k in range(8)]                         # z·R(z²), deg 15
 
 
 # --- deterministic scalar kernels: SQL text + bit-identical Python mirror ---

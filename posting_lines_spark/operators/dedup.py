@@ -41,12 +41,13 @@ def shingle_array_spark(text_col: str, k: int = 3) -> str:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, set semantics (distinct within doc)."""
-    return (
-        df.select(id_col, F.explode(F.expr(shingle_array_spark(text_col, k))).alias("shingle"))
-        .distinct()
-    )
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs. `distinct=True` gives set semantics (needed for
+    Jaccard counts — a shuffle); pass False for consumers that are
+    duplicate-insensitive (MIN aggregates: MinHash signatures,
+    fingerprints) and skip the shuffle entirely."""
+    out = df.select(id_col, F.explode(F.expr(shingle_array_spark(text_col, k))).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- exact dedup ---
@@ -190,9 +191,10 @@ def simhash_near_pairs(
     return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        # cheap hamming filter BEFORE the dedup shuffle: only qualifying
+        # pairs (not every band collision) pay the distinct
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

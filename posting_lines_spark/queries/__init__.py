@@ -42,9 +42,11 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from posting_lines_spark.queries import (  # noqa: F401
+        array_q,
         dedup_q,
         extra_q,
         geo_q,
+        pandas_q,
         pipeline_q,
         relational_q,
         scalar_q,

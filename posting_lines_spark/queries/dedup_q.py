@@ -136,9 +136,16 @@ ORDER BY id_a, id_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    base = spark.sql(NEAR_BASE_SPARK)
+    # single-file sources read as ONE partition; fan out before the
+    # explode-heavy stages so all cores work (a real cluster gets this
+    # for free from input splits)
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    # signatures from the non-distinct stream (MIN is duplicate-insensitive
+    # — skips a shuffle); Jaccard verification needs set semantics
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    )
     sh = dedup.shingles(base, "doc_id", "text")
-    sig = dedup.minhash_signature(sh, "doc_id", NUM_HASHES)
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
     return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
 
@@ -172,7 +179,7 @@ ORDER BY id_a, id_b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    base = spark.sql(NEAR_BASE_SPARK)
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
     sh = dedup.shingles(base, "doc_id", "text")
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -195,7 +202,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash near-dup ---
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
     h = md5_int_duck("tok", salt="simhash")
     votes = ",\n       ".join(
         f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
@@ -222,11 +229,11 @@ ORDER BY id_a, id_b
 @register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
-    description="SimHash(32-bit) near-dup, hamming ≤ 3 via pigeonhole band "
+    description="SimHash(48-bit) near-dup, hamming ≤ 3 via pigeonhole band "
     "join (output provably identical to the oracle's brute-force all-pairs)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    base = spark.sql(NEAR_BASE_SPARK)
-    sig = dedup.simhash(base, "doc_id", "text", bits=32)
-    return dedup.simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=3).orderBy("id_a", "id_b")
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    sig = dedup.simhash(base, "doc_id", "text", bits=48)
+    return dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3).orderBy("id_a", "id_b")

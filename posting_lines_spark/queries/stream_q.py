@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from posting_lines_spark.operators import multimodal
 from posting_lines_spark.queries import register
-from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df
+from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df  # noqa: F401
+from posting_lines_spark.queries.pipeline_q import segments_state_parquet
 from posting_lines_spark.sources import load_table
 from posting_lines_spark.streaming import incremental
 
@@ -33,7 +34,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="pls_seg_src_")
     out = tempfile.mkdtemp(prefix="pls_seg_out_")
     ckpt = tempfile.mkdtemp(prefix="pls_seg_ckpt_")
-    segments_state_df(spark, sf_dir).write.mode("overwrite").parquet(src)
+    segments_state_parquet(spark, sf_dir).write.mode("overwrite").parquet(src)
     incremental.enrich_available_now(spark, src, out, ckpt)
     res = spark.read.parquet(out)
     return res.select(

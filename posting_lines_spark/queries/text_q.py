@@ -193,10 +193,14 @@ ORDER BY doc_id
     "(winnowing-style single-value signature; north-star text op)",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-file source → fan out
+    )
+    # no distinct: MIN is duplicate-insensitive, so the explode feeds the
+    # partial aggregate directly (map-side combine, no extra shuffle)
     sh = d.select(
         "doc_id", F.explode(F.expr(shingle_array_spark("text", k=5))).alias("shingle")
-    ).distinct()
+    )
     return (
         sh.groupBy("doc_id")
         .agg(F.min(F.expr(md5_int_spark("shingle", salt="fp"))).alias("fingerprint"))

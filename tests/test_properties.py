@@ -70,7 +70,7 @@ def test_sog_positive_and_scales(len_m, duration):
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.floats(-1.6, 1.6))
+@given(st.floats(-1.1, 1.1))  # the kernel's documented domain
 def test_polynomial_sin_cos_accuracy(x):
     assert abs(geo.dsin_py(x) - math.sin(x)) < 5e-16
     assert abs(geo.dcos_py(x) - math.cos(x)) < 5e-16
