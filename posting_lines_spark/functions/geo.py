@@ -274,6 +274,19 @@ def line_wkt(geom: Column) -> Column:
     )
 
 
+def parse_wkt_line(wkt: Column, srid: int) -> Column:
+    """Inverse of `line_wkt`: parse `LINESTRING(x1 y1, x2 y2)` back into
+    the struct form (regexp capture groups; PostGIS interop O17)."""
+    pat = r"LINESTRING\(([-0-9.eE]+) ([-0-9.eE]+), ([-0-9.eE]+) ([-0-9.eE]+)\)"
+    return F.struct(
+        F.lit(srid).alias("srid"),
+        F.regexp_extract(wkt, pat, 1).cast("double").alias("x1"),
+        F.regexp_extract(wkt, pat, 2).cast("double").alias("y1"),
+        F.regexp_extract(wkt, pat, 3).cast("double").alias("x2"),
+        F.regexp_extract(wkt, pat, 4).cast("double").alias("y2"),
+    )
+
+
 def line_length_m(x1: str, y1: str, x2: str, y2: str) -> Column:
     return F.expr(line_length_m_sql(x1, y1, x2, y2))
 

@@ -193,7 +193,7 @@ def simhash_near_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         # cheap hamming filter BEFORE the dedup shuffle: only qualifying
         # pairs (not every band collision) pay the distinct
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

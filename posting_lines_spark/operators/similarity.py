@@ -93,7 +93,7 @@ def brute_force_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
@@ -122,7 +122,7 @@ def ivf_topk(
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )

@@ -55,6 +55,32 @@ SEGMENTS_SQL = f"""SELECT
   l_returnflag AS returnflag
 FROM lineitem"""
 
+# Full 18-column reference schema (sql_to_line.py:184-201, SURVEY.md §1.3):
+# SEGMENTS_SQL above carries the computation-relevant subset; this variant
+# adds the pass-through columns (isClassA, classAIS, classGen, name,
+# isUnique, lastChange) with deterministic derivations so the schema
+# surface matches the reference table column-for-column.
+SEGMENTS_FULL_SQL = f"""SELECT
+  l_orderkey * 10 + l_linenumber AS segment_id,
+  l_orderkey AS uid,
+  CAST(200000000 + (l_suppkey % 100) * 1000 + (l_partkey % 500) AS INT) AS mmsi,
+  l_shipdate AS start_time,
+  {DURATION} AS duration,
+  {START_LAT} AS start_lat,
+  {START_LON} AS start_lon,
+  {END_LAT} AS end_lat,
+  {END_LON} AS end_lon,
+  (l_orderkey % 10) < 7 AS is_class_a,
+  CAST(l_partkey % 100 AS SMALLINT) AS class_ais,
+  CAST(l_suppkey % 10 AS SMALLINT) AS class_gen,
+  CASE WHEN l_orderkey % 10 = 9 THEN NULL
+       ELSE substring(concat('VESSEL_', l_suppkey % 100), 1, 20) END AS name,
+  (l_orderkey % 20) != 0 AS is_unique,
+  l_shipdate AS last_change,
+  {NEEDS_GEOM} AS needs_geom,
+  l_returnflag AS returnflag
+FROM lineitem"""
+
 
 def segments_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The segments table as a DataFrame (lazy; scan+project only)."""

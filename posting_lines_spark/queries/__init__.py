@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_q,
         relational_q,
         scalar_q,
+        schema_q,
         stream_q,
         temporal_q,
         text_q,

@@ -37,7 +37,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("source")
         .agg(
             F.sort_array(F.collect_set(first)).alias("first_tokens"),
-            F.size(F.collect_set(first)).alias("n_distinct_first"),
+            F.size(F.collect_set(first)).cast("long").alias("n_distinct_first"),
         )
         .orderBy("source")
     )

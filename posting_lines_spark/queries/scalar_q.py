@@ -47,9 +47,9 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.upper("lang").alias("lang_upper"),
-            F.length("text").alias("text_len"),
-            F.size(toks).alias("n_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.length("text").cast("long").alias("text_len"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
             F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_token"),
             F.substring("text", 1, 16).alias("prefix"),
             F.when(F.col("text").like("%spark%"), 1).otherwise(0).alias("mentions_spark"),

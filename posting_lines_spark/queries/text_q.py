@@ -56,7 +56,7 @@ def _argmax(score_of) -> str:
 
 LANG_ID_ORACLE = f"""
 SELECT predicted_lang, lang AS actual_lang, count(*) AS n_docs,
-       sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct
+       CAST(sum(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM (
   SELECT lang, {_argmax(_score_duck)} AS predicted_lang
   FROM documents
@@ -130,10 +130,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS passes_quality
         FROM (
           SELECT doc_id,
-                 size(split(text, ' ')) AS n_tokens,
-                 size(array_distinct(split(text, ' '))) AS n_distinct_tokens,
-                 length(replace(text, ' ', '')) AS n_chars_actual,
-                 size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                 CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_actual,
+                 CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
           FROM documents
         )
         ORDER BY doc_id
@@ -144,9 +144,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_STATS_ORACLE = """
 SELECT source,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS total_re_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_re_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 ORDER BY source

@@ -45,7 +45,7 @@ def window_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
     return (
-        e.withColumn("rn", F.row_number().over(w))
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("event_type", "event_id", "value", "rn")
         .orderBy("event_type", "rn")

@@ -9,6 +9,7 @@ entry point), so importing the package never touches an engine.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static config: keep managed tables (bucketing tests/demos) in /tmp
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "pls_warehouse"))
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

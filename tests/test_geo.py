@@ -114,3 +114,23 @@ class TestSog:
 
         bad = enrich_all_df(spark, SF0001).filter("sog_kt < 0 OR len_m < 0").count()
         assert bad == 0
+
+
+class TestWktInterop:
+    def test_wkt_round_trip(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 1207619.5, 478302.25, -1000.125, 0.5)], "id long, x1 double, y1 double, x2 double, y2 double"
+        )
+        geom = geo.make_line(3005, F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+        out = (
+            df.withColumn("wkt", geo.line_wkt(geom))
+            .withColumn("back", geo.parse_wkt_line(F.col("wkt"), 3005))
+            .collect()[0]
+        )
+        # values chosen exactly representable in the default float rendering
+        assert (out.back.x1, out.back.y1, out.back.x2, out.back.y2) == (
+            1207619.5, 478302.25, -1000.125, 0.5,
+        )
+        assert out.back.srid == 3005

@@ -150,3 +150,24 @@ class TestSkew:
         salted = salted_join(left, right, "k", salt_n=4).select("k", "payload", "tag")
         assert plain.exceptAll(salted).count() == 0
         assert salted.exceptAll(plain).count() == 0
+
+
+class TestBucketing:
+    def test_bucketed_join_avoids_shuffle(self, spark, tmp_path):
+        """bucketBy co-locates join keys at write time so the later join
+        plans without a shuffle on either side (SURVEY.md P6-adjacent;
+        pyspark guide 'Partitioning & shuffle')."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        try:
+            a = spark.range(0, 10000).withColumnRenamed("id", "k")
+            b = spark.range(0, 10000).withColumnRenamed("id", "k")
+            a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+            b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")

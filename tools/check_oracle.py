@@ -97,6 +97,26 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
+        # type audit (warning only): normalize both engines' type names and
+        # flag derived-column divergence (e.g. INT vs BIGINT, HUGEINT)
+        norm = {
+            "bigint": "i64", "int64": "i64", "long": "i64",
+            "integer": "i32", "int": "i32", "int32": "i32",
+            "smallint": "i16", "tinyint": "i8", "hugeint": "i128",
+            "double": "f64", "float": "f32", "real": "f32",
+            "varchar": "str", "string": "str", "boolean": "bool",
+            "date": "date", "timestamp": "ts", "timestamp_ns": "ts",
+        }
+        stypes = {f.name.lower(): norm.get(f.dataType.simpleString(), f.dataType.simpleString())
+                  for f in sdf.schema.fields}
+        try:
+            dd = con.execute(f"DESCRIBE {oracles[name]}")
+            dtypes = {r[0].lower(): norm.get(r[1].lower(), r[1].lower()) for r in dd.fetchall()}
+            for c in stypes:
+                if c in dtypes and stypes[c] != dtypes[c]:
+                    print(f"  TYPE-WARN {name}.{c}: spark={stypes[c]} duckdb={dtypes[c]}")
+        except Exception:  # noqa: BLE001 — DESCRIBE quirks never fail the gate
+            pass
         status = []
         if len(srows) != len(drows):
             status.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
