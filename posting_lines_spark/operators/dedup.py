@@ -14,7 +14,10 @@ Scale design (100 TB):
   - SimHash: explode tokens, one aggregate per doc; near-pair search is a
     band-equality join (pigeonhole: hamming ≤ d needs ≥1 equal band among
     d+1 bands) then exact hamming filter — equivalent output to brute
-    force, linear-ish cost.
+    force, linear-ish cost. Profiled bottleneck is the B parallel vote
+    sums (one agg buffer per bit); a future optimization packs several
+    offset-biased counters into each int64 agg (fewer buffers, same
+    result) if signature building ever dominates at scale.
   - Jaccard verification joins candidate pairs back to shingle sets —
     only candidates pay the exact-set cost.
 

@@ -36,6 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     both engines agree on every derived value. (Sub-µs precision is real
     in this data and is deliberately dropped on both sides.)
     """
+    # Timestamp semantics are pinned to UTC regardless of the caller's
+    # session: date_trunc/to_date/window on TIMESTAMP (ltz) columns are
+    # session-timezone-dependent, and the DuckDB oracle reads parquet
+    # timestamps naively — a non-UTC caller session would shift day/window
+    # boundaries. Runtime-settable, idempotent, applies to every query
+    # because all table access funnels through here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -104,3 +104,26 @@ def test_write_daily_partitioned_idempotent(spark, tmp_path):
     pipeline.write_daily_partitioned(out, path)  # re-run: dynamic overwrite
     n2 = spark.read.parquet(path).count()
     assert n1 == n2 == out.count()
+
+
+def test_stream_enrich_processes_only_delta(spark, tmp_path):
+    """The availableNow + checkpoint contract IS the reference's
+    incrementality (geom IS NULL rerun, sql_to_line.py:38-41): a second
+    run with the same checkpoint must process only newly-arrived files."""
+    from posting_lines_spark.streaming import incremental
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = _state(spark)
+    first = state.filter("uid % 2 = 0")
+    second = state.filter("uid % 2 = 1")
+    first.write.mode("overwrite").parquet(src)
+    incremental.enrich_available_now(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.filter("duration != 0").count()
+    # new files arrive; same checkpoint → only the delta is enriched
+    second.write.mode("append").parquet(src)
+    incremental.enrich_available_now(spark, src, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1 + second.filter("duration != 0").count()
