@@ -142,10 +142,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
     # signatures from the non-distinct stream (MIN is duplicate-insensitive
     # — skips a shuffle); Jaccard verification needs set semantics
+    # localCheckpoint: sig feeds both sides of the band self-join and sh
+    # feeds three consumers — materialize once instead of recomputing the
+    # lineage per branch (at scale: write signatures/shingles to storage)
     sig = dedup.minhash_signature(
         dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
-    )
-    sh = dedup.shingles(base, "doc_id", "text")
+    ).localCheckpoint(eager=False)
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
     return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
 
@@ -180,7 +183,7 @@ ORDER BY id_a, id_b
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
-    sh = dedup.shingles(base, "doc_id", "text")
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
@@ -235,5 +238,5 @@ ORDER BY id_a, id_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
-    sig = dedup.simhash(base, "doc_id", "text", bits=48)
+    sig = dedup.simhash(base, "doc_id", "text", bits=48).localCheckpoint(eager=False)
     return dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3).orderBy("id_a", "id_b")

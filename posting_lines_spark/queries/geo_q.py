@@ -83,7 +83,7 @@ def geo_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROJECT_POINTS_ORACLE = f"""
 SELECT segment_id, x1, y1, x2, y2, len_m, sog_kt
 FROM ({enriched_sql()})
-ORDER BY segment_id
+ORDER BY segment_id, x1, y1, x2, y2
 LIMIT 1000
 """
 
@@ -97,34 +97,43 @@ LIMIT 1000
 def geo_project_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = enrich_all_df(spark, sf_dir)
     return (
+        # full-column ordering: segment_id carries duplicates (plans/ais.py),
+        # so the LIMIT cutoff must be deterministic across engines
         df.select("segment_id", "x1", "y1", "x2", "y2", "len_m", "sog_kt")
-        .orderBy("segment_id")
+        .orderBy("segment_id", "x1", "y1", "x2", "y2")
         .limit(1000)
     )
 
 
 WKT_ORACLE = f"""
 SELECT segment_id,
-       'LINESTRING(' || CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', '
-                     || CAST(x2 AS VARCHAR) || ' ' || CAST(y2 AS VARCHAR) || ')' AS wkt
+       printf('LINESTRING(%.3f %.3f, %.3f %.3f)', x1, y1, x2, y2) AS wkt
 FROM ({enriched_sql()})
-ORDER BY segment_id
-LIMIT 100
+ORDER BY segment_id, wkt
+LIMIT 1000
 """
 
 
 @register(
     "geo_line_wkt",
-    oracle=None,  # rows-only: double→string formatting differs across engines
-    description="O17 interop form: WKT LINESTRING export (PostGIS parity, "
-    "sql_to_line.py:211); rows-only — float→text rendering is engine-specific",
+    oracle=WKT_ORACLE,
+    description="O17 interop form: WKT LINESTRING export at mm precision "
+    "(PostGIS parity, sql_to_line.py:211); C-style %.3f formatting is "
+    "byte-identical across engines (measured, incl. half-even edge cases)",
 )
 def geo_line_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = enrich_all_df(spark, sf_dir)
-    geom = geo.make_line(3005, F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
     return (
-        df.withColumn("geom", geom)
-        .select("segment_id", geo.line_wkt(F.col("geom")).alias("wkt"))
-        .orderBy("segment_id")
-        .limit(100)
+        df.select(
+            "segment_id",
+            F.format_string(
+                "LINESTRING(%.3f %.3f, %.3f %.3f)",
+                F.col("x1"),
+                F.col("y1"),
+                F.col("x2"),
+                F.col("y2"),
+            ).alias("wkt"),
+        )
+        .orderBy("segment_id", "wkt")
+        .limit(1000)
     )

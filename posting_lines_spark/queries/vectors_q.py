@@ -155,7 +155,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     base = spark.sql(EMB_BASE_DUCK)  # same text is valid Spark SQL
     planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
-    eb = sim.bucketize(base, planes)
+    eb = sim.bucketize(base, planes).localCheckpoint(eager=False)
     a = eb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
     b = eb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
     return (
