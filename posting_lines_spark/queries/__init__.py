@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_q,
         extra_q,
         geo_q,
+        graph_q,
         pandas_q,
         pipeline_q,
         relational_q,

@@ -171,3 +171,19 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+class TestGraph:
+    def test_connected_components_chain_and_triangle(self, spark):
+        from posting_lines_spark.operators.graph import connected_components, dedup_groups
+
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a long, id_b long",
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+        groups = {r.component: (r.n_members, r.survivor, r.n_drops)
+                  for r in dedup_groups(connected_components(edges)).collect()}
+        assert groups == {1: (4, 1, 3), 10: (3, 10, 2), 20: (2, 20, 1)}
