@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_groups",
     "sim_topk_ivf",
     "sim_topk_bruteforce",
     "text_token_stats",
