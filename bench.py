@@ -61,16 +61,26 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
+    # p50 of N timed runs per query so round-over-round trends aren't
+    # single-sample noise; failed queries are EXCLUDED from the total and
+    # reported in `errors` so a crash can't flatter the headline number.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        t0 = time.time()
-        try:
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-            print(f"# bench error in {name}: {e}", flush=True)
-            timings[name] = -1.0
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+                print(f"# bench error in {name}: {e}", flush=True)
+                errors[name] = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                break
+        if samples:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -78,6 +88,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
+        "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -35,12 +35,19 @@ from posting_lines_spark.functions.hashing import md5_int_spark
 # --- shingling (Spark side; the DuckDB twin lives in queries/dedup_q.py) ---
 
 def shingle_array_spark(text_col: str, k: int = 3) -> str:
-    """SQL expr: array of word k-shingles of `text_col` (space-tokenized)."""
+    """SQL expr: array of word k-shingles of `text_col` (space-tokenized).
+
+    Docs with fewer than k tokens yield an EMPTY array (matching the
+    DuckDB twin's range(1,1)); the size guard is required because Spark's
+    sequence(1, 0) is the descending [1, 0], whose element_at then indexes
+    past the token array and raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
     toks = f"split({text_col}, ' ')"
     parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(k))
     return (
-        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -147,12 +154,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     the distinct tokens have hash-bit b set (equivalent to the ±1 vote
     formulation: 2·ones_b − n > 0).
 
-    One explode + ONE hash-aggregate with ~bits/6 packed accumulators:
-    per-bit one-counts are summed in 10-bit lanes, 6 lanes per int64
-    (lane capacity 1023 ≥ distinct tokens per doc), instead of `bits`
-    separate sum buffers — measured ~3× faster signature building."""
-    lanes_per_pack = 6
-    lane_bits = 10  # capacity 1023 distinct tokens per doc
+    One explode + ONE hash-aggregate with ~bits/3 packed accumulators:
+    per-bit one-counts are summed in 20-bit lanes, 3 lanes per int64
+    (lane capacity 1,048,575 distinct tokens per doc — no real document
+    comes close), instead of `bits` separate sum buffers — still ~3×
+    fewer agg buffers than unpacked. Docs that somehow exceed lane
+    capacity raise loudly instead of silently corrupting the signature
+    (the earlier 10-bit packing overflowed quietly at 1024 tokens)."""
+    lanes_per_pack = 3
+    lane_bits = 20  # capacity 2^20-1 distinct tokens per doc; guarded below
     n_packs = (bits + lanes_per_pack - 1) // lanes_per_pack
     toks = df.select(
         id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
@@ -183,7 +193,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         ones = F.shiftright(F.col(f"s{p}"), lane_bits * l).bitwiseAND(F.lit(mask))
         term = F.when(ones * 2 > F.col("n_tok"), F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.cast("long").alias("simhash"))
+    # assert_true is NULL on success; folding it into the signature keeps
+    # the optimizer from pruning the check away.
+    guard = F.assert_true(
+        F.col("n_tok") <= F.lit(mask),
+        F.lit(f"simhash lane overflow: document has > {mask} distinct tokens"),
+    )
+    return agg.select(
+        id_col, (sig + F.coalesce(guard.cast("long"), F.lit(0))).cast("long").alias("simhash")
+    )
 
 
 def simhash_near_pairs(

@@ -2,16 +2,21 @@
 turns dedup PAIRS (operators/dedup.py) into dedup GROUPS: each component
 keeps one survivor (min id), the rest are drops.
 
-Algorithm: min-label propagation. label(v) starts as v; each round every
-vertex takes the min label among itself and its neighbors; converges in
-O(component diameter) rounds. Near-dup components are shallow (dup
-clusters link densely), so a handful of rounds suffices; for web-scale
-graphs with long chains the same loop accepts the alternating
-large-star/small-star optimization (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC 2014) — each round stays a
-join + min-aggregate, which is the Spark-shaped formulation (no driver-
-side adjacency, data never leaves executors; the driver only checks the
-convergence metric).
+Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014). Each round is
+a join + min-aggregate — the Spark-shaped formulation (no driver-side
+adjacency; the driver only sees a per-round convergence checksum).
+Convergence is O(log² n) rounds worst case and ~O(log n) in practice,
+vs O(diameter) for plain min-label propagation — a 1000-node path graph
+converges in ~10 rounds instead of ~999 (see tests/test_graph_scale.py).
+
+Durability at cluster scale: every `checkpoint_every` rounds the edge
+set is written through a RELIABLE checkpoint (HDFS/object-store safe)
+when the SparkContext has a checkpoint dir configured (get_spark() sets
+one); otherwise falls back to localCheckpoint, which is fine for
+local[...] testing but pins lineage to executor-local blocks. The loop
+raises instead of silently returning non-converged labels when max_iter
+is exhausted.
 
 Determinism: labels are min(int64) — order-independent; the DuckDB
 oracle replays the closure with a recursive CTE and takes the same min.
@@ -23,45 +28,87 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("u"), F.col("mn")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges larger→smaller, then connect every smaller neighbor
+    (and u itself) to the minimum of that neighborhood."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
-    min node id reachable. Iterates until the label sum stops changing
-    (monotonically decreasing, so equality ⇔ fixpoint)."""
-    sym = (
+    min node id reachable. Alternates large-star/small-star until the edge
+    set is a fixpoint (checksum-stable across a full round), checkpointing
+    periodically; raises RuntimeError if max_iter rounds don't converge."""
+    sc = edges.sparkSession.sparkContext
+    use_reliable = sc.getCheckpointDir() is not None
+    e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
+    prev_chk: tuple | None = None
+    converged = False
+    for it in range(max_iter):
+        e = _small_star(_large_star(e))
+        if use_reliable and (it + 1) % checkpoint_every == 0:
+            e = e.checkpoint(eager=True)
+        else:
+            e = e.localCheckpoint(eager=True)
+        chk = tuple(
+            e.agg(
+                # decimal sums: int64 ids/hashes would overflow a long sum
+                F.count(F.lit(1)),
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
+        if chk == prev_chk:
+            converged = True
             break
-        prev_sum = new_sum
-    return labels.select("node", F.col("label").alias("component"))
+        prev_chk = chk
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            "large-star/small-star rounds — raise max_iter"
+        )
+    # At the fixpoint every edge is (node → component-min); roots appear
+    # only on the v side and label themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def dedup_groups(components: DataFrame) -> DataFrame:

@@ -34,15 +34,22 @@ def as_of_join(
     before left at equal ts). `tolerance_us` drops matches older than the
     given microsecond budget."""
     lcols = left.columns
+    for c in (*lcols, *right_cols):
+        if c.startswith("__"):
+            raise ValueError(f"as_of_join reserves '__'-prefixed names; got {c!r}")
+    # Right-side payload travels under reserved __r_<c> aliases so a left
+    # column sharing a name in right_cols is never clobbered.
     l = left.withColumn("__is_left", F.lit(1))
+    for c in right_cols:
+        l = l.withColumn(f"__r_{c}", F.lit(None))
     r = right.select(
-        key, ts, *right_cols
+        F.col(key),
+        F.col(ts),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     ).withColumn("__is_left", F.lit(0))
     for c in lcols:
-        if c not in (key, ts) and c not in r.columns:
+        if c not in (key, ts):
             r = r.withColumn(c, F.lit(None))
-    for c in right_cols:
-        l = l.withColumn(c, F.lit(None))
     unioned = l.unionByName(r.select(l.columns))
     w = (
         W.partitionBy(key)
@@ -52,7 +59,7 @@ def as_of_join(
     filled = unioned.select(
         "*",
         *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+            F.last(F.when(F.col("__is_left") == 0, F.col(f"__r_{c}")), ignorenulls=True)
             .over(w)
             .alias(f"__asof_{c}")
             for c in right_cols

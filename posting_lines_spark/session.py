@@ -50,4 +50,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable checkpoint target for iterative operators (graph.py): on a
+    # real cluster point SPARK_GRAFT_CHECKPOINT_DIR at HDFS/object storage.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR",
+                os.path.join(tempfile.gettempdir(), "pls_checkpoints"),
+            )
+        )
     return spark

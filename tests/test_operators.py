@@ -46,6 +46,33 @@ class TestDedup:
         pairs = dedup.simhash_near_pairs(sig, "doc_id", bits=32, max_hamming=3).collect()
         assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
+    def test_shingles_short_doc_empty_not_crash(self, spark):
+        # docs with < k tokens must shingle to [] (DuckDB range(1,1) parity),
+        # not raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT from sequence(1, 0)
+        df = docs_df(spark, [(1, "one two"), (2, "solo"), (3, "a b c d")])
+        got = dedup.shingles(df, "doc_id", "text", k=3).collect()
+        assert {r.doc_id for r in got} == {3}
+        sig = dedup.minhash_signature(
+            dedup.shingles(df, "doc_id", "text", k=3, distinct=False), "doc_id", 4
+        ).collect()
+        assert {r.doc_id for r in sig} == {3}
+
+    def test_simhash_long_doc_matches_unpacked_python(self, spark):
+        # 1500 distinct tokens/doc overflowed the old 10-bit vote lanes;
+        # verify the packed 20-bit computation against an unpacked replay.
+        import hashlib
+
+        bits, toks = 16, [f"tok{i}" for i in range(1500)]
+        df = docs_df(spark, [(1, " ".join(toks))])
+        got = dedup.simhash(df, "doc_id", "text", bits=bits).collect()[0].simhash
+        hashes = [int(hashlib.md5(f"simhash|{t}".encode()).hexdigest()[:15], 16) for t in toks]
+        want = sum(
+            1 << b
+            for b in range(bits)
+            if 2 * sum((h >> b) & 1 for h in hashes) > len(toks)
+        )
+        assert got == want
+
 
 class TestSimilarity:
     def test_duplicate_vector_is_top1(self, spark):
@@ -99,6 +126,20 @@ class TestTemporal:
                                    tolerance_us=10_000_000).collect()}
         # event 1: 5s old → within 10s tolerance; event 2: 40s old → dropped
         assert out == {1: 1.5, 2: None, 3: None}
+
+    def test_as_of_join_left_column_collision_preserved(self, spark):
+        # a left column named like an entry of right_cols must come back
+        # untouched (the old implementation clobbered it to NULL)
+        base = datetime.datetime(2024, 1, 1)
+        mk = lambda s: base + datetime.timedelta(seconds=s)
+        left = spark.createDataFrame(
+            [(1, 1, mk(10), 111.0)], "event_id long, user_id long, ts timestamp, value double"
+        )
+        right = spark.createDataFrame(
+            [(1, mk(5), 1.5)], "user_id long, ts timestamp, value double"
+        )
+        row = temporal.as_of_join(left, right, "user_id", "ts", ["value"]).collect()[0]
+        assert row.value == 111.0 and row.asof_value == 1.5
 
     def test_range_join_half_open(self, spark):
         base = datetime.datetime(2024, 1, 1)
