@@ -1,9 +1,16 @@
 """Array-function surface + approximate aggregates.
 
-`array_funcs` is oracle-checked (sorted-distinct arrays are canonical on
-both engines). The approx aggregates are engine-specific sketches (HLL /
-KLL implementations differ), so `approx_stats` is a rows-only entry —
-its accuracy bound is asserted in tests/test_queries.py instead.
+`array_funcs` serializes its sorted-distinct array to a '|'-joined string
+so the driver's pandas canonicalizer can hash it (lists are unhashable
+there); the DuckDB twin serializes identically, so the check stays exact.
+
+`approx_stats` makes sketch output oracle-checkable without pretending
+HLL/KLL implementations match across engines: it returns the EXACT
+counts plus bound-check booleans (|approx − exact| ≤ 3·rsd·exact, and
+approx-median ∈ [p49, p51] — approx_percentile's rank error at accuracy
+10000 is ±n/10000 rows, well inside that percentile window). Spark's
+sketches are deterministic for fixed input, so the booleans are stable;
+the oracle computes the same exact counts and literal TRUEs.
 """
 
 from __future__ import annotations
@@ -16,7 +23,8 @@ from posting_lines_spark.sources import load_table
 
 ARRAY_ORACLE = """
 SELECT source,
-       list_sort(list(DISTINCT split_part(text, ' ', 1))) AS first_tokens,
+       array_to_string(list_sort(list(DISTINCT split_part(text, ' ', 1))), '|')
+         AS first_tokens,
        len(list(DISTINCT split_part(text, ' ', 1))) AS n_distinct_first
 FROM documents
 GROUP BY source
@@ -27,8 +35,8 @@ ORDER BY source
 @register(
     "array_funcs",
     oracle=ARRAY_ORACLE,
-    description="array functions: collect_set + sort_array per group "
-    "(array<string> output column; engine surface §2.7 tail)",
+    description="array functions: collect_set + sort_array per group, "
+    "serialized with array_join for driver-hashability (engine surface §2.7 tail)",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -36,25 +44,54 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("source")
         .agg(
-            F.sort_array(F.collect_set(first)).alias("first_tokens"),
+            F.array_join(F.sort_array(F.collect_set(first)), "|").alias("first_tokens"),
             F.size(F.collect_set(first)).cast("long").alias("n_distinct_first"),
         )
         .orderBy("source")
     )
 
 
+APPROX_ORACLE = """
+SELECT count(*) AS n_rows,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS median_ok
+FROM lineitem
+"""
+
+
 @register(
     "approx_stats",
-    oracle=None,  # sketch implementations are engine-specific → rows-only
+    oracle=APPROX_ORACLE,
     description="approximate aggregates: approx_count_distinct (HLL++) and "
-    "percentile_approx — the constant-memory path for 100 TB cardinality/"
-    "quantile estimation; accuracy bound asserted in tests",
+    "approx_percentile — the constant-memory path for 100 TB cardinality/"
+    "quantile estimation; oracle-checked via exact counts + accuracy-bound "
+    "booleans (sketches are engine-specific, the bounds are not)",
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
+    a = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
+        F.expr("approx_percentile(l_extendedprice, 0.5e0, 10000)").alias("am"),
+        F.expr("percentile(l_extendedprice, 0.49e0)").alias("p49"),
+        F.expr("percentile(l_extendedprice, 0.51e0)").alias("p51"),
+    )
+    three_sigma = 3 * 0.01
+    return a.select(
+        "n_rows",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("ap").cast("double") - F.col("exact_parts"))
+            <= three_sigma * F.col("exact_parts")
+        ).alias("parts_ok"),
+        (
+            F.abs(F.col("ao").cast("double") - F.col("exact_orders"))
+            <= three_sigma * F.col("exact_orders")
+        ).alias("orders_ok"),
+        F.col("am").cast("double").between(F.col("p49"), F.col("p51")).alias("median_ok"),
     )
