@@ -60,6 +60,24 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bo
     return out.distinct() if distinct else out
 
 
+def stop_shingle_cap(sh: DataFrame, id_col: str, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df` (expects
+    set-semantics (id, shingle) pairs). This is the scale guard for
+    inverted-index self-joins: a shingle appearing in d documents fans out
+    to d² candidate rows, so one boilerplate shingle (page headers, legal
+    footers) turns the join quadratic. Capping df bounds per-shingle
+    fanout at max_df² while leaving discriminative shingles — and
+    therefore real near-dup pairs, which share many low-df shingles —
+    intact. One extra aggregate + one equi-join, both on the shingle key."""
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle").select(id_col, "shingle")
+
+
 # --- exact dedup ---
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

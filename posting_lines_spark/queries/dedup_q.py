@@ -155,8 +155,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard (inverted-index all-candidates) ---
 
+# stop-shingle cap: shingles in more than this many docs are dropped on
+# BOTH engines before the self-join (bounds fanout at cap² per shingle;
+# at sf0.01 nothing exceeds it, so the result set is unchanged — the
+# mechanism is exercised by tests/test_operators.py with a boilerplate
+# corpus)
+NGRAM_DF_CAP = 50
+
 NGRAM_ORACLE = f"""
-WITH sh AS ({_SH_DUCK}),
+WITH sh0 AS ({_SH_DUCK}),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -176,14 +187,16 @@ ORDER BY id_a, id_b
 @register(
     "dedup_ngram_jaccard",
     oracle=NGRAM_ORACLE,
-    description="n-gram Jaccard near-dup via shingle inverted-index join "
-    "(exact, no approximation; at scale: cap high-frequency shingles to "
-    "bound the per-shingle self-join fanout)",
+    description="n-gram Jaccard near-dup via shingle inverted-index join, "
+    f"stop-shingle df cap {NGRAM_DF_CAP} bounding per-shingle join fanout "
+    "(exact given the capped shingle universe; cap mirrored in the oracle)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
-    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    sh = dedup.stop_shingle_cap(
+        dedup.shingles(base, "doc_id", "text"), "doc_id", NGRAM_DF_CAP
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (

@@ -57,6 +57,37 @@ class TestDedup:
         ).collect()
         assert {r.doc_id for r in sig} == {3}
 
+    def test_stop_shingle_cap_bounds_boilerplate_fanout(self, spark):
+        # 10 docs sharing ONLY a boilerplate footer shingle: uncapped, the
+        # inverted index fans the footer out to 45 candidate pairs; with
+        # the cap the footer is dropped and no candidates survive, while a
+        # genuine near-dup pair (docs 100/101, all shingles shared) stays.
+        rows = [(i, f"u{i}a u{i}b u{i}c legal footer text") for i in range(10)]
+        rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+        sh = dedup.shingles(docs_df(spark, rows), "doc_id", "text", k=3)
+        capped = dedup.stop_shingle_cap(sh, "doc_id", max_df=5)
+        pairs = dedup.jaccard_verify(
+            capped.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(capped.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct(),
+            capped,
+            "doc_id",
+            threshold=0.01,
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(100, 101)]
+        # uncapped, the boilerplate shingle alone creates 45 candidates
+        uncapped_cands = (
+            sh.select(F.col("doc_id").alias("id_a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        assert uncapped_cands == 45 + 1
+
     def test_simhash_long_doc_matches_unpacked_python(self, spark):
         # 1500 distinct tokens/doc overflowed the old 10-bit vote lanes;
         # verify the packed 20-bit computation against an unpacked replay.
