@@ -240,6 +240,76 @@ def with_albers(df: DataFrame, points: list[tuple[str, str, str]]) -> DataFrame:
     return df.drop(*drop)
 
 
+# --- spatial predicates (P6 follow-through: the reference builds a GiST
+# index it never queries, sql_to_line.py:236-238 — these are the queries a
+# geo user would run against it, expressed as exact-rounded column math
+# that is bit-identical across Spark/DuckDB/Python) ---
+
+def point_in_bbox_sql(x: str, y: str, xmin: float, ymin: float, xmax: float, ymax: float) -> str:
+    """Boolean expr: point (x, y) inside the closed bbox. Comparisons only
+    — engine-independent."""
+    return (
+        f"({x} >= {dlit(xmin)} AND {x} <= {dlit(xmax)} AND "
+        f"{y} >= {dlit(ymin)} AND {y} <= {dlit(ymax)})"
+    )
+
+
+def point_segment_dist_layers(
+    px: str, py: str, x1: str, y1: str, x2: str, y2: str, out: str = "dist_m"
+) -> list[list[tuple[str, str]]]:
+    """Layered (name, expr) plan for the distance from point (px, py) to
+    the 2-point segment (x1,y1)-(x2,y2): project onto the segment, clamp
+    t to [0,1] (degenerate segments fall back to point distance), then
+    Euclidean distance to the closest point. Only +,-,*,/,sqrt,least/
+    greatest and CASE — IEEE exact-rounded, identical on both engines.
+    Apply with `with_layers` (Spark) / `layers_cte_sql` (oracle)."""
+    g = f"__{out}"
+    return [
+        [
+            (f"{g}_dx", f"({x2} - {x1})"),
+            (f"{g}_dy", f"({y2} - {y1})"),
+            (f"{g}_wx", f"({px} - {x1})"),
+            (f"{g}_wy", f"({py} - {y1})"),
+        ],
+        [
+            (f"{g}_len2", f"({g}_dx * {g}_dx + {g}_dy * {g}_dy)"),
+            (f"{g}_dot", f"({g}_wx * {g}_dx + {g}_wy * {g}_dy)"),
+        ],
+        [
+            (
+                f"{g}_t",
+                f"(CASE WHEN {g}_len2 > 0e0 THEN "
+                f"greatest(0e0, least(1e0, {g}_dot / {g}_len2)) ELSE 0e0 END)",
+            )
+        ],
+        [
+            (f"{g}_rx", f"({g}_wx - {g}_t * {g}_dx)"),
+            (f"{g}_ry", f"({g}_wy - {g}_t * {g}_dy)"),
+        ],
+        [(out, f"sqrt({g}_rx * {g}_rx + {g}_ry * {g}_ry)")],
+    ]
+
+
+def layers_cte_sql(inner_sql: str, layers: list[list[tuple[str, str]]], keep: list[str]) -> str:
+    """Wrap `inner_sql` in nested SELECTs applying a layered expression
+    plan; emit only `keep`. Valid in both Spark SQL and DuckDB."""
+    sql = f"({inner_sql})"
+    for layer in layers:
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in layer)
+        sql = f"(SELECT *, {cols} FROM {sql})"
+    return f"SELECT {', '.join(keep)} FROM {sql}"
+
+
+def with_layers(df: DataFrame, layers: list[list[tuple[str, str]]]) -> DataFrame:
+    """DataFrame form of `layers_cte_sql` — same expression tree, `__`
+    intermediates dropped."""
+    drop: list[str] = []
+    for layer in layers:
+        df = df.withColumns({name: F.expr(expr) for name, expr in layer})
+        drop += [name for name, _ in layer if name.startswith("__")]
+    return df.drop(*drop)
+
+
 def forward_py(lon: float, lat: float) -> tuple[float, float]:
     """Pure-Python mirror of the kernel (same op order ⇒ same bits)."""
     phi, lam = DEG2RAD * lat, DEG2RAD * lon

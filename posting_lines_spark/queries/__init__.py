@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational_q,
         scalar_q,
         schema_q,
+        spatial_q,
         stream_q,
         temporal_q,
         text_q,
