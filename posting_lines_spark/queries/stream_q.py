@@ -49,6 +49,9 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the final clause mirrors append-mode watermark eviction: the stream
+# emits a session exactly when the watermark (max event time − 1 h)
+# passes its end; later sessions remain in state for the next run
 SESSIONS_ORACLE = """
 SELECT user_id,
        min(epoch_us(ts)) AS session_start_us,
@@ -66,6 +69,8 @@ FROM (
   )
 )
 GROUP BY user_id, session_id
+HAVING max(epoch_us(ts)) + 1800000000
+       <= (SELECT max(epoch_us(ts)) - 3600000000 FROM events)
 ORDER BY user_id, session_start_us
 """
 
@@ -74,12 +79,17 @@ ORDER BY user_id, session_start_us
     "stream_sessions",
     oracle=SESSIONS_ORACLE,
     description="stateful streaming sessionization (session_window + "
-    "watermark, availableNow); oracle = the batch gaps-and-islands twin — "
-    "identical session boundaries",
+    "watermark) through the SCALE sink: append-mode parquet with watermark "
+    "eviction — bounded state, exactly-once emission; oracle = the batch "
+    "gaps-and-islands twin filtered to watermark-closed sessions",
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    out = incremental.session_windows_available_now(spark, events, gap="30 minutes")
+    out_dir = tempfile.mkdtemp(prefix="pls_sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="pls_sess_ckpt_")
+    out = incremental.session_windows_append_parquet(
+        spark, events, out_dir, ckpt, gap="30 minutes", watermark="1 hour"
+    )
     return out.orderBy("user_id", "session_start_us")
 
 

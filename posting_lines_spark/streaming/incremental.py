@@ -45,20 +45,9 @@ def enrich_available_now(
     q.awaitTermination()
 
 
-def session_windows_available_now(
-    spark: SparkSession, events: DataFrame, gap: str = "30 minutes"
-) -> DataFrame:
-    """Stateful streaming sessionization via session_window + watermark,
-    driven to completion on a bounded input (memory sink). Returns one row
-    per (user_id, session): start/end epoch-micros + event count."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="pls_stream_src_")
-    events.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
+def _session_agg(stream: DataFrame, gap: str, watermark: str) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -68,9 +57,59 @@ def session_windows_available_now(
             "n_events",
         )
     )
+
+
+def session_windows_append_parquet(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """THE scale path for streaming sessionization: append-mode parquet
+    sink. Sessions are emitted exactly once, when the event-time watermark
+    passes their end (state for them is then evicted — bounded memory,
+    unbounded stream); sessions still open at the final watermark stay in
+    state for the next incremental run instead of being re-emitted, which
+    is what makes the file sink exactly-once under re-runs. The memory-
+    sink/complete-mode variant below is driver-memory bound and exists for
+    tests only. Returns the emitted sessions read back from the sink."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="pls_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        _session_agg(stream, gap, watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def session_windows_available_now(
+    spark: SparkSession, events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """TEST HARNESS ONLY — complete-mode memory sink (driver-memory bound):
+    returns every session including ones the watermark hasn't closed.
+    Production/scale code uses `session_windows_append_parquet`."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="pls_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
     name = f"sessions_{abs(hash(src)) % 10**8}"
     q = (
-        agg.writeStream.outputMode("complete")
+        _session_agg(stream, gap, "1 hour")
+        .writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
