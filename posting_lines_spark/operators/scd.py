@@ -74,22 +74,40 @@ def compact(spark, path: str, target_bytes: int = 256 * 1024 * 1024) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ceil(size/target) files. Returns the new file count. At scale this is
     the maintenance job that keeps scan task counts sane after many
-    incremental appends (SCALE.md small-files note)."""
+    incremental appends (SCALE.md small-files note).
+
+    All filesystem work (size probe, rename-swap, cleanup) goes through
+    the Hadoop FileSystem API, so the same code runs on local disk, HDFS,
+    and object stores — an os.walk/shutil version would silently see zero
+    bytes (or crash) anywhere but the driver's local filesystem. The swap
+    is rename-based: write to <path>__compacting, rename the original
+    aside, rename the rewrite in, delete the original — on HDFS both
+    renames are atomic metadata ops."""
     import math
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    base = path.rstrip("/")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    hpath = jpath(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
     n = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    df.coalesce(n).write.mode("overwrite").parquet(tmp)
-    import shutil
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    tmp = jpath(base + "__compacting")
+    old = jpath(base + "__old")
+    spark.read.parquet(base).coalesce(n).write.mode("overwrite").parquet(base + "__compacting")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise RuntimeError(f"compact: failed to rename {base} aside")
+    if not fs.rename(tmp, hpath):
+        # restore the original before giving up
+        fs.rename(old, hpath)
+        raise RuntimeError(f"compact: failed to swap in compacted {base}")
+    fs.delete(old, True)
     return n
