@@ -99,6 +99,15 @@ def brute_force_topk(
     )
 
 
+def probe_masks(num_planes: int, probes: int) -> list[int]:
+    """Bucket-XOR masks for multi-probe: probes=0 → own bucket only;
+    probes=1 → own + every Hamming-1 neighbor (flip each plane bit)."""
+    masks = [0]
+    if probes >= 1:
+        masks += [1 << p for p in range(num_planes)]
+    return masks
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -107,14 +116,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    probes: int = 0,
+    num_planes: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket, then
     exact cosine rank inside it. Scale path: the bucket equi-join shuffles
-    on bucket id instead of materializing the n×q cross product."""
+    on bucket id instead of materializing the n×q cross product.
+
+    `probes=1` is the recall knob at equal plane count: each query also
+    probes the buckets at Hamming distance 1 (one plane's sign flipped —
+    exactly the near-misses where a neighbor sits just across one
+    hyperplane). Candidate volume grows ×(num_planes+1) per query, still
+    a vanishing fraction of the corpus; each (query, vector) pair matches
+    at most once because probe buckets are distinct and every vector has
+    one bucket."""
     eb = bucketize(emb, planes, id_col, vec_col)
     qb = bucketize(queries, planes, id_col, vec_col).select(
         F.col(id_col).alias(query_id), F.col(vec_col).alias("qv"), "bucket"
     )
+    if probes >= 1:
+        if num_planes is None:
+            num_planes = planes.count()
+        masks = probe_masks(num_planes, probes)
+        qb = qb.select(
+            query_id,
+            "qv",
+            F.explode(F.array(*[F.expr(f"bucket ^ {m}") for m in masks])).alias("bucket"),
+        )
     scored = (
         eb.join(qb, "bucket")
         .filter(F.col(id_col) != F.col(query_id))

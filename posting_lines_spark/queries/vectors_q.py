@@ -122,6 +122,48 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, planes, K).orderBy("query_id", "rank")
 
 
+_MASK_VALUES = ", ".join(f"({m})" for m in [0] + [1 << p for p in range(NUM_PLANES)])
+
+IVF_MP_ORACLE = f"""
+WITH buckets AS ({_BUCKET_DUCK}),
+eb AS (SELECT b.vec_id, e.embedding, b.bucket FROM buckets b JOIN embeddings e USING (vec_id)),
+qb AS (
+  SELECT vec_id AS query_id, qv, xor(qbucket, mask) AS bucket
+  FROM (SELECT vec_id, embedding AS qv, bucket AS qbucket FROM eb WHERE vec_id IN ({_QIDS}))
+  CROSS JOIN (VALUES {_MASK_VALUES}) t(mask)
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {cosine_duck('eb.embedding', 'qb.qv')} AS cosine
+  FROM eb JOIN qb USING (bucket)
+  WHERE eb.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_ivf_multiprobe",
+    oracle=IVF_MP_ORACLE,
+    description="ANN top-k with Hamming-1 multi-probe: each query searches "
+    "its own LSH bucket plus the buckets one plane-flip away — the recall "
+    "knob at equal plane count (recall gain asserted vs single-probe in "
+    "tests/test_operators.py)",
+)
+def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+    return sim.ivf_topk(
+        emb, queries, planes, K, probes=1, num_planes=NUM_PLANES
+    ).orderBy("query_id", "rank")
+
+
 EMB_BASE_DUCK = """
 SELECT vec_id, embedding FROM embeddings
 UNION ALL

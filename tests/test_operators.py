@@ -116,6 +116,31 @@ class TestSimilarity:
         assert top[0].vec_id == 2 and top[0].rank == 1
         assert abs(top[0].cosine - 1.0) < 1e-12
 
+    def test_multiprobe_improves_recall(self, spark):
+        from posting_lines_spark.sources import load_table
+        from tests.conftest import SF0001
+
+        emb = load_table(spark, SF0001, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        planes = sim.hyperplanes(spark, num_planes=6, dims=64)
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in sim.brute_force_topk(emb, queries, k=10).collect()
+        }
+
+        def recall(probes):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in sim.ivf_topk(
+                    emb, queries, planes, k=10, probes=probes, num_planes=6
+                ).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        r0, r1 = recall(0), recall(1)
+        # deterministic data + deterministic planes → stable values
+        assert r1 > r0, f"multi-probe recall {r1} not above single-probe {r0}"
+
     def test_ivf_bucket_join_contains_duplicate(self, spark):
         emb = spark.createDataFrame(
             [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5]) for i in range(12)]
