@@ -105,12 +105,54 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _blocked_self_pairs(hot: DataFrame, id_col: str, chunk: int) -> DataFrame:
+    """Output-equivalent salted self-join for hot band buckets: members
+    are split into chunks of `chunk`; side A replicates each member to
+    its own and every LATER chunk, side B keys members by their own chunk,
+    so every unordered pair meets on exactly one (bucket, chunk) key.
+    Per-key join width drops from w² to w·chunk — the skew fix — while
+    the produced pair set is identical to the plain self-join."""
+    from pyspark.sql import Window as W
+
+    wdw = W.partitionBy("band_idx", "band_key").orderBy(id_col)
+    h = (
+        hot.withColumn("__chunk", ((F.row_number().over(wdw) - 1) / chunk).cast("int"))
+        .withColumn("__m", F.ceil(F.col("__w") / chunk).cast("int"))
+    )
+    a = h.select(
+        F.col(id_col).alias("__id_x"),
+        "band_idx",
+        "band_key",
+        F.explode(F.expr("sequence(__chunk, __m - 1)")).alias("__t"),
+    )
+    b = h.select(
+        F.col(id_col).alias("__id_y"), "band_idx", "band_key", F.col("__chunk").alias("__t")
+    )
+    return (
+        a.join(b, ["band_idx", "band_key", "__t"])
+        .filter(F.col("__id_x") != F.col("__id_y"))
+        .select(
+            F.least("__id_x", "__id_y").alias("id_a"),
+            F.greatest("__id_x", "__id_y").alias("id_b"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hot_width: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key): docs
     sharing any band become candidate pairs (id_a < id_b). The band join
-    is the scale path — no all-pairs comparison ever materializes."""
+    is the scale path — no all-pairs comparison ever materializes.
+
+    `hot_width` arms hot-band salting: buckets wider than it (boilerplate
+    signatures) are routed through a blocked self-join whose per-key width
+    is bounded at w·hot_width instead of w², with an IDENTICAL output pair
+    set (equivalence asserted in tests on an all-duplicates corpus)."""
     rows = num_hashes // bands
     banded = sig.select(
         id_col,
@@ -128,14 +170,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    return (
+    if hot_width is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+        return (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    widths = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("__w"))
+    bw = banded.join(widths, ["band_idx", "band_key"])
+    cold = bw.filter(F.col("__w") <= hot_width)
+    a = cold.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = cold.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cold_pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    hot_pairs = _blocked_self_pairs(bw.filter(F.col("__w") > hot_width), id_col, hot_width)
+    # a pair can surface from a cold bucket in one band and a hot bucket
+    # in another — the distinct spans both routes
+    return cold_pairs.union(hot_pairs).distinct()
 
 
 def jaccard_verify(

@@ -149,7 +149,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
     ).localCheckpoint(eager=False)
     sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
-    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
+    # hot_width arms boilerplate-bucket salting (output-equivalent blocked
+    # self-join) — inert at this SF, load-bearing on skewed real corpora
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
     return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
 
 

@@ -57,6 +57,28 @@ class TestDedup:
         ).collect()
         assert {r.doc_id for r in sig} == {3}
 
+    def test_hot_band_salting_is_output_equivalent(self, spark):
+        # 120 identical docs (one giant band bucket per band, width 120 >
+        # hot_width 16) + a distinct pair: the blocked self-join must
+        # produce exactly the plain join's candidate set
+        rows = [(i, "the same boilerplate sentence repeated everywhere") for i in range(120)]
+        rows += [(200, "rare unique words one"), (201, "rare unique words one")]
+        sig = dedup.minhash_signature(
+            dedup.shingles(docs_df(spark, rows), "doc_id", "text", distinct=False),
+            "doc_id",
+            num_hashes=8,
+        )
+        plain = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(sig, "doc_id", 8, 4).collect()
+        }
+        salted = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(sig, "doc_id", 8, 4, hot_width=16).collect()
+        }
+        assert salted == plain
+        assert (120 * 119) // 2 + 1 == len(plain)
+
     def test_stop_shingle_cap_bounds_boilerplate_fanout(self, spark):
         # 10 docs sharing ONLY a boilerplate footer shingle: uncapped, the
         # inverted index fans the footer out to 45 candidate pairs; with
