@@ -4,6 +4,7 @@ from posting_lines_spark.sources.tables import (
     load_jdbc,
     load_table,
     register_views,
+    write_jdbc,
 )
 
-__all__ = ["TABLES", "load_csv", "load_jdbc", "load_table", "register_views"]
+__all__ = ["TABLES", "load_csv", "load_jdbc", "load_table", "register_views", "write_jdbc"]

@@ -98,3 +98,37 @@ def load_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    num_partitions: int | None = None,
+    batch_size: int = 10_000,
+    **options,
+) -> None:
+    """JDBC sink (reference O5 parity: the merge-back writes to a PG table,
+    sql_to_line.py:227-234; `merge_update` reproduces the semantics, this
+    completes the connector round-trip). Untestable in this environment —
+    no database server — covered by a unit test against the builder chain.
+
+    Scale notes: each of the DataFrame's partitions opens one connection
+    and writes `batchsize` rows per round-trip; `num_partitions` caps the
+    connection count (a 1000-task write would otherwise open 1000
+    connections against one server). For UPDATE..FROM semantics, write to
+    a staging table and run the merge server-side — a straight JDBC write
+    can only INSERT."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
