@@ -43,6 +43,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from posting_lines_spark.queries import (  # noqa: F401
         array_q,
+        curation_q,
         dedup_q,
         extra_q,
         geo_q,
