@@ -34,12 +34,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least(F.col("u"), F.col("mn")).alias("m")
     )
+    # no terminal distinct: small-star (always applied next) dedups at its
+    # end, and tolerating transient duplicates here saves a shuffle/round
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

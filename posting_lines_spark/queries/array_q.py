@@ -51,6 +51,49 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAP_ORACLE = """
+WITH lc AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       string_agg(lang || ':' || CAST(n AS VARCHAR), '|' ORDER BY lang) AS lang_counts
+FROM lc GROUP BY source ORDER BY source
+"""
+
+MAP_SPARK = """
+WITH lc AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+m AS (
+  SELECT source,
+         map_from_entries(array_sort(collect_list(struct(lang, n)))) AS lang_map
+  FROM lc GROUP BY source
+)
+SELECT source,
+       CAST(size(lang_map) AS BIGINT) AS n_langs,
+       array_join(transform(map_keys(lang_map),
+                            k -> concat(k, ':', CAST(element_at(lang_map, k) AS STRING))),
+                  '|') AS lang_counts
+FROM m ORDER BY source
+"""
+
+
+@register(
+    "map_funcs",
+    oracle=MAP_ORACLE,
+    description="map functions: map_from_entries / map_keys / element_at / "
+    "size over per-source language histograms, serialized sorted for "
+    "driver-hashability (the oracle computes identical values via plain "
+    "string_agg — map *semantics* are engine-specific, the values aren't)",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(MAP_SPARK)
+
+
 APPROX_ORACLE = """
 SELECT count(*) AS n_rows,
        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

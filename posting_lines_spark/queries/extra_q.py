@@ -37,6 +37,34 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit GROUPING SETS with grouping() indicators — the same ANSI text
+# runs on both engines (hash compare is order-insensitive, so the
+# engines' different NULL sort defaults don't matter).
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n_rows,
+       {dsum_expr('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, returnflag, linestatus
+"""
+
+
+@register(
+    "grouping_sets",
+    oracle=GROUPING_SETS_SQL,
+    description="explicit GROUPING SETS (the general form under rollup/"
+    "cube) with grouping() membership indicators — one Expand+aggregate "
+    "pass (engine surface §2.4)",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 # Correlated EXISTS — the same ANSI text runs on both engines.
 EXISTS_SQL = """
 SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
