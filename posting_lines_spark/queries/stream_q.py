@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from posting_lines_spark.operators import multimodal
 from posting_lines_spark.queries import register
 from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df  # noqa: F401
+from posting_lines_spark.queries.parity import dsum_expr
 from posting_lines_spark.queries.pipeline_q import segments_state_parquet
 from posting_lines_spark.sources import load_table
 from posting_lines_spark.streaming import incremental
@@ -114,3 +115,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_payload(d)
     return multimodal.extract_features(media, mode="meta").orderBy("doc_id")
+
+
+# --- streaming exactly-once dedup ---
+
+DEDUP_STREAM_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {dsum_expr('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_dedup",
+    oracle=DEDUP_STREAM_ORACLE,
+    description="streaming exactly-once dedup: dropDuplicates(event_id) "
+    "with watermark-bounded state over a doubled event stream, append-mode "
+    "parquet sink — the ingest-side twin of exact_dedup; oracle = the "
+    "duplicate-free batch aggregate",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events)  # every event arrives twice
+    out_dir = tempfile.mkdtemp(prefix="pls_sdedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="pls_sdedup_ckpt_")
+    res = incremental.dedup_stream_append_parquet(
+        spark, doubled, out_dir, ckpt, key_cols=["event_id"], ts_col="ts"
+    )
+    return (
+        res.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_expr("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

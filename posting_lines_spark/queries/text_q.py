@@ -206,3 +206,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.expr(md5_int_spark("shingle", salt="fp"))).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+# --- PII-style redaction (curation-pipeline scrub pass) ---
+# The corpus has no natural PII, so each doc gets deterministic synthetic
+# contact info appended (identical derivation on both engines); the
+# redaction regexes then demonstrably fire on every row.
+
+_PII_BASE = (
+    "SELECT doc_id, source, text || ' contact user' || CAST(doc_id AS {str_t}) "
+    "|| '@mail.example or call 555-0' || CAST(doc_id AS {str_t}) AS text "
+    "FROM documents"
+)
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "555-[0-9]+"
+
+REDACT_ORACLE = f"""
+WITH base AS ({_PII_BASE.format(str_t='VARCHAR')}),
+red AS (
+  SELECT source, text,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN redacted != text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(sum(length(text)) AS BIGINT) AS chars_before,
+       CAST(sum(length(redacted)) AS BIGINT) AS chars_after
+FROM red GROUP BY source ORDER BY source
+"""
+
+REDACT_SPARK = f"""
+WITH base AS ({_PII_BASE.format(str_t='STRING')}),
+red AS (
+  SELECT source, text,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),
+                        '{_PHONE_RE}', '<PHONE>') AS redacted
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN redacted != text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(sum(length(text)) AS BIGINT) AS chars_before,
+       CAST(sum(length(redacted)) AS BIGINT) AS chars_after
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=REDACT_ORACLE,
+    description="PII-style scrub pass: email/phone regexp redaction over "
+    "the corpus (Spark replaces globally by default; the oracle passes "
+    "the 'g' flag for the same semantics) — counts and char deltas prove "
+    "every row was processed",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(REDACT_SPARK)

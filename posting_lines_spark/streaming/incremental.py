@@ -45,6 +45,41 @@ def enrich_available_now(
     q.awaitTermination()
 
 
+def dedup_stream_append_parquet(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: `dropDuplicates` over key_cols with a
+    watermark bounding the dedup state (keys older than the watermark are
+    evicted — without it, state grows with every key ever seen). Each
+    first-seen row is emitted immediately (append mode), duplicates
+    arriving within the watermark horizon are dropped. The streaming twin
+    of exact_dedup for ingest pipelines."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="pls_dedup_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicates(key_cols)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def _session_agg(stream: DataFrame, gap: str, watermark: str) -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)
