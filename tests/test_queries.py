@@ -16,12 +16,29 @@ def test_approx_stats_within_bounds(spark):
     assert row.parts_ok and row.orders_ok and row.median_ok
 
 
-def test_all_registered_queries_have_unique_output_columns(spark):
-    """The driver sorts columns by name before hashing — duplicate column
-    names would silently corrupt the comparison."""
+# Queries allowed to contain a cartesian product: 1-row × 1-row scalar
+# combines, where a cross join is the correct plan.
+_CARTESIAN_OK = {"corpus_survivors", "approx_stats"}
+
+
+def test_all_registered_queries_have_unique_output_columns_and_sane_plans(spark):
+    """One pass over every registered query checks two driver-facing
+    invariants and two scale invariants:
+      - no duplicate output column names (the driver sorts columns by
+        name before hashing — duplicates silently corrupt the compare);
+      - no CartesianProduct in the physical plan (broadcast nested-loop
+        over a tiny side is fine; an unbounded cartesian is never the
+        plan we want at 100 TB) except for declared 1-row scalar combines;
+      - no row-at-a-time Python UDFs (BatchEvalPython) — Python is only
+        allowed Arrow-batched (ArrowEval/MapInPandas/FlatMapGroups...).
+    """
     import __spark_entry__ as m
 
     for name, fn in m.queries().items():
         df = fn(spark, SF0001)
         cols = [c.lower() for c in df.columns]
         assert len(cols) == len(set(cols)), f"{name} has duplicate columns: {cols}"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name not in _CARTESIAN_OK:
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
