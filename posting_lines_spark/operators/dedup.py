@@ -307,13 +307,21 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", "band.band_idx", "band.band_key")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_key")
+    # first-matching-band dedup: a pair colliding in several bands is kept
+    # only where every EARLIER band differs — recomputable from the two
+    # signatures as pure codegen math, so no distinct shuffle is needed
+    # (both full signatures ride through the join anyway for the hamming
+    # filter). Output set is identical to the distinct-based form.
+    first_band = F.lit(True)
+    for bp in range(bands - 1):
+        key_a = F.shiftright("sh_a", bp * width).bitwiseAND(F.lit(mask))
+        key_b = F.shiftright("sh_b", bp * width).bitwiseAND(F.lit(mask))
+        first_band = first_band & ((F.col("band_idx") <= F.lit(bp)) | (key_a != key_b))
     return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # cheap hamming filter BEFORE the dedup shuffle: only qualifying
-        # pairs (not every band collision) pay the distinct
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(first_band)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
