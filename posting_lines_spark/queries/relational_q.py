@@ -371,3 +371,30 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_F")
         .orderBy("l_returnflag")
     )
+
+
+# --- lateral (correlated table) join ---
+
+LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+ORDER BY nation, acctbal DESC, customer
+"""
+
+
+@register(
+    "lateral_topn",
+    oracle=LATERAL_SQL,
+    description="correlated LATERAL subquery: per-nation top-2 customers "
+    "by balance (Catalyst decorrelates to a ranked window under the hood; "
+    "same ANSI text runs on both engines)",
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(LATERAL_SQL)

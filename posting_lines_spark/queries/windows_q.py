@@ -168,3 +168,29 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- analytic distribution functions (same ANSI text on both engines) ---
+
+ANALYTICS_SQL = """
+SELECT event_type, event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_type, event_id
+"""
+
+
+@register(
+    "window_analytics",
+    oracle=ANALYTICS_SQL,
+    description="analytic distribution windows: ntile / percent_rank / "
+    "cume_dist over a named window (rank arithmetic only — integer ratios "
+    "are bit-exact cross-engine; deterministic event_id tiebreak)",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(ANALYTICS_SQL)
