@@ -255,3 +255,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
     sig = dedup.simhash(base, "doc_id", "text", bits=48).localCheckpoint(eager=False)
     return dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# --- containment near-dup (asymmetric: catches truncated copies) ---
+
+CONTAIN_T = 0.9
+
+CONTAINMENT_ORACLE = f"""
+WITH sh0 AS ({_SH_DUCK}),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       i.n_common / least(za.n_sh, zb.n_sh) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_common / least(za.n_sh, zb.n_sh) >= {CONTAIN_T!r}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=CONTAINMENT_ORACLE,
+    description="containment near-dup: |A∩B| / min(|A|,|B|) over the capped "
+    "shingle index — the asymmetric measure that catches truncated/embedded "
+    "copies whose symmetric Jaccard falls below threshold",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    sh = dedup.stop_shingle_cap(
+        dedup.shingles(base, "doc_id", "text"), "doc_id", NGRAM_DF_CAP
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= CONTAIN_T)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    )
