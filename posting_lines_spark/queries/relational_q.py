@@ -398,3 +398,44 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(LATERAL_SQL)
+
+
+# --- TPC-H Q3 (shipping priority): the classic 3-table join + top-k ---
+
+Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {dsum_expr("l_extendedprice * (1.0e0 - l_discount)")} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=Q3_ORACLE,
+    description="TPC-H Q3 shape: selective dimension filter broadcast "
+    "through a 3-table star, decimal-routed revenue aggregate, top-10 via "
+    "TakeOrderedAndProject — both date filters reach the parquet scans",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.expr(dsum_expr("l_extendedprice * (1.0e0 - l_discount)")).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
