@@ -37,3 +37,37 @@ def test_non_convergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """300 random edges over 120 nodes (seeded): Spark CC must agree with
+    a reference union-find, component for component."""
+    import random
+
+    rng = random.Random(20260813)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {}
+    for n in nodes:
+        root = find(n)
+        want[n] = min(m for m in nodes if find(m) == root)
+
+    from posting_lines_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want

@@ -44,3 +44,32 @@ def test_bbox_closed_bounds(spark):
     )
     pred = geo.point_in_bbox_sql("x", "y", 0.0, 0.0, 1.0, 1.0)
     assert df.filter(F.expr(pred)).count() == 2
+
+
+def test_random_segment_distances_match_numpy(spark):
+    """120 seeded random (point, segment) cases in ONE DataFrame: the
+    layered Spark expression must match a NumPy clamp-projection reference
+    to float ulps."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    m = rng.uniform(-100.0, 100.0, size=(120, 6))
+    rows = [tuple(map(float, r)) for r in m]
+    df = spark.createDataFrame(
+        rows, "xs double, ys double, x1 double, y1 double, x2 double, y2 double"
+    )
+    layers = geo.point_segment_dist_layers("xs", "ys", "x1", "y1", "x2", "y2")
+    got = [
+        r.dist_m
+        for r in geo.with_layers(df.withColumn("i", F.monotonically_increasing_id()), layers)
+        .orderBy("xs", "ys", "x1")
+        .collect()
+    ]
+    order = np.lexsort((m[:, 2], m[:, 1], m[:, 0]))
+    m = m[order]
+    dx, dy = m[:, 4] - m[:, 2], m[:, 5] - m[:, 3]
+    wx, wy = m[:, 0] - m[:, 2], m[:, 1] - m[:, 3]
+    len2 = dx * dx + dy * dy
+    t = np.clip(np.divide(wx * dx + wy * dy, len2, out=np.zeros_like(len2), where=len2 > 0), 0, 1)
+    want = np.sqrt((wx - t * dx) ** 2 + (wy - t * dy) ** 2)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
