@@ -179,8 +179,14 @@ def lsh_candidate_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-    widths = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("__w"))
-    bw = banded.join(widths, ["band_idx", "band_key"])
+    from pyspark.sql import Window as W
+
+    # bucket width via a window count: one shuffle on the band key (vs
+    # aggregate + join back), and the same partitioning feeds the blocked
+    # self-join's row_number directly
+    bw = banded.withColumn(
+        "__w", F.count(F.lit(1)).over(W.partitionBy("band_idx", "band_key"))
+    )
     cold = bw.filter(F.col("__w") <= hot_width)
     a = cold.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = cold.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")

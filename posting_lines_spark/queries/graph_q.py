@@ -52,7 +52,7 @@ def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
     ).localCheckpoint(eager=False)
     sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
-    cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
     return dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
 
 
