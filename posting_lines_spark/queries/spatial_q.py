@@ -54,7 +54,7 @@ d AS ({geo.layers_cte_sql("SELECT * FROM cand", _DIST_LAYERS, keep=["station_id"
 SELECT station_id,
        count(*) AS n_segments,
        min(dist_m) AS min_dist_m,
-       {davg_expr("dist_m")} AS avg_dist_m
+       {davg_expr("dist_m", scale=3)} AS avg_dist_m
 FROM d
 WHERE dist_m <= {dlit(RADIUS_M)}
 GROUP BY station_id
@@ -111,7 +111,11 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.min("dist_m").alias("min_dist_m"),
-            F.expr(davg_expr("dist_m")).alias("avg_dist_m"),
+            # scale=3 (mm quantization): many segments × ~1e5 m distances
+            # per station pushes a scale-6 decimal sum into the range
+            # where DECIMAL→DOUBLE casts split by 1 ulp across engines
+            # (measured at sf0.1); scale 3 buys 1000× headroom
+            F.expr(davg_expr("dist_m", scale=3)).alias("avg_dist_m"),
         )
         .orderBy("station_id")
     )
