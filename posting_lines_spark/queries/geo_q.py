@@ -46,13 +46,18 @@ def enrich_all_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("sog_kt", geo.sog_kt("len_m", "duration"))
 
 
+# scale=3 for the geo aggregates: len_m/sog_kt are sqrt outputs (full-
+# entropy decimals), and double→DECIMAL rounding differs across engines
+# when a value lands within half an ulp of a rounding boundary — expected
+# boundary hits ≈ n·v·2.2e-16·10^scale, which at scale 6 becomes ~1 per
+# million sqrt-valued rows. Millimetre quantization keeps it ≪ 1 at sf1+.
 FLAGSHIP_ORACLE = f"""
 SELECT returnflag,
        count(*) AS n_segments,
        count(sog_kt) AS n_with_sog,
-       {davg("len_m", "avg_len_m")},
-       {davg("sog_kt", "avg_sog_kt")},
-       {dsum("len_m", "total_len_m")}
+       {davg("len_m", "avg_len_m", scale=3)},
+       {davg("sog_kt", "avg_sog_kt", scale=3)},
+       {dsum("len_m", "total_len_m", scale=3)}
 FROM ({enriched_sql()})
 GROUP BY returnflag
 ORDER BY returnflag
@@ -72,9 +77,9 @@ def geo_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.count("sog_kt").alias("n_with_sog"),
-            F.expr(davg_expr("len_m")).alias("avg_len_m"),
-            F.expr(davg_expr("sog_kt")).alias("avg_sog_kt"),
-            F.expr(dsum_expr("len_m")).alias("total_len_m"),
+            F.expr(davg_expr("len_m", scale=3)).alias("avg_len_m"),
+            F.expr(davg_expr("sog_kt", scale=3)).alias("avg_sog_kt"),
+            F.expr(dsum_expr("len_m", scale=3)).alias("total_len_m"),
         )
         .orderBy("returnflag")
     )

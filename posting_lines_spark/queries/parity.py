@@ -12,6 +12,18 @@ engines up to ~1e15 (measured; at ~1e18 they can split by 1 ulp because
 DuckDB divides int128 by 10^scale in FP while Spark rounds the exact
 decimal). Keep summed magnitudes below ~1e15 — scale the measure or
 lower the decimal scale if a query would exceed it.
+
+Per-row rounding bound (the subtler hazard, measured in round 2): the
+double→DECIMAL cast itself can disagree — Spark rounds the double's
+SHORTEST decimal representation (BigDecimal.valueOf), DuckDB rounds the
+exact binary expansion, and the two land on opposite sides of a
+0.5·10^-scale boundary when the value lies within half an ulp of one.
+Expected disagreements over n rows of magnitude v:
+≈ n · v · 2.2e-16 · 10^scale. Exact-by-construction data (2-dp prices,
+int-derived values) never hits this; full-entropy doubles
+(sqrt/projection outputs) do — keep the estimate ≪ 1 by lowering
+`scale` (the geo aggregates use scale=3), and sweep sf0.1, not just
+sf0.01, whenever a new float aggregate lands.
 """
 
 from __future__ import annotations
