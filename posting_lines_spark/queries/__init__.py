@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational_q,
         scalar_q,
         schema_q,
+        search_q,
         spatial_q,
         stream_q,
         temporal_q,

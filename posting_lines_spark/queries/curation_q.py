@@ -168,6 +168,167 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PACK_SPARK)
 
 
+# --- per-domain cap (CommonCrawl-style source throttling) ---
+# Web-scale corpora cap documents per domain so boilerplate-heavy hosts
+# can't dominate the training mix. Selection is deterministic: rank docs
+# within each source by a doc hash and keep the first DOMAIN_CAP.
+
+DOMAIN_CAP = 12
+
+_H_DOC_CAP_SPARK = md5_int_spark("CAST(doc_id AS STRING)", salt="cap")
+_H_DOC_CAP_DUCK = md5_int_duck("CAST(doc_id AS VARCHAR)", salt="cap")
+
+
+def _domain_cap_sql(h_doc: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY {h_doc}, doc_id)
+              AS BIGINT) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM ranked
+WHERE rk <= {DOMAIN_CAP}
+ORDER BY source, rk
+"""
+
+
+@register(
+    "curation_domain_cap",
+    oracle=_domain_cap_sql(_H_DOC_CAP_DUCK),
+    description="per-domain document cap: hash-ordered row_number within "
+    "each source, keep the first N — the CommonCrawl-style throttle that "
+    "stops one host dominating the mix. One shuffle on source; at scale "
+    "the window never materializes more than a partition (and a pre-"
+    "aggregation per (source, shard) can bound skewed hosts first)",
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_domain_cap_sql(_H_DOC_CAP_SPARK))
+
+
+# --- deterministic weighted sampling ---
+# Priority sampling: each doc gets priority hash/weight (weight = doc
+# length in chars); the K lowest priorities win, so long docs are
+# proportionally more likely — the length-weighted mix curation uses for
+# token-balanced sampling. Hash-based, zero RNG state, exactly
+# replayable in the oracle (double division of identical ints is
+# bit-identical cross-engine; no transcendental pow/ln needed).
+
+WEIGHTED_K = 25
+
+_H_DOC_W_SPARK = md5_int_spark("CAST(doc_id AS STRING)", salt="wsamp")
+_H_DOC_W_DUCK = md5_int_duck("CAST(doc_id AS VARCHAR)", salt="wsamp")
+
+
+def _weighted_sql(h_doc: str) -> str:
+    return f"""
+WITH pri AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST({h_doc} AS DOUBLE) / n_chars AS priority
+  FROM documents
+)
+SELECT doc_id, source, weight, priority
+FROM pri
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+@register(
+    "sample_weighted",
+    oracle=_weighted_sql(_H_DOC_W_DUCK),
+    description="deterministic weighted priority sampling: priority = "
+    "doc_hash / weight (weight = doc length), keep the K smallest — "
+    "length-proportional sampling with zero RNG state. "
+    "TakeOrderedAndProject top-k, no global sort",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_weighted_sql(_H_DOC_W_SPARK))
+
+
+# --- overlapping token-window chunking ---
+# Training pipelines split long documents into fixed-size token windows
+# with overlap (context packing / retrieval chunking). Chunk boundaries
+# are pure integer math; the chunk digest proves the sliced text itself
+# matches across engines, not just the counts.
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def _n_chunks(n_tok: str) -> str:
+    # 1 + ceil(max(n_tok - size, 0) / stride), via floor((x + stride-1)/stride)
+    return (
+        f"1 + CAST(floor((greatest({n_tok} - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1}.0e0)"
+        f" / {CHUNK_STRIDE}.0e0) AS BIGINT)"
+    )
+
+
+CHUNKS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n_tok,
+         unnest(range(0, {_n_chunks('n_tok')})) AS chunk_id
+  FROM base
+),
+sliced AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(least({CHUNK_SIZE}, n_tok - chunk_id * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+         array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                              chunk_id * {CHUNK_STRIDE} + least({CHUNK_SIZE}, n_tok - chunk_id * {CHUNK_STRIDE})],
+                         ' ') AS chunk_text
+  FROM c
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, md5(chunk_text) AS chunk_digest
+FROM sliced
+ORDER BY doc_id, chunk_id
+"""
+
+CHUNKS_SPARK = f"""
+WITH base AS (
+  SELECT doc_id, split(text, ' ') AS toks,
+         CAST(size(split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n_tok,
+         explode(sequence(0, {_n_chunks('n_tok')} - 1)) AS chunk_id
+  FROM base
+),
+sliced AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(least({CHUNK_SIZE}, n_tok - chunk_id * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+         array_join(slice(toks, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT),
+                          CAST(least({CHUNK_SIZE}, n_tok - chunk_id * {CHUNK_STRIDE}) AS INT)),
+                    ' ') AS chunk_text
+  FROM c
+)
+SELECT doc_id, chunk_id, n_chunk_tokens, md5(chunk_text) AS chunk_digest
+FROM sliced
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "curation_chunks",
+    oracle=CHUNKS_ORACLE,
+    description="overlapping token-window chunking (size 32, stride 24): "
+    "sequence→explode→slice per doc, md5 digest proves the sliced text "
+    "matches. Pure narrow transforms — no shuffle until the output sort; "
+    "scales as a map over documents",
+)
+def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(CHUNKS_SPARK)
+
+
 # --- document-frequency vocabulary ---
 
 VOCAB_K = 25

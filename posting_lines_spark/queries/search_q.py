@@ -1,0 +1,108 @@
+"""Full-text search over `documents` — the posting-list ("posting lines")
+side of the engine: build term→document posting lists with tf/df stats,
+score a fixed query with a BM25-style ranking function, return top-k.
+
+Cross-engine float parity: the classic BM25 idf uses ln(), which is
+transcendental and NOT bit-identical across engines. We use the log-free
+rational idf  (N - df + 0.5)/(df + 0.5)  instead (same ordering for a
+single-term contribution, monotone in df). Every input is an exact
+integer (tf, df, dl, N) or a division of identical integers (avgdl), and
+IEEE double +,-,*,/ are deterministic — so the score is bit-identical
+Spark↔DuckDB with no decimal routing. Per-doc term combination goes
+through per-term conditional MAX columns summed in fixed textual order
+(never SUM over a double group, which is partial-aggregation-order
+dependent).
+
+Scale: tf is one explode→count with map-side combine keyed on
+(doc_id, term) — but only AFTER the IN-list filter, so the shuffled
+stream is |query terms| × docs, not the whole token stream. df and the
+corpus stats are tiny aggregates broadcast back; top-k is
+TakeOrderedAndProject (no global sort).
+
+Reference: the repo this engine reimplements is named posting-lines;
+its v1 pipeline (sql_to_line.py) builds per-day line tables — this
+module is the IR-sense "posting lines" extension the north star asks
+for on the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from posting_lines_spark.queries import register
+from posting_lines_spark.sources import load_table
+
+QUERY_TERMS = ["join", "window", "stream"]
+K1 = "1.2e0"
+B = "0.75e0"
+TOP_K = 15
+
+
+def _bm25_sql(tok_explode: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    per_term = ", ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0e0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in QUERY_TERMS)
+    matched = " + ".join(
+        f"CASE WHEN s_{t} > 0.0e0 THEN 1 ELSE 0 END" for t in QUERY_TERMS
+    )
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS dl
+  FROM (SELECT doc_id, count(*) AS n_tokens FROM ({tok_explode}) GROUP BY doc_id)
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({tok_explode}) WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5e0) / (df.df + 0.5e0))
+         * (tf.tf * ({K1} + 1.0e0))
+           / (tf.tf + {K1} * (1.0e0 - {B} + {B} * dl.dl / corpus.avgdl)) AS s
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+),
+per_doc AS (
+  SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       {total} AS bm25_score,
+       CAST({matched} AS BIGINT) AS n_terms_matched
+FROM per_doc
+ORDER BY bm25_score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+BM25_ORACLE = _bm25_sql(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+
+
+@register(
+    "search_bm25",
+    oracle=BM25_ORACLE,
+    description="posting-list search: tf/df stats + BM25-style rational-idf "
+    "scoring (log-free for cross-engine bit parity) for a fixed term query, "
+    "top-k by score. Filter-before-shuffle keeps the tf aggregate at "
+    "|terms|×docs; corpus stats broadcast; TakeOrderedAndProject top-k",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _bm25_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
+    )

@@ -208,6 +208,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition filters (Gopher-style quality rules) ---
+# Rae et al. 2021 ("Gopher") filter docs by repeated-content fractions:
+# most-frequent-token share, duplicate n-gram share. All features here are
+# ratios of per-doc integer counts (identical ints → identical double
+# division on both engines), so the query is exactly oracle-checkable.
+
+REP_TOP_TOKEN_MAX = "0.12e0"
+REP_DUP_BIGRAM_MAX = "0.05e0"
+
+
+def _repetition_sql(tok_explode: str, bigram_explode: str) -> str:
+    return f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM ({tok_explode}) GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_cnt
+  FROM tc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM ({bigram_explode}) GROUP BY doc_id, bg
+),
+bi_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_cnt
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       n_tokens,
+       CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+       CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       CAST(CASE WHEN CAST(top_token_cnt AS DOUBLE) / n_tokens <= {REP_TOP_TOKEN_MAX}
+                  AND CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams <= {REP_DUP_BIGRAM_MAX}
+                 THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+FROM tok_stats t JOIN bi_stats b ON t.doc_id = b.doc_id
+ORDER BY t.doc_id
+"""
+
+
+REPETITION_ORACLE = _repetition_sql(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents",
+    f"SELECT doc_id, unnest({shingle_sql_duck('text', k=2)}) AS bg FROM documents",
+)
+
+
+@register(
+    "text_repetition",
+    oracle=REPETITION_ORACLE,
+    description="Gopher-style repetition quality filters: most-frequent-"
+    "token share, duplicate-bigram share, top-bigram share per doc + a "
+    "threshold gate. Two explode→count pipelines (shuffle keyed on "
+    "(doc_id, gram) with map-side combine, then doc_id) joined on doc_id "
+    "— scales linearly with total token count",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _repetition_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents",
+            f"SELECT doc_id, explode({shingle_array_spark('text', k=2)}) AS bg FROM documents",
+        )
+    )
+
+
 # --- PII-style redaction (curation-pipeline scrub pass) ---
 # The corpus has no natural PII, so each doc gets deterministic synthetic
 # contact info appended (identical derivation on both engines); the

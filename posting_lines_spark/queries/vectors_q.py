@@ -164,6 +164,132 @@ def sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# --- k-means IVF training ---
+# Real IVF indexes train their cell centroids with k-means instead of
+# random hyperplanes. This is the trainer: deterministic k-means++-free
+# init (the K vectors with the smallest md5 hash), two unrolled Lloyd
+# iterations in long (vec_id, dim, val) format, final cell assignment.
+#
+# Cross-engine float parity: per-(vec,cluster) distances and per-(cluster,
+# dim) centroid means are SUMS over doubles — partial-aggregation order
+# differs between engines, so both are routed through DECIMAL (exact,
+# associative; see parity.py). Centroid = CAST(decimal_sum AS DOUBLE) /
+# count is then bit-identical, and every (val - cval)² product is plain
+# IEEE double math on identical inputs. Argmin ties break on cluster_id.
+#
+# Scale: each Lloyd round is two shuffles — (vec_id, cluster) distance
+# aggregate (the n×K join streams through map-side combine) and the
+# (cluster, dim) mean. K and dims are fixed, so state per round is
+# K×dims ≈ nothing; the n×K candidate stream is the known k-means cost
+# and AQE can split skewed cells. Unrolled iterations keep the whole
+# train a single declarative plan (no driver loop, no checkpoint state).
+
+KM_K = 8
+KM_DECIMAL_D = "DECIMAL(38,5)"  # squared-diff terms; see parity.py bound
+KM_DECIMAL_C = "DECIMAL(38,6)"  # centroid component sums
+
+
+def _km_assign(name: str, cent: str) -> str:
+    """CTE pair: distances to `cent`'s centroids, then argmin assignment."""
+    return f"""
+{name}_d AS (
+  SELECT l.vec_id, c.cluster_id,
+         sum(CAST((l.val - c.cval) * (l.val - c.cval) AS {KM_DECIMAL_D})) AS dist2
+  FROM long_vecs l JOIN {cent} c ON l.dim = c.dim
+  GROUP BY l.vec_id, c.cluster_id
+),
+{name} AS (
+  SELECT vec_id, cluster_id, dist2 FROM (
+    SELECT vec_id, cluster_id, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+    FROM {name}_d
+  ) r WHERE rn = 1
+)"""
+
+
+def _km_update(name: str, assign: str) -> str:
+    # csum/cnt are kept alongside cval: downstream checksums must sum the
+    # EXACT decimals and divide once — re-quantizing cval (a quotient by a
+    # small int) hits systematic half-way rounding cases where the two
+    # engines' double→decimal casts disagree (see parity.py).
+    return f"""
+{name} AS (
+  SELECT a.cluster_id, l.dim,
+         sum(CAST(l.val AS {KM_DECIMAL_C})) AS csum,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(l.val AS {KM_DECIMAL_C})) AS DOUBLE) / count(*) AS cval
+  FROM {assign} a JOIN long_vecs l ON a.vec_id = l.vec_id
+  GROUP BY a.cluster_id, l.dim
+)"""
+
+
+def _kmeans_sql(long_explode: str, h_vec: str) -> str:
+    return f"""
+WITH long_vecs AS ({long_explode}),
+hsel AS (
+  SELECT vec_id FROM embeddings ORDER BY {h_vec}, vec_id LIMIT {KM_K}
+),
+init AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY {h_vec}, vec_id) AS BIGINT) - 1 AS cluster_id
+  FROM hsel
+),
+c0 AS (
+  SELECT i.cluster_id, l.dim, l.val AS cval
+  FROM init i JOIN long_vecs l ON i.vec_id = l.vec_id
+),
+{_km_assign('a1', 'c0')},
+{_km_update('c1', 'a1')},
+{_km_assign('a2', 'c1')},
+{_km_update('c2', 'a2')},
+cstats AS (
+  SELECT cluster_id,
+         CAST(sum(csum) AS DOUBLE) / max(cnt) AS centroid_checksum
+  FROM c2 GROUP BY cluster_id
+)
+SELECT a.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.dist2) AS DOUBLE) / count(*) AS mean_dist2,
+       max(s.centroid_checksum) AS centroid_checksum
+FROM a2 a JOIN cstats s ON a.cluster_id = s.cluster_id
+GROUP BY a.cluster_id
+ORDER BY a.cluster_id
+"""
+
+
+_KM_LONG_SPARK = (
+    "SELECT vec_id, pos + 1 AS dim, CAST(col AS DOUBLE) AS val "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col"
+)
+_KM_LONG_DUCK = (
+    f"SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS val "
+    f"FROM embeddings CROSS JOIN range(1, {DIMS + 1}) t(d)"
+)
+
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark  # noqa: E402
+
+KMEANS_ORACLE = _kmeans_sql(
+    _KM_LONG_DUCK, md5_int_duck("CAST(vec_id AS VARCHAR)", salt="kmeans")
+)
+
+
+@register(
+    "sim_kmeans_ivf",
+    oracle=KMEANS_ORACLE,
+    description="k-means IVF training: deterministic hash init, two "
+    "unrolled Lloyd iterations in long format with decimal-routed "
+    "distance/centroid aggregates (order-independent ⇒ bit-identical "
+    "cross-engine), final cell assignment with per-cell inertia and "
+    "centroid checksums — the trained-centroid upgrade to the "
+    "hyperplane IVF index",
+)
+def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _kmeans_sql(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))
+    )
+
+
 EMB_BASE_DUCK = """
 SELECT vec_id, embedding FROM embeddings
 UNION ALL
