@@ -117,6 +117,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, mode="meta").orderBy("doc_id")
 
 
+# --- watermarked stream-stream join ---
+
+SSJOIN_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS left_id,
+       b.event_id AS right_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY a.user_id, left_id, right_id
+"""
+
+
+@register(
+    "stream_stream_join",
+    oracle=SSJOIN_ORACLE,
+    description="watermarked stream-stream inner join: click→purchase "
+    "attribution within a 30-minute horizon, both sides watermarked with "
+    "a two-sided time constraint (state evicted past the match window — "
+    "bounded state on unbounded streams), append-mode parquet sink; "
+    "oracle = the batch interval join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="pls_ssj_out_")
+    ckpt = tempfile.mkdtemp(prefix="pls_ssj_ckpt_")
+    res = incremental.stream_stream_join_append_parquet(spark, events, out_dir, ckpt)
+    return res.orderBy("user_id", "left_id", "right_id")
+
+
 # --- streaming exactly-once dedup ---
 
 DEDUP_STREAM_ORACLE = f"""

@@ -129,6 +129,69 @@ def session_windows_append_parquet(
     return spark.read.parquet(out_dir)
 
 
+def stream_stream_join_append_parquet(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each `right_type`
+    event to the same user's `left_type` events in the preceding
+    `horizon` (click→purchase attribution). Both sides carry a watermark
+    and the join has a two-sided time constraint, so state for rows whose
+    match window the watermark has passed is evicted — bounded state on
+    unbounded streams, the scale requirement for stream-stream joins.
+
+    Inner-join matches are emitted as found (append mode). A drain of a
+    bounded backlog in one availableNow batch emits exactly the batch
+    interval-join result; under multi-batch drains, rows arriving later
+    than `watermark` past their partner are dropped by eviction — the
+    documented streaming semantics, same contract as sessionization."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="pls_ssj_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, tag: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"u_{tag}"),
+                F.col("ts").alias(f"ts_{tag}"),
+                F.col("event_id").alias(f"{tag}_id"),
+            )
+            .withWatermark(f"ts_{tag}", watermark)
+        )
+
+    a, b = side(left_type, "a"), side(right_type, "b")
+    joined = a.join(
+        b,
+        F.expr(f"u_a = u_b AND ts_b >= ts_a AND ts_b <= ts_a + INTERVAL {horizon}"),
+    ).select(
+        F.col("u_a").alias("user_id"),
+        F.col("a_id").alias("left_id"),
+        F.col("b_id").alias("right_id"),
+        (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def session_windows_available_now(
     spark: SparkSession, events: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:
