@@ -76,6 +76,11 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Materialize the input edges once: each star round references `e`
+    # several times (union + self-join), and without truncation round 1
+    # re-evaluates the full upstream pipeline (e.g. MinHash candidate
+    # generation) per reference.
+    e = e.checkpoint(eager=True) if use_reliable else e.localCheckpoint(eager=True)
     prev_chk: tuple | None = None
     converged = False
     for it in range(max_iter):
