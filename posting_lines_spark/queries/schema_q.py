@@ -22,6 +22,55 @@ FROM ({ais.SEGMENTS_FULL_SQL})
 """
 
 
+# --- JSON-lines connector round-trip ---
+# The roundtrip IS the assertion: Spark writes the corpus as JSONL and
+# reads it back, and the aggregate must equal the oracle's aggregate over
+# the original parquet view — any row loss, column drift, or encoding
+# mangling in either direction breaks the hash. (Same oracle pattern as
+# stream_enrich: prove path equivalence, not a new computation.)
+
+JSONL_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+       min(md5(text)) AS min_digest
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "json_roundtrip",
+    oracle=JSONL_ORACLE,
+    description="JSON-lines connector round-trip: documents → jsonl sink → "
+    "jsonl source (explicit schema) → aggregate; hash-equality with the "
+    "parquet-side oracle proves lossless interchange — jsonl is the edge "
+    "format of corpus pipelines (splittable per line at 100 TB, but no "
+    "column pruning: parquet stays the processing format)",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from posting_lines_spark.sources import load_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pls_jsonl_")
+    write_jsonl(d, path)
+    back = load_jsonl(spark, path, schema=d.schema)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.min(F.md5("text")).alias("min_digest"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "segments_full_schema",
     oracle=FULL_SCHEMA_SQL,

@@ -71,6 +71,25 @@ def load_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink. Line-delimited JSON is the interchange format of
+    text-corpus pipelines (every curation toolchain reads/writes it);
+    splittable per line, so a 100 TB corpus still parallelizes — but ~5×
+    the bytes of parquet and no column pruning, so it's an EDGE format
+    (ingest/export), never the processing format."""
+    df.write.mode(mode).json(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Schema should be explicit at scale — inference
+    scans the data once before the real read, and silently widens types
+    (int→bigint, missing→null) on dirty corpora."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_jdbc(
     spark: SparkSession,
     url: str,
