@@ -247,7 +247,7 @@ cstats AS (
          CAST(sum(csum) AS DOUBLE) / max(cnt) AS centroid_checksum
   FROM c2 GROUP BY cluster_id
 )
-SELECT a.cluster_id,
+SELECT /*+ BROADCAST(s) */ a.cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(a.dist2) AS DOUBLE) / count(*) AS mean_dist2,
        max(s.centroid_checksum) AS centroid_checksum
