@@ -78,6 +78,45 @@ def stop_shingle_cap(sh: DataFrame, id_col: str, max_df: int) -> DataFrame:
     return sh.join(keep, "shingle").select(id_col, "shingle")
 
 
+def prefix_filter_candidates(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """EXACT set-similarity candidate generation via prefix filtering
+    (Bayardo et al., WWW'07 / PPJoin family): rank each doc's shingles by
+    a global (document-frequency, shingle) order — rarest first — and
+    join only the first  n − ceil(t·n) + 1  shingles of each doc.
+
+    Guarantee (so verification over these candidates is EXACT, unlike the
+    lossy `stop_shingle_cap` route): J(a,b) ≥ t implies the overlap o
+    satisfies o ≥ t·max(na,nb), and any two sets with overlap o must
+    share an element within their first (n − o + 1) positions of a
+    common total order — so the prefixes intersect and the pair is
+    generated. Fanout is bounded because prefixes hold each doc's RAREST
+    shingles: a shingle's join width is at most its df, and high-df
+    (boilerplate) shingles sort to the suffix and never enter the join.
+
+    Shuffles: df aggregate on shingle, one window pass on id (rank +
+    size share the same partitioning), prefix self-join on shingle."""
+    from pyspark.sql import Window as W
+
+    gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__gdf"))
+    wdw = W.partitionBy(id_col)
+    ranked = (
+        sh.join(gdf, "shingle")
+        .withColumn("__rk", F.row_number().over(wdw.orderBy("__gdf", "shingle")))
+        .withColumn("__n", F.count(F.lit(1)).over(wdw))
+    )
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # --- exact dedup ---
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

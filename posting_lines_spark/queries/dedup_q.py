@@ -218,6 +218,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact set-similarity join via prefix filtering ---
+
+PPJOIN_ORACLE = f"""
+WITH sh AS ({_SH_DUCK}),
+gdf AS (SELECT shingle, count(*) AS g FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY g.g, s.shingle) AS rk,
+         count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM sh s JOIN gdf g ON s.shingle = g.shingle
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rk <= n - CAST(ceil({JACCARD_T!r} * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.n_common,
+       i.n_common / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE i.n_common / (za.n_sh + zb.n_sh - i.n_common) >= {JACCARD_T!r}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_ppjoin",
+    oracle=PPJOIN_ORACLE,
+    description="EXACT set-similarity self-join via prefix filtering "
+    "(PPJoin family): only each doc's rarest n−ceil(t·n)+1 shingles enter "
+    "the inverted-index join — provably generates every pair with "
+    "Jaccard ≥ t (no df cap, no lost pairs) while boilerplate shingles "
+    "sort to the suffix and never join; brute-force equivalence asserted "
+    "in tests",
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    cand = dedup.prefix_filter_candidates(sh, "doc_id", JACCARD_T)
+    return (
+        dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- SimHash near-dup ---
 
 def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:

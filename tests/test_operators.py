@@ -57,6 +57,47 @@ class TestDedup:
         ).collect()
         assert {r.doc_id for r in sig} == {3}
 
+    def test_prefix_filter_join_equals_brute_force(self, spark):
+        """PPJoin candidates must recover EVERY pair with Jaccard ≥ t —
+        verified against the all-pairs join on a corpus with heavy
+        boilerplate overlap (the case where prefixes prune the most)."""
+        from tests.conftest import SF0001
+
+        from posting_lines_spark.sources import load_table
+
+        t = 0.5
+        sh = dedup.shingles(
+            load_table(spark, SF0001, "documents"), "doc_id", "text"
+        ).localCheckpoint(eager=False)
+        exact = dedup.jaccard_verify(
+            dedup.prefix_filter_candidates(sh, "doc_id", t), sh, "doc_id", t
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+        all_pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        brute = dedup.jaccard_verify(all_pairs, sh, "doc_id", t)
+        got = {(r.id_a, r.id_b, r.n_common) for r in exact.collect()}
+        want = {(r.id_a, r.id_b, r.n_common) for r in brute.collect()}
+        assert got == want
+
+    def test_prefix_filter_prunes_boilerplate_shingles(self, spark):
+        """The hottest shingle must not appear in any prefix when every
+        doc also has rarer shingles — the fanout bound in action."""
+        boiler = "x y z"  # shared 3-token boilerplate → 1 hot shingle
+        rows = [(i, f"{boiler} u{i} v{i} w{i}") for i in range(40)]
+        sh = dedup.shingles(docs_df(spark, rows), "doc_id", "text", k=3)
+        from posting_lines_spark.operators.dedup import prefix_filter_candidates
+
+        # reconstruct the prefix internally: candidates must be empty
+        # because each doc's rare shingles are unique to it
+        cand = prefix_filter_candidates(sh, "doc_id", 0.5)
+        assert cand.count() == 0
+
     def test_hot_band_salting_is_output_equivalent(self, spark):
         # 120 identical docs (one giant band bucket per band, width 120 >
         # hot_width 16) + a distinct pair: the blocked self-join must
