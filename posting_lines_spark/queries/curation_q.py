@@ -168,6 +168,103 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PACK_SPARK)
 
 
+# --- benchmark decontamination ---
+# Training corpora are scrubbed of documents that overlap evaluation
+# sets (n-gram decontamination, à la GPT-3 appendix C): any training doc
+# sharing a k-gram with the eval set is flagged. The eval set here is
+# the shingle set of docs 0-4 (deterministic stand-in for a benchmark);
+# at scale the eval shingle table is tiny and broadcast.
+
+# real pipelines use 13-grams; this synthetic corpus's short docs need a
+# smaller k for any overlap to exist (the mechanics are k-independent)
+DECON_K = 3
+DECON_EVAL_MAX_ID = 4
+
+
+def _decon_sql(shingle_expr: str) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, {shingle_expr} AS shingle FROM documents
+  )
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id <= {DECON_EVAL_MAX_ID}
+),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams_hit
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id > {DECON_EVAL_MAX_ID}
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_eval_grams_hit FROM hits
+ORDER BY doc_id
+"""
+
+
+from posting_lines_spark.queries.dedup_q import shingle_sql_duck  # noqa: E402
+
+DECON_ORACLE = _decon_sql(f"unnest({shingle_sql_duck('text', k=DECON_K)})")
+
+
+@register(
+    "curation_decontaminate",
+    oracle=DECON_ORACLE,
+    description="benchmark decontamination: flag every training doc "
+    "sharing a k-gram with the eval set (docs 0-4 stand in for a "
+    "benchmark). The eval shingle table is tiny → broadcast semi-join "
+    "against the corpus shingle stream; one shuffle for the per-doc "
+    "hit count",
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.dedup import shingle_array_spark
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _decon_sql(f"explode({shingle_array_spark('text', k=DECON_K)})")
+    )
+
+
+# --- temperature-scaled mixture weights ---
+# The sampling-weight computation for multi-source training mixes
+# (alpha-smoothed, alpha = 0.5): w_s ∝ n_s^0.5. sqrt is IEEE-754
+# correctly-rounded (bit-identical in both engines, unlike libm
+# transcendentals), and the normalizing sum is decimal-routed, so the
+# weights are exactly oracle-checkable.
+
+MIX_SQL = """
+WITH per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         sqrt(count(*)) AS raw_w
+  FROM documents GROUP BY source
+),
+norm AS (
+  SELECT CAST(sum(CAST(raw_w AS DECIMAL(38,6))) AS DOUBLE) AS z,
+         CAST(sum(n_docs) AS BIGINT) AS total_docs
+  FROM per_source
+)
+SELECT source, n_docs,
+       raw_w / z AS mix_weight,
+       raw_w / z * total_docs AS expected_docs
+FROM per_source CROSS JOIN norm
+ORDER BY source
+"""
+
+
+@register(
+    "curation_mixture_weights",
+    oracle=MIX_SQL,
+    description="temperature-scaled mixture weights (alpha = 0.5): "
+    "per-source sampling weight sqrt(n)/sum(sqrt(n)) — sqrt is IEEE "
+    "correctly-rounded (bit-identical cross-engine) and the normalizer "
+    "is a decimal-routed sum; one tiny aggregate broadcast back over "
+    "the per-source stats",
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(MIX_SQL)
+
+
 # --- per-domain cap (CommonCrawl-style source throttling) ---
 # Web-scale corpora cap documents per domain so boilerplate-heavy hosts
 # can't dominate the training mix. Selection is deterministic: rank docs
