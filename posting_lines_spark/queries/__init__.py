@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from posting_lines_spark.queries import (  # noqa: F401
+        analytics_q,
         array_q,
         curation_q,
         dedup_q,

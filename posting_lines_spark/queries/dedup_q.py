@@ -218,6 +218,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- span-level duplicate detection ---
+# The signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): token spans that recur
+# across documents. Per doc: how many of its k-token spans also appear in
+# ANOTHER doc, and the duplicated-span fraction — the per-doc measure a
+# curation pipeline thresholds to drop or trim boilerplate-heavy docs.
+
+SPAN_K = 5
+
+
+def _span_sql(shingle_explode: str) -> str:
+    return f"""
+WITH spans AS ({shingle_explode}),
+span_docs AS (
+  SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM spans GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM spans s JOIN span_docs d ON s.shingle = d.shingle
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_span_frac
+FROM per_doc
+WHERE n_dup_spans > 0
+ORDER BY doc_id
+"""
+
+
+SPAN_ORACLE = _span_sql(
+    f"SELECT DISTINCT doc_id, unnest({shingle_sql_duck('text', k=SPAN_K)}) AS shingle "
+    "FROM documents"
+)
+
+
+@register(
+    "dedup_span_detect",
+    oracle=SPAN_ORACLE,
+    description="span-level duplicate detection (exact-substring dedup "
+    "signal): k-token spans recurring across docs → per-doc duplicated-"
+    "span fraction, the measure substring-dedup pipelines threshold. "
+    "One explode + two hash-aggregates keyed on span then doc; span "
+    "df table joins back on the span key (map-side combined)",
+)
+def dedup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.dedup import shingle_array_spark
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _span_sql(
+            "SELECT DISTINCT doc_id, "
+            f"explode({shingle_array_spark('text', k=SPAN_K)}) AS shingle FROM documents"
+        )
+    )
+
+
 # --- exact set-similarity join via prefix filtering ---
 
 PPJOIN_ORACLE = f"""

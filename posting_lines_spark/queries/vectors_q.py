@@ -223,7 +223,9 @@ def _km_update(name: str, assign: str) -> str:
 )"""
 
 
-def _kmeans_sql(long_explode: str, h_vec: str) -> str:
+def _km_chain(long_explode: str, h_vec: str) -> str:
+    """The shared training CTE chain: long format → hash init → two Lloyd
+    rounds. Ends at a2 (final cell assignment) / c2 (final centroids)."""
     return f"""
 WITH long_vecs AS ({long_explode}),
 hsel AS (
@@ -240,7 +242,12 @@ c0 AS (
 ),
 {_km_assign('a1', 'c0')},
 {_km_update('c1', 'a1')},
-{_km_assign('a2', 'c1')},
+{_km_assign('a2', 'c1')}"""
+
+
+def _kmeans_sql(long_explode: str, h_vec: str) -> str:
+    return f"""
+{_km_chain(long_explode, h_vec)},
 {_km_update('c2', 'a2')},
 cstats AS (
   SELECT cluster_id,
@@ -287,6 +294,58 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(
         _kmeans_sql(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))
+    )
+
+
+# --- IVF search over the trained cells ---
+
+def _kmeans_search_sql(long_explode: str, h_vec: str, cosine_fn) -> str:
+    return f"""
+{_km_chain(long_explode, h_vec)},
+eb AS (
+  SELECT a.vec_id, e.embedding, a.cluster_id
+  FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv, cluster_id
+  FROM eb WHERE vec_id IN ({_QIDS})
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {cosine_fn('eb.embedding', 'qb.qv')} AS cosine
+  FROM eb JOIN qb ON eb.cluster_id = qb.cluster_id
+  WHERE eb.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_ivf_kmeans",
+    oracle=_kmeans_search_sql(
+        _KM_LONG_DUCK,
+        md5_int_duck("CAST(vec_id AS VARCHAR)", salt="kmeans"),
+        cosine_duck,
+    ),
+    description="ANN top-k over TRAINED IVF cells: the k-means chain "
+    "assigns every vector to its nearest learned centroid, queries probe "
+    "only their own cell — train→index→search end to end; candidates per "
+    "query ≈ n/K instead of n (data-adaptive, unlike fixed hyperplanes)",
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _kmeans_search_sql(
+            _KM_LONG_SPARK,
+            md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"),
+            sim.cosine_spark,
+        )
     )
 
 
