@@ -22,6 +22,58 @@ FROM ({ais.SEGMENTS_FULL_SQL})
 """
 
 
+# --- table profiling (ANALYZE-style column statistics) ---
+# The stats a warehouse collects per column (null count, NDV, min/max)
+# in ONE pass: a single multi-aggregate (Catalyst expands the
+# count-distincts) unpivoted to long form with stack(). The oracle
+# computes the same rows as per-column aggregates — different plan,
+# identical values. At 100 TB swap exact NDV for approx_count_distinct
+# (the expand multiplies the scan by #distinct-aggregated columns).
+
+PROFILE_COLS = ["l_discount", "l_extendedprice", "l_orderkey", "l_partkey", "l_quantity", "l_tax"]
+
+PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_val,
+       CAST(max({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+) + " ORDER BY col_name"
+
+
+@register(
+    "profile_table",
+    oracle=PROFILE_ORACLE,
+    description="ANALYZE-style table profiling: null count / exact NDV / "
+    "min / max for every numeric lineitem column in ONE scan (multi-"
+    "aggregate + stack unpivot); the oracle computes identical rows "
+    "column-by-column — same values, different plan",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    aggs = ", ".join(
+        f"CAST(count(*) - count({c}) AS BIGINT) AS nn_{i}, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{i}, "
+        f"CAST(min({c}) AS DOUBLE) AS mn_{i}, "
+        f"CAST(max({c}) AS DOUBLE) AS mx_{i}"
+        for i, c in enumerate(PROFILE_COLS)
+    )
+    stacked = ", ".join(
+        f"'{c}', nn_{i}, nd_{i}, mn_{i}, mx_{i}" for i, c in enumerate(PROFILE_COLS)
+    )
+    return spark.sql(
+        f"""
+        SELECT stack({len(PROFILE_COLS)}, {stacked})
+               AS (col_name, n_nulls, n_distinct, min_val, max_val)
+        FROM (SELECT {aggs} FROM lineitem)
+        ORDER BY col_name
+        """
+    )
+
+
 # --- JSON-lines connector round-trip ---
 # The roundtrip IS the assertion: Spark writes the corpus as JSONL and
 # reads it back, and the aggregate must equal the oracle's aggregate over

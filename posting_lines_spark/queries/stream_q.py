@@ -117,6 +117,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, mode="meta").orderBy("doc_id")
 
 
+# --- streaming CDC upsert into an SCD2 table ---
+# The oracle derives the expected final table directly: every user starts
+# with one seed row (value 0 from epoch), the change stream's latest
+# update per user (ts desc, event_id desc) closes it and opens the new
+# row — so per user exactly 2 versions, closed_at = latest change ts.
+
+SCD_UPSERT_ORACLE = """
+WITH latest AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+  ) r WHERE rn = 1
+)
+SELECT user_id,
+       CAST(2 AS BIGINT) AS n_versions,
+       value AS open_value,
+       epoch_us(ts) AS closed_at_us
+FROM latest
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_scd_upsert",
+    oracle=SCD_UPSERT_ORACLE,
+    description="streaming CDC upsert: the event stream applied to an "
+    "SCD2 dimension via foreachBatch + versioned parquet snapshots (the "
+    "MERGE INTO pattern without a lakehouse format; latest-per-key "
+    "collapse, history kept, readers never see partial writes); oracle "
+    "derives the expected final table from the change stream",
+)
+def stream_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    initial = users.select(
+        "user_id",
+        F.lit(0.0).alias("value"),
+        F.timestamp_micros(F.lit(0)).alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    table_dir = tempfile.mkdtemp(prefix="pls_cdc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="pls_cdc_ckpt_")
+    final = incremental.scd_upsert_available_now(
+        spark,
+        initial,
+        events.select("user_id", "ts", "value", "event_id"),
+        table_dir,
+        ckpt,
+        key="user_id",
+        ts_col="ts",
+        attr_cols=["value"],
+        order_cols=["ts", "event_id"],
+    )
+    return (
+        final.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max(F.when(F.col("valid_to").isNull(), F.col("value"))).alias("open_value"),
+            F.max(F.unix_micros("valid_to")).alias("closed_at_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --- watermarked stream-stream join ---
 
 SSJOIN_ORACLE = """

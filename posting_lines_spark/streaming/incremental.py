@@ -129,6 +129,71 @@ def session_windows_append_parquet(
     return spark.read.parquet(out_dir)
 
 
+def scd_upsert_available_now(
+    spark: SparkSession,
+    initial: DataFrame,
+    updates: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming CDC upsert: a change stream applied to an SCD2 table via
+    foreachBatch — the MERGE INTO pattern without a lakehouse format.
+    The table lives as VERSIONED parquet snapshots (table_dir/v{n});
+    each batch collapses to latest-per-key (deterministic order), applies
+    scd2_apply against the latest snapshot, and writes the next version —
+    readers never see a half-written table and time travel is free.
+
+    At scale the same shape holds (Delta/Iceberg would replace the
+    versioned-dir bookkeeping with transactional metadata); per-batch
+    cost is one broadcast of the collapsed updates against the current
+    snapshot. Returns the final SCD2 table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from posting_lines_spark.operators.scd import scd2_apply
+
+    initial.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+
+    src = tempfile.mkdtemp(prefix="pls_cdc_src_")
+    updates.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    order = order_cols or [ts_col]
+
+    def versions() -> list[int]:
+        return sorted(
+            int(d[1:]) for d in os.listdir(table_dir) if d.startswith("v")
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        wdw = W.partitionBy(key).orderBy(*[F.col(c).desc() for c in order])
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(wdw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cur_v = versions()[-1]
+        cur = spark.read.parquet(os.path.join(table_dir, f"v{cur_v}"))
+        new = scd2_apply(cur, latest, key, ts_col, attr_cols)
+        new.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{cur_v + 1}"))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(table_dir, f"v{versions()[-1]}"))
+
+
 def stream_stream_join_append_parquet(
     spark: SparkSession,
     events: DataFrame,
