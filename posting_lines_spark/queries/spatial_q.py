@@ -121,6 +121,79 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest-neighbor (KNN) spatial join ---
+# For every segment start point: the nearest station (point-to-point,
+# projected metres), then per-station Voronoi-cell stats. The station
+# dimension is tiny → broadcast; argmin is computed deterministically as
+# min-distance aggregate + equality join + min(station_id) tie-break
+# (never engine-specific arg_min, whose tie behavior differs). sqrt is
+# IEEE correctly-rounded, so distances are bit-identical cross-engine.
+# At scale with a LARGE neighbor dimension this becomes the grid-probe
+# pattern above (probe rings outward until k candidates found).
+
+KNN_DIST = "sqrt((x1 - xs) * (x1 - xs) + (y1 - ys) * (y1 - ys))"
+
+
+def _knn_sql() -> str:
+    return f"""
+WITH seg AS ({enriched_sql()}),
+st AS ({_STATIONS_PROJ}),
+cand AS (
+  SELECT seg.segment_id, st.station_id, {KNN_DIST} AS dist_m
+  FROM seg CROSS JOIN st
+),
+m AS (
+  SELECT segment_id, min(dist_m) AS min_dist_m FROM cand GROUP BY segment_id
+),
+nearest AS (
+  SELECT c.segment_id, min(c.station_id) AS station_id, m.min_dist_m
+  FROM cand c JOIN m ON c.segment_id = m.segment_id AND c.dist_m = m.min_dist_m
+  GROUP BY c.segment_id, m.min_dist_m
+)
+SELECT station_id,
+       count(*) AS n_nearest_segments,
+       min(min_dist_m) AS closest_m,
+       {davg_expr("min_dist_m", scale=3)} AS avg_dist_m
+FROM nearest
+GROUP BY station_id
+ORDER BY station_id
+"""
+
+
+@register(
+    "geo_knn_join",
+    oracle=_knn_sql(),
+    description="nearest-neighbor spatial join: per-segment nearest "
+    "station (broadcast dimension + deterministic min-distance argmin "
+    "with min-id tie-break), rolled up to per-station Voronoi-cell "
+    "counts; with a large dimension this becomes the outward grid-probe "
+    "pattern of geo_distance_join",
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = enrich_all_df(spark, sf_dir)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    st = geo.with_albers(spark.sql(STATIONS_SQL), [("slon", "slat", "s")])
+    cand = seg.crossJoin(F.broadcast(st)).select(
+        "segment_id", "station_id", F.expr(KNN_DIST).alias("dist_m")
+    )
+    m = cand.groupBy("segment_id").agg(F.min("dist_m").alias("min_dist_m"))
+    nearest = (
+        cand.join(m, "segment_id")
+        .filter(F.col("dist_m") == F.col("min_dist_m"))
+        .groupBy("segment_id", "min_dist_m")
+        .agg(F.min("station_id").alias("station_id"))
+    )
+    return (
+        nearest.groupBy("station_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearest_segments"),
+            F.min("min_dist_m").alias("closest_m"),
+            F.expr(davg_expr("min_dist_m", scale=3)).alias("avg_dist_m"),
+        )
+        .orderBy("station_id")
+    )
+
+
 # central ~300×300 km window of the data extent
 BBOX = (700_000.0, 500_000.0, 1_000_000.0, 800_000.0)
 
