@@ -270,6 +270,43 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("bucket")
 
 
+# --- full outer join ---
+
+FULL_OUTER_SQL = """
+SELECT match_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders
+FROM (
+  SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+              WHEN o.o_custkey IS NULL THEN 'customer_only'
+              ELSE 'both' END AS match_type,
+         coalesce(o.n_orders, 0) AS n_orders
+  FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+  FULL OUTER JOIN (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+) m
+GROUP BY match_type
+ORDER BY match_type
+"""
+
+
+@register(
+    "join_full_outer",
+    oracle=FULL_OUTER_SQL,
+    description="full outer join with unmatched rows on BOTH sides "
+    "(filtered customer segment vs per-customer order counts), bucketed "
+    "by match type — the outer-join surface §2.3 the reference never "
+    "exercises; at scale a full outer cannot broadcast (both sides must "
+    "shuffle on the key), which is why it's its own plan shape",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(FULL_OUTER_SQL)
+
+
 # --- CASE bucketing + distinct aggregate ---
 
 CASE_ORACLE = """

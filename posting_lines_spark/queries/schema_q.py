@@ -74,6 +74,70 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- order-independent table checksum ---
+# The replica-verification primitive: a content digest of a whole table
+# that any engine computes identically regardless of row order or
+# parallelism — bit_xor + a bounded modular sum of per-row md5 hashes
+# (two independent channels; a row change flips both). Only exact-string
+# columns feed the row digest (ints, strings, and int-valued doubles
+# cast to BIGINT — double→string formatting is NOT portable).
+
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark  # noqa: E402
+
+_CK_COLS = (
+    "l_orderkey, '|', l_partkey, '|', l_suppkey, '|', l_linenumber, '|', "
+    "CAST(l_quantity AS BIGINT), '|', l_returnflag, '|', l_linestatus"
+)
+
+
+def _checksum_sql(h_row: str) -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+       CAST(sum(h % 1000000007) AS BIGINT) AS sum_digest
+FROM (SELECT {h_row} AS h FROM lineitem) t
+"""
+
+
+@register(
+    "table_checksum",
+    oracle=_checksum_sql(md5_int_duck(f"concat({_CK_COLS})")),
+    description="order-independent table checksum (replica/migration "
+    "verification): bit_xor + bounded modular sum over per-row md5 "
+    "digests — commutative aggregates, so any engine at any parallelism "
+    "computes identical digests; one scan, one 1-row aggregate",
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_checksum_sql(md5_int_spark(f"concat({_CK_COLS})")))
+
+
+# --- equi-width histogram ---
+
+HIST_BUCKET_W = "10000.0e0"
+
+HIST_SQL = f"""
+SELECT CAST(floor(o_totalprice / {HIST_BUCKET_W}) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / {HIST_BUCKET_W}) AS BIGINT) * 10000 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+@register(
+    "profile_histogram",
+    oracle=HIST_SQL,
+    description="equi-width histogram of order totals (10k-wide buckets): "
+    "the distribution-profiling companion to profile_table; one map-side-"
+    "combined aggregate on a derived low-cardinality key",
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(HIST_SQL)
+
+
 # --- JSON-lines connector round-trip ---
 # The roundtrip IS the assertion: Spark writes the corpus as JSONL and
 # reads it back, and the aggregate must equal the oracle's aggregate over

@@ -194,3 +194,52 @@ ORDER BY event_type, event_id
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(ANALYTICS_SQL)
+
+
+# --- hopping (sliding) event-time windows in batch ---
+# The batch twin of streaming hopping windows: F.window(ts, 1h, 30m)
+# assigns every event to exactly len/slide = 2 epoch-aligned windows.
+# The oracle replays the window math in integer microseconds (start_j =
+# 30min·(floor(us/30min) − j), j ∈ {0,1}; membership is then automatic),
+# so the REAL window operator's bucketing is what gets verified.
+
+from posting_lines_spark.queries.parity import dsum_expr  # noqa: E402
+
+HOPPING_ORACLE = f"""
+SELECT window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dsum_expr('value')} AS total_value
+FROM (
+  SELECT (CAST(floor(epoch_us(ts) / 1800000000.0e0) AS BIGINT) - j) * 1800000000
+           AS window_start_us,
+         value
+  FROM events CROSS JOIN (VALUES (0), (1)) t(j)
+)
+GROUP BY window_start_us
+ORDER BY window_start_us
+"""
+
+
+@register(
+    "window_hopping",
+    oracle=HOPPING_ORACLE,
+    description="hopping event-time windows in batch (1h length, 30min "
+    "slide — each event in exactly 2 epoch-aligned windows) via the real "
+    "window() operator; oracle replays the bucketing in integer µs. One "
+    "shuffle on window start; low-cardinality keys, map-side combined",
+)
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_expr("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
