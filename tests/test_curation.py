@@ -162,3 +162,30 @@ class TestStreamStreamJoin:
             .collect()
         }
         assert got == want
+
+
+class TestChecksum:
+    def test_checksum_is_order_independent_and_row_sensitive(self, spark):
+        """Same rows in any order → identical digests; one changed row →
+        both digest channels move."""
+        from pyspark.sql import functions as F
+
+        from posting_lines_spark.functions.hashing import md5_int_spark
+
+        def digest(df):
+            h = F.expr(md5_int_spark("concat(k, '|', v)"))
+            row = df.select(h.alias("h")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+                F.sum(F.col("h") % 1000000007).alias("s"),
+            ).collect()[0]
+            return (row.n, row.x, row.s)
+
+        rows = [(i, f"v{i}") for i in range(100)]
+        df1 = spark.createDataFrame(rows, "k long, v string")
+        df2 = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(7)
+        assert digest(df1) == digest(df2)
+        mutated = [(i, "DIFFERENT" if i == 50 else f"v{i}") for i in range(100)]
+        df3 = spark.createDataFrame(mutated, "k long, v string")
+        d1, d3 = digest(df1), digest(df3)
+        assert d1[0] == d3[0] and d1[1] != d3[1] and d1[2] != d3[2]
