@@ -75,3 +75,40 @@ def test_polynomial_sin_cos_accuracy(x):
     assert abs(geo.dsin_py(x) - math.sin(x)) < 5e-16
     assert abs(geo.dcos_py(x) - math.cos(x)) < 5e-16
     assert abs(geo.dsin_py(x) ** 2 + geo.dcos_py(x) ** 2 - 1.0) < 1e-16 * 10
+
+
+# --- prefix-filtering lemma (operators/dedup.py::prefix_filter_candidates) ---
+# Pure-set replay of the candidate rule: every pair with Jaccard >= t
+# MUST share an element of both prefixes (rarest n - ceil(t*n) + 1
+# elements in a global (df, value) order). Random corpora probe the
+# ceil boundaries the fixed-corpus equivalence test can't reach.
+
+sets_strategy = st.lists(
+    st.sets(st.integers(min_value=0, max_value=14), min_size=1, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sets_strategy, st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+def test_prefix_filter_candidates_cover_all_qualifying_pairs(docs, t):
+    df_count: dict[int, int] = {}
+    for s in docs:
+        for tok in s:
+            df_count[tok] = df_count.get(tok, 0) + 1
+    order = lambda tok: (df_count[tok], tok)  # noqa: E731
+
+    def prefix(s):
+        ranked = sorted(s, key=order)
+        keep = len(s) - math.ceil(t * len(s)) + 1
+        return set(ranked[:keep])
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (
+                    f"qualifying pair lost: {a} {b} jac={jac} t={t}"
+                )
