@@ -104,6 +104,45 @@ ORDER BY doc_id
 """
 
 
+# frame indices replayed in SQL: n_frames = max(floor(bytes/16), 1),
+# stride = ceil(n_frames/8), sampled offsets = idx*16; every offset is
+# < n_bytes by construction, and the corpus is pure ASCII so
+# ascii(substr(...)) equals the payload byte.
+FRAME_SAMPLE_ORACLE = """
+WITH meta AS (
+  SELECT doc_id, text,
+         greatest(CAST(floor(octet_length(encode(text)) / 16.0e0) AS BIGINT), 1) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, n_frames, CAST(ceil(n_frames / 8.0e0) AS BIGINT))) AS frame_idx
+  FROM meta
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 16 AS BIGINT) AS frame_offset,
+       ascii(substr(text, CAST(frame_idx * 16 + 1 AS INT), 1)) AS frame_byte
+FROM idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=FRAME_SAMPLE_ORACLE,
+    description="multimodal frame sampling: evenly-spaced frame picks "
+    "over binary payloads via Arrow-batched mapInPandas (≤8 frames/doc, "
+    "ceil-stride; with real video the batch body seeks the container "
+    "index) — the fan-out plumbing is real and byte-checked by the "
+    "SQL replay",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d)
+    return multimodal.sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_features",
     oracle=MULTIMODAL_ORACLE,
