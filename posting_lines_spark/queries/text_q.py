@@ -208,6 +208,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- normalization scrub pass ---
+# The canonicalization step every curation pipeline runs before hashing/
+# dedup: lowercase, collapse whitespace runs, trim. Byte-level digests
+# of the normalized text prove both engines produced identical output
+# (normalization feeding dedup must be bit-stable or signatures drift).
+
+# Spark regexp_replace is global by default; DuckDB needs the 'g' flag
+# (same split as text_pii_redact)
+def _normalize_sql(flag: str) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(concat('  ', text, '   x  ', upper(text))),
+                             ' +', ' '{flag})) AS norm_text
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(norm_text)) AS BIGINT) AS total_chars,
+       min(md5(norm_text)) AS min_digest,
+       max(md5(norm_text)) AS max_digest
+FROM norm
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_normalize",
+    oracle=_normalize_sql(", 'g'"),
+    description="text normalization scrub: lowercase + whitespace-run "
+    "collapse + trim over a deterministically-dirtied corpus (padding and "
+    "case noise injected inline so the pass demonstrably fires); md5 "
+    "digests prove byte-identical normalization — required upstream of "
+    "content-hash dedup. Pure map, no shuffle before the rollup",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_normalize_sql(""))
+
+
 # --- repetition filters (Gopher-style quality rules) ---
 # Rae et al. 2021 ("Gopher") filter docs by repeated-content fractions:
 # most-frequent-token share, duplicate n-gram share. All features here are
