@@ -117,6 +117,77 @@ def connected_components(
     )
 
 
+PR_SCALE = 1_000_000_000_000  # ranks are fixed-point ints: rank/PR_SCALE ≈ probability
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 6,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, weight) edges, fixed iteration
+    count, FIXED-POINT INTEGER arithmetic throughout so any engine at any
+    parallelism computes bit-identical ranks (integer +, *, div, mod are
+    exact and associative — no float summation-order divergence).
+
+    Per iteration (one join + one aggregate, i.e. two shuffles):
+      contrib(u→v) = rank[u] * w(u,v) / out_w(u), computed as the
+      overflow-safe identity (r div o)*w + ((r mod o)*w) div o — exact
+      because r = (r div o)*o + (r mod o), and every intermediate stays
+      below out_w² ≪ 2⁶³ even when rank*w would overflow.
+      rank'[v] = (15·SCALE) div (100·n)  +  (85 · Σ contrib) div 100.
+
+    Dangling mass (nodes with no out-edges) is dropped, not redistributed
+    — the cheap, shuffle-free convention; documented so the oracle can
+    mirror it exactly. At cluster scale: ranks and edges shuffle on the
+    same key every round (a co-partitioned pair under AQE), and the edge
+    set is loop-invariant — checkpoint only the evolving rank table.
+    `n` is read back as ONE driver scalar (like connected_components'
+    convergence checksum), not a per-row collect."""
+    spark = edges.sparkSession
+    use_reliable = spark.sparkContext.getCheckpointDir() is not None
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = nodes.checkpoint(eager=True) if use_reliable else nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = e.join(out_w, "src")  # loop-invariant: (src, dst, w, outw)
+    ew = ew.checkpoint(eager=True) if use_reliable else ew.localCheckpoint(eager=True)
+    teleport = (15 * PR_SCALE) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("rank"))
+    for it in range(iters):
+        contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
+            F.col("dst").alias("node"),
+            (
+                F.expr("rank div outw") * F.col("w")
+                + F.expr("((rank % outw) * w) div outw")
+            ).alias("c"),
+        )
+        ranks = (
+            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+        if use_reliable and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.checkpoint(eager=True)
+        else:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def dedup_groups(components: DataFrame) -> DataFrame:
     """Survivor/drop decision per component: keep min id, count members."""
     return (

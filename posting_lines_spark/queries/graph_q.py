@@ -89,6 +89,75 @@ ORDER BY component
 """
 
 
+# --- weighted PageRank over the nation trade-flow graph ---
+# Fixed-point integer ranks (operators/graph.py::pagerank) make the
+# result engine-exact; the oracle unrolls the same fixed iteration count
+# as chained CTEs — same integer recurrence, different execution shape.
+
+PR_ITERS = 6
+_PR_SCALE = 1_000_000_000_000
+
+_PR_EDGES = """SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       CAST(s.s_nationkey AS BIGINT) AS dst,
+       CAST(count(*) AS BIGINT) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"edges AS ({_PR_EDGES})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "out_w AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
+        "p AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT nd.node,
+         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM p))
+         + (85 * coalesce(c.s, 0)) // 100 AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           sum((r.rank // o.outw) * e.w + ((r.rank % o.outw) * e.w) // o.outw) AS s
+    FROM r{k - 1} r JOIN edges e ON e.src = r.node JOIN out_w o ON o.src = r.node
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{PR_ITERS} ORDER BY node"
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    description="weighted PageRank over the customer-nation → supplier-nation "
+    "trade graph, fixed 6 iterations in FIXED-POINT INTEGER arithmetic "
+    "(engine-exact: no float summation-order divergence); each round is one "
+    "join + one aggregate on the same key (co-partitioned at scale), edges "
+    "loop-invariant and checkpointed once; oracle = the identical integer "
+    "recurrence unrolled as chained CTEs",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    pr = graph.pagerank(spark.sql(_PR_EDGES), iters=PR_ITERS)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("long").alias("rank_fp"),
+    ).orderBy("node")
+
+
 @register(
     "dedup_groups",
     oracle=GROUPS_ORACLE,

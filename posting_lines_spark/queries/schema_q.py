@@ -187,6 +187,60 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ORC connector round-trip ---
+# Same path-equivalence pattern as json_roundtrip: orders → partitioned
+# ORC sink → ORC source → aggregate; hash-equality with the parquet-side
+# oracle proves the columnar interchange (types, dates, partition-column
+# reassembly) is lossless in both directions.
+
+ORC_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date,
+       min(md5(o_orderpriority)) AS min_digest
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "orc_roundtrip",
+    oracle=ORC_ORACLE,
+    description="ORC connector round-trip: orders → ORC sink partitioned by "
+    "status → ORC source → aggregate; hash-equality with the parquet-side "
+    "oracle proves lossless columnar interchange incl. partition-column "
+    "reassembly (the Hive/Trino-interop format; pushdown + pruning like "
+    "parquet)",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from posting_lines_spark.sources import load_orc, write_orc
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="pls_orc_")
+    write_orc(o, path, partition_by=["o_orderstatus"])
+    back = load_orc(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.min(F.md5("o_orderpriority")).alias("min_digest"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register(
     "segments_full_schema",
     oracle=FULL_SCHEMA_SQL,

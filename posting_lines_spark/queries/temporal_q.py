@@ -54,6 +54,87 @@ Note: ties at identical ts: both engines prefer the right row (ASOF uses
 """
 
 
+# --- hypertable-style gap fill + LOCF ---
+# time_bucket → dense bucket spine (sequence/generate_series per group) →
+# left join → last-observation-carried-forward via an IGNORE NULLS
+# last_value window. The missing-interval repair every time-series store
+# ships (timescale's time_bucket_gapfill + locf) expressed as three
+# relational steps. At scale the spine explode is O(buckets) per group
+# (no driver loop) and the window shuffles once on the group key.
+
+from posting_lines_spark.queries.parity import dsum_expr  # noqa: E402
+
+GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         {dsum_expr("value")} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM bounds
+),
+joined AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(o.n_events, 0) AS n_events,
+         o.sum_value,
+         o.n_events IS NULL AS is_gap
+  FROM spine s LEFT JOIN obs o USING (event_type, bucket)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       is_gap
+FROM joined
+ORDER BY event_type, bucket
+"""
+
+
+@register(
+    "timeseries_gapfill",
+    oracle=GAPFILL_ORACLE,
+    description="hypertable gap fill: hourly time_bucket aggregate, dense "
+    "bucket spine per event_type (sequence+explode), LOCF of the summed "
+    "value through gaps via IGNORE NULLS last_value — the "
+    "time_bucket_gapfill/locf repair as three relational steps; decimal-"
+    "routed sums keep the carried values engine-exact",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    obs = spark.sql(
+        f"""
+        SELECT event_type, unix_micros(ts) div 3600000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {dsum_expr("value")} AS sum_value
+        FROM events GROUP BY 1, 2
+        """
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    j = spine.join(obs, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("n_events").isNull().alias("is_gap"),
+    ).orderBy("event_type", "bucket")
+
+
 RANGE_ORACLE = """
 SELECT p.event_id AS purchase_id, e.event_id AS error_id,
        epoch_us(e.ts) - epoch_us(p.ts) AS delta_us

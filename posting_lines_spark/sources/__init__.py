@@ -3,10 +3,12 @@ from posting_lines_spark.sources.tables import (
     load_csv,
     load_jdbc,
     load_jsonl,
+    load_orc,
     load_table,
     register_views,
     write_jdbc,
     write_jsonl,
+    write_orc,
 )
 
 __all__ = [
@@ -14,8 +16,10 @@ __all__ = [
     "load_csv",
     "load_jdbc",
     "load_jsonl",
+    "load_orc",
     "load_table",
     "register_views",
     "write_jdbc",
     "write_jsonl",
+    "write_orc",
 ]

@@ -90,6 +90,26 @@ def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """ORC sink. Columnar like parquet (predicate pushdown, column
+    pruning, splittable stripes) — the interchange format when the
+    downstream warehouse is Hive/Trino-flavored. Same scale posture as
+    the parquet sink: partition_by for pruning, never coalesce(1)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def load_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source. Explicit schema skips the footer-sampling pass and
+    pins types across heterogeneous file sets."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def load_jdbc(
     spark: SparkSession,
     url: str,

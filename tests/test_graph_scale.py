@@ -71,3 +71,35 @@ def test_random_graphs_match_union_find(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+# --- pagerank (fixed-point integer) ---
+
+from posting_lines_spark.operators.graph import PR_SCALE, pagerank  # noqa: E402
+
+
+def test_pagerank_mass_conservation_and_order(spark):
+    # symmetric star: every leaf ↔ hub 0; hub concentrates damped mass
+    edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 5)] + [(0, i, 1) for i in range(1, 5)],
+        "src long, dst long, w long",
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    assert ranks[0] > ranks[1]
+    assert ranks[1] == ranks[2] == ranks[3] == ranks[4]  # symmetric leaves tie exactly
+    # integer mass conservation: total ≤ SCALE (div truncation only loses
+    # < 1 unit per node per round), and ≥ 95% of SCALE retained here
+    total = sum(ranks.values())
+    assert total <= PR_SCALE
+    assert total > PR_SCALE * 95 // 100
+
+
+def test_pagerank_weighted_edges_split_proportionally(spark):
+    # 0 → 1 with weight 3, 0 → 2 with weight 1: contrib ratio must be 3:1
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        "src long, dst long, w long",
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iters=6).collect()}
+    assert ranks[1] > ranks[2]

@@ -42,3 +42,25 @@ def test_all_registered_queries_have_unique_output_columns_and_sane_plans(spark)
         if name not in _CARTESIAN_OK:
             assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_timeseries_gapfill_locf_semantics(spark):
+    from posting_lines_spark.queries import load_all
+
+    q = load_all()["timeseries_gapfill"].fn
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "gapfill produced no rows"
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        # dense spine: consecutive buckets, no holes
+        buckets = [r.bucket for r in rs]
+        assert buckets == list(range(buckets[0], buckets[-1] + 1)), et
+        # first bucket is observed by construction (min over observed)
+        assert not rs[0].is_gap and rs[0].filled_sum is not None
+        # LOCF: a gap row carries the previous row's filled value forward
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.is_gap == (cur.n_events == 0)
+            if cur.is_gap:
+                assert cur.filled_sum == prev.filled_sum
