@@ -83,3 +83,90 @@ ORDER BY cohort_day, day_offset
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cohort_sql("unix_micros(ts)"))
+
+
+# --- Markov event transitions ---
+# The sequence-mining primitive: per-user ordered bigrams of event types
+# (lag window on (µs, event_id) — the repo's canonical tie-safe event
+# order), counted globally, with the per-source transition probability
+# from a window sum over the tiny transition matrix. One shuffle on
+# user_id for the lag, one aggregate on the 25-cell (prev, next) key.
+
+from posting_lines_spark.queries.parity import dsum_expr  # noqa: E402
+
+
+def _transitions_sql(us: str) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY {us}, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM t
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "event_transitions",
+    oracle=_transitions_sql("epoch_us(ts)"),
+    description="Markov transition matrix over per-user event sequences: "
+    "tie-safe lag window (µs + event_id order), global bigram counts, "
+    "per-source transition probability via a window sum over the tiny "
+    "matrix — the sequence-mining/session-model primitive; shuffles once "
+    "on user_id, once on the 25-cell bigram key",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_transitions_sql("unix_micros(ts)"))
+
+
+# --- z-score anomaly detection ---
+# Population mean/std per event_type from decimal-routed sums (value is
+# 2-dp exact data, value² 4-dp exact — both immune to the double→DECIMAL
+# rounding hazard at scale 6), then z = (value − mean)/std per event and
+# a 3σ gate. Every post-aggregate op (−, ·, /, sqrt, abs, >) is an
+# IEEE-exact-rounded scalar on identical inputs, so both engines flag
+# identical rows. Two scans + one broadcast join of a 5-row stats table.
+
+
+def _zscore_sql(us_unused: str) -> str:
+    return f"""
+WITH stats AS (
+  SELECT event_type,
+         {dsum_expr("value")} / count(*) AS mean_v,
+         {dsum_expr("value * value")} / count(*) AS msq_v
+  FROM events GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - s.mean_v) / sqrt(s.msq_v - s.mean_v * s.mean_v) AS z
+  FROM events e JOIN stats s ON s.event_type = e.event_type
+)
+SELECT event_id, event_type, value, z
+FROM scored
+WHERE abs(z) > 3.0e0
+ORDER BY event_id
+"""
+
+
+@register(
+    "anomaly_zscore",
+    oracle=_zscore_sql(""),
+    description="z-score anomaly detection: per-type population mean/std "
+    "from decimal-routed sums (engine-exact on 2-dp data), 3σ outlier "
+    "gate — identical flagged rows on both engines because every "
+    "post-aggregate scalar op is IEEE-exact-rounded; stats table (5 rows) "
+    "broadcasts back onto the event stream",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_zscore_sql(""))
