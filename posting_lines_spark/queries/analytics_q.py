@@ -170,3 +170,45 @@ ORDER BY event_id
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_zscore_sql(""))
+
+
+# --- gaps-and-islands streak detection ---
+# The classic islands formulation: two row_numbers (global per user vs
+# per (user, type)), their difference is constant within a run of
+# consecutive same-type events, so grouping on it isolates each streak.
+# All-integer (µs order + bigint ranks) ⇒ engine-exact. Two window
+# passes over the same user_id shuffle, then one aggregate.
+
+
+def _streaks_sql(us: str) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, {us} AS ts_us,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY {us}, event_id) AS BIGINT) AS rn,
+         CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY {us}, event_id) AS BIGINT) AS rn_t
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS streak_len,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(min(ts_us) AS BIGINT) AS start_us
+FROM ordered
+GROUP BY user_id, event_type, rn - rn_t
+HAVING count(*) >= 3
+ORDER BY user_id, start_us
+"""
+
+
+@register(
+    "streaks_islands",
+    oracle=_streaks_sql("epoch_us(ts)"),
+    description="gaps-and-islands streak detection: runs of ≥3 consecutive "
+    "same-type events per user via the two-row_number difference trick — "
+    "all-integer and tie-safe (µs + event_id order); both windows share "
+    "one user_id shuffle",
+)
+def streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_streaks_sql("unix_micros(ts)"))

@@ -476,3 +476,48 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --- salted join, result-equality demonstrated at the registry level ---
+# operators/skew.py::salted_join replicates the build side SALT_N× and
+# scatters the probe side, so a hot key spreads over SALT_N tasks. The
+# oracle is the PLAIN join + aggregate: hash-equality proves salting is
+# a pure physical rewrite (identical results, different distribution).
+
+SALTED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {dsum_expr("l.l_extendedprice * (1.0e0 - l.l_discount)")} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "join_salted",
+    oracle=SALTED_ORACLE,
+    description="explicitly salted fact join (operators/skew.py): orders "
+    "replicated 8×, lineitem scattered deterministically across replicas "
+    "— the hot-key straggler fix when AQE can't see the skew; oracle is "
+    "the PLAIN join, proving salting changes only the physical "
+    "distribution, never the result",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "orderkey", salt_n=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum_expr("l_extendedprice * (1.0e0 - l_discount)")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -393,3 +393,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )
+
+
+# --- per-label embedding centroids (long form) ---
+# The class-prototype aggregate (centroid per label) in long (label, dim)
+# format: one explode + one decimal-routed aggregate, dividing ONCE per
+# the kmeans rule (parity.py). Long-form output because the driver's
+# canonicalizer can't hash array columns; downstream consumers re-pivot
+# with array_agg when they need vectors.
+
+
+def _centroid_sql(long_explode: str) -> str:
+    return f"""
+WITH long_vecs AS ({long_explode}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT CAST(l.label AS BIGINT) AS label, CAST(lv.dim AS BIGINT) AS dim,
+       CAST(sum(CAST(lv.val AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM long_vecs lv JOIN lab l ON l.vec_id = lv.vec_id
+GROUP BY l.label, lv.dim
+ORDER BY label, dim
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=_centroid_sql(_KM_LONG_DUCK),
+    description="per-label embedding centroids in long (label, dim) form: "
+    "explode + one decimal-routed aggregate dividing once (engine-exact); "
+    "the class-prototype op behind nearest-centroid classification and "
+    "IVF seeding; one shuffle on the (label, dim) key, map-side combined",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_centroid_sql(_KM_LONG_SPARK))
