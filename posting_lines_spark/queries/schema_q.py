@@ -252,3 +252,114 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segments_full_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(FULL_SCHEMA_SQL)
+
+
+# --- data-quality constraint audit ---
+# The declarative DQ pass every ingest pipeline runs (Deequ/expectations
+# style): FK orphans (anti joins), PK duplication, domain/range checks,
+# null-rate checks — one row per constraint with violation counts. All
+# counts are integers; the oracle replays each check as plain SQL. At
+# scale each FK check is a broadcast/shuffled anti join and the scalar
+# checks fold into single-pass conditional aggregates.
+
+DQ_ORACLE = """
+SELECT 'lineitem_fk_orders' AS check_name,
+       CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'orders_pk_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1e0) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_priority_notnull',
+       CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+ORDER BY check_name
+"""
+
+DQ_SPARK = DQ_ORACLE.replace("FILTER (", "FILTER (WHERE ")
+
+
+@register(
+    "dq_audit",
+    oracle=DQ_ORACLE,
+    description="data-quality constraint audit (expectations-style): FK "
+    "orphan anti-join checks, PK uniqueness, range/domain/null checks — "
+    "one row per constraint with violation + checked counts; scalar "
+    "checks fold into single-pass conditional aggregates, FK checks are "
+    "broadcast anti joins at scale",
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(DQ_SPARK)
+
+
+# --- snapshot table diff ---
+# The row-level companion to table_checksum: WHICH rows differ between
+# two snapshots. The "new" snapshot is a deterministic perturbation of
+# orders (same expression on both engines): deletes (key % 97 = 0),
+# priority updates (key % 89 = 3), key-shifted inserts (key % 101 = 5).
+# Diff = full outer join on the key comparing exact-string row digests;
+# only ints/strings feed the digest (double formatting is not portable).
+
+_DIFF_NEW = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 89 = 3 THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0
+UNION ALL
+SELECT o_orderkey + 100000000, o_custkey, 'N', o_orderpriority
+FROM orders WHERE o_orderkey % 101 = 5
+"""
+
+_DIFF_BODY = """
+WITH new_snap AS ({new_snap}),
+old_d AS (
+  SELECT o_orderkey AS k,
+         md5(concat(CAST(o_custkey AS {str_t}), '|', o_orderstatus, '|', o_orderpriority)) AS d
+  FROM orders
+),
+new_d AS (
+  SELECT o_orderkey AS k,
+         md5(concat(CAST(o_custkey AS {str_t}), '|', o_orderstatus, '|', o_orderpriority)) AS d
+  FROM new_snap
+)
+SELECT coalesce(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS diff_status
+FROM old_d o FULL OUTER JOIN new_d n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.d <> n.d
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "table_diff",
+    oracle=_DIFF_BODY.format(new_snap=_DIFF_NEW, str_t="VARCHAR"),
+    description="snapshot table diff (replica/migration debugging, the "
+    "row-level companion to table_checksum): full outer join on the key "
+    "comparing md5 row digests → added/removed/changed rows; digests use "
+    "only exact-string columns; one co-partitioned shuffle at scale",
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_DIFF_BODY.format(new_snap=_DIFF_NEW, str_t="STRING"))
