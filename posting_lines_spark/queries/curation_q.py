@@ -468,3 +468,50 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.row_number().over(W.orderBy(F.col("doc_freq").desc(), F.col("token"))).cast("long"),
     ).orderBy("rnk")
+
+
+# --- training shard assignment ---
+# The last step of a curation pipeline: deterministic hash-mod shard
+# assignment (no RNG state, reproducible on any engine/cluster) with
+# per-shard doc/token totals — what the training job's data loader
+# consumes. The hash makes shards statistically balanced regardless of
+# doc_id layout; the query output IS the balance audit. At 100 TB this
+# is the partitionBy("shard") write layout; one map-side-combined
+# aggregate on a 16-value key.
+
+N_SHARDS = 16
+
+SHARDS_ORACLE = f"""
+SELECT {md5_int_duck("CAST(doc_id AS VARCHAR)", salt="shard")} % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+@register(
+    "curation_shards",
+    oracle=SHARDS_ORACLE,
+    description="deterministic training-shard assignment: md5-mod shard id "
+    "(reproducible, RNG-free), per-shard doc/token totals as the balance "
+    "audit — the partitionBy layout step a data loader consumes; one "
+    "map-side-combined aggregate",
+)
+def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        SELECT {md5_int_spark("CAST(doc_id AS STRING)", salt="shard")} % {N_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY 1
+        ORDER BY shard
+        """
+    )

@@ -363,3 +363,52 @@ ORDER BY o_orderkey
 def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_DIFF_BODY.format(new_snap=_DIFF_NEW, str_t="STRING"))
+
+
+# --- CSV connector round-trip (completing the connector trilogy) ---
+# customer → CSV sink (header, quoted strings) → CSV source (explicit
+# schema) → aggregate vs the parquet-side oracle. Doubles survive because
+# Spark writes the shortest round-trippable decimal representation; the
+# decimal-routed sum then hashes identically either way.
+
+CSV_ORACLE = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal,
+       min(md5(c_name)) AS min_digest
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+@register(
+    "csv_roundtrip",
+    oracle=CSV_ORACLE,
+    description="CSV connector round-trip (reference O7, auth_class.py:19-20 "
+    "'loading csv into test database'): customer → CSV sink → CSV source "
+    "(explicit schema) → aggregate; hash-equality with the parquet oracle "
+    "proves lossless interchange incl. shortest-repr double round-trip; "
+    "CSV is line-splittable at scale but schemaless and uncompressed-by-"
+    "default — an edge format like jsonl",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from posting_lines_spark.sources import load_csv
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="pls_csv_")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    back = load_csv(spark, path, schema=c.schema)
+    return (
+        back.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.min(F.md5("c_name")).alias("min_digest"),
+        )
+        .orderBy("nationkey")
+    )

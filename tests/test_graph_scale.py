@@ -103,3 +103,47 @@ def test_pagerank_weighted_edges_split_proportionally(spark):
     )
     ranks = {r.node: r["rank"] for r in pagerank(edges, iters=6).collect()}
     assert ranks[1] > ranks[2]
+
+
+def test_pagerank_matches_pure_python_on_random_graphs(spark):
+    """Seeded random weighted digraphs: Spark's fixed-point pagerank must
+    agree INTEGER-FOR-INTEGER with a pure-Python replay of the same
+    recurrence — the cross-engine determinism claim, verified outside
+    both SQL engines."""
+    import random
+    from collections import defaultdict
+
+    def py_pagerank(edges, iters, scale=PR_SCALE, damping_pct=85):
+        nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+        n = len(nodes)
+        outw: dict = defaultdict(int)
+        for u, _, w in edges:
+            outw[u] += w
+        rank = {x: scale // n for x in nodes}
+        tp = (15 * scale) // (100 * n)
+        for _ in range(iters):
+            s: dict = defaultdict(int)
+            for u, v, w in edges:
+                if u in rank:
+                    r, o = rank[u], outw[u]
+                    s[v] += (r // o) * w + ((r % o) * w) // o
+            rank = {x: tp + (damping_pct * s[x]) // 100 for x in nodes}
+        return rank
+
+    rng = random.Random(20260813)
+    for _ in range(3):
+        n_nodes = rng.randint(5, 20)
+        raw = {
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(n_nodes, 3 * n_nodes))
+        }
+        edges = [(u, v, rng.randint(1, 9)) for u, v in raw if u != v]
+        if not edges:
+            continue
+        got = {
+            r.node: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(edges, "src long, dst long, w long"), iters=4
+            ).collect()
+        }
+        assert got == py_pagerank(edges, iters=4)
