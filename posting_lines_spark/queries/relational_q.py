@@ -521,3 +521,74 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- TPC-H Q5 (local supplier volume): the 6-table star with a cycle ---
+# The join-ordering stress shape: region→nation filters two INDEPENDENT
+# paths (customer and supplier) that must agree on the nation key — a
+# cyclic join graph Catalyst linearizes with every dimension broadcast;
+# only the lineitem fact shuffles (for the aggregate). Same ANSI text on
+# both engines.
+
+Q5_SQL = f"""
+SELECT n_name,
+       {dsum_expr("l_extendedprice * (1.0e0 - l_discount)")} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "q5_local_supplier",
+    oracle=Q5_SQL,
+    description="TPC-H Q5 shape: 6-table star with a cyclic join graph "
+    "(customer and supplier paths must agree on nation) — every dimension "
+    "broadcasts, the fact shuffles once for the aggregate; date filter "
+    "pushed to the orders scan",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(Q5_SQL)
+
+
+# --- TPC-H Q13 (customer order distribution): double aggregation ---
+# Aggregate-of-aggregate: per-customer order counts (outer join keeps
+# zero-order customers), then the distribution of those counts — the
+# histogram-of-groups pattern. Two shuffles: custkey, then the tiny
+# count key.
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q13_custdist",
+    oracle=Q13_SQL,
+    description="TPC-H Q13 shape: double aggregation (per-customer order "
+    "count via outer join that keeps zero-order customers, then the "
+    "distribution of counts) — the histogram-of-groups pattern; custkey "
+    "shuffle then a near-free low-cardinality one",
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(Q13_SQL)
