@@ -92,3 +92,54 @@ def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
     return running_user_stats(spark, events, n_files=4).orderBy("user_id")
+
+
+# --- scalar Arrow pandas_udf on a parity path ---
+# The third Python surface (§2.9): a VECTORIZED scalar UDF
+# (ArrowEvalPython, never BatchEvalPython). The score is pure
+# element-wise IEEE double arithmetic — numpy evaluates the identical
+# operation tree DuckDB does, so even the Python path is hash-exact.
+# The feature columns (token/char counts) are computed JVM-side; only
+# the final arithmetic crosses the Arrow boundary, batch-at-a-time.
+
+SCALAR_SCORE_ORACLE = """
+SELECT doc_id,
+       (2.0e0 * (ntok / (ntok + 100.0e0)) * (nch / (nch + 1000.0e0)))
+       / ((ntok / (ntok + 100.0e0)) + (nch / (nch + 1000.0e0))) AS blend_score
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+         CAST(n_chars AS DOUBLE) AS nch
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "pandas_scalar_score",
+    oracle=SCALAR_SCORE_ORACLE,
+    description="scalar Arrow pandas_udf (§2.9 third surface): harmonic "
+    "blend of saturating token/char features — vectorized ArrowEvalPython, "
+    "hash-exact vs the oracle because numpy replays the identical IEEE "
+    "operation tree; features computed JVM-side so only final arithmetic "
+    "crosses the Arrow boundary",
+)
+def pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def blend(ntok: pd.Series, nch: pd.Series) -> pd.Series:
+        a = ntok / (ntok + 100.0)
+        b = nch / (nch + 1000.0)
+        return (2.0 * a * b) / (a + b)
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("ntok"),
+        F.col("n_chars").cast("double").alias("nch"),
+    )
+    return feats.select(
+        "doc_id", blend("ntok", "nch").alias("blend_score")
+    ).orderBy("doc_id")
