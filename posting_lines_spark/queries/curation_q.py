@@ -515,3 +515,81 @@ def curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY shard
         """
     )
+
+
+# --- the end-to-end curation pipeline as ONE lazy plan ---
+# The showcase composition: normalize → content-hash dedup (keep min id)
+# → quality gate (token/diversity/stopword thresholds) → shard
+# assignment, ending in the per-shard balance audit. One narrow scan
+# feeds a single digest shuffle and a 16-key aggregate — the whole
+# curation pass is two shuffles at any scale. The oracle replays the
+# identical CTE chain in DuckDB (engine-specific list/regex spellings,
+# same semantics), so hash-equality certifies every stage at once.
+
+_STOPS = "('the','a','of','and','to')"
+
+
+def _e2e_sql(
+    re_flag: str,
+    split_len,
+    distinct_len,
+    stop_len,
+    shard_hash: str,
+) -> str:
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' '{re_flag})) AS t
+  FROM documents
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, min(t) AS t
+  FROM norm
+  GROUP BY md5(t)
+),
+gated AS (
+  SELECT doc_id, {split_len('t')} AS n_tok
+  FROM dedup
+  WHERE {split_len('t')} >= 30
+    AND CAST({distinct_len('t')} AS DOUBLE) / {split_len('t')} >= 0.3e0
+    AND CAST({stop_len('t')} AS DOUBLE) / {split_len('t')} >= 0.01e0
+)
+SELECT {shard_hash} % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM gated
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+E2E_ORACLE = _e2e_sql(
+    ", 'g'",
+    lambda c: f"len(string_split({c}, ' '))",
+    lambda c: f"len(list_distinct(string_split({c}, ' ')))",
+    lambda c: f"len(list_filter(string_split({c}, ' '), x -> x IN {_STOPS}))",
+    md5_int_duck("CAST(doc_id AS VARCHAR)", salt="shard"),
+)
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=E2E_ORACLE,
+    description="the END-TO-END curation pass as one lazy plan: normalize "
+    "→ content-hash dedup (keep min id) → quality gate → shard assignment "
+    "→ balance audit; two shuffles total (digest key, then 16 shard keys) "
+    "at any scale — hash-equality with the DuckDB CTE replay certifies "
+    "every stage at once",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _e2e_sql(
+            "",
+            lambda c: f"size(split({c}, ' '))",
+            lambda c: f"size(array_distinct(split({c}, ' ')))",
+            lambda c: f"size(filter(split({c}, ' '), x -> x IN {_STOPS}))",
+            md5_int_spark("CAST(doc_id AS STRING)", salt="shard"),
+        )
+    )

@@ -592,3 +592,54 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(Q13_SQL)
+
+
+# --- incremental rollup (materialized-view maintenance algebra) ---
+# The IVM pattern behind every incremental pipeline: per-day PARTIAL
+# aggregates (count + exact DECIMAL sum — associative, so partials merge
+# losslessly) re-aggregated to months. The oracle aggregates the base
+# table directly; hash-equality proves partial-merge ≡ direct, which is
+# what lets a 100 TB pipeline refresh one day's partition and fold it
+# into the rollup without rescanning history.
+
+MV_ORACLE = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY ym, o_orderstatus
+"""
+
+
+@register(
+    "mv_incremental_rollup",
+    oracle=MV_ORACLE,
+    description="incremental-rollup algebra (materialized-view "
+    "maintenance): daily PARTIAL aggregates (count + exact decimal sum) "
+    "merged to months; oracle aggregates the base directly — equality "
+    "proves partial-merge ≡ direct, the property that lets one refreshed "
+    "day partition fold into the rollup without rescanning history",
+)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("part_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("part_sum"),
+    )
+    return (
+        daily.groupBy(
+            (F.col("y") * 100 + F.col("m")).cast("long").alias("ym"), "o_orderstatus"
+        )
+        .agg(
+            F.sum("part_n").cast("long").alias("n_orders"),
+            F.sum("part_sum").cast("double").alias("total_price"),
+        )
+        .orderBy("ym", "o_orderstatus")
+    )
