@@ -127,3 +127,18 @@ def test_stream_enrich_processes_only_delta(spark, tmp_path):
     incremental.enrich_available_now(spark, src, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1 + second.filter("duration != 0").count()
+
+
+def test_observe_enrich_reports_engine_side_metrics(spark):
+    from posting_lines_spark.operators.pipeline import observe_enrich
+
+    segments_raw = _state(spark)
+    out, obs = observe_enrich(segments_raw)
+    n_out = out.count()  # the action that materializes the metrics
+    m = obs.get
+    assert m["rows_in"] == n_out  # clean() applied before observe
+    expected_todo = (
+        segments_raw.filter("duration != 0").filter("geom IS NULL").count()
+    )
+    assert m["rows_to_enrich"] == expected_todo
+    assert out.filter("geom IS NULL").count() == 0

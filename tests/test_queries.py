@@ -64,3 +64,72 @@ def test_timeseries_gapfill_locf_semantics(spark):
             assert cur.is_gap == (cur.n_events == 0)
             if cur.is_gap:
                 assert cur.filled_sum == prev.filled_sum
+
+
+def test_table_diff_matches_python_dict_diff(spark):
+    """Replay the snapshot perturbation in plain Python over the parquet
+    rows and diff dictionaries — classification must match row-for-row."""
+    import duckdb
+
+    from posting_lines_spark.queries import load_all
+
+    rows = duckdb.connect().execute(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority "
+        f"FROM read_parquet('{SF0001}/orders.parquet')"
+    ).fetchall()
+    old = {k: (c, s, p) for k, c, s, p in rows}
+    new = {}
+    for k, (c, s, p) in old.items():
+        if k % 97 != 0:
+            new[k] = (c, s, "RUSH" if k % 89 == 3 else p)
+        if k % 101 == 5:
+            new[k + 100000000] = (c, "N", p)
+    expected = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        elif old[k] != new[k]:
+            expected[k] = "changed"
+    got = {
+        r.o_orderkey: r.diff_status
+        for r in load_all()["table_diff"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+def test_gapfill_matches_pandas_locf_replay(spark):
+    """Pure-pandas replay of bucket → spine → LOCF over the same parquet:
+    the Spark result must match value-for-value (decimal-routed sums
+    re-quantized identically)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from posting_lines_spark.queries import load_all
+
+    pdf = pd.read_parquet(f"{SF0001}/events.parquet")
+    pdf["bucket"] = (pdf["ts"].astype("int64") // 1000) // 3_600_000_000
+    expected: dict = {}
+    for et, g in pdf.groupby("event_type"):
+        obs_n = g.groupby("bucket").size()
+        obs_s = {
+            b: float(sum(Decimal(repr(v)).quantize(Decimal("0.000001")) for v in gg["value"]))
+            for b, gg in g.groupby("bucket")
+        }
+        carried = None
+        for b in range(int(obs_n.index.min()), int(obs_n.index.max()) + 1):
+            n = int(obs_n.get(b, 0))
+            if n:
+                carried = obs_s[b]
+            expected[(et, b)] = (n, carried, n == 0)
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.filled_sum, r.is_gap)
+        for r in load_all()["timeseries_gapfill"].fn(spark, SF0001).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, s, gap) in expected.items():
+        gn, gs, ggap = got[k]
+        assert (gn, ggap) == (n, gap), k
+        assert gs == s or abs(gs - s) < 1e-9, (k, gs, s)
