@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalar_q,
         schema_q,
         search_q,
+        sketch_q,
         spatial_q,
         stream_q,
         temporal_q,

@@ -1,0 +1,281 @@
+"""Mergeable-sketch operators — the constant-memory summaries a 100 TB
+engine leans on when exact answers would shuffle the world.
+
+Beyond the reference's surface (its only aggregate is a per-day count,
+sql_to_line.py:113-131); this is the §2.4 extension family:
+
+  sketch_hll_merge     — per-shard Datasketches HLL partials merged with
+                         hll_union_agg: the two-level aggregation every
+                         distributed COUNT(DISTINCT) approximation uses.
+                         Sketches are engine-specific, so the oracle checks
+                         exact counts + a 3σ accuracy-bound boolean
+                         (same pattern as array_q.approx_stats).
+  sketch_countmin_freq — a count-min sketch built as PLAIN DataFrame ops
+                         (explode d seeds → one hash-aggregate). Because
+                         the hash family is md5-derived (functions/
+                         hashing.py), DuckDB replays the ENTIRE sketch
+                         bit-for-bit — estimates are exact-checkable, not
+                         just bound-checkable.
+  bloom_semijoin_reduce — runtime bloom-filter semi-join reduction: the
+                         dim side builds a packed bitset, the fact scan
+                         pre-filters on it BEFORE any shuffle, then an
+                         exact semi-join removes false positives. Output
+                         is provably identical to the plain semi-join
+                         (no false negatives), which is the oracle.
+
+Scale notes (100 TB):
+  - HLL: partials are ~2^lgK bytes/shard regardless of data size; merge
+    is a tiny all-to-one of sketches, not rows. lgK=14 → rsd 0.81%.
+  - count-min: cell table is d·w rows TOTAL (here 4·512), mergeable by
+    addition across any sharding; estimate ≥ truth is a deterministic
+    guarantee (hash collisions only ever overcount).
+  - bloom: the bitset rides the driver exactly like Spark's own
+    InjectRuntimeFilter exchanges its BloomFilterAggregate subquery
+    result — bounded at m/64 int64s (here 1024 = 8 KiB) no matter how
+    large the dim side grows; the fact-side probe is pure codegen
+    (element_at + shift + mask), no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark
+from posting_lines_spark.queries import register
+from posting_lines_spark.sources import load_table
+
+# --- HLL partial + merge ---
+
+HLL_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey % 8) AS BIGINT) AS n_shards,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS union_ok
+FROM lineitem
+"""
+
+
+@register(
+    "sketch_hll_merge",
+    oracle=HLL_ORACLE,
+    description="two-level distributed distinct-count: per-shard "
+    "hll_sketch_agg partials (constant 2^lgK bytes each) merged via "
+    "hll_union_agg — the 100 TB COUNT(DISTINCT) pattern; oracle checks "
+    "exact count + 3σ bound boolean (sketch bytes are engine-specific, "
+    "the bound is not)",
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # lgConfigK=14 → rsd = 1.04/√2^14 ≈ 0.81%; 3σ ≈ 2.44% — bound at 2.5%
+    shards = li.withColumn("shard", F.pmod("l_orderkey", F.lit(8)))
+    partials = shards.groupBy("shard").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("shard_rows"),
+    )
+    merged = partials.agg(
+        F.sum("shard_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("exact_parts"))
+    return merged.crossJoin(exact).select(
+        "n_rows",
+        "n_shards",
+        "exact_parts",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_parts"))
+            <= 0.025 * F.col("exact_parts")
+        ).alias("union_ok"),
+    )
+
+
+# --- count-min sketch, DuckDB-replayable ---
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+
+
+def _cm_oracle() -> str:
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {j} AS seed, "
+        f"{md5_int_duck('CAST(o_custkey AS VARCHAR)', salt=f'cm{j}')} % {CM_WIDTH} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 2"
+        for j in range(CM_DEPTH)
+    )
+    qpos = "\nUNION ALL\n".join(
+        f"SELECT k, {j} AS seed, "
+        f"{md5_int_duck('CAST(k AS VARCHAR)', salt=f'cm{j}')} % {CM_WIDTH} AS bucket FROM qk"
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH cells AS ({cells}),
+qk AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 40 = 7),
+qpos AS ({qpos}),
+est AS (
+  SELECT k, min(coalesce(n, CAST(0 AS BIGINT))) AS est_n
+  FROM qpos LEFT JOIN cells USING (seed, bucket) GROUP BY k
+),
+ex AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS exact_n FROM orders GROUP BY 1)
+SELECT k, coalesce(exact_n, CAST(0 AS BIGINT)) AS exact_n, est_n,
+       est_n >= coalesce(exact_n, CAST(0 AS BIGINT)) AS est_ge_exact
+FROM est LEFT JOIN ex USING (k)
+ORDER BY k
+"""
+
+
+def _cm_positions(key_expr: str):
+    """(seed, bucket) struct array for one key expression — d md5 salts."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seed"),
+                F.pmod(
+                    F.expr(md5_int_spark(key_expr, salt=f"cm{j}")), F.lit(CM_WIDTH)
+                ).alias("bucket"),
+            )
+            for j in range(CM_DEPTH)
+        ]
+    )
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=_cm_oracle(),
+    description="count-min sketch as pure DataFrame ops: one explode over "
+    f"{CM_DEPTH} md5-salted hash rows → one {CM_DEPTH}×{CM_WIDTH}-cell "
+    "hash-aggregate (mergeable by addition across shards); point-frequency "
+    "estimates = min over rows, with the deterministic est ≥ exact "
+    "guarantee. The md5 hash family lets DuckDB replay the whole sketch "
+    "bit-for-bit — estimates are exact-checked, not bound-checked",
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.select(F.explode(_cm_positions("CAST(o_custkey AS STRING)")).alias("c"))
+        .select("c.seed", "c.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qk = cust.filter(F.col("c_custkey") % 40 == 7).select(F.col("c_custkey").alias("k"))
+    qpos = qk.select(
+        "k", F.explode(_cm_positions("CAST(k AS STRING)")).alias("c")
+    ).select("k", "c.seed", "c.bucket")
+    est = (
+        qpos.join(cells, ["seed", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("est_n"))
+    )
+    ex = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        est.join(ex, "k", "left")
+        .select(
+            "k",
+            F.coalesce("exact_n", zero).alias("exact_n"),
+            "est_n",
+            (F.col("est_n") >= F.coalesce("exact_n", zero)).alias("est_ge_exact"),
+        )
+        .orderBy("k")
+    )
+
+
+# --- bloom-filter semi-join reduction ---
+
+BLOOM_M = 1 << 16  # bits; bitset = 1024 int64 words = 8 KiB
+BLOOM_WORDS = BLOOM_M // 64
+
+BLOOM_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _bloom_hashes(key_expr: str) -> list:
+    """Two independent 60-bit md5 slots → two bit positions in [0, M)."""
+    return [
+        F.pmod(F.expr(md5_int_spark(key_expr, salt="bloom", slot=s)), F.lit(BLOOM_M))
+        for s in (0, 1)
+    ]
+
+
+def bloom_bitset(dim_keys: DataFrame, key_col: str) -> list[int]:
+    """Packed bloom bitset from the dim side's keys: k=2 md5 positions →
+    word_idx/bit → bit_or per word. The driver collects AT MOST
+    BLOOM_WORDS (word, bits) rows — constant 8 KiB however large the dim
+    side is — exactly how Spark's InjectRuntimeFilter moves its
+    BloomFilterAggregate result into the probe side's scan filter."""
+    pos = dim_keys.select(
+        F.explode(F.array(*_bloom_hashes(f"CAST({key_col} AS STRING)"))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * BLOOM_WORDS
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_prefilter(fact: DataFrame, key_col: str, bitset_words: list[int]) -> DataFrame:
+    """Fact rows whose key MIGHT be in the bloom set (superset of the true
+    matches — no false negatives). Pure codegen: position → word lookup in
+    the literal array → shift + mask; zero shuffles, zero UDFs."""
+    bitset = F.lit(bitset_words)
+    # stage position → word → bit-test as named columns (the __-prefixed
+    # plumbing is dropped after the filter)
+    o = fact
+    probe = None
+    for s in (0, 1):
+        h = F.pmod(
+            F.expr(md5_int_spark(f"CAST({key_col} AS STRING)", salt="bloom", slot=s)),
+            F.lit(BLOOM_M),
+        )
+        o = o.withColumn(f"__h{s}", h).withColumn(
+            f"__w{s}", F.element_at(bitset, F.expr(f"CAST(__h{s} div 64 AS INT) + 1"))
+        )
+        hit = F.expr(f"(shiftright(__w{s}, CAST(__h{s} % 64 AS INT)) & 1) = 1")
+        probe = hit if probe is None else (probe & hit)
+    return o.filter(probe).drop("__h0", "__w0", "__h1", "__w1")
+
+
+@register(
+    "bloom_semijoin_reduce",
+    oracle=BLOOM_ORACLE,
+    description="runtime bloom-filter semi-join reduction: dim builds an "
+    "8 KiB packed bitset (k=2 md5 bits/key), fact rows probe it with pure "
+    "codegen (element_at + shift + mask) BEFORE any shuffle, exact "
+    "broadcast semi-join mops up false positives — output provably equals "
+    "the plain semi-join (blooms have no false negatives), which is the "
+    "oracle; the manual twin of Spark's InjectRuntimeFilter",
+)
+def bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pre = bloom_prefilter(orders, "o_custkey", bloom_bitset(dim, "c_custkey"))
+    exact = pre.join(F.broadcast(dim), pre["o_custkey"] == dim["c_custkey"], "left_semi")
+    return (
+        exact.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
