@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         extra_q,
         geo_q,
         graph_q,
+        lake_q,
         pandas_q,
         pipeline_q,
         relational_q,

@@ -1,0 +1,43 @@
+"""Lake-layout semantics the oracle can't see: pruning must actually
+skip files, and the evolved read must NULL-fill old batches."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+def test_manifest_prune_skips_files_and_is_sound(spark):
+    from posting_lines_spark.queries.lake_q import file_manifest, prune_files
+    from posting_lines_spark.sources import load_table
+
+    o = load_table(spark, SF0001, "orders")
+    path = tempfile.mkdtemp(prefix="pls_manifest_t_")
+    o.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
+    full = spark.read.parquet(path)
+    manifest = file_manifest(full, "o_orderdate").collect()
+    assert len(manifest) == 8  # one stats row per file
+
+    lo, hi = datetime.datetime(1995, 1, 1), datetime.datetime(1995, 12, 31)
+    files = prune_files(manifest, lo, hi)
+    # one year of a 7-year uniform range clustered into 8 files → must skip
+    assert 0 < len(files) < 8
+
+    pred = F.col("o_orderdate").between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+    n_pruned = spark.read.parquet(*files).filter(pred).count()
+    n_full = full.filter(pred).count()
+    assert n_pruned == n_full  # pruning never drops a matching row
+
+
+def test_schema_evolution_null_fills_old_batch(spark):
+    from posting_lines_spark.queries.lake_q import schema_evolution_read
+
+    rows = {r.batch: r for r in schema_evolution_read(spark, SF0001).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_priced == 0  # column didn't exist in batch 1
+    assert rows[2].n_priced == rows[2].n_rows  # fully populated in batch 2
+    assert rows[1].price_sum == 0.0
