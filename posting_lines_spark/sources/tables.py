@@ -29,12 +29,13 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet table scan. Catalyst pushes filters/projections into it.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's timestamp type
-    (microseconds) refuses outright; we read it as raw int64 nanos
-    (legacy.parquet.nanosAsLong) and truncate to micros with integer
-    division — the same ns→µs truncation DuckDB's epoch_us applies, so
-    both engines agree on every derived value. (Sub-µs precision is real
-    in this data and is deliberately dropped on both sides.)
+    `events.ts` has shipped in two physical layouts across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's µs timestamp refuses
+    outright — read as raw int64 nanos via legacy.parquet.nanosAsLong and
+    truncate, the same ns→µs truncation DuckDB's epoch_us applies) and
+    TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ). Both layouts are
+    normalized to the same session-UTC TimestampType column, so every
+    downstream query and oracle sees identical values either way.
     """
     # Timestamp semantics are pinned to UTC regardless of the caller's
     # session: date_trunc/to_date/window on TIMESTAMP (ltz) columns are
@@ -45,10 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # TIMESTAMP(NANOS) read as int64
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):  # TIMESTAMP(MICROS), naive
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

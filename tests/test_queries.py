@@ -110,7 +110,10 @@ def test_gapfill_matches_pandas_locf_replay(spark):
     from posting_lines_spark.queries import load_all
 
     pdf = pd.read_parquet(f"{SF0001}/events.parquet")
-    pdf["bucket"] = (pdf["ts"].astype("int64") // 1000) // 3_600_000_000
+    # normalize to ns first: parquet has shipped as both timestamp[ns] and
+    # timestamp[us], and astype(int64) counts in the stored resolution
+    ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    pdf["bucket"] = ts_us // 3_600_000_000
     expected: dict = {}
     for et, g in pdf.groupby("event_type"):
         obs_n = g.groupby("bucket").size()
