@@ -212,3 +212,194 @@ ORDER BY user_id, start_us
 def streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_streaks_sql("unix_micros(ts)"))
+
+
+# --- exact higher-moment statistics ---
+# Skewness/kurtosis are the canonical "my distributed engine disagrees
+# with my laptop" aggregates: both engines' built-ins sum doubles in
+# partition order (and Spark's skewness is population-flavored while
+# DuckDB's is sample-flavored), so neither matches anything bit-for-bit.
+# Exact route: the data is 2-decimal, so quantize to integer fixed-point
+# (v = round(value·100), exact), take power sums s1..s4 in EXACT integer
+# arithmetic — DECIMAL(38,0) on Spark, HUGEINT on DuckDB; v⁴ ≤ 1e19
+# overflows int64 but sums stay far below 1e38 — and evaluate the
+# textbook central-moment formulas in DOUBLE from byte-identical inputs
+# with byte-identical expression text: elementary IEEE ops (+,−,·,/,sqrt)
+# are correctly rounded, so identical inputs + identical op sequence =
+# identical bits on any two engines. One hash-aggregate, map-side
+# combined; 100 TB cost = one scan + a 5-row shuffle.
+
+def _moments_sql(vcast: str) -> str:
+    m = "(s1/n)"
+    var = f"(s2/n - {m}*{m})"
+    return f"""
+WITH f AS (
+  SELECT event_type, {vcast} AS v FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(v) AS DOUBLE) AS s1,
+         CAST(sum(v*v) AS DOUBLE) AS s2,
+         CAST(sum(v*v*v) AS DOUBLE) AS s3,
+         CAST(sum(v*v*v*v) AS DOUBLE) AS s4
+  FROM f GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       {m} / 1.0e2 AS mean_value,
+       sqrt({var}) / 1.0e2 AS std_pop,
+       (s3/n - 3.0e0*{m}*(s2/n) + 2.0e0*{m}*{m}*{m})
+         / (sqrt({var}) * sqrt({var}) * sqrt({var})) AS skewness_pop,
+       (s4/n - 4.0e0*{m}*(s3/n) + 6.0e0*{m}*{m}*(s2/n) - 3.0e0*{m}*{m}*{m}*{m})
+         / ({var} * {var}) AS kurtosis_pop
+FROM s
+ORDER BY event_type
+"""
+
+
+@register(
+    "stats_moments",
+    oracle=_moments_sql("CAST(round(value * 1.0e2) AS HUGEINT)"),
+    description="exact mean/std/skewness/kurtosis per group from integer "
+    "fixed-point power sums (DECIMAL(38,0) Spark / HUGEINT DuckDB — v⁴ "
+    "overflows int64) + identical-text IEEE double formulas; one scan, "
+    "one map-side-combined aggregate",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_moments_sql("CAST(round(value * 1.0e2) AS DECIMAL(38,0))"))
+
+
+# --- per-group OLS regression ---
+# Closed-form least squares from exact integer cross sums: x = second of
+# day (≤ 86400), y = fixed-point value (≤ ~6e4); Σxy ≤ 6e14 and
+# Σx² ≤ 1e15 both fit int64 exactly and convert to double exactly
+# (< 2^53), so slope/intercept/r² come out bit-identical from
+# identical-text double math. DuckDB's sum(BIGINT) widens to HUGEINT and
+# Spark's stays BIGINT — both cast to the same exact double.
+
+def _regression_sql(us: str, idiv: str) -> str:
+    return f"""
+WITH f AS (
+  SELECT event_type,
+         CAST((({us}) % 86400000000) {idiv} 1000000 AS BIGINT) AS x,
+         CAST(round(value * 1.0e2) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x*y) AS DOUBLE) AS sxy,
+         CAST(sum(x*x) AS DOUBLE) AS sxx,
+         CAST(sum(y*y) AS DOUBLE) AS syy
+  FROM f GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ((n*sxy - sx*sy) / (n*sxx - sx*sx)) / 1.0e2 AS slope_per_sec,
+       ((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) / 1.0e2 AS intercept,
+       ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+FROM s
+ORDER BY event_type
+"""
+
+
+@register(
+    "stats_regression",
+    oracle=_regression_sql("epoch_us(ts)", "//"),
+    description="per-group OLS (value vs second-of-day): closed-form "
+    "slope/intercept/r² from exact int64 cross sums (< 2^53, so the "
+    "double casts are exact); one aggregate, no shuffle beyond the "
+    "5-group combine",
+)
+def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_regression_sql("unix_micros(ts)", "div"))
+
+
+# --- robust anomaly detection: median/MAD ---
+# The z-score query (anomaly_zscore) uses mean/σ, which outliers inflate;
+# the robust pair is median/MAD. Exact-interpolation percentiles over
+# DOUBLES differ across engines (a+(b−a)·f vs lerp), but over INTEGER
+# fixed-point values every midpoint is a half-integer — exactly
+# representable, every interpolation op exact, so Spark's percentile()
+# and DuckDB's quantile_cont() agree bit-for-bit. |v−med| is then exact
+# halves, its median exact quarters, and the >k·MAD cut compares exact
+# doubles — fully deterministic row-level anomaly flags.
+# Scale: two aggregates over the group key + one broadcast join back;
+# exact percentile shuffles the group's values — for 100 TB swap in
+# approx_percentile and keep the same frame.
+
+def _mad_sql(vcast: str, pct: str) -> str:
+    return f"""
+WITH f AS (
+  SELECT event_type, event_id, value, {vcast} AS v FROM events
+),
+med AS (
+  SELECT event_type, {pct}(v, 0.5e0) AS med FROM f GROUP BY event_type
+),
+mad AS (
+  SELECT f.event_type, {pct}(abs(f.v - m.med), 0.5e0) AS mad, min(m.med) AS med
+  FROM f JOIN med m ON f.event_type = m.event_type
+  GROUP BY f.event_type
+)
+SELECT f.event_type, f.event_id, f.value,
+       m.med / 1.0e2 AS group_median,
+       m.mad / 1.0e2 AS group_mad,
+       abs(f.v - m.med) / m.mad AS mad_ratio
+FROM f JOIN mad m ON f.event_type = m.event_type
+WHERE abs(f.v - m.med) > 6.0e0 * m.mad
+ORDER BY f.event_type, f.event_id
+"""
+
+
+@register(
+    "anomaly_mad",
+    oracle=_mad_sql("CAST(round(value * 1.0e2) AS BIGINT)", "quantile_cont"),
+    description="robust anomaly detection via median/MAD over integer "
+    "fixed-point (every percentile interpolation lands on exact "
+    "half-integers → bit-identical across engines); rows with "
+    "|v−median| > 6·MAD",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mad_sql("CAST(round(value * 1.0e2) AS BIGINT)", "percentile"))
+
+
+# --- mode aggregate with deterministic tie-break ---
+# Both engines ship a mode() whose tie behavior is unspecified; the
+# deterministic formulation is count + row_number with a total order
+# (count DESC, value ASC). Same SQL text runs on both engines.
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 50
+  GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS modal_type, n AS n_occurrences
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "agg_mode",
+    oracle=MODE_SQL,
+    description="deterministic mode per group (most frequent event_type "
+    "per user, ties broken lexicographically) — count + row_number "
+    "instead of the engines' unspecified-tie mode(); two shuffles on the "
+    "same user key",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(MODE_SQL)
