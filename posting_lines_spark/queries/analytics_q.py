@@ -239,10 +239,10 @@ WITH f AS (
 s AS (
   SELECT event_type,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(v) AS DOUBLE) AS s1,
-         CAST(sum(v*v) AS DOUBLE) AS s2,
-         CAST(sum(v*v*v) AS DOUBLE) AS s3,
-         CAST(sum(v*v*v*v) AS DOUBLE) AS s4
+         CAST(CAST(sum(v) AS STRING) AS DOUBLE) AS s1,
+         CAST(CAST(sum(v*v) AS STRING) AS DOUBLE) AS s2,
+         CAST(CAST(sum(v*v*v) AS STRING) AS DOUBLE) AS s3,
+         CAST(CAST(sum(v*v*v*v) AS STRING) AS DOUBLE) AS s4
   FROM f GROUP BY event_type
 )
 SELECT event_type,
@@ -250,12 +250,14 @@ SELECT event_type,
        {m} / 1.0e2 AS mean_value,
        sqrt({var}) / 1.0e2 AS std_pop,
        (s3/n - 3.0e0*{m}*(s2/n) + 2.0e0*{m}*{m}*{m})
-         / (sqrt({var}) * sqrt({var}) * sqrt({var})) AS skewness_pop,
+         / nullif(sqrt({var}) * sqrt({var}) * sqrt({var}), 0.0e0) AS skewness_pop,
        (s4/n - 4.0e0*{m}*(s3/n) + 6.0e0*{m}*{m}*(s2/n) - 3.0e0*{m}*{m}*{m}*{m})
-         / ({var} * {var}) AS kurtosis_pop
+         / nullif({var} * {var}, 0.0e0) AS kurtosis_pop
 FROM s
 ORDER BY event_type
 """
+# nullif guards: a zero-variance (constant) group yields NULL skew/kurtosis
+# on BOTH engines instead of engine-specific Inf/NaN-vs-error divergence.
 
 
 @register(
@@ -272,14 +274,20 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- per-group OLS regression ---
-# Closed-form least squares from exact integer cross sums: x = second of
-# day (≤ 86400), y = fixed-point value (≤ ~6e4); Σxy ≤ 6e14 and
-# Σx² ≤ 1e15 both fit int64 exactly and convert to double exactly
-# (< 2^53), so slope/intercept/r² come out bit-identical from
-# identical-text double math. DuckDB's sum(BIGINT) widens to HUGEINT and
-# Spark's stays BIGINT — both cast to the same exact double.
+# Closed-form least squares from exact wide-integer cross sums: x = second
+# of day (≤ 86400), y = fixed-point value (≤ ~6e4). Per-row products fit
+# int64; the sums are taken in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so
+# they stay exact at any group size, then cast to DOUBLE (correctly
+# rounded on both engines) and fed through identical-text double formulas.
 
-def _regression_sql(us: str, idiv: str) -> str:
+def _regression_sql(us: str, idiv: str, wide: str) -> str:
+    # `wide` = DECIMAL(38,0) on Spark / HUGEINT on DuckDB: the per-row
+    # products fit int64 easily (x ≤ 86400, y ≤ ~6e4 → x·y ≤ 5.2e9) but
+    # their SUMS do not at ~2e9+ rows/group — exact wide-integer sums keep
+    # the engines bit-identical at any scale (decimal→double casts are
+    # correctly rounded on both). nullif guards: constant-x (or constant-y)
+    # groups yield NULL slope/intercept/r² on BOTH engines instead of
+    # error-vs-Inf divergence.
     return f"""
 WITH f AS (
   SELECT event_type,
@@ -290,19 +298,19 @@ WITH f AS (
 s AS (
   SELECT event_type,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(x) AS DOUBLE) AS sx,
-         CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(x*y) AS DOUBLE) AS sxy,
-         CAST(sum(x*x) AS DOUBLE) AS sxx,
-         CAST(sum(y*y) AS DOUBLE) AS syy
+         CAST(CAST(sum(CAST(x AS {wide})) AS STRING) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(y AS {wide})) AS STRING) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(x*y AS {wide})) AS STRING) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(CAST(x*x AS {wide})) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(y*y AS {wide})) AS STRING) AS DOUBLE) AS syy
   FROM f GROUP BY event_type
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       ((n*sxy - sx*sy) / (n*sxx - sx*sx)) / 1.0e2 AS slope_per_sec,
-       ((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) / 1.0e2 AS intercept,
+       ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0e0)) / 1.0e2 AS slope_per_sec,
+       ((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0.0e0) * sx) / n) / 1.0e2 AS intercept,
        ((n*sxy - sx*sy) * (n*sxy - sx*sy))
-         / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+         / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0.0e0) AS r2
 FROM s
 ORDER BY event_type
 """
@@ -310,15 +318,16 @@ ORDER BY event_type
 
 @register(
     "stats_regression",
-    oracle=_regression_sql("epoch_us(ts)", "//"),
+    oracle=_regression_sql("epoch_us(ts)", "//", "HUGEINT"),
     description="per-group OLS (value vs second-of-day): closed-form "
-    "slope/intercept/r² from exact int64 cross sums (< 2^53, so the "
-    "double casts are exact); one aggregate, no shuffle beyond the "
+    "slope/intercept/r² from exact wide-integer cross sums "
+    "(DECIMAL(38,0)/HUGEINT — overflow-proof at any group size) with "
+    "nullif-guarded denominators; one aggregate, no shuffle beyond the "
     "5-group combine",
 )
 def stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_regression_sql("unix_micros(ts)", "div"))
+    return spark.sql(_regression_sql("unix_micros(ts)", "div", "DECIMAL(38,0)"))
 
 
 # --- robust anomaly detection: median/MAD ---
@@ -350,7 +359,7 @@ mad AS (
 SELECT f.event_type, f.event_id, f.value,
        m.med / 1.0e2 AS group_median,
        m.mad / 1.0e2 AS group_mad,
-       abs(f.v - m.med) / m.mad AS mad_ratio
+       abs(f.v - m.med) / nullif(m.mad, 0.0e0) AS mad_ratio
 FROM f JOIN mad m ON f.event_type = m.event_type
 WHERE abs(f.v - m.med) > 6.0e0 * m.mad
 ORDER BY f.event_type, f.event_id

@@ -8,8 +8,12 @@ each query has an exact DuckDB oracle — no RNG state anywhere.
 
 Scale notes: sampling and budget-packing are one scan + one window/agg
 each (shuffle on the stratum key only); the survivor corpus is an
-anti-join of the corpus against the (tiny) drop list produced by
-connected components — broadcastable at any realistic dup rate.
+anti-join of the corpus against the drop list produced by connected
+components. The drop list is NOT hinted broadcast: at 100 TB a dup rate
+of a few percent is billions of keys and a forced broadcast OOMs the
+executors. AQE picks broadcast when the measured size allows; for the
+shuffle case the bloom pre-filter (sketch_q.bloom_prefilter) cuts the
+fact-side shuffle volume before the exact anti-join.
 """
 
 from __future__ import annotations
@@ -63,7 +67,9 @@ def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     base = spark.sql(NEAR_BASE_SPARK)
-    kept = base.join(F.broadcast(drops), "doc_id", "left_anti")
+    # no broadcast hint: the drop list is unbounded at scale (see module
+    # docstring) — AQE broadcasts when it measures small, shuffles when not
+    kept = base.join(drops, "doc_id", "left_anti")
     stats = kept.agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("total_tokens_kept"),
@@ -239,7 +245,7 @@ WITH per_source AS (
   FROM documents GROUP BY source
 ),
 norm AS (
-  SELECT CAST(sum(CAST(raw_w AS DECIMAL(38,6))) AS DOUBLE) AS z,
+  SELECT CAST(CAST(sum(CAST(raw_w AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS z,
          CAST(sum(n_docs) AS BIGINT) AS total_docs
   FROM per_source
 )

@@ -277,6 +277,132 @@ def dedup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- span-level duplicate REMOVAL ---
+# The transform behind the detection signal above (Lee et al. 2022 §4,
+# exact-substring dedup): duplicated spans keep ONE canonical occurrence
+# and are cut everywhere else. Deterministic canonicalization: a span
+# recurring across documents keeps all its occurrences in the MIN doc_id
+# that contains it; every other doc drops the token positions covered by
+# that span (overlapping spans union their ranges). Cross-document spans
+# only — an intra-doc repeat with no other doc is kept (the cross-doc
+# signal dominates curation practice and keeps the rule SQL-replayable).
+#
+# Scale shape: positional explode + equi-joins only (the covered
+# positions come from exploding sequence(start, start+k-1), never a
+# range join); the canon table is one aggregate keyed on the span (hash
+# the span text first at 100 TB); removal fanout is k × (duplicated
+# spans), a small fraction of the corpus by construction.
+
+
+def _span_remove_spark(k: int) -> str:
+    arr = dedup.shingle_array_spark("text", k)
+    return f"""
+WITH spans AS (
+  SELECT doc_id, pos, shingle
+  FROM documents LATERAL VIEW posexplode({arr}) v AS pos, shingle
+),
+toks AS (
+  SELECT doc_id, pos, tok
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) v AS pos, tok
+),
+canon AS (
+  SELECT shingle, min(doc_id) AS canon_doc
+  FROM (SELECT DISTINCT doc_id, shingle FROM spans)
+  GROUP BY shingle HAVING count(*) > 1
+),
+rmpos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT s.doc_id, explode(sequence(s.pos, s.pos + {k - 1})) AS pos
+    FROM spans s JOIN canon c ON s.shingle = c.shingle AND s.doc_id != c.canon_doc
+  )
+),
+removed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rmpos GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         array_join(transform(array_sort(collect_list(struct(t.pos, t.tok))),
+                              s -> s.tok), ' ') AS cleaned_text
+  FROM toks t LEFT JOIN rmpos r ON r.doc_id = t.doc_id AND r.pos = t.pos
+  WHERE r.pos IS NULL
+  GROUP BY t.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT d.doc_id, z.n_tokens, d.n_removed,
+       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM removed d
+JOIN sizes z ON z.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _span_remove_duck(k: int) -> str:
+    arr = shingle_sql_duck("text", k)
+    toks = "string_split(text, ' ')"
+    return f"""
+WITH spans AS (
+  SELECT doc_id, unnest(range(len({arr}))) AS pos, unnest({arr}) AS shingle
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(range(len({toks}))) AS pos, unnest({toks}) AS tok
+  FROM documents
+),
+canon AS (
+  SELECT shingle, min(doc_id) AS canon_doc
+  FROM (SELECT DISTINCT doc_id, shingle FROM spans)
+  GROUP BY shingle HAVING count(*) > 1
+),
+rmpos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT s.doc_id, unnest(range(s.pos, s.pos + {k})) AS pos
+    FROM spans s JOIN canon c ON s.shingle = c.shingle AND s.doc_id != c.canon_doc
+  )
+),
+removed AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rmpos GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.pos), '') AS cleaned_text
+  FROM toks t LEFT JOIN rmpos r ON r.doc_id = t.doc_id AND r.pos = t.pos
+  WHERE r.pos IS NULL
+  GROUP BY t.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT d.doc_id, z.n_tokens, d.n_removed,
+       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(k.cleaned_text, '') AS cleaned_text
+FROM removed d
+JOIN sizes z ON z.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "dedup_span_remove",
+    oracle=_span_remove_duck(SPAN_K),
+    description="span-level duplicate removal (Lee et al. §4 semantics, "
+    "cross-document): recurring k-token spans keep their min-doc_id "
+    "canonical copy; other docs cut the covered token positions "
+    "(overlaps unioned) and re-emit cleaned text + before/removed/kept "
+    "token counts. Equi-joins + positional explodes only — no range "
+    "join; removal fanout bounded by k × duplicated spans",
+)
+def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_span_remove_spark(SPAN_K))
+
+
 # --- exact set-similarity join via prefix filtering ---
 
 PPJOIN_ORACLE = f"""

@@ -46,6 +46,29 @@ def enrich_all_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("sog_kt", geo.sog_kt("len_m", "duration"))
 
 
+def enrich_materialized(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
+    """Storage-boundary form of `enrich_all_df` for consumers that FILTER
+    or JOIN on the derived x/y columns.
+
+    Filtering the lazy frame makes Catalyst push the predicate through the
+    projection, inlining the full Albers polynomial into the Filter/Join
+    condition; past Janino's 64KB method limit Spark silently falls back
+    to interpreted row-at-a-time execution (the hazard documented at
+    operators/pipeline.py:23-31 — observed live on geo_bbox_filter in
+    round 2). The lineage cut here makes downstream plans see plain
+    attribute refs: scan → tiny filter, whole-stage codegen end to end.
+
+    At production scale the boundary is the enriched parquet table the
+    pipeline already writes (O3/O6 — sql_to_line.py:205-234 persists the
+    same derived columns via UPDATE); these self-contained queries use
+    `localCheckpoint` instead: partitions materialize executor-local
+    (no driver collect, linear in input splits). `eager=False` defers
+    materialization to first use — exactly one job. Select only `cols`
+    before the cut so the materialized width is minimal.
+    """
+    return enrich_all_df(spark, sf_dir).select(*cols).localCheckpoint(eager=False)
+
+
 # scale=3 for the geo aggregates: len_m/sog_kt are sqrt outputs (full-
 # entropy decimals), and double→DECIMAL rounding differs across engines
 # when a value lands within half an ulp of a rounding boundary — expected

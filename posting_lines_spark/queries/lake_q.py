@@ -42,7 +42,7 @@ PRUNE_ORACLE = f"""
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_price,
        min(o_orderdate) AS min_date,
        max(o_orderdate) AS max_date
 FROM orders

@@ -7,11 +7,14 @@ even after rounding. DECIMAL arithmetic is exact and associative, so
 summing through DECIMAL makes the aggregate order-independent and
 therefore bit-reproducible on both engines.
 
-Magnitude bound: DECIMAL→DOUBLE casts are bit-identical across the two
-engines up to ~1e15 (measured; at ~1e18 they can split by 1 ulp because
-DuckDB divides int128 by 10^scale in FP while Spark rounds the exact
-decimal). Keep summed magnitudes below ~1e15 — scale the measure or
-lower the decimal scale if a query would exceed it.
+Final-cast rounding: DuckDB's direct DECIMAL/HUGEINT→DOUBLE cast is NOT
+correctly rounded above 2^53 (it converts int128→double then scales in
+FP; measured 1-ulp misrounding at ~3.1e19 in round 3, while Spark's
+BigDecimal path rounds correctly). Both engines' DECIMAL→VARCHAR
+formatting is plain digits and their string→double parses ARE correctly
+rounded, so the exact sum is cast through VARCHAR(48) on both sides —
+bit-identical at any magnitude the 38-digit decimal can hold (verified
+up to 1e35, signs, trailing zeros, NULL).
 
 Per-row rounding bound (the subtler hazard, measured in round 2): the
 double→DECIMAL cast itself can disagree — Spark rounds the double's
@@ -36,7 +39,10 @@ def dsum_expr(col_expr: str, scale: int = 6) -> str:
     cross-engine noise floor of the deterministic kernels) while leaving
     31 digits of headroom for the sum.
     """
-    return f"CAST(sum(CAST({col_expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    return (
+        f"CAST(CAST(sum(CAST({col_expr} AS DECIMAL(38,{scale})))"
+        f" AS STRING) AS DOUBLE)"
+    )
 
 
 def davg_expr(col_expr: str, scale: int = 6) -> str:

@@ -606,7 +606,7 @@ MV_ORACLE = """
 SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
        o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY ym, o_orderstatus

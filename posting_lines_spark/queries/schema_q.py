@@ -196,7 +196,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_price,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
        min(o_orderdate) AS min_date,
        max(o_orderdate) AS max_date,
@@ -374,7 +374,7 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 CSV_ORACLE = f"""
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
        CAST(count(*) AS BIGINT) AS n_custs,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_acctbal,
        min(md5(c_name)) AS min_digest
 FROM customer
 GROUP BY c_nationkey

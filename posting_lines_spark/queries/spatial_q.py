@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from posting_lines_spark.functions import geo
 from posting_lines_spark.functions.geo import dlit
 from posting_lines_spark.queries import register
-from posting_lines_spark.queries.geo_q import enrich_all_df, enriched_sql
+from posting_lines_spark.queries.geo_q import enrich_materialized, enriched_sql
 from posting_lines_spark.queries.parity import davg_expr
 from posting_lines_spark.sources import load_table
 
@@ -40,6 +40,20 @@ FROM nation
 """
 
 _DIST_LAYERS = geo.point_segment_dist_layers("xs", "ys", "x1", "y1", "x2", "y2", out="dist_m")
+
+
+def _stations_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station dimension with projected (xs, ys), lineage-cut.
+
+    The cut matters even at 25 rows: the 3×3 probe explode and downstream
+    join/filter conditions would otherwise inline the Albers kernel 9×
+    into a single Generate/condition expression on the broadcast build
+    side — observed to overflow Janino's 64KB method limit (round 3,
+    BroadcastExchangeExec compile failure). After the cut, xs/ys are plain
+    attributes everywhere downstream."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    st = geo.with_albers(spark.sql(STATIONS_SQL), [("slon", "slat", "s")])
+    return st.localCheckpoint(eager=False)
 
 _STATIONS_PROJ = geo.albers_cte_sql(STATIONS_SQL, [("slon", "slat", "s")], keep=["station_id"])
 
@@ -71,14 +85,16 @@ ORDER BY station_id
     "brute-force cross join with the identical distance expression",
 )
 def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seg = enrich_all_df(spark, sf_dir).withColumns(
+    # materialized across the storage boundary: cx/cy are join keys, and
+    # deriving them from the lazy frame inlines the Albers kernel into the
+    # hash-join key expression (Janino 64KB → interpreted fallback)
+    seg = enrich_materialized(spark, sf_dir, ["x1", "y1", "x2", "y2"]).withColumns(
         {
             "cx": F.expr(f"CAST(floor(x1 / {dlit(CELL_M)}) AS BIGINT)"),
             "cy": F.expr(f"CAST(floor(y1 / {dlit(CELL_M)}) AS BIGINT)"),
         }
     )
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    st = geo.with_albers(spark.sql(STATIONS_SQL), [("slon", "slat", "s")]).withColumns(
+    st = _stations_projected(spark, sf_dir).withColumns(
         {
             "scx": F.expr(f"CAST(floor(xs / {dlit(CELL_M)}) AS BIGINT)"),
             "scy": F.expr(f"CAST(floor(ys / {dlit(CELL_M)}) AS BIGINT)"),
@@ -170,13 +186,129 @@ ORDER BY station_id
     "pattern of geo_distance_join",
 )
 def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seg = enrich_all_df(spark, sf_dir)
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    st = geo.with_albers(spark.sql(STATIONS_SQL), [("slon", "slat", "s")])
+    # materialized: KNN_DIST + the min-dist equality filter would otherwise
+    # re-derive x1/y1 from the lazy Albers projection inside a predicate
+    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"])
+    st = _stations_projected(spark, sf_dir)
     cand = seg.crossJoin(F.broadcast(st)).select(
         "segment_id", "station_id", F.expr(KNN_DIST).alias("dist_m")
     )
     m = cand.groupBy("segment_id").agg(F.min("dist_m").alias("min_dist_m"))
+    nearest = (
+        cand.join(m, "segment_id")
+        .filter(F.col("dist_m") == F.col("min_dist_m"))
+        .groupBy("segment_id", "min_dist_m")
+        .agg(F.min("station_id").alias("station_id"))
+    )
+    return (
+        nearest.groupBy("station_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearest_segments"),
+            F.min("min_dist_m").alias("closest_m"),
+            F.expr(davg_expr("min_dist_m", scale=3)).alias("avg_dist_m"),
+        )
+        .orderBy("station_id")
+    )
+
+
+# --- grid ring-probe KNN (the large-dimension form) ---
+# geo_knn_join broadcasts the whole 25-row dimension — the right plan for
+# a small dimension, impossible for a large one. This variant implements
+# the outward grid probe the geo_knn_join docstring promises: each station
+# materializes its cells out to Chebyshev ring R_MAX; segments equi-join
+# on their ONE cell, so a segment only meets stations within R_MAX rings.
+#
+# Soundness bound (data-independent): any station in an unprobed ring
+# r > R_MAX lies at Euclidean distance ≥ R_MAX·CELL from the segment
+# (ring-r cells start (r-1) whole cells away). So when the best probed
+# candidate has dist < R_MAX·CELL it IS the true nearest — and a segment
+# whose true nearest is at dist < R_MAX·CELL always finds it (that
+# station's cell is within R_MAX rings). Emitting only rows under the
+# bound therefore matches a brute-force oracle filtered by the SAME
+# bound, for ANY data. At scale R_MAX is the iteration knob: probe ring
+# by ring and stop once (r-1)·CELL exceeds the best distance found; the
+# static unroll here is that loop flattened into one equi-join.
+
+KNN_RING_MAX = 2  # probe (2·R+1)² = 25 cells/station; bound = 200 km
+
+
+def _knn_grid_sql() -> str:
+    bound = dlit(KNN_RING_MAX * CELL_M)
+    return f"""
+WITH seg AS ({enriched_sql()}),
+st AS ({_STATIONS_PROJ}),
+cand AS (
+  SELECT seg.segment_id, st.station_id, {KNN_DIST} AS dist_m
+  FROM seg CROSS JOIN st
+),
+m AS (
+  SELECT segment_id, min(dist_m) AS min_dist_m FROM cand GROUP BY segment_id
+  HAVING min(dist_m) < {bound}
+),
+nearest AS (
+  SELECT c.segment_id, min(c.station_id) AS station_id, m.min_dist_m
+  FROM cand c JOIN m ON c.segment_id = m.segment_id AND c.dist_m = m.min_dist_m
+  GROUP BY c.segment_id, m.min_dist_m
+)
+SELECT station_id,
+       count(*) AS n_nearest_segments,
+       min(min_dist_m) AS closest_m,
+       {davg_expr("min_dist_m", scale=3)} AS avg_dist_m
+FROM nearest
+GROUP BY station_id
+ORDER BY station_id
+"""
+
+
+@register(
+    "geo_knn_grid",
+    oracle=_knn_grid_sql(),
+    description="grid ring-probe nearest-neighbor join (large-dimension "
+    "KNN): stations explode to their ≤R_MAX Chebyshev ring cells, "
+    "segments equi-join on their one cell, candidates with dist < "
+    "R_MAX·CELL are provably the true nearest (unprobed rings start at "
+    "R_MAX·CELL); oracle is the brute-force cross join under the same "
+    "bound — exact for any data, candidates bounded by (2R+1)² per "
+    "segment regardless of dimension size",
+)
+def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"]).withColumns(
+        {
+            "cx": F.expr(f"CAST(floor(x1 / {dlit(CELL_M)}) AS BIGINT)"),
+            "cy": F.expr(f"CAST(floor(y1 / {dlit(CELL_M)}) AS BIGINT)"),
+        }
+    )
+    st = _stations_projected(spark, sf_dir).withColumns(
+        {
+            "scx": F.expr(f"CAST(floor(xs / {dlit(CELL_M)}) AS BIGINT)"),
+            "scy": F.expr(f"CAST(floor(ys / {dlit(CELL_M)}) AS BIGINT)"),
+        }
+    )
+    r = KNN_RING_MAX
+    probes = st.select(
+        "station_id",
+        "xs",
+        "ys",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("scx") + i).alias("cx"), (F.col("scy") + j).alias("cy")
+                    )
+                    for i in range(-r, r + 1)
+                    for j in range(-r, r + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("station_id", "xs", "ys", "p.cx", "p.cy")
+    cand = seg.join(F.broadcast(probes), ["cx", "cy"]).select(
+        "segment_id", "station_id", F.expr(KNN_DIST).alias("dist_m")
+    )
+    m = (
+        cand.groupBy("segment_id")
+        .agg(F.min("dist_m").alias("min_dist_m"))
+        .filter(F.col("min_dist_m") < F.lit(KNN_RING_MAX * CELL_M))
+    )
     nearest = (
         cand.join(m, "segment_id")
         .filter(F.col("dist_m") == F.col("min_dist_m"))
@@ -216,7 +348,9 @@ ORDER BY returnflag
     "lookup would serve in the reference)",
 )
 def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = enrich_all_df(spark, sf_dir)
+    # materialized: the bbox predicate on lazy x1/y1 is the exact hazard of
+    # operators/pipeline.py:23-31 (observed interpreted-fallback, round 2)
+    df = enrich_materialized(spark, sf_dir, ["returnflag", "x1", "y1"])
     return (
         df.filter(F.expr(_BBOX_PRED))
         .groupBy("returnflag")

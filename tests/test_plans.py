@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale claims IMPLEMENTATION.md makes in
+prose (broadcast joins, scan pushdown, codegen-clean spatial family) are
+encoded here so a regression flips a test, not a benchmark.
+
+The spatial-family tests pin the round-2 finding: filtering/joining on
+*lazily derived* Albers columns inlines the projection polynomial into the
+predicate, overflows Janino's 64KB method limit, and silently drops to
+interpreted execution. The fix (queries/geo_q.py `enrich_materialized`)
+cuts lineage before the consumer; these tests execute each query with
+codegen fallback DISABLED (a compile failure then raises instead of
+silently degrading) and assert the final plans stay codegen-clean.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF0001, SF001
+
+# sf0.01: the bbox window is empty at sf0.001 (needs the full data extent)
+SPATIAL = ["geo_bbox_filter", "geo_distance_join", "geo_knn_join"]
+
+# An inlined Albers kernel is tens of KB of expression text; genuine
+# predicates (bbox compares, dist_m threshold, key equality) are < ~2KB.
+MAX_CONDITION_NODE_CHARS = 4000
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", SPATIAL)
+def test_spatial_family_is_codegen_clean(spark, name):
+    from posting_lines_spark.queries import load_all
+
+    fn = load_all()[name].fn
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = fn(spark, SF001)
+        rows = df.collect()  # executes; compile failure would raise here
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+    assert rows, f"{name} returned no rows"
+    plan = _executed_plan(df)
+    # toString marks whole-stage-codegen spans as `*(id)` node prefixes
+    assert re.search(r"\*\(\d+\)", plan), f"{name}: no codegen stage at all:\n{plan}"
+    for line in plan.splitlines():
+        s = line.strip(" +-*(0123456789)")
+        if s.startswith(("Filter", "BroadcastHashJoin", "SortMergeJoin")):
+            assert len(line) < MAX_CONDITION_NODE_CHARS, (
+                f"{name}: condition node carries an inlined kernel "
+                f"({len(line)} chars): {line[:200]}..."
+            )
+
+
+def test_spatial_consumers_read_materialized_attributes(spark):
+    """The consumer plan must start from the lineage cut (a LogicalRDD /
+    ExistingRDD scan), not re-derive the projection: the Albers constants
+    must not appear in any Filter/Join line of the big-side plan."""
+    from posting_lines_spark.functions import geo
+    from posting_lines_spark.queries import load_all
+
+    sentinel = repr(geo.RHO0)  # unique kernel constant (Snyder eq 14-12a)
+    fn = load_all()["geo_bbox_filter"].fn
+    plan = _executed_plan(fn(spark, SF001))
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan" in plan
+    assert sentinel not in plan, "bbox consumer re-derives the Albers projection"
+
+
+def test_join_region_revenue_broadcasts_dimensions(spark):
+    """The star join's dimension sides (region/nation/customer at small SF,
+    region/nation always) must broadcast — one shuffle of the fact table,
+    never a shuffle of a dimension."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["join_region_revenue"].fn(spark, SF0001)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, f"no broadcast join in plan:\n{plan}"
+
+
+def test_pipeline_detect_pushes_null_filter_and_prunes_scan(spark):
+    """O2 change detection: IsNull(geom) reaches the parquet scan and the
+    ReadSchema is pruned to exactly (key, geom)."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["pipeline_detect"].fn(spark, SF0001)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [IsNull(geom)]" in plan, plan
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and "ReadSchema: struct<segment_id:bigint,geom:" in scan_lines[0]
