@@ -196,13 +196,15 @@ def scd_upsert_available_now(
 
 def stream_stream_join_append_parquet(
     spark: SparkSession,
-    events: DataFrame,
+    events: DataFrame | None,
     out_dir: str,
     checkpoint_dir: str,
     left_type: str = "click",
     right_type: str = "purchase",
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    src_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream inner join: attribute each `right_type`
     event to the same user's `left_type` events in the preceding
@@ -213,19 +215,30 @@ def stream_stream_join_append_parquet(
 
     Inner-join matches are emitted as found (append mode). A drain of a
     bounded backlog in one availableNow batch emits exactly the batch
-    interval-join result; under multi-batch drains, rows arriving later
-    than `watermark` past their partner are dropped by eviction — the
-    documented streaming semantics, same contract as sessionization."""
+    interval-join result. Under multi-batch drains the eviction contract
+    is CROSS-BATCH (measured, round 3): state behind the watermark is
+    evicted at batch end, so a late row cannot match a partner arriving
+    in a LATER batch — that is the bounded-state guarantee — while a
+    late pair landing together in one batch still matches (the symmetric
+    hash join probes same-batch rows before eviction). Pinned by
+    tests/test_operators.py's multi-batch eviction test via `src_dir` +
+    `max_files_per_trigger=1`, which replays files as separate
+    micro-batches in modification-time order."""
     import tempfile
 
-    src = tempfile.mkdtemp(prefix="pls_ssj_src_")
-    events.write.mode("overwrite").parquet(src)
+    if src_dir is None:
+        src = tempfile.mkdtemp(prefix="pls_ssj_src_")
+        events.write.mode("overwrite").parquet(src)
+    else:
+        src = src_dir
     schema = spark.read.parquet(src).schema
 
     def side(event_type: str, tag: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return (
-            spark.readStream.schema(schema)
-            .parquet(src)
+            reader.parquet(src)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"u_{tag}"),

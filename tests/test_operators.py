@@ -347,3 +347,63 @@ class TestGraph:
         groups = {r.component: (r.n_members, r.survivor, r.n_drops)
                   for r in dedup_groups(connected_components(edges)).collect()}
         assert groups == {1: (4, 1, 3), 10: (3, 10, 2), 20: (2, 20, 1)}
+
+
+def test_stream_stream_join_multibatch_watermark_eviction(spark, tmp_path):
+    """Pin the eviction semantics the stream-stream join documents — and
+    their exact boundary, measured on the engine: with
+    maxFilesPerTrigger=1 each source file is its own micro-batch. The
+    watermark advanced by batch 1 evicts join state, so a late click
+    arriving in batch 2 cannot match its purchase arriving in batch 3
+    (cross-batch match against evicted state) — that drop is the bounded-
+    state guarantee. NOTE a late PAIR arriving together in ONE batch
+    still matches (symmetric hash join probes same-batch rows before
+    eviction; verified in round 3) — cross-batch eviction, not late-input
+    filtering, is the contract. The batch interval join would emit all
+    four pairs; streaming must emit exactly three."""
+    import os
+    import time
+
+    from posting_lines_spark.streaming import incremental
+
+    def ev(eid, uid, etype, minute):
+        return (eid, uid, etype, datetime.datetime(2026, 1, 1, 0, 0) + datetime.timedelta(minutes=minute))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    # batch 1: pairs (1,2), (3,4); watermark (10 min) after it ≈ 01:50
+    # (min over sides: clicks max 02:00, purchases max 02:04)
+    batches = [
+        [ev(1, 10, "click", 0), ev(2, 10, "purchase", 2),
+         ev(3, 11, "click", 120), ev(4, 11, "purchase", 124)],
+        # batch 2: click 5 @00:01 is far behind the watermark (its state
+        # is evicted at batch end); click 7 @02:30 is on time
+        [ev(5, 12, "click", 1), ev(7, 13, "click", 150)],
+        # batch 3: purchase 6 @00:03 finds click 5's state gone → no
+        # match; purchase 8 @02:32 matches retained click 7
+        [ev(6, 12, "purchase", 3), ev(8, 13, "purchase", 152)],
+    ]
+    src = str(tmp_path / "src")
+    seen: set[str] = set()
+    base_t = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode("append").parquet(src)
+        # FileStreamSource replays files oldest-mtime-first: pin each
+        # write's new part files to a strictly increasing mtime
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.endswith(".parquet") and name not in seen:
+                os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+                seen.add(name)
+
+    res = incremental.stream_stream_join_append_parquet(
+        spark,
+        None,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        horizon="5 minutes",
+        watermark="10 minutes",
+        src_dir=src,
+        max_files_per_trigger=1,
+    )
+    pairs = {(r.left_id, r.right_id) for r in res.collect()}
+    assert pairs == {(1, 2), (3, 4), (7, 8)}, pairs  # (5, 6) dropped by eviction
