@@ -94,3 +94,54 @@ def sample_frames(df: DataFrame, frame_size: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(per_batch, schema=FRAME_SAMPLE_SCHEMA)
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row long, patch_col long, n_patch_bytes long, patch_sum long"
+)
+RASTER_WIDTH = 32  # fake-decode raster: 32 bytes/row (real: image width × channels)
+PATCH_SIZE = 8     # 8×8 patches → 4 patch columns per raster row
+
+
+def patchify(df: DataFrame) -> DataFrame:
+    """Image tiling (the ViT/patch-embedding preprocessing op): treat the
+    payload as a RASTER_WIDTH-wide byte raster, cut it into
+    PATCH_SIZE×PATCH_SIZE tiles, emit one row per non-empty tile with its
+    grid position, in-bounds byte count, and byte-sum checksum. With a
+    real decoder the per-batch body tiles the decoded HxWxC array
+    instead of the fake byte raster — the Spark-side contract (row per
+    patch, payload pruned before any shuffle, Arrow-batch-bounded
+    memory, deterministic grid math) is identical and is what the SQL
+    replay checks byte-for-byte. Fan-out is bounded: ceil(H/P)·ceil(W/P)
+    rows per image, each carrying scalars, never pixel payloads."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        w, p = RASTER_WIDTH, PATCH_SIZE
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n = arr.size
+                height = -(-n // w)  # ceil
+                padded = np.zeros(height * w, dtype=np.int64)
+                padded[:n] = arr
+                raster = padded.reshape(height, w)
+                pos = np.arange(height * w).reshape(height, w)
+                for py in range(-(-height // p)):
+                    for px in range(-(-w // p)):
+                        block = raster[py * p : (py + 1) * p, px * p : (px + 1) * p]
+                        mask = pos[py * p : (py + 1) * p, px * p : (px + 1) * p] < n
+                        cnt = int(mask.sum())
+                        if cnt:
+                            rows.append(
+                                (doc_id, py, px, cnt, int(block[mask].sum()))
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "patch_row", "patch_col", "n_patch_bytes", "patch_sum"],
+            )
+
+    return df.mapInPandas(per_batch, schema=PATCH_SCHEMA)

@@ -40,6 +40,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 _LEDGER_PRIORITY = [
     "dedup_span_remove",
     "geo_knn_grid",
+    "sketch_quantile_hist",
+    "graph_triangles",
+    "multimodal_patchify",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

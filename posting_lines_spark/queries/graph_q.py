@@ -167,3 +167,77 @@ def graph_pagerank(spark: SparkSession, sf_dir: str):
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = graph.connected_components(_spark_pairs(spark, sf_dir))
     return graph.dedup_groups(comp).orderBy("component")
+
+
+# --- triangle counting over the near-dup graph ---
+# The clustering-signal primitive: a triangle = three documents that are
+# all pairwise near-duplicates (tight cluster), vs an open wedge (a-b,
+# b-c similar but a-c not — chain similarity, the classic transitivity
+# failure of threshold dedup). Exact count via the ordered-edge join:
+# edges directed low-id → high-id, triangles = e1(a,b) ⋈ e2(b,c) ⋈
+# e3(a,c) with a<b<c — each triangle counted exactly once.
+#
+# Scale note: id-ordering is the deterministic stand-in for DEGREE
+# ordering (direct each edge toward the higher-(degree, id) endpoint),
+# which bounds every node's out-degree by O(sqrt(m)) and thus the wedge
+# join by O(m^1.5) — the standard distributed triangle-count bound; the
+# join/shuffle structure is identical, only the orientation key changes.
+
+TRIANGLES_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_DUCK}),
+e AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM pairs
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  -- explicit DISTINCT over UNION ALL: DuckDB's chained UNION inside a
+  -- WITH RECURSIVE block was observed NOT to dedup across branches
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+)
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_triangle_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+"""
+
+
+@register(
+    "graph_triangles",
+    oracle=TRIANGLES_ORACLE,
+    description="exact triangle count over the verified near-dup graph: "
+    "ordered-edge self-join (a<b<c counts each triangle once); triangles "
+    "= tight all-pairs-similar clusters vs open wedges = chained "
+    "similarity. Degree-ordered orientation gives the O(m^1.5) "
+    "distributed bound at scale with the same join shape",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _spark_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .distinct()
+    )
+    t = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n = nodes.agg(F.count(F.lit(1)).alias("n_triangle_nodes"))
+    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return t.crossJoin(n).crossJoin(m)

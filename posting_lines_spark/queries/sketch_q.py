@@ -279,3 +279,81 @@ def bloom_semijoin_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- mergeable quantile sketch (fixed-bin histogram) ---
+
+QH_BINS = 256
+QH_WIDTH = 2500.0  # domain [0, 640000) covers o_totalprice's range
+
+
+def _qh_sql(pct: str) -> str:
+    """Shared SQL modulo the exact-percentile function name
+    (Spark `percentile` / DuckDB `quantile_cont` — both exact-interpolate
+    half-integers over integer cents, the anomaly_mad parity pattern)."""
+    return f"""
+WITH b AS (
+  SELECT least(greatest(CAST(floor(o_totalprice / {QH_WIDTH!r}) AS BIGINT),
+               CAST(0 AS BIGINT)), CAST({QH_BINS - 1} AS BIGINT)) AS bin,
+         o_orderkey % 8 AS shard,
+         CAST(round(o_totalprice * 1.0e2) AS BIGINT) AS cents
+  FROM orders
+),
+partials AS (
+  SELECT shard, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY shard, bin
+),
+hist AS (
+  SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM partials GROUP BY bin
+),
+cum AS (
+  SELECT bin, n,
+         CAST(sum(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM hist
+),
+q AS (
+  SELECT 0.5e0 AS p UNION ALL SELECT 0.9e0 UNION ALL SELECT 0.99e0
+),
+est AS (
+  SELECT q.p, min(cum.bin) AS qbin, min(cum.total) AS n_rows
+  FROM cum CROSS JOIN q
+  WHERE cum.c >= ceil(q.p * cum.total)
+  GROUP BY q.p
+),
+ex AS (
+  SELECT {pct}(cents, 0.5e0) / 1.0e2 AS e50,
+         {pct}(cents, 0.9e0) / 1.0e2 AS e90,
+         {pct}(cents, 0.99e0) / 1.0e2 AS e99
+  FROM b
+)
+SELECT est.p,
+       est.n_rows,
+       (est.qbin + 1) * {QH_WIDTH!r}e0 AS est_q,
+       CASE WHEN est.p = 0.5e0 THEN ex.e50
+            WHEN est.p = 0.9e0 THEN ex.e90
+            ELSE ex.e99 END AS exact_q,
+       abs((est.qbin + 1) * {QH_WIDTH!r}e0
+           - CASE WHEN est.p = 0.5e0 THEN ex.e50
+                  WHEN est.p = 0.9e0 THEN ex.e90
+                  ELSE ex.e99 END) <= {QH_WIDTH!r}e0 AS bound_ok
+FROM est CROSS JOIN ex
+ORDER BY est.p
+"""
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle=_qh_sql("quantile_cont"),
+    description="mergeable quantile sketch: per-shard fixed-bin histograms "
+    f"(constant {QH_BINS} rows/shard), merged by plain addition, quantile "
+    "estimate = first bin whose cumulative count reaches ceil(p·n) with "
+    "the deterministic |est − exact| ≤ bin-width guarantee checked "
+    "in-query against the exact integer-cents percentile (engine-exact "
+    "half-integer interpolation, the anomaly_mad pattern). The 100 TB "
+    "quantile path: shard partials are constant-size, the merge moves "
+    f"{QH_BINS} rows per shard, never data",
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_qh_sql("percentile"))

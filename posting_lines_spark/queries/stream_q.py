@@ -156,6 +156,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, mode="meta").orderBy("doc_id")
 
 
+# patch grid replayed in SQL: the payload is a 32-byte-wide raster cut
+# into 8×8 tiles; per tile, count and byte-sum the in-bounds positions
+# (pos = r·32 + c < n). Pure-ASCII corpus ⇒ ascii(substr) = payload byte.
+PATCHIFY_ORACLE = """
+WITH meta AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CAST(ceil(octet_length(encode(text)) / 32.0e0) AS BIGINT) AS height
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, text, n, height,
+         unnest(range(0, (height + 7) // 8)) AS patch_row
+  FROM meta
+),
+pc AS (
+  SELECT doc_id, text, n, height, patch_row,
+         unnest(range(0, 4)) AS patch_col
+  FROM pr
+),
+r AS (
+  SELECT doc_id, text, n, patch_row, patch_col,
+         unnest(range(patch_row * 8, least((patch_row + 1) * 8, height))) AS rr
+  FROM pc
+),
+c AS (
+  SELECT doc_id, text, n, patch_row, patch_col, rr,
+         unnest(range(patch_col * 8, (patch_col + 1) * 8)) AS cc
+  FROM r
+),
+v AS (
+  SELECT doc_id, patch_row, patch_col,
+         ascii(substr(text, CAST(rr * 32 + cc + 1 AS INT), 1)) AS byte
+  FROM c
+  WHERE rr * 32 + cc < n
+)
+SELECT doc_id, patch_row, patch_col,
+       CAST(count(*) AS BIGINT) AS n_patch_bytes,
+       CAST(sum(byte) AS BIGINT) AS patch_sum
+FROM v
+GROUP BY doc_id, patch_row, patch_col
+ORDER BY doc_id, patch_row, patch_col
+"""
+
+
+@register(
+    "multimodal_patchify",
+    oracle=PATCHIFY_ORACLE,
+    description="image tiling (ViT patch-embedding preprocessing): payload "
+    "as a 32-wide byte raster cut into 8×8 tiles via Arrow-batched "
+    "mapInPandas — one scalar row per non-empty tile (grid position, "
+    "in-bounds count, byte-sum), payload never shuffled; with a real "
+    "decoder the batch body tiles the decoded array, same contract. "
+    "Byte-exact SQL replay as the oracle",
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d)
+    return multimodal.patchify(media).orderBy("doc_id", "patch_row", "patch_col")
+
+
 # --- streaming CDC upsert into an SCD2 table ---
 # The oracle derives the expected final table directly: every user starts
 # with one seed row (value 0 from epoch), the change stream's latest
