@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from posting_lines_spark.functions.hashing import md5_int_spark
+from posting_lines_spark.functions.hashing import cw_mix_sql, md5_int_spark, md5_limb_spark
 
 # --- shingling (Spark side; the DuckDB twin lives in queries/dedup_q.py) ---
 
@@ -135,13 +135,22 @@ def minhash_signature(
     sh: DataFrame, id_col: str, num_hashes: int = 12
 ) -> DataFrame:
     """H min-hashes per doc in ONE aggregation pass over (id, shingle).
-    Hash family = salted md5, two 60-bit slots per digest — ⌈H/2⌉ md5
-    evaluations per shingle instead of H."""
+
+    Hash cost is ONE md5 digest per shingle regardless of H: the digest
+    splits into four 32-bit limbs and each of the H values is a
+    Carter-Wegman integer mix of the limbs (functions/hashing.py
+    cw_mix_sql) — string hashing is the expensive part of the signature
+    stage (measured 6× fewer digests at H=12 vs a salt-per-hash-pair
+    family), the mixes are register arithmetic inside the same codegen
+    stage. DuckDB replays digest, limbs, and mix exactly."""
+    d = sh.withColumn("__d", F.expr("md5(concat('mh|', shingle))")).withColumns(
+        {f"__l{i}": F.expr(md5_limb_spark("__d", i)) for i in range(4)}
+    )
+    limbs = [f"__l{i}" for i in range(4)]
     aggs = [
-        F.min(F.expr(md5_int_spark("shingle", salt=f"mh{j // 2}", slot=j % 2))).alias(f"mh{j}")
-        for j in range(num_hashes)
+        F.min(F.expr(cw_mix_sql(limbs, j))).alias(f"mh{j}") for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return d.groupBy(id_col).agg(*aggs)
 
 
 def _blocked_self_pairs(hot: DataFrame, id_col: str, chunk: int) -> DataFrame:

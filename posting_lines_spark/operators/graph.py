@@ -81,23 +81,30 @@ def connected_components(
     # re-evaluates the full upstream pipeline (e.g. MinHash candidate
     # generation) per reference.
     e = e.checkpoint(eager=True) if use_reliable else e.localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     prev_chk: tuple | None = None
     converged = False
     for it in range(max_iter):
-        e = _small_star(_large_star(e))
-        if use_reliable and (it + 1) % checkpoint_every == 0:
-            e = e.checkpoint(eager=True)
-        else:
-            e = e.localCheckpoint(eager=True)
-        chk = tuple(
-            e.agg(
-                # decimal sums: int64 ids/hashes would overflow a long sum
-                F.count(F.lit(1)),
-                F.sum(F.col("u").cast("decimal(38,0)")),
-                F.sum(F.col("v").cast("decimal(38,0)")),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-            ).collect()[0]
+        # Convergence checksum rides the checkpoint's own materialization
+        # job via observe() — one job per round, not two (the observation
+        # fires when eager checkpointing executes the observed plan;
+        # verified on this engine). Decimal sums: int64 ids/hashes would
+        # overflow a long sum.
+        obs = Observation(f"cc_round_{it}")
+        watched = _small_star(_large_star(e)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         )
+        if use_reliable and (it + 1) % checkpoint_every == 0:
+            e = watched.checkpoint(eager=True)
+        else:
+            e = watched.localCheckpoint(eager=True)
+        m = obs.get
+        chk = (m["n"], m["su"], m["sv"], m["h"])
         if chk == prev_chk:
             converged = True
             break

@@ -86,9 +86,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH near-dup ---
 
 def _minhash_oracle() -> str:
+    from posting_lines_spark.functions.hashing import cw_mix_sql, md5_limb_duck
+
+    limbs = [f"l{i}" for i in range(4)]
+    limb_cols = ", ".join(f"{md5_limb_duck('d', i)} AS l{i}" for i in range(4))
     mins = ",\n       ".join(
-        f"min({md5_int_duck('shingle', salt=f'mh{j // 2}', slot=j % 2)}) AS mh{j}"
-        for j in range(NUM_HASHES)
+        f"min({cw_mix_sql(limbs, j)}) AS mh{j}" for j in range(NUM_HASHES)
     )
     rows = NUM_HASHES // BANDS
     band_selects = "\nUNION ALL\n".join(
@@ -101,7 +104,11 @@ def _minhash_oracle() -> str:
 WITH sh AS ({_SH_DUCK}),
 sig AS (
   SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
+  FROM (
+    SELECT doc_id, {limb_cols}
+    FROM (SELECT doc_id, md5(concat('mh|', shingle)) AS d FROM sh)
+  )
+  GROUP BY doc_id
 ),
 bands AS ({band_selects}),
 pairs AS (
