@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from posting_lines_spark.functions import geo
 from posting_lines_spark.plans import ais
 from posting_lines_spark.queries import register
-from posting_lines_spark.queries.parity import davg, davg_expr, dsum, dsum_expr
+from posting_lines_spark.queries.parity import lavg, lavg_expr, lsum, lsum_expr
 
 _POINTS = [("start_lon", "start_lat", "1"), ("end_lon", "end_lat", "2")]
 _SEG_COLS = [
@@ -70,17 +70,20 @@ def enrich_materialized(spark: SparkSession, sf_dir: str, cols: list[str]) -> Da
 
 
 # scale=3 for the geo aggregates: len_m/sog_kt are sqrt outputs (full-
-# entropy decimals), and double→DECIMAL rounding differs across engines
-# when a value lands within half an ulp of a rounding boundary — expected
-# boundary hits ≈ n·v·2.2e-16·10^scale, which at scale 6 becomes ~1 per
-# million sqrt-valued rows. Millimetre quantization keeps it ≪ 1 at sf1+.
+# entropy decimals), and double→fixed-point rounding differs across
+# engines when a value lands within half an ulp of a rounding boundary —
+# expected boundary hits ≈ n·v·2.2e-16·10^scale, which at scale 6 becomes
+# ~1 per million sqrt-valued rows. Millimetre quantization keeps it ≪ 1
+# at sf1+. The int64 route (lavg/lsum) applies because the measures are
+# physically bounded: len_m < 4e3 m and sog_kt < 1e3 kt ⇒ > 10^12-row
+# headroom before the i64 sum could overflow (parity.py lsum_expr).
 FLAGSHIP_ORACLE = f"""
 SELECT returnflag,
        count(*) AS n_segments,
        count(sog_kt) AS n_with_sog,
-       {davg("len_m", "avg_len_m", scale=3)},
-       {davg("sog_kt", "avg_sog_kt", scale=3)},
-       {dsum("len_m", "total_len_m", scale=3)}
+       {lavg("len_m", "avg_len_m", scale=3)},
+       {lavg("sog_kt", "avg_sog_kt", scale=3)},
+       {lsum("len_m", "total_len_m", scale=3)}
 FROM ({enriched_sql()})
 GROUP BY returnflag
 ORDER BY returnflag
@@ -100,9 +103,9 @@ def geo_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.count("sog_kt").alias("n_with_sog"),
-            F.expr(davg_expr("len_m", scale=3)).alias("avg_len_m"),
-            F.expr(davg_expr("sog_kt", scale=3)).alias("avg_sog_kt"),
-            F.expr(dsum_expr("len_m", scale=3)).alias("total_len_m"),
+            F.expr(lavg_expr("len_m", scale=3)).alias("avg_len_m"),
+            F.expr(lavg_expr("sog_kt", scale=3)).alias("avg_sog_kt"),
+            F.expr(lsum_expr("len_m", scale=3)).alias("total_len_m"),
         )
         .orderBy("returnflag")
     )
