@@ -43,6 +43,8 @@ _LEDGER_PRIORITY = [
     "sketch_quantile_hist",
     "graph_triangles",
     "multimodal_patchify",
+    "timeseries_m4_downsample",
+    "fuzzy_join_levenshtein",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

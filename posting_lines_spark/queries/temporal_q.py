@@ -168,3 +168,53 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id",
         (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("delta_us"),
     ).orderBy("purchase_id", "error_id")
+
+
+# --- M4 time-series downsampling ---
+# The canonical charting/downsampling operator (Jugel et al., VLDB'14):
+# per (series, time bucket) keep min, max, first, and last — the four
+# values that preserve a line chart's visual extremes at any zoom. Exact
+# and deterministic: first/last use the repo's canonical tie-safe event
+# order (µs, event_id) via row_number, never engine-specific arg_min.
+# Scale shape: ONE window pass partitioned by (series, bucket) + one
+# hash-aggregate on the same key — both shuffles share the key, and the
+# bucket width is a fixed constant (6h), so no global-extent scan.
+
+M4_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+def _m4_sql(us: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         value,
+         CAST(({us}) {{idiv}} {M4_BUCKET_US} AS BIGINT) AS bucket,
+         row_number() OVER (PARTITION BY event_type, CAST(({us}) {{idiv}} {M4_BUCKET_US} AS BIGINT)
+                            ORDER BY {us}, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, CAST(({us}) {{idiv}} {M4_BUCKET_US} AS BIGINT)
+                            ORDER BY {us} DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(value) AS v_min,
+       max(value) AS v_max,
+       max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_d = 1 THEN value END) AS v_last
+FROM e
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register(
+    "timeseries_m4_downsample",
+    oracle=_m4_sql("epoch_us(ts)").replace("{idiv}", "//"),
+    description="M4 time-series downsampling: per (series, 6h bucket) "
+    "min/max/first/last — the extremes-preserving downsample charting "
+    "systems use; tie-safe (µs, event_id) ordering via row_number, one "
+    "window pass + one aggregate sharing the same shuffle key",
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_m4_sql("unix_micros(ts)").replace("{idiv}", "div"))

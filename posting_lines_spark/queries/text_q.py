@@ -377,3 +377,83 @@ FROM red GROUP BY source ORDER BY source
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(REDACT_SPARK)
+
+
+# --- fuzzy (edit-distance) join ---
+# The reference's `name VARCHAR(20)` column (sql_to_line.py:196) is noisy
+# AIS vessel text; matching it across reports is a fuzzy join. Scale
+# shape: candidates from a character-bigram inverted index (equi-join on
+# the gram), exact levenshtein ≤ K verification on candidates only.
+# Completeness is provable, not assumed: a length-n string has n-1
+# bigrams and one edit destroys at most 2 of them, so any pair within
+# K=2 edits shares ≥ n-1-2K ≥ 1 bigram once n ≥ 6 ("VESSEL_x" is ≥ 8)
+# — the bigram join therefore yields a candidate superset and the
+# verified output equals the brute-force cross join, which is the
+# oracle. Worst case for selectivity is exactly this corpus (uniform
+# "VESSEL_" prefix → shared grams everywhere); realistic name corpora
+# prune far harder, and a PPJoin-style rarest-gram prefix (already in
+# operators/dedup.py) is the drop-in upgrade when they don't.
+
+FUZZY_K = 2
+
+
+def _fuzzy_corpus(cast_str: str, gen: str) -> str:
+    # 300 canonical vessel names + 3 deterministic corruption modes
+    # (deletion / substitution / insertion), identical rows on both engines
+    return f"""
+SELECT i, concat('VESSEL_', CAST(i AS {cast_str})) AS name FROM ({gen})
+UNION ALL
+SELECT i + 1000 AS i,
+       CASE WHEN i % 3 = 0 THEN concat('VESSEL', CAST(i AS {cast_str}))
+            WHEN i % 3 = 1 THEN concat('VESSEL#', CAST(i AS {cast_str}))
+            ELSE concat('XVESSEL_', CAST(i AS {cast_str})) END AS name
+FROM ({gen})
+"""
+
+
+def _fuzzy_sql(corpus: str, grams: str) -> str:
+    return f"""
+WITH names AS ({corpus}),
+g AS ({grams}),
+cand AS (
+  SELECT DISTINCT a.i AS id_a, b.i AS id_b
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.i < 1000 AND b.i >= 1000
+),
+v AS (
+  SELECT c.id_a, c.id_b, na.name AS name_a, nb.name AS name_b,
+         CAST(levenshtein(na.name, nb.name) AS BIGINT) AS lev
+  FROM cand c
+  JOIN names na ON na.i = c.id_a
+  JOIN names nb ON nb.i = c.id_b
+)
+SELECT id_a, id_b, name_a, name_b, lev
+FROM v
+WHERE lev <= {FUZZY_K}
+ORDER BY id_a, id_b
+"""
+
+
+_FUZZY_ORACLE_CORPUS = _fuzzy_corpus("VARCHAR", "SELECT unnest(range(0, 300)) AS i")
+_FUZZY_ORACLE_GRAMS = """
+SELECT DISTINCT i, substring(name, CAST(p AS INT), 2) AS gram
+FROM (SELECT i, name, unnest(range(1, len(name))) AS p FROM names)
+"""
+_FUZZY_SPARK_CORPUS = _fuzzy_corpus("STRING", "SELECT explode(sequence(0, 299)) AS i")
+_FUZZY_SPARK_GRAMS = """
+SELECT DISTINCT i, substring(name, CAST(p AS INT), 2) AS gram
+FROM (SELECT i, name, explode(sequence(1, length(name) - 1)) AS p FROM names)
+"""
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle=_fuzzy_sql(_FUZZY_ORACLE_CORPUS, _FUZZY_ORACLE_GRAMS),
+    description="fuzzy edit-distance join: bigram inverted-index "
+    "candidates (provably complete for lev ≤ 2 on names ≥ 6 chars: one "
+    "edit destroys ≤ 2 of the n−1 bigrams) + exact levenshtein verify — "
+    "output identical to the brute-force cross join, which is the "
+    "oracle; the q-gram/verify shape every scale fuzzy join uses",
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_fuzzy_sql(_FUZZY_SPARK_CORPUS, _FUZZY_SPARK_GRAMS))

@@ -407,3 +407,35 @@ def test_stream_stream_join_multibatch_watermark_eviction(spark, tmp_path):
     )
     pairs = {(r.left_id, r.right_id) for r in res.collect()}
     assert pairs == {(1, 2), (3, 4), (7, 8)}, pairs  # (5, 6) dropped by eviction
+
+
+def test_cw_minhash_sql_matches_python_mirror(spark):
+    """The Spark-side CW mix (limbs from md5, integer mix) must equal the
+    pure-Python mirror bit-for-bit — the same property the DuckDB oracle
+    relies on, pinned engine-side."""
+    import hashlib
+
+    from posting_lines_spark.functions.hashing import (
+        CW_MOD,
+        cw_constants,
+        cw_mix_sql,
+        md5_limb_spark,
+    )
+
+    toks = ["alpha beta", "x", "", "Straße-ascii-not", "VESSEL_42"]
+    df = spark.createDataFrame([(t,) for t in toks], "shingle string")
+    d = df.withColumn("__d", F.expr("md5(concat('mh|', shingle))")).withColumns(
+        {f"__l{i}": F.expr(md5_limb_spark("__d", i)) for i in range(4)}
+    )
+    limbs = [f"__l{i}" for i in range(4)]
+    out = d.select(
+        "shingle", *[F.expr(cw_mix_sql(limbs, j)).alias(f"h{j}") for j in range(12)]
+    ).collect()
+
+    for row in out:
+        dig = hashlib.md5(f"mh|{row.shingle}".encode()).hexdigest()
+        lm = [int(dig[i * 8 : (i + 1) * 8], 16) for i in range(4)]
+        for j in range(12):
+            a = cw_constants(j)
+            want = (sum(a[i] * lm[i] for i in range(4)) + j) % CW_MOD
+            assert row[f"h{j}"] == want, (row.shingle, j)

@@ -112,3 +112,50 @@ def test_prefix_filter_candidates_cover_all_qualifying_pairs(docs, t):
                 assert prefix(a) & prefix(b), (
                     f"qualifying pair lost: {a} {b} jac={jac} t={t}"
                 )
+
+
+# --- Carter-Wegman derived hash family (functions/hashing.py) ---
+# Pure-Python replay of the SQL mix: same limb extraction, same constants,
+# same modular arithmetic — the engines evaluate the identical expression
+# text, so this mirror pins the family's semantics and its int64 safety.
+
+texts = st.text(min_size=0, max_size=200)
+
+
+def _cw_py(s: str, j: int) -> int:
+    import hashlib
+
+    from posting_lines_spark.functions.hashing import CW_MOD, cw_constants
+
+    d = hashlib.md5(f"mh|{s}".encode()).hexdigest()
+    limbs = [int(d[i * 8 : (i + 1) * 8], 16) for i in range(4)]
+    a = cw_constants(j)
+    return (sum(a[i] * limbs[i] for i in range(4)) + j) % CW_MOD
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, st.integers(min_value=0, max_value=31))
+def test_cw_mix_in_range_and_int64_safe(s, j):
+    from posting_lines_spark.functions.hashing import CW_MOD, cw_constants
+
+    h = _cw_py(s, j)
+    assert 0 <= h < CW_MOD
+    # every SQL intermediate stays below 2^63: four (28-bit × 32-bit)
+    # products plus j
+    import hashlib
+
+    d = hashlib.md5(f"mh|{s}".encode()).hexdigest()
+    limbs = [int(d[i * 8 : (i + 1) * 8], 16) for i in range(4)]
+    a = cw_constants(j)
+    acc = sum(a[i] * limbs[i] for i in range(4)) + j
+    assert acc < 2**63
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_cw_family_members_differ(s):
+    # distinct j ⇒ (almost surely) distinct hashes — the family is a
+    # family, not one hash repeated; identical inputs collide across j
+    # only by modular coincidence, never structurally
+    hs = {_cw_py(s, j) for j in range(12)}
+    assert len(hs) >= 11
