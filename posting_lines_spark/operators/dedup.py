@@ -186,23 +186,15 @@ def _blocked_self_pairs(hot: DataFrame, id_col: str, chunk: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame,
-    id_col: str,
-    num_hashes: int = 12,
-    bands: int = 4,
-    hot_width: int | None = None,
+def band_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
 ) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_key): docs
-    sharing any band become candidate pairs (id_a < id_b). The band join
-    is the scale path — no all-pairs comparison ever materializes.
-
-    `hot_width` arms hot-band salting: buckets wider than it (boilerplate
-    signatures) are routed through a blocked self-join whose per-key width
-    is bounded at w·hot_width instead of w², with an IDENTICAL output pair
-    set (equivalence asserted in tests on an all-duplicates corpus)."""
+    """(id, band_idx, band_key) rows from a MinHash signature frame — the
+    LSH index layout: equal band_key within a band ⇒ candidate pair. This
+    is the frame a production pipeline PERSISTS between increments (see
+    `incremental_candidate_pairs`)."""
     rows = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -218,6 +210,49 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def incremental_candidate_pairs(
+    banded_new: DataFrame, banded_index: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL dedup batch: new docs against
+    the persisted band index plus the batch itself — never index×index.
+    Per-increment join cost is ∝ batch size (the index side is touched
+    only on matching band keys), which is what makes continuous corpus
+    dedup affordable: the corpus is re-paired zero times after ingest.
+    Output is (id_a < id_b) distinct pairs where ≥ 1 side is new."""
+    probe = banded_new.select(F.col(id_col).alias("__id_x"), "band_idx", "band_key")
+    build = (
+        banded_index.unionByName(banded_new)
+        .select(F.col(id_col).alias("__id_y"), "band_idx", "band_key")
+    )
+    return (
+        probe.join(build, ["band_idx", "band_key"])
+        .filter(F.col("__id_x") != F.col("__id_y"))
+        .select(
+            F.least("__id_x", "__id_y").alias("id_a"),
+            F.greatest("__id_x", "__id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hot_width: int | None = None,
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_key): docs
+    sharing any band become candidate pairs (id_a < id_b). The band join
+    is the scale path — no all-pairs comparison ever materializes.
+
+    `hot_width` arms hot-band salting: buckets wider than it (boilerplate
+    signatures) are routed through a blocked self-join whose per-key width
+    is bounded at w·hot_width instead of w², with an IDENTICAL output pair
+    set (equivalence asserted in tests on an all-duplicates corpus)."""
+    banded = band_signatures(sig, id_col, num_hashes, bands)
     if hot_width is None:
         a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
         b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")

@@ -45,6 +45,8 @@ _LEDGER_PRIORITY = [
     "multimodal_patchify",
     "timeseries_m4_downsample",
     "fuzzy_join_levenshtein",
+    "dedup_incremental",
+    "files_prune_bloom",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

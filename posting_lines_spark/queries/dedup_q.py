@@ -162,6 +162,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
 
 
+# --- incremental near-dup (new batch vs persisted index) ---
+# The shape a CONTINUOUS ingestion pipeline actually runs: the corpus's
+# band index is persisted state; an arriving batch computes signatures
+# for its own docs only and probes the index — candidates are
+# (new × index) ∪ (new × new), never index × index, so per-increment
+# cost is ∝ batch size. Here the "index" is the pre-copy corpus
+# (doc_id < 100000) and the "batch" is the near-copies (id ≥ 100000);
+# because the CW hash family is shared, the incremental candidate set
+# restricted this way is provably the full LSH candidate set minus its
+# old×old pairs — the oracle is therefore the full MinHash oracle
+# filtered to pairs involving a new doc (id_b ≥ 100000, since ids are
+# ordered and every pair has id_a < id_b).
+
+
+def _incremental_oracle() -> str:
+    body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"SELECT * FROM ({body}) WHERE id_b >= 100000 ORDER BY id_a, id_b"
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    description="incremental near-dup: new batch probes the persisted "
+    "band index ((new × index) ∪ (new × new), never index × index — "
+    "per-increment cost ∝ batch size), exact-Jaccard verified; oracle = "
+    "full MinHash pair set restricted to pairs touching the batch",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    existing = base.filter(F.col("doc_id") < 100000)
+    batch = base.filter(F.col("doc_id") >= 100000)
+    # persisted state of the live pipeline: band index + shingle sets of
+    # the already-ingested corpus (storage boundary; localCheckpoint is
+    # the local-mode stand-in, exactly as in dedup_minhash_lsh)
+    banded_idx = dedup.band_signatures(
+        dedup.minhash_signature(
+            dedup.shingles(existing, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+        ),
+        "doc_id",
+        NUM_HASHES,
+        BANDS,
+    ).localCheckpoint(eager=False)
+    banded_new = dedup.band_signatures(
+        dedup.minhash_signature(
+            dedup.shingles(batch, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+        ),
+        "doc_id",
+        NUM_HASHES,
+        BANDS,
+    ).localCheckpoint(eager=False)
+    cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    return dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
+
+
 # --- n-gram Jaccard (inverted-index all-candidates) ---
 
 # stop-shingle cap: shingles in more than this many docs are dropped on

@@ -168,3 +168,100 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# --- bloom-filter file skipping (point lookups) ---
+# min/max manifests prune RANGE predicates on the clustering column; a
+# point lookup on an UNCORRELATED column (here o_custkey against
+# date-clustered files) matches every file's min/max interval and prunes
+# nothing. The lake answer is a per-file bloom filter in the manifest
+# (Iceberg/Delta both store these): 8 KiB per file, probed driver-side
+# before planning the scan. Soundness is the bloom no-false-negative
+# guarantee — a pruned file provably contains no matching row — so the
+# pruned aggregate equals the full-scan oracle for ANY data; false
+# positives only cost an extra file read.
+
+BLOOM_PROBE_CUSTKEY = 7
+
+
+def file_bloom_manifest(df: DataFrame, key_col: str):
+    """(file → sparse {word: bits}) bloom manifest via _metadata.file_path
+    — same k=2 md5 positions as sketch_q's runtime bloom; one column-pruned
+    scan, output bounded by files × occupied words (collectable at any
+    data scale, like the min/max manifest)."""
+    from posting_lines_spark.queries.sketch_q import _bloom_hashes
+
+    pos = df.select(
+        F.col("_metadata.file_path").alias("file"),
+        F.explode(F.array(*_bloom_hashes(f"CAST({key_col} AS STRING)"))).alias("pos"),
+    )
+    rows = (
+        pos.select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    manifest: dict[str, dict[int, int]] = {}
+    for r in rows:
+        manifest.setdefault(r.file, {})[r.w] = r.bits
+    return manifest
+
+
+def _bloom_probe_positions(key: str) -> list[int]:
+    """Driver-side mirror of sketch_q's md5 bloom positions (bit-identical
+    to the SQL: leading/second 15 hex chars of md5('bloom|'+key))."""
+    import hashlib
+
+    from posting_lines_spark.queries.sketch_q import BLOOM_M
+
+    d = hashlib.md5(f"bloom|{key}".encode()).hexdigest()
+    return [int(d[s * 15 : s * 15 + 15], 16) % BLOOM_M for s in (0, 1)]
+
+
+BLOOM_PRUNE_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+WHERE o_custkey = {BLOOM_PROBE_CUSTKEY}
+"""
+
+
+@register(
+    "files_prune_bloom",
+    oracle=BLOOM_PRUNE_ORACLE,
+    description="bloom-filter file skipping: date-clustered files (min/max "
+    "useless for a custkey point lookup) carry an 8 KiB bloom each in the "
+    "manifest; the probe prunes the file list driver-side before the scan "
+    "is planned. No false negatives ⇒ pruned result provably equals the "
+    "full-scan oracle; false positives only cost an extra file read",
+)
+def files_prune_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="pls_bloomman_")
+    # date clustering: custkeys scatter across every file, the worst case
+    # for min/max skipping and the motivating case for blooms
+    o.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
+    full = spark.read.parquet(path)
+    manifest = file_bloom_manifest(full, "o_custkey")
+    p0, p1 = _bloom_probe_positions(str(BLOOM_PROBE_CUSTKEY))
+    keep = [
+        f
+        for f, words in manifest.items()
+        if (words.get(p0 // 64, 0) >> (p0 % 64)) & 1
+        and (words.get(p1 // 64, 0) >> (p1 % 64)) & 1
+    ]
+    pruned = spark.read.parquet(*keep) if keep else full.limit(0)
+    return pruned.filter(F.col("o_custkey") == BLOOM_PROBE_CUSTKEY).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )

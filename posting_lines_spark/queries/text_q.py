@@ -439,7 +439,9 @@ _FUZZY_ORACLE_GRAMS = """
 SELECT DISTINCT i, substring(name, CAST(p AS INT), 2) AS gram
 FROM (SELECT i, name, unnest(range(1, len(name))) AS p FROM names)
 """
-_FUZZY_SPARK_CORPUS = _fuzzy_corpus("STRING", "SELECT explode(sequence(0, 299)) AS i")
+_FUZZY_SPARK_CORPUS = _fuzzy_corpus(
+    "STRING", "SELECT explode(sequence(CAST(0 AS BIGINT), CAST(299 AS BIGINT))) AS i"
+)
 _FUZZY_SPARK_GRAMS = """
 SELECT DISTINCT i, substring(name, CAST(p AS INT), 2) AS gram
 FROM (SELECT i, name, explode(sequence(1, length(name) - 1)) AS p FROM names)

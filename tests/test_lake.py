@@ -41,3 +41,50 @@ def test_schema_evolution_null_fills_old_batch(spark):
     assert rows[1].n_priced == 0  # column didn't exist in batch 1
     assert rows[2].n_priced == rows[2].n_rows  # fully populated in batch 2
     assert rows[1].price_sum == 0.0
+
+
+def test_bloom_manifest_prunes_absent_key(spark):
+    """Deterministic data + md5 positions ⇒ fixed outcome: a custkey that
+    does not occur anywhere must prune at least one file (in practice
+    nearly all — fpp ≈ (1-e^(-2n/m))² per file), and a present key must
+    keep every file that holds its rows (no false negatives: the kept
+    rowcount equals the unpruned filter)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.queries.lake_q import (
+        _bloom_probe_positions,
+        file_bloom_manifest,
+    )
+    from posting_lines_spark.sources import load_table
+    from tests.conftest import SF0001
+
+    o = load_table(spark, SF0001, "orders")
+    path = tempfile.mkdtemp(prefix="pls_bloomtest_")
+    o.repartitionByRange(4, "o_orderdate").write.mode("overwrite").parquet(path)
+    full = spark.read.parquet(path)
+    manifest = file_bloom_manifest(full, "o_custkey")
+
+    def kept(key):
+        p0, p1 = _bloom_probe_positions(str(key))
+        return [
+            f
+            for f, w in manifest.items()
+            if (w.get(p0 // 64, 0) >> (p0 % 64)) & 1
+            and (w.get(p1 // 64, 0) >> (p1 % 64)) & 1
+        ]
+
+    absent = 10_000_000  # far outside the custkey domain
+    assert full.filter(F.col("o_custkey") == absent).count() == 0
+    assert len(kept(absent)) < len(manifest), "absent key pruned nothing"
+
+    present = 7
+    want = full.filter(F.col("o_custkey") == present).count()
+    assert want > 0
+    got = (
+        spark.read.parquet(*kept(present))
+        .filter(F.col("o_custkey") == present)
+        .count()
+    )
+    assert got == want, "bloom pruning dropped real rows (false negative?)"
