@@ -146,7 +146,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file sources read as ONE partition; fan out before the
     # explode-heavy stages so all cores work (a real cluster gets this
     # for free from input splits)
-    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    # base feeds two branches (signatures + verification shingles): cut
+    # lineage once so the scan/union/repartition runs once, not twice
+    base = (
+        spark.sql(NEAR_BASE_SPARK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     # signatures from the non-distinct stream (MIN is duplicate-insensitive
     # — skips a shuffle); Jaccard verification needs set semantics
     # localCheckpoint: sig feeds both sides of the band self-join and sh

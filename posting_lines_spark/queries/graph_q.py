@@ -47,7 +47,13 @@ ORDER BY node
 
 def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
+    # base feeds two branches (signatures + verification shingles): cut
+    # lineage once so the scan/union/repartition runs once, not twice
+    base = (
+        spark.sql(NEAR_BASE_SPARK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     sig = dedup.minhash_signature(
         dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
     ).localCheckpoint(eager=False)
