@@ -47,6 +47,7 @@ _LEDGER_PRIORITY = [
     "fuzzy_join_levenshtein",
     "dedup_incremental",
     "files_prune_bloom",
+    "lake_delete_rewrite",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

@@ -265,3 +265,94 @@ def files_prune_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+# --- targeted delete via manifest-pruned file rewrite ---
+# Immutable storage has no DELETE; the lake pattern (GDPR erasure,
+# right-to-be-forgotten, bad-batch surgery) is: find the FILES that
+# contain matching rows (manifest lookup — here min/max on the
+# clustering key), rewrite ONLY those files without the rows, and leave
+# every other file physically untouched. Cost ∝ files-containing-key,
+# not table size — on a 10⁵-file table a user erasure rewrites a
+# handful of files. The oracle is the logical DELETE (anti-filter over
+# the source table); a test additionally pins that non-matching files
+# are byte-identical originals (never rewritten).
+
+DELETE_KEYS = (7, 2500)
+
+
+def targeted_delete(
+    spark: SparkSession, path: str, key_col: str, keys: list
+) -> tuple[DataFrame, int, int]:
+    """Rewrite-only-matching-files delete. Returns (table_df, n_files,
+    n_rewritten). The rewritten replacements land in a sidecar dir; the
+    returned frame is untouched-originals ∪ rewrites — exactly the file
+    set a table-format commit (Iceberg/Delta) would swap in atomically."""
+    import tempfile
+
+    full = spark.read.parquet(path)
+    manifest = file_manifest(full, key_col).collect()
+    hit, untouched = [], []
+    for r in manifest:
+        if any(
+            r.min_v is None or r.max_v is None or (r.min_v <= k <= r.max_v)
+            for k in keys
+        ):
+            hit.append(r.file)
+        else:
+            untouched.append(r.file)
+    if not hit:
+        return full, len(manifest), 0
+    rewrite_dir = tempfile.mkdtemp(prefix="pls_delete_rw_")
+    (
+        spark.read.parquet(*hit)
+        .filter(~F.col(key_col).isin(list(keys)))
+        .write.mode("overwrite")
+        .parquet(rewrite_dir)
+    )
+    rewritten = spark.read.parquet(rewrite_dir)
+    out = (
+        spark.read.parquet(*untouched).unionByName(rewritten)
+        if untouched
+        else rewritten
+    )
+    return out, len(manifest), len(hit)
+
+
+DELETE_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+WHERE o_custkey NOT IN {DELETE_KEYS}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "lake_delete_rewrite",
+    oracle=DELETE_ORACLE,
+    description="targeted delete on immutable storage: manifest lookup "
+    "finds the files containing the erased keys (custkey-clustered "
+    "layout), ONLY those files are rewritten without the rows, all "
+    "others stay physically untouched — cost ∝ matching files, not "
+    "table size; oracle is the logical DELETE over the source",
+)
+def lake_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="pls_delete_")
+    # custkey clustering makes the erasure key prunable (the layout choice
+    # a GDPR-erasable table makes deliberately)
+    o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(path)
+    table, _, _ = targeted_delete(spark, path, "o_custkey", list(DELETE_KEYS))
+    return (
+        table.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -88,3 +88,38 @@ def test_bloom_manifest_prunes_absent_key(spark):
         .count()
     )
     assert got == want, "bloom pruning dropped real rows (false negative?)"
+
+
+def test_targeted_delete_rewrites_only_matching_files(spark):
+    """The deletion contract: files whose [min,max] can't contain the
+    erased keys are returned as the PHYSICAL originals (same paths, never
+    rewritten), matching files lose exactly the matching rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.queries.lake_q import file_manifest, targeted_delete
+    from posting_lines_spark.sources import load_table
+    from tests.conftest import SF0001
+
+    o = load_table(spark, SF0001, "orders")
+    path = tempfile.mkdtemp(prefix="pls_deltest_")
+    o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(path)
+    keys = [7]
+    table, n_files, n_rewritten = targeted_delete(spark, path, "o_custkey", keys)
+    assert n_files == 8
+    assert 1 <= n_rewritten < n_files, "delete should touch few files, not all"
+    # logical result = anti-filter
+    want = o.filter(~F.col("o_custkey").isin(keys)).count()
+    assert table.count() == want
+    assert table.filter(F.col("o_custkey").isin(keys)).count() == 0
+    # the source dir is never mutated: originals still hold the key (the
+    # swap-in of untouched ∪ rewritten is the table-format commit's job),
+    # and the untouched file set really is the non-matching manifest rows
+    assert spark.read.parquet(path).filter(F.col("o_custkey").isin(keys)).count() > 0
+    hits = [
+        r.file
+        for r in file_manifest(spark.read.parquet(path), "o_custkey").collect()
+        if r.min_v <= keys[0] <= r.max_v
+    ]
+    assert len(hits) == n_rewritten
