@@ -90,3 +90,30 @@ def test_pipeline_detect_pushes_null_filter_and_prunes_scan(spark):
     assert "PushedFilters: [IsNull(geom)]" in plan, plan
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan_lines and "ReadSchema: struct<segment_id:bigint,geom:" in scan_lines[0]
+
+
+# Shuffle-count pins for the headline queries: each number is a design
+# claim from IMPLEMENTATION/SCALE (enrich is shuffle-FREE; the aggregates
+# are one partial+final exchange plus the presentation sort; the star
+# join broadcasts its dimensions so only the fact side exchanges). A
+# regression here means an operator silently grew a shuffle — the exact
+# failure mode that is invisible at sf0.01 and fatal at 100 TB.
+SHUFFLE_BUDGET = {
+    "pipeline_enrich": 0,
+    "geo_flagship": 2,       # partial+final agg exchange + result sort
+    "dedup_exact": 2,        # digest hash-aggregate + presentation sort
+    "q1_pricing_summary": 2,
+    "join_region_revenue": 2,  # fact-side agg exchanges; dims broadcast
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(SHUFFLE_BUDGET.items()))
+def test_headline_shuffle_budget(spark, name, budget):
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()[name].fn(spark, SF0001)
+    plan = _executed_plan(df)
+    # shuffle exchanges only — BroadcastExchange moves a dim table, not
+    # the data, and is exactly what the budget rewards
+    n = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    assert n <= budget, f"{name}: {n} shuffles (budget {budget}):\n{plan[:1500]}"
