@@ -48,6 +48,7 @@ _LEDGER_PRIORITY = [
     "dedup_incremental",
     "files_prune_bloom",
     "lake_delete_rewrite",
+    "join_bucketed_colocated",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

@@ -643,3 +643,66 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym", "o_orderstatus")
     )
+
+
+# --- bucketed co-located join ---
+# The shuffle-elimination layout choice: both sides written bucketBy the
+# join key once at ingest, every subsequent equi-join on that key plans
+# WITHOUT an exchange on either side (bucket i joins bucket i in place).
+# At 100 TB this converts the recurring fact⋈fact shuffle — the single
+# most expensive operation the engine runs — into a scan-local merge;
+# the write-side bucketing cost is paid once and amortized over every
+# downstream join. The merge hint pins the sort-merge path so the
+# no-shuffle property holds regardless of broadcast thresholds (the
+# claim tests/test_plans.py asserts on the executed plan).
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=BUCKETED_JOIN_ORACLE,
+    description="bucketed co-located join: orders and customer bucketBy "
+    "their join key at write time, the equi-join then plans with ZERO "
+    "exchanges below the join (bucket-local sort-merge; merge hint pins "
+    "the path) — the layout that deletes the recurring fact-join shuffle "
+    "at scale; oracle is the plain join aggregate",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # ingest-time layout (idempotent: drop the catalog entry AND any
+    # orphan warehouse dir a previous process left — saveAsTable refuses
+    # locations it did not create)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("pls_bkt_orders", "pls_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    o.select("o_custkey", "o_orderkey").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("pls_bkt_orders")
+    c.select("c_custkey", "c_mktsegment").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("pls_bkt_customer")
+    ob = spark.table("pls_bkt_orders").hint("merge")
+    cb = spark.table("pls_bkt_customer").hint("merge")
+    return (
+        ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -117,3 +117,16 @@ def test_headline_shuffle_budget(spark, name, budget):
     # the data, and is exactly what the budget rewards
     n = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
     assert n <= budget, f"{name}: {n} shuffles (budget {budget}):\n{plan[:1500]}"
+
+
+def test_bucketed_join_query_has_no_join_side_shuffle(spark):
+    """join_bucketed_colocated's claim: zero exchanges BELOW the join —
+    the only shuffles in the whole plan are the aggregate's partial→final
+    exchange and the presentation sort."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["join_bucketed_colocated"].fn(spark, SF0001)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    n = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    assert n <= 2, f"{n} shuffles — the join side grew an exchange:\n{plan[:2000]}"
