@@ -677,24 +677,23 @@ ORDER BY mktsegment
     "at scale; oracle is the plain join aggregate",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
+    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    # ingest-time layout (idempotent: drop the catalog entry AND any
-    # orphan warehouse dir a previous process left — saveAsTable refuses
-    # locations it did not create)
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("pls_bkt_orders", "pls_bkt_customer"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    # ingest-time layout as EXTERNAL bucketed tables under an explicit
+    # temp path: independent of the session's warehouse location (the
+    # driver owns the session), idempotent because each run gets a fresh
+    # location and re-registers the catalog entry
+    loc = tempfile.mkdtemp(prefix="pls_bkt_")
+    spark.sql("DROP TABLE IF EXISTS pls_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS pls_bkt_customer")
     o.select("o_custkey", "o_orderkey").write.bucketBy(8, "o_custkey").sortBy(
         "o_custkey"
-    ).mode("overwrite").saveAsTable("pls_bkt_orders")
+    ).option("path", f"{loc}/orders").mode("overwrite").saveAsTable("pls_bkt_orders")
     c.select("c_custkey", "c_mktsegment").write.bucketBy(8, "c_custkey").sortBy(
         "c_custkey"
-    ).mode("overwrite").saveAsTable("pls_bkt_customer")
+    ).option("path", f"{loc}/customer").mode("overwrite").saveAsTable("pls_bkt_customer")
     ob = spark.table("pls_bkt_orders").hint("merge")
     cb = spark.table("pls_bkt_customer").hint("merge")
     return (
