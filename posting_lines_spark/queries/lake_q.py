@@ -175,8 +175,9 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point lookup on an UNCORRELATED column (here o_custkey against
 # date-clustered files) matches every file's min/max interval and prunes
 # nothing. The lake answer is a per-file bloom filter in the manifest
-# (Iceberg/Delta both store these): 8 KiB per file, probed driver-side
-# before planning the scan. Soundness is the bloom no-false-negative
+# (Iceberg/Delta both store these): 8 KiB per file, probed as a filter
+# over the manifest table before planning the scan (the driver receives
+# matching file names only). Soundness is the bloom no-false-negative
 # guarantee — a pruned file provably contains no matching row — so the
 # pruned aggregate equals the full-scan oracle for ANY data; false
 # positives only cost an extra file read.
@@ -184,18 +185,20 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_PROBE_CUSTKEY = 7
 
 
-def file_bloom_manifest(df: DataFrame, key_col: str):
-    """(file → sparse {word: bits}) bloom manifest via _metadata.file_path
-    — same k=2 md5 positions as sketch_q's runtime bloom; one column-pruned
-    scan, output bounded by files × occupied words (collectable at any
-    data scale, like the min/max manifest)."""
+def file_bloom_manifest(df: DataFrame, key_col: str) -> DataFrame:
+    """(file, word, bits) bloom manifest via _metadata.file_path — same
+    k=2 md5 positions as sketch_q's runtime bloom; one column-pruned
+    scan. Returned as a FRAME, not a collect: at 10⁵ files × ≤1024 words
+    the manifest is a small table, not a driver object — in a real lake
+    it persists next to the data and probes run as filters against it
+    (`bloom_probe_files` collects only the matching file names)."""
     from posting_lines_spark.queries.sketch_q import _bloom_hashes
 
     pos = df.select(
         F.col("_metadata.file_path").alias("file"),
         F.explode(F.array(*_bloom_hashes(f"CAST({key_col} AS STRING)"))).alias("pos"),
     )
-    rows = (
+    return (
         pos.select(
             "file",
             (F.col("pos") / 64).cast("int").alias("w"),
@@ -203,12 +206,7 @@ def file_bloom_manifest(df: DataFrame, key_col: str):
         )
         .groupBy("file", "w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
     )
-    manifest: dict[str, dict[int, int]] = {}
-    for r in rows:
-        manifest.setdefault(r.file, {})[r.w] = r.bits
-    return manifest
 
 
 def _bloom_probe_positions(key: str) -> list[int]:
@@ -220,6 +218,22 @@ def _bloom_probe_positions(key: str) -> list[int]:
 
     d = hashlib.md5(f"bloom|{key}".encode()).hexdigest()
     return [int(d[s * 15 : s * 15 + 15], 16) % BLOOM_M for s in (0, 1)]
+
+
+def bloom_probe_files(manifest: DataFrame, key: str) -> list[str]:
+    """Files whose bloom MIGHT contain `key`: per probe position, filter
+    the manifest to the one word holding that bit and test it; a file
+    passes only if BOTH positions hit (semi-join of the two hit sets).
+    The driver receives the MATCHING file names only — bounded by the
+    true match count + false positives, never the manifest size."""
+    hits = None
+    for p in _bloom_probe_positions(key):
+        h = manifest.filter(
+            (F.col("w") == p // 64)
+            & (F.expr(f"(shiftright(bits, CAST({p % 64} AS INT)) & 1) = 1"))
+        ).select("file")
+        hits = h if hits is None else hits.intersect(h)
+    return [r.file for r in hits.collect()]
 
 
 BLOOM_PRUNE_ORACLE = f"""
@@ -251,13 +265,7 @@ def files_prune_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
     full = spark.read.parquet(path)
     manifest = file_bloom_manifest(full, "o_custkey")
-    p0, p1 = _bloom_probe_positions(str(BLOOM_PROBE_CUSTKEY))
-    keep = [
-        f
-        for f, words in manifest.items()
-        if (words.get(p0 // 64, 0) >> (p0 % 64)) & 1
-        and (words.get(p1 // 64, 0) >> (p1 % 64)) & 1
-    ]
+    keep = bloom_probe_files(manifest, str(BLOOM_PROBE_CUSTKEY))
     pruned = spark.read.parquet(*keep) if keep else full.limit(0)
     return pruned.filter(F.col("o_custkey") == BLOOM_PROBE_CUSTKEY).agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -54,7 +54,7 @@ def test_bloom_manifest_prunes_absent_key(spark):
     from pyspark.sql import functions as F
 
     from posting_lines_spark.queries.lake_q import (
-        _bloom_probe_positions,
+        bloom_probe_files,
         file_bloom_manifest,
     )
     from posting_lines_spark.sources import load_table
@@ -64,20 +64,15 @@ def test_bloom_manifest_prunes_absent_key(spark):
     path = tempfile.mkdtemp(prefix="pls_bloomtest_")
     o.repartitionByRange(4, "o_orderdate").write.mode("overwrite").parquet(path)
     full = spark.read.parquet(path)
-    manifest = file_bloom_manifest(full, "o_custkey")
+    manifest = file_bloom_manifest(full, "o_custkey").localCheckpoint(eager=False)
+    n_files = manifest.select("file").distinct().count()
 
     def kept(key):
-        p0, p1 = _bloom_probe_positions(str(key))
-        return [
-            f
-            for f, w in manifest.items()
-            if (w.get(p0 // 64, 0) >> (p0 % 64)) & 1
-            and (w.get(p1 // 64, 0) >> (p1 % 64)) & 1
-        ]
+        return bloom_probe_files(manifest, str(key))
 
     absent = 10_000_000  # far outside the custkey domain
     assert full.filter(F.col("o_custkey") == absent).count() == 0
-    assert len(kept(absent)) < len(manifest), "absent key pruned nothing"
+    assert len(kept(absent)) < n_files, "absent key pruned nothing"
 
     present = 7
     want = full.filter(F.col("o_custkey") == present).count()
