@@ -165,7 +165,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot_width arms boilerplate-bucket salting (output-equivalent blocked
     # self-join) — inert at this SF, load-bearing on skewed real corpora
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
-    return dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
+    verified = dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T)
+    # lineage cut before the sort: orderBy's range-sampling job would
+    # re-run the band join + verification (see dedup_simhash note)
+    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 # --- incremental near-dup (new batch vs persisted index) ---
@@ -221,7 +224,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
     sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
-    return dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T).orderBy("id_a", "id_b")
+    verified = dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+    # lineage cut before the sort (see dedup_simhash note)
+    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 # --- n-gram Jaccard (inverted-index all-candidates) ---
@@ -283,6 +288,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("id_a", "id_b", "jaccard")
+        # lineage cut before the sort (see dedup_simhash note)
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
 
@@ -527,6 +534,8 @@ def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
         .select("id_a", "id_b", "n_common", "jaccard")
+        # lineage cut before the sort (see dedup_simhash note)
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
 
@@ -567,7 +576,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
     sig = dedup.simhash(base, "doc_id", "text", bits=48).localCheckpoint(eager=False)
-    return dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3).orderBy("id_a", "id_b")
+    pairs = dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3)
+    # cut lineage before the presentation sort: a global orderBy runs a
+    # range-bound SAMPLING job first, which would re-execute the whole
+    # band join (measured 1.5s of this query at sf0.1)
+    return pairs.localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 # --- containment near-dup (asymmetric: catches truncated copies) ---
@@ -624,5 +637,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
         .filter(F.col("containment") >= CONTAIN_T)
         .select("id_a", "id_b", "containment")
+        # lineage cut before the sort (see dedup_simhash note)
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
