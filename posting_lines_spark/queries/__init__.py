@@ -49,6 +49,7 @@ _LEDGER_PRIORITY = [
     "files_prune_bloom",
     "lake_delete_rewrite",
     "join_bucketed_colocated",
+    "curation_leakage_safe_split",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

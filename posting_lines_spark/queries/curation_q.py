@@ -599,3 +599,94 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_int_spark("CAST(doc_id AS STRING)", salt="shard"),
         )
     )
+
+
+# --- leakage-safe train/val/test split ---
+# Random per-document splits LEAK: a near-duplicate pair lands in train
+# and test and the eval measures memorization. The correct unit of
+# assignment is the dedup COMPONENT — every member of a near-dup group
+# goes to the same split, decided by a hash of the group's canonical id
+# (singletons are their own group). Deterministic md5 split (8/1/1) ⇒
+# zero RNG state, reproducible across engines and runs; leakage-freedom
+# is by construction (one component → one split), which the oracle
+# re-derives independently via the recursive-CTE closure.
+#
+# Scale: components come from the already-built CC operator; the split
+# is one hash + one aggregate keyed on (split), after a left join of
+# the corpus to the (small) component table.
+
+
+def _split_expr(h: str) -> str:
+    return (
+        f"CASE WHEN {h} % 10 < 8 THEN 'train' "
+        f"WHEN {h} % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_DUCK}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, label) AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+base AS ({NEAR_BASE_DUCK}),
+labeled AS (
+  SELECT b.doc_id, len(string_split(b.text, ' ')) AS n_tok,
+         coalesce(c.component, b.doc_id) AS grp
+  FROM base b LEFT JOIN comp c ON c.node = b.doc_id
+),
+assigned AS (
+  SELECT doc_id, n_tok, grp,
+         {_split_expr(md5_int_duck("CAST(grp AS VARCHAR)", salt="split"))} AS split
+  FROM labeled
+)
+SELECT split,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "curation_leakage_safe_split",
+    oracle=LEAKAGE_SPLIT_ORACLE,
+    description="leakage-safe train/val/test split: assignment hashed per "
+    "dedup COMPONENT (near-dup groups never straddle splits — the "
+    "memorization-leak guard random per-doc splits lack), deterministic "
+    "md5 8/1/1; oracle re-derives components via the recursive closure "
+    "and must land every group in the same split",
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = graph.connected_components(_spark_pairs(spark, sf_dir))
+    base = spark.sql(NEAR_BASE_SPARK)
+    labeled = (
+        base.join(comp, base["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            F.coalesce("component", "doc_id").alias("grp"),
+        )
+    )
+    assigned = labeled.withColumn(
+        "split",
+        F.expr(_split_expr(md5_int_spark("CAST(grp AS STRING)", salt="split"))),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -189,3 +189,33 @@ class TestChecksum:
         df3 = spark.createDataFrame(mutated, "k long, v string")
         d1, d3 = digest(df1), digest(df3)
         assert d1[0] == d3[0] and d1[1] != d3[1] and d1[2] != d3[2]
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    """The guard's end-to-end property: every verified near-dup PAIR has
+    both members in the same split (re-derived through the real pair
+    pipeline, not the grp function), and the guard is load-bearing on
+    this corpus (at least one multi-doc group exists)."""
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.functions.hashing import md5_int_spark
+    from posting_lines_spark.operators import graph
+    from posting_lines_spark.queries.curation_q import _split_expr
+    from posting_lines_spark.queries.graph_q import _spark_pairs
+    from tests.conftest import SF0001
+
+    pairs = _spark_pairs(spark, SF0001).localCheckpoint(eager=False)
+    assert pairs.count() > 0, "guard not load-bearing: no near-dup pairs"
+    comp = graph.connected_components(pairs)
+    assigned = comp.select(
+        "node",
+        F.expr(
+            _split_expr(md5_int_spark("CAST(component AS STRING)", salt="split"))
+        ).alias("split"),
+    )
+    a = assigned.select(F.col("node").alias("id_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("node").alias("id_b"), F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddling.count() == 0, "a near-dup pair straddles splits"
