@@ -45,21 +45,40 @@ ORDER BY node
 """
 
 
+_PAIRS_PARQUET: dict[str, str] = {}
+
+
 def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs ACROSS A STORAGE BOUNDARY (written once
+    per process, then read back) — the production shape: grouping,
+    survivor selection, triangles, and split assignment all consume the
+    pair table the dedup stage PERSISTED, so these queries measure the
+    graph operator, not a re-derivation of the MinHash stage
+    (`dedup_minhash_lsh` measures that). Same fixture pattern as
+    pipeline_q.segments_state_parquet."""
+    # consumers (corpus_survivors, leakage split) read the documents view
+    # after calling this — register it on every call, cache hit or not
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    # base feeds two branches (signatures + verification shingles): cut
-    # lineage once so the scan/union/repartition runs once, not twice
-    base = (
-        spark.sql(NEAR_BASE_SPARK)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
-    )
-    sig = dedup.minhash_signature(
-        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
-    ).localCheckpoint(eager=False)
-    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
-    cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
-    return dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+    if sf_dir not in _PAIRS_PARQUET:
+        import tempfile
+
+        # base feeds two branches (signatures + verification shingles):
+        # cut lineage once so the scan/union/repartition runs once
+        base = (
+            spark.sql(NEAR_BASE_SPARK)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
+        sig = dedup.minhash_signature(
+            dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+        ).localCheckpoint(eager=False)
+        sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+        cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
+        pairs = dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+        path = tempfile.mkdtemp(prefix="pls_pairs_pq_")
+        pairs.write.mode("overwrite").parquet(path)
+        _PAIRS_PARQUET[sf_dir] = path
+    return spark.read.parquet(_PAIRS_PARQUET[sf_dir])
 
 
 @register(
