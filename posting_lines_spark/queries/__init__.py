@@ -50,6 +50,7 @@ _LEDGER_PRIORITY = [
     "lake_delete_rewrite",
     "join_bucketed_colocated",
     "curation_leakage_safe_split",
+    "stream_quantile_hist",
     "window_sessionize",
     "window_segments_producer",
     "window_running_total",

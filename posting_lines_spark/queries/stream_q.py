@@ -351,3 +351,116 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- streaming mergeable quantile histogram ---
+# The point of a MERGEABLE sketch is incremental maintenance: each
+# micro-batch emits its own partial histogram (append-only — no
+# complete-mode state), and the query-time merge is plain addition, so
+# the merged quantiles are IDENTICAL to the batch computation no matter
+# how the stream was batched. This is sketch_quantile_hist's streaming
+# twin: same bin math, same ≤ bin-width guarantee against the exact
+# integer-cents percentile, partials produced by a real multi-batch
+# availableNow drain (maxFilesPerTrigger=1).
+
+SQH_BINS = 128
+SQH_WIDTH = 4.0  # events.value ∈ [0, ~490] → domain [0, 512)
+
+_SQH_BIN = (
+    f"least(greatest(CAST(floor(value / {SQH_WIDTH!r}e0) AS BIGINT), "
+    f"CAST(0 AS BIGINT)), CAST({SQH_BINS - 1} AS BIGINT))"
+)
+
+# shared quantile tail over a `hist(bin, n)` relation + `events` exact
+def _sqh_tail(hist_src: str, pct: str) -> str:
+    return f"""
+WITH hist AS ({hist_src}),
+cum AS (
+  SELECT bin, n,
+         CAST(sum(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM hist
+),
+q AS (
+  SELECT 0.5e0 AS p UNION ALL SELECT 0.9e0 UNION ALL SELECT 0.99e0
+),
+est AS (
+  SELECT q.p, min(cum.bin) AS qbin, min(cum.total) AS n_rows
+  FROM cum CROSS JOIN q
+  WHERE cum.c >= ceil(q.p * cum.total)
+  GROUP BY q.p
+),
+ex AS (
+  SELECT {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.5e0) / 1.0e2 AS e50,
+         {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.9e0) / 1.0e2 AS e90,
+         {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.99e0) / 1.0e2 AS e99
+  FROM events
+)
+SELECT est.p,
+       est.n_rows,
+       (est.qbin + 1) * {SQH_WIDTH!r}e0 AS est_q,
+       CASE WHEN est.p = 0.5e0 THEN ex.e50
+            WHEN est.p = 0.9e0 THEN ex.e90
+            ELSE ex.e99 END AS exact_q,
+       abs((est.qbin + 1) * {SQH_WIDTH!r}e0
+           - CASE WHEN est.p = 0.5e0 THEN ex.e50
+                  WHEN est.p = 0.9e0 THEN ex.e90
+                  ELSE ex.e99 END) <= {SQH_WIDTH!r}e0 AS bound_ok
+FROM est CROSS JOIN ex
+ORDER BY est.p
+"""
+
+
+SQH_ORACLE = _sqh_tail(
+    f"SELECT {_SQH_BIN} AS bin, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
+    "quantile_cont",
+)
+
+
+@register(
+    "stream_quantile_hist",
+    oracle=SQH_ORACLE,
+    description="streaming mergeable quantile sketch: each micro-batch "
+    "(maxFilesPerTrigger=1 availableNow drain) appends its PARTIAL "
+    "histogram to the sink — no complete-mode state — and the query-time "
+    "merge is plain addition, so quantiles equal the batch computation "
+    "regardless of batching; same ≤ bin-width guarantee checked in-query "
+    "against the exact integer-cents percentile",
+)
+def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="pls_sqh_src_")
+    out = tempfile.mkdtemp(prefix="pls_sqh_out_")
+    ckpt = tempfile.mkdtemp(prefix="pls_sqh_ckpt_")
+    # 4 source files → 4 micro-batches at maxFilesPerTrigger=1
+    events.select("value").repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.selectExpr(f"{_SQH_BIN} AS bin")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).createOrReplaceTempView("sqh_partials")
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        _sqh_tail(
+            "SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM sqh_partials GROUP BY bin",
+            "percentile",
+        )
+    )
