@@ -28,6 +28,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_OBS_TIMEOUT_S = 60.0
+
+def _chk_aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    )
+
+
+def _obs_get_bounded(obs, timeout_s: float = _OBS_TIMEOUT_S):
+    """`Observation.get` with a bounded wait. The eager checkpoint that
+    precedes this call materializes the observed plan, so on current
+    engines the metrics are already available and this returns instantly.
+    If a future engine materializes checkpoints outside `withAction` (so
+    the observation never fires), `obs.get` would block FOREVER — return
+    None after `timeout_s` instead so the caller can fall back to an
+    explicit aggregation job (slower, never hangs). Round-3 advice."""
+    import threading
+
+    out: dict = {}
+
+    def _get() -> None:
+        try:
+            out["m"] = obs.get
+        except Exception:  # surface as fallback, not a crash
+            pass
+
+    t = threading.Thread(target=_get, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out.get("m")
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -85,25 +121,28 @@ def connected_components(
 
     prev_chk: tuple | None = None
     converged = False
+    use_observe = True
     for it in range(max_iter):
         # Convergence checksum rides the checkpoint's own materialization
         # job via observe() — one job per round, not two (the observation
         # fires when eager checkpointing executes the observed plan;
         # verified on this engine). Decimal sums: int64 ids/hashes would
-        # overflow a long sum.
-        obs = Observation(f"cc_round_{it}")
-        watched = _small_star(_large_star(e)).observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
-            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        )
+        # overflow a long sum. If the observation doesn't fire within the
+        # bounded wait (engine behavior change), degrade permanently to an
+        # explicit per-round aggregate job — slower, never hangs.
+        round_df = _small_star(_large_star(e))
+        obs = None
+        if use_observe:
+            obs = Observation(f"cc_round_{it}")
+            round_df = round_df.observe(obs, *_chk_aggs())
         if use_reliable and (it + 1) % checkpoint_every == 0:
-            e = watched.checkpoint(eager=True)
+            e = round_df.checkpoint(eager=True)
         else:
-            e = watched.localCheckpoint(eager=True)
-        m = obs.get
+            e = round_df.localCheckpoint(eager=True)
+        m = _obs_get_bounded(obs) if obs is not None else None
+        if m is None:
+            use_observe = False
+            m = e.agg(*_chk_aggs()).first().asDict()
         chk = (m["n"], m["su"], m["sv"], m["h"])
         if chk == prev_chk:
             converged = True

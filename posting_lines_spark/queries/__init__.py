@@ -30,68 +30,6 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Driver-ledger priority. The round driver samples 50 registry entries per
-# round for its correctness gate; after rounds 1-2 these 39 had never been
-# drawn (CORRECTNESS_r01 ∪ r02 covers the other 79). Listing them first
-# makes any prefix-taking or order-weighted sampler cover them next round;
-# a uniform sampler is unaffected. Independent of the driver's draw, ALL
-# registered queries pass the stricter local exact-compare gate
-# (tools/check_oracle.py, sf0.01) — re-verified each round.
-_LEDGER_PRIORITY = [
-    "dedup_span_remove",
-    "geo_knn_grid",
-    "sketch_quantile_hist",
-    "graph_triangles",
-    "multimodal_patchify",
-    "timeseries_m4_downsample",
-    "fuzzy_join_levenshtein",
-    "dedup_incremental",
-    "files_prune_bloom",
-    "lake_delete_rewrite",
-    "join_bucketed_colocated",
-    "curation_leakage_safe_split",
-    "stream_quantile_hist",
-    "window_sessionize",
-    "window_segments_producer",
-    "window_running_total",
-    "window_analytics",
-    "window_hopping",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q13_custdist",
-    "join_full_outer",
-    "join_salted",
-    "lateral_topn",
-    "geo_distance_join",
-    "geo_knn_join",
-    "geo_bbox_filter",
-    "stream_scd_upsert",
-    "stream_stream_join",
-    "stream_dedup",
-    "sketch_hll_merge",
-    "sketch_countmin_freq",
-    "bloom_semijoin_reduce",
-    "search_bm25",
-    "mv_incremental_rollup",
-    "profile_table",
-    "profile_histogram",
-    "table_checksum",
-    "table_diff",
-    "dq_audit",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "csv_roundtrip",
-    "multimodal_frame_sample",
-    "timeseries_gapfill",
-    "text_normalize",
-    "text_repetition",
-    "text_pii_redact",
-    "sim_topk_ivf_multiprobe",
-    "sim_kmeans_ivf",
-    "sim_topk_ivf_kmeans",
-    "embedding_centroids",
-]
-
 
 def register(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn):
@@ -102,7 +40,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    Returns the registry in plain registration order; any harness-specific
+    ordering or sampling policy belongs in the harness contract file
+    (`__spark_entry__.py`), not here.
+    """
     from posting_lines_spark.queries import (  # noqa: F401
         analytics_q,
         array_q,
@@ -127,6 +70,4 @@ def load_all() -> dict[str, QuerySpec]:
         windows_q,
     )
 
-    ordered = {n: REGISTRY[n] for n in _LEDGER_PRIORITY if n in REGISTRY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
-    return ordered
+    return dict(REGISTRY)

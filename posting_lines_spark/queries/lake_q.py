@@ -314,7 +314,10 @@ def targeted_delete(
     rewrite_dir = tempfile.mkdtemp(prefix="pls_delete_rw_")
     (
         spark.read.parquet(*hit)
-        .filter(~F.col(key_col).isin(list(keys)))
+        # NULL keys never match a delete predicate: bare ~isin(...) is NULL
+        # for NULL input (row silently dropped from rewrites only), so keep
+        # NULL-key rows explicitly for consistent semantics across files.
+        .filter((~F.col(key_col).isin(list(keys))) | F.col(key_col).isNull())
         .write.mode("overwrite")
         .parquet(rewrite_dir)
     )

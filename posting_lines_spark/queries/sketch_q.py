@@ -287,10 +287,12 @@ QH_BINS = 256
 QH_WIDTH = 2500.0  # domain [0, 640000) covers o_totalprice's range
 
 
-def _qh_sql(pct: str) -> str:
-    """Shared SQL modulo the exact-percentile function name
-    (Spark `percentile` / DuckDB `quantile_cont` — both exact-interpolate
-    half-integers over integer cents, the anomaly_mad parity pattern)."""
+def _qh_sql() -> str:
+    """Engine-identical SQL (no percentile function): the exact side is
+    the rank-based order statistic — value at rank ceil(p·n) — which is
+    precisely what the |est − exact| ≤ bin-width guarantee covers.
+    (Interpolated quantile_cont/percentile can legitimately land in a
+    distant bin on sparse data; round-3 advice.)"""
     return f"""
 WITH b AS (
   SELECT least(greatest(CAST(floor(o_totalprice / {QH_WIDTH!r}) AS BIGINT),
@@ -321,39 +323,45 @@ est AS (
   WHERE cum.c >= ceil(q.p * cum.total)
   GROUP BY q.p
 ),
+exv AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY cents
+),
+excum AS (
+  SELECT cents,
+         CAST(sum(n) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM exv
+),
 ex AS (
-  SELECT {pct}(cents, 0.5e0) / 1.0e2 AS e50,
-         {pct}(cents, 0.9e0) / 1.0e2 AS e90,
-         {pct}(cents, 0.99e0) / 1.0e2 AS e99
-  FROM b
+  SELECT q.p, min(excum.cents) / 1.0e2 AS exact_q
+  FROM excum CROSS JOIN q
+  WHERE excum.c >= ceil(q.p * excum.total)
+  GROUP BY q.p
 )
 SELECT est.p,
        est.n_rows,
        (est.qbin + 1) * {QH_WIDTH!r}e0 AS est_q,
-       CASE WHEN est.p = 0.5e0 THEN ex.e50
-            WHEN est.p = 0.9e0 THEN ex.e90
-            ELSE ex.e99 END AS exact_q,
-       abs((est.qbin + 1) * {QH_WIDTH!r}e0
-           - CASE WHEN est.p = 0.5e0 THEN ex.e50
-                  WHEN est.p = 0.9e0 THEN ex.e90
-                  ELSE ex.e99 END) <= {QH_WIDTH!r}e0 AS bound_ok
-FROM est CROSS JOIN ex
+       ex.exact_q,
+       abs((est.qbin + 1) * {QH_WIDTH!r}e0 - ex.exact_q) <= {QH_WIDTH!r}e0
+         AS bound_ok
+FROM est JOIN ex ON est.p = ex.p
 ORDER BY est.p
 """
 
 
 @register(
     "sketch_quantile_hist",
-    oracle=_qh_sql("quantile_cont"),
+    oracle=_qh_sql(),
     description="mergeable quantile sketch: per-shard fixed-bin histograms "
     f"(constant {QH_BINS} rows/shard), merged by plain addition, quantile "
     "estimate = first bin whose cumulative count reaches ceil(p·n) with "
     "the deterministic |est − exact| ≤ bin-width guarantee checked "
-    "in-query against the exact integer-cents percentile (engine-exact "
-    "half-integer interpolation, the anomaly_mad pattern). The 100 TB "
-    "quantile path: shard partials are constant-size, the merge moves "
-    f"{QH_BINS} rows per shard, never data",
+    "in-query against the exact RANK-BASED order statistic (value at "
+    "rank ceil(p·n) — the statistic the bound actually covers; round-3 "
+    "advice). The 100 TB quantile path: shard partials are constant-size, "
+    f"the merge moves {QH_BINS} rows per shard, never data",
 )
 def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_qh_sql("percentile"))
+    return spark.sql(_qh_sql())

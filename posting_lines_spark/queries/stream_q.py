@@ -360,7 +360,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the merged quantiles are IDENTICAL to the batch computation no matter
 # how the stream was batched. This is sketch_quantile_hist's streaming
 # twin: same bin math, same ≤ bin-width guarantee against the exact
-# integer-cents percentile, partials produced by a real multi-batch
+# rank-based order statistic, partials produced by a real multi-batch
 # availableNow drain (maxFilesPerTrigger=1).
 
 SQH_BINS = 128
@@ -371,8 +371,11 @@ _SQH_BIN = (
     f"CAST(0 AS BIGINT)), CAST({SQH_BINS - 1} AS BIGINT))"
 )
 
-# shared quantile tail over a `hist(bin, n)` relation + `events` exact
-def _sqh_tail(hist_src: str, pct: str) -> str:
+# shared quantile tail over a `hist(bin, n)` relation + `events` exact.
+# Engine-identical SQL: the exact side is the rank-based order statistic
+# (value at rank ceil(p·n)) — the statistic the ≤ bin-width bound actually
+# covers (round-3 advice; interpolated percentile could land outside it).
+def _sqh_tail(hist_src: str) -> str:
     return f"""
 WITH hist AS ({hist_src}),
 cum AS (
@@ -391,30 +394,37 @@ est AS (
   WHERE cum.c >= ceil(q.p * cum.total)
   GROUP BY q.p
 ),
+exv AS (
+  SELECT CAST(round(value * 1.0e2) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+excum AS (
+  SELECT cents,
+         CAST(sum(n) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM exv
+),
 ex AS (
-  SELECT {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.5e0) / 1.0e2 AS e50,
-         {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.9e0) / 1.0e2 AS e90,
-         {pct}(CAST(round(value * 1.0e2) AS BIGINT), 0.99e0) / 1.0e2 AS e99
-  FROM events
+  SELECT q.p, min(excum.cents) / 1.0e2 AS exact_q
+  FROM excum CROSS JOIN q
+  WHERE excum.c >= ceil(q.p * excum.total)
+  GROUP BY q.p
 )
 SELECT est.p,
        est.n_rows,
        (est.qbin + 1) * {SQH_WIDTH!r}e0 AS est_q,
-       CASE WHEN est.p = 0.5e0 THEN ex.e50
-            WHEN est.p = 0.9e0 THEN ex.e90
-            ELSE ex.e99 END AS exact_q,
-       abs((est.qbin + 1) * {SQH_WIDTH!r}e0
-           - CASE WHEN est.p = 0.5e0 THEN ex.e50
-                  WHEN est.p = 0.9e0 THEN ex.e90
-                  ELSE ex.e99 END) <= {SQH_WIDTH!r}e0 AS bound_ok
-FROM est CROSS JOIN ex
+       ex.exact_q,
+       abs((est.qbin + 1) * {SQH_WIDTH!r}e0 - ex.exact_q) <= {SQH_WIDTH!r}e0
+         AS bound_ok
+FROM est JOIN ex ON est.p = ex.p
 ORDER BY est.p
 """
 
 
 SQH_ORACLE = _sqh_tail(
-    f"SELECT {_SQH_BIN} AS bin, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
-    "quantile_cont",
+    f"SELECT {_SQH_BIN} AS bin, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
 )
 
 
@@ -426,7 +436,7 @@ SQH_ORACLE = _sqh_tail(
     "histogram to the sink — no complete-mode state — and the query-time "
     "merge is plain addition, so quantiles equal the batch computation "
     "regardless of batching; same ≤ bin-width guarantee checked in-query "
-    "against the exact integer-cents percentile",
+    "against the exact rank-based order statistic at ceil(p·n)",
 )
 def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -460,7 +470,6 @@ def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.createOrReplaceTempView("events")
     return spark.sql(
         _sqh_tail(
-            "SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM sqh_partials GROUP BY bin",
-            "percentile",
+            "SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM sqh_partials GROUP BY bin"
         )
     )

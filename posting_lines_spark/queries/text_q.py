@@ -435,9 +435,18 @@ ORDER BY id_a, id_b
 
 
 _FUZZY_ORACLE_CORPUS = _fuzzy_corpus("VARCHAR", "SELECT unnest(range(0, 300)) AS i")
-_FUZZY_ORACLE_GRAMS = """
-SELECT DISTINCT i, substring(name, CAST(p AS INT), 2) AS gram
-FROM (SELECT i, name, unnest(range(1, len(name))) AS p FROM names)
+
+# The oracle is the BRUTE-FORCE cross join (no bigram candidate filter), so
+# a completeness bug in the Spark side's q-gram prefilter would show up as a
+# parity mismatch — the candidate-generation claim is independently verified.
+_FUZZY_ORACLE_CROSS = f"""
+WITH names AS ({_FUZZY_ORACLE_CORPUS})
+SELECT a.i AS id_a, b.i AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+FROM names a CROSS JOIN names b
+WHERE a.i < 1000 AND b.i >= 1000
+  AND levenshtein(a.name, b.name) <= {FUZZY_K}
+ORDER BY id_a, id_b
 """
 _FUZZY_SPARK_CORPUS = _fuzzy_corpus(
     "STRING", "SELECT explode(sequence(CAST(0 AS BIGINT), CAST(299 AS BIGINT))) AS i"
@@ -450,12 +459,13 @@ FROM (SELECT i, name, explode(sequence(1, length(name) - 1)) AS p FROM names)
 
 @register(
     "fuzzy_join_levenshtein",
-    oracle=_fuzzy_sql(_FUZZY_ORACLE_CORPUS, _FUZZY_ORACLE_GRAMS),
+    oracle=_FUZZY_ORACLE_CROSS,
     description="fuzzy edit-distance join: bigram inverted-index "
     "candidates (provably complete for lev ≤ 2 on names ≥ 6 chars: one "
     "edit destroys ≤ 2 of the n−1 bigrams) + exact levenshtein verify — "
-    "output identical to the brute-force cross join, which is the "
-    "oracle; the q-gram/verify shape every scale fuzzy join uses",
+    "the oracle IS the brute-force cross join, so the candidate filter's "
+    "completeness is independently checked; the q-gram/verify shape "
+    "every scale fuzzy join uses",
 )
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fuzzy_sql(_FUZZY_SPARK_CORPUS, _FUZZY_SPARK_GRAMS))

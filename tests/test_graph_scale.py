@@ -31,6 +31,34 @@ def test_two_components_and_isolation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cc_observation_fallback_path(spark, monkeypatch):
+    """If the convergence observation never fires (bounded wait returns
+    None — simulating an engine that materializes checkpoints outside
+    withAction), CC must degrade to the explicit-aggregate checksum and
+    still converge to correct labels instead of hanging (round-3 advice)."""
+    from posting_lines_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_obs_get_bounded", lambda obs, timeout_s=0.0: None)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in G.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_obs_get_bounded_times_out_on_unfired_observation(spark):
+    """An Observation attached to a never-executed plan must yield None
+    within the bound, not block forever."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.operators.graph import _obs_get_bounded
+
+    obs = Observation("never_fires")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))  # no action
+    assert _obs_get_bounded(obs, timeout_s=1.0) is None
+
+
 def test_non_convergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "id_a long, id_b long"

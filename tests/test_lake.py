@@ -118,3 +118,34 @@ def test_targeted_delete_rewrites_only_matching_files(spark):
         if r.min_v <= keys[0] <= r.max_v
     ]
     assert len(hits) == n_rewritten
+
+
+def test_targeted_delete_preserves_null_key_rows(spark):
+    """NULL keys never match a delete predicate; they must survive the
+    rewrite exactly as identical rows in untouched files do (round-3
+    advice: bare ~isin() is NULL for NULL input → silent drop)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from posting_lines_spark.queries.lake_q import targeted_delete
+
+    rows = [(i if i % 5 else None, f"v{i}") for i in range(100)]
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), False),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="pls_delnull_")
+    spark.createDataFrame(rows, schema).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n_null = sum(1 for k, _ in rows if k is None)
+    keys = [7, 13]
+    table, _, n_rewritten = targeted_delete(spark, path, "k", keys)
+    assert n_rewritten >= 1
+    assert table.filter(F.col("k").isin(keys)).count() == 0
+    assert table.filter(F.col("k").isNull()).count() == n_null
+    assert table.count() == len(rows) - len(keys)
