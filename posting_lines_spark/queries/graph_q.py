@@ -45,9 +45,6 @@ ORDER BY node
 """
 
 
-_PAIRS_PARQUET: dict[str, str] = {}
-
-
 def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ACROSS A STORAGE BOUNDARY (written once
     per process, then read back) — the production shape: grouping,
@@ -59,9 +56,8 @@ def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (corpus_survivors, leakage split) read the documents view
     # after calling this — register it on every call, cache hit or not
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    if sf_dir not in _PAIRS_PARQUET:
-        import tempfile
 
+    def write_pairs(path: str) -> None:
         # base feeds two branches (signatures + verification shingles):
         # cut lineage once so the scan/union/repartition runs once
         base = (
@@ -74,11 +70,15 @@ def _spark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
         sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
         cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
-        pairs = dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
-        path = tempfile.mkdtemp(prefix="pls_pairs_pq_")
-        pairs.write.mode("overwrite").parquet(path)
-        _PAIRS_PARQUET[sf_dir] = path
-    return spark.read.parquet(_PAIRS_PARQUET[sf_dir])
+        dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    from posting_lines_spark.fixtures import cached_fixture
+
+    return spark.read.parquet(
+        cached_fixture("near_dup_pairs", sf_dir, write_pairs, "pls_pairs_pq_")
+    )
 
 
 @register(

@@ -39,7 +39,20 @@ def segments_state_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STATE_PARQUET: dict[str, str] = {}
+def segments_state_path(spark: SparkSession, sf_dir: str) -> str:
+    """Parquet dir holding the state table, written once per process
+    (content-stamped cache: changed testdata re-materializes). Streaming
+    twins use this path directly as their file-stream source."""
+    from posting_lines_spark.fixtures import cached_fixture
+
+    return cached_fixture(
+        "segments_state",
+        sf_dir,
+        lambda p: segments_state_df(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(p),
+        "pls_state_pq_",
+    )
 
 
 def segments_state_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,13 +61,7 @@ def segments_state_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     that arrives from storage, so the enrichment queries measure the
     operator, not the synthetic-state derivation. Also sidesteps the
     plan-size hazard documented in operators/pipeline.py."""
-    if sf_dir not in _STATE_PARQUET:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="pls_state_pq_")
-        segments_state_df(spark, sf_dir).write.mode("overwrite").parquet(path)
-        _STATE_PARQUET[sf_dir] = path
-    return spark.read.parquet(_STATE_PARQUET[sf_dir])
+    return spark.read.parquet(segments_state_path(spark, sf_dir))
 
 
 DETECT_ORACLE = f"""

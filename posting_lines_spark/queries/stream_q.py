@@ -10,18 +10,30 @@ against a pure-SQL byte-level oracle.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from posting_lines_spark.fixtures import cached_fixture, scratch_dir
 from posting_lines_spark.operators import multimodal
 from posting_lines_spark.queries import register
 from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df  # noqa: F401
 from posting_lines_spark.queries.parity import dsum_expr
-from posting_lines_spark.queries.pipeline_q import segments_state_parquet
+from posting_lines_spark.queries.pipeline_q import segments_state_path
 from posting_lines_spark.sources import load_table
 from posting_lines_spark.streaming import incremental
+
+
+def _events_src(spark: SparkSession, sf_dir: str) -> str:
+    """Events table as a parquet stream source, written once per process
+    (content-stamped; shared by the streaming queries)."""
+    return cached_fixture(
+        "events_src",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .parquet(p),
+        "pls_events_src_",
+    )
 
 
 @register(
@@ -32,10 +44,10 @@ from posting_lines_spark.streaming import incremental
     "— hash-matches the BATCH oracle, proving the paths are equivalent",
 )
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = tempfile.mkdtemp(prefix="pls_seg_src_")
-    out = tempfile.mkdtemp(prefix="pls_seg_out_")
-    ckpt = tempfile.mkdtemp(prefix="pls_seg_ckpt_")
-    segments_state_parquet(spark, sf_dir).write.mode("overwrite").parquet(src)
+    # the cached state-table parquet IS the stream source — no re-write
+    src = segments_state_path(spark, sf_dir)
+    out = scratch_dir("pls_seg_out_")
+    ckpt = scratch_dir("pls_seg_ckpt_")
     incremental.enrich_available_now(spark, src, out, ckpt)
     res = spark.read.parquet(out)
     return res.select(
@@ -85,11 +97,16 @@ ORDER BY user_id, session_start_us
     "gaps-and-islands twin filtered to watermark-closed sessions",
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="pls_sess_out_")
-    ckpt = tempfile.mkdtemp(prefix="pls_sess_ckpt_")
+    out_dir = scratch_dir("pls_sess_out_")
+    ckpt = scratch_dir("pls_sess_ckpt_")
     out = incremental.session_windows_append_parquet(
-        spark, events, out_dir, ckpt, gap="30 minutes", watermark="1 hour"
+        spark,
+        None,
+        out_dir,
+        ckpt,
+        gap="30 minutes",
+        watermark="1 hour",
+        src_dir=_events_src(spark, sf_dir),
     )
     return out.orderBy("user_id", "session_start_us")
 
@@ -258,18 +275,27 @@ def stream_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.lit(0)).alias("valid_from"),
         F.lit(None).cast("timestamp_ntz").alias("valid_to"),
     )
-    table_dir = tempfile.mkdtemp(prefix="pls_cdc_tbl_")
-    ckpt = tempfile.mkdtemp(prefix="pls_cdc_ckpt_")
+    table_dir = scratch_dir("pls_cdc_tbl_")
+    ckpt = scratch_dir("pls_cdc_ckpt_")
+    updates_src = cached_fixture(
+        "scd_updates_src",
+        sf_dir,
+        lambda p: events.select("user_id", "ts", "value", "event_id")
+        .write.mode("overwrite")
+        .parquet(p),
+        "pls_cdc_src_",
+    )
     final = incremental.scd_upsert_available_now(
         spark,
         initial,
-        events.select("user_id", "ts", "value", "event_id"),
+        None,
         table_dir,
         ckpt,
         key="user_id",
         ts_col="ts",
         attr_cols=["value"],
         order_cols=["ts", "event_id"],
+        src_dir=updates_src,
     )
     return (
         final.groupBy("user_id")
@@ -308,10 +334,11 @@ ORDER BY a.user_id, left_id, right_id
     "oracle = the batch interval join",
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="pls_ssj_out_")
-    ckpt = tempfile.mkdtemp(prefix="pls_ssj_ckpt_")
-    res = incremental.stream_stream_join_append_parquet(spark, events, out_dir, ckpt)
+    out_dir = scratch_dir("pls_ssj_out_")
+    ckpt = scratch_dir("pls_ssj_ckpt_")
+    res = incremental.stream_stream_join_append_parquet(
+        spark, None, out_dir, ckpt, src_dir=_events_src(spark, sf_dir)
+    )
     return res.orderBy("user_id", "left_id", "right_id")
 
 
@@ -336,12 +363,24 @@ ORDER BY event_type
     "duplicate-free batch aggregate",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    doubled = events.unionByName(events)  # every event arrives twice
-    out_dir = tempfile.mkdtemp(prefix="pls_sdedup_out_")
-    ckpt = tempfile.mkdtemp(prefix="pls_sdedup_ckpt_")
+    def write_doubled(p: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        # every event arrives twice
+        events.unionByName(events).write.mode("overwrite").parquet(p)
+
+    doubled_src = cached_fixture(
+        "events_doubled_src", sf_dir, write_doubled, "pls_sdedup_src_"
+    )
+    out_dir = scratch_dir("pls_sdedup_out_")
+    ckpt = scratch_dir("pls_sdedup_ckpt_")
     res = incremental.dedup_stream_append_parquet(
-        spark, doubled, out_dir, ckpt, key_cols=["event_id"], ts_col="ts"
+        spark,
+        None,
+        out_dir,
+        ckpt,
+        key_cols=["event_id"],
+        ts_col="ts",
+        src_dir=doubled_src,
     )
     return (
         res.groupBy("event_type")
@@ -440,11 +479,18 @@ SQH_ORACLE = _sqh_tail(
 )
 def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="pls_sqh_src_")
-    out = tempfile.mkdtemp(prefix="pls_sqh_out_")
-    ckpt = tempfile.mkdtemp(prefix="pls_sqh_ckpt_")
     # 4 source files → 4 micro-batches at maxFilesPerTrigger=1
-    events.select("value").repartition(4).write.mode("overwrite").parquet(src)
+    src = cached_fixture(
+        "sqh_values_src",
+        sf_dir,
+        lambda p: events.select("value")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+        "pls_sqh_src_",
+    )
+    out = scratch_dir("pls_sqh_out_")
+    ckpt = scratch_dir("pls_sqh_ckpt_")
     schema = spark.read.parquet(src).schema
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:

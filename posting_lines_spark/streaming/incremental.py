@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from posting_lines_spark.fixtures import scratch_dir
 from posting_lines_spark.operators.pipeline import enrich_segments
 
 
@@ -47,23 +48,26 @@ def enrich_available_now(
 
 def dedup_stream_append_parquet(
     spark: SparkSession,
-    events: DataFrame,
+    events: DataFrame | None,
     out_dir: str,
     checkpoint_dir: str,
     key_cols: list[str],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    src_dir: str | None = None,
 ) -> DataFrame:
     """Streaming exactly-once dedup: `dropDuplicates` over key_cols with a
     watermark bounding the dedup state (keys older than the watermark are
     evicted — without it, state grows with every key ever seen). Each
     first-seen row is emitted immediately (append mode), duplicates
     arriving within the watermark horizon are dropped. The streaming twin
-    of exact_dedup for ingest pipelines."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="pls_dedup_src_")
-    events.write.mode("overwrite").parquet(src)
+    of exact_dedup for ingest pipelines. Pass `src_dir` to stream from an
+    already-materialized parquet dir (skips the fixture write)."""
+    if src_dir is not None:
+        src = src_dir
+    else:
+        src = scratch_dir("pls_dedup_src_")
+        events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     q = (
@@ -96,11 +100,12 @@ def _session_agg(stream: DataFrame, gap: str, watermark: str) -> DataFrame:
 
 def session_windows_append_parquet(
     spark: SparkSession,
-    events: DataFrame,
+    events: DataFrame | None,
     out_dir: str,
     checkpoint_dir: str,
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    src_dir: str | None = None,
 ) -> DataFrame:
     """THE scale path for streaming sessionization: append-mode parquet
     sink. Sessions are emitted exactly once, when the event-time watermark
@@ -109,11 +114,13 @@ def session_windows_append_parquet(
     state for the next incremental run instead of being re-emitted, which
     is what makes the file sink exactly-once under re-runs. The memory-
     sink/complete-mode variant below is driver-memory bound and exists for
-    tests only. Returns the emitted sessions read back from the sink."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="pls_stream_src_")
-    events.write.mode("overwrite").parquet(src)
+    tests only. Returns the emitted sessions read back from the sink.
+    Pass `src_dir` to stream from an already-materialized parquet dir."""
+    if src_dir is not None:
+        src = src_dir
+    else:
+        src = scratch_dir("pls_stream_src_")
+        events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     q = (
@@ -132,13 +139,14 @@ def session_windows_append_parquet(
 def scd_upsert_available_now(
     spark: SparkSession,
     initial: DataFrame,
-    updates: DataFrame,
+    updates: DataFrame | None,
     table_dir: str,
     checkpoint_dir: str,
     key: str,
     ts_col: str,
     attr_cols: list[str],
     order_cols: list[str] | None = None,
+    src_dir: str | None = None,
 ) -> DataFrame:
     """Streaming CDC upsert: a change stream applied to an SCD2 table via
     foreachBatch — the MERGE INTO pattern without a lakehouse format.
@@ -152,7 +160,6 @@ def scd_upsert_available_now(
     cost is one broadcast of the collapsed updates against the current
     snapshot. Returns the final SCD2 table."""
     import os
-    import tempfile
 
     from pyspark.sql import Window as W
 
@@ -160,8 +167,11 @@ def scd_upsert_available_now(
 
     initial.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
 
-    src = tempfile.mkdtemp(prefix="pls_cdc_src_")
-    updates.write.mode("overwrite").parquet(src)
+    if src_dir is not None:
+        src = src_dir
+    else:
+        src = scratch_dir("pls_cdc_src_")
+        updates.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
 
@@ -224,10 +234,8 @@ def stream_stream_join_append_parquet(
     tests/test_operators.py's multi-batch eviction test via `src_dir` +
     `max_files_per_trigger=1`, which replays files as separate
     micro-batches in modification-time order."""
-    import tempfile
-
     if src_dir is None:
-        src = tempfile.mkdtemp(prefix="pls_ssj_src_")
+        src = scratch_dir("pls_ssj_src_")
         events.write.mode("overwrite").parquet(src)
     else:
         src = src_dir
@@ -276,9 +284,7 @@ def session_windows_available_now(
     """TEST HARNESS ONLY — complete-mode memory sink (driver-memory bound):
     returns every session including ones the watermark hasn't closed.
     Production/scale code uses `session_windows_append_parquet`."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix="pls_stream_src_")
+    src = scratch_dir("pls_stream_src_")
     events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)

@@ -1,0 +1,124 @@
+"""Adversarial degenerate-group fixtures for the nullif guards in
+analytics_q (round-3 verdict #5): the seeded testdata never produces a
+zero-variance, constant-x, or MAD=0 group, so the guards added for the
+round-2 advice (divide-by-zero divergence) were unreachable by the
+oracle harness. These fixtures reach them and assert BOTH engines return
+the same NULLs — the test that would have caught the pre-fix
+engine-divergence (NaN/Inf on one side, error or NULL on the other)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from posting_lines_spark.queries.analytics_q import (
+    _mad_sql,
+    _moments_sql,
+    _regression_sql,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def degenerate_events(spark):
+    """Three adversarial groups:
+    - 'const'  : constant value, varying ts → zero variance (skew/kurt
+                 denominators 0; regression syy-term 0 → r² NULL)
+    - 'constx' : all rows share one ts (constant x) → slope/intercept/r²
+                 denominators 0
+    - 'madzero': >half the rows share the median value → MAD = 0, with
+                 outliers that the >6·MAD cut still selects (ratio NULL)
+    """
+    rows = []
+    eid = 0
+    for i in range(8):
+        rows.append(("const", eid, T0 + timedelta(minutes=i), 5.0))
+        eid += 1
+    for i in range(8):
+        rows.append(("constx", eid, T0, float(i + 1)))
+        eid += 1
+    for i in range(6):
+        rows.append(("madzero", eid, T0 + timedelta(minutes=i), 10.0))
+        eid += 1
+    for v in (90.0, 95.0):
+        rows.append(("madzero", eid, T0 + timedelta(hours=1), v))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_type", "event_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("events")
+    yield pdf
+    spark.catalog.dropTempView("events")
+
+
+def _duck(pdf: pd.DataFrame, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_moments_zero_variance_group_null_on_both_engines(
+    spark, degenerate_events
+):
+    got = _rows(
+        spark.sql(_moments_sql("CAST(round(value * 1.0e2) AS DECIMAL(38,0))"))
+    )
+    want = _duck(
+        degenerate_events, _moments_sql("CAST(round(value * 1.0e2) AS HUGEINT)")
+    )
+    assert got == want
+    const = next(r for r in got if r[0] == "const")
+    # (event_type, n, mean, std, skew, kurt): zero variance → std 0.0,
+    # skew/kurt NULL — not NaN, not Inf, not an error
+    assert const[2] == 5.0 and const[3] == 0.0
+    assert const[4] is None and const[5] is None
+
+
+def test_regression_constant_x_and_constant_y_null_on_both_engines(
+    spark, degenerate_events
+):
+    got = _rows(
+        spark.sql(_regression_sql("unix_micros(ts)", "div", "DECIMAL(38,0)"))
+    )
+    want = _duck(
+        degenerate_events, _regression_sql("epoch_us(ts)", "//", "HUGEINT")
+    )
+    assert got == want
+    by_type = {r[0]: r for r in got}
+    # constant x: slope/intercept/r² all NULL (x-variance denominator 0)
+    assert by_type["constx"][2] is None
+    assert by_type["constx"][3] is None
+    assert by_type["constx"][4] is None
+    # constant y: slope 0, r² NULL (y-variance factor 0 in denominator)
+    assert by_type["const"][2] == 0.0
+    assert by_type["const"][4] is None
+
+
+def test_mad_zero_group_flags_outliers_with_null_ratio_on_both_engines(
+    spark, degenerate_events
+):
+    got = _rows(
+        spark.sql(_mad_sql("CAST(round(value * 1.0e2) AS BIGINT)", "percentile"))
+    )
+    want = _duck(
+        degenerate_events,
+        _mad_sql("CAST(round(value * 1.0e2) AS BIGINT)", "quantile_cont"),
+    )
+    assert got == want
+    madzero = [r for r in got if r[0] == "madzero"]
+    # MAD = 0: the two outliers still trip the >6·MAD cut; the ratio is
+    # NULL (nullif guard), never Inf/NaN
+    assert {r[2] for r in madzero} == {90.0, 95.0}
+    assert all(r[4] == 0.0 and r[5] is None for r in madzero)
