@@ -80,6 +80,39 @@ def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_survivors_bloom",
+    oracle=SURVIVORS_ORACLE,
+    description="corpus_survivors through the documented 100 TB shuffle "
+    "path: the drop list builds an 8 KiB bloom bitset; corpus rows that "
+    "MISS it are definite keeps (map-only, never shuffled), only the "
+    "maybe-dropped rows (true drops + false positives) go through the "
+    "exact anti-join. Same oracle as corpus_survivors — the composition "
+    "is provably lossless because blooms have no false negatives",
+)
+def corpus_survivors_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries.sketch_q import bloom_bitset, bloom_probe
+
+    comp = graph.connected_components(_spark_pairs(spark, sf_dir))
+    drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    base = spark.sql(NEAR_BASE_SPARK)
+    words = bloom_bitset(drops, "doc_id")
+    probed = bloom_probe(base, "doc_id", words)
+    definite_keeps = probed.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    maybe_dropped = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    kept = definite_keeps.unionByName(maybe_dropped.join(drops, "doc_id", "left_anti"))
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("total_tokens_kept"),
+    )
+    dropped = drops.agg(F.count(F.lit(1)).alias("n_docs_dropped"))
+    return stats.crossJoin(dropped).select(
+        "n_docs_kept", "n_docs_dropped", "total_tokens_kept"
+    )
+
+
 # --- deterministic stratified sampling ---
 
 def _sample_sql(h_source: str, h_doc: str) -> str:

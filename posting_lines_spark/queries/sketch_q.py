@@ -231,13 +231,18 @@ def bloom_bitset(dim_keys: DataFrame, key_col: str) -> list[int]:
     return arr
 
 
-def bloom_prefilter(fact: DataFrame, key_col: str, bitset_words: list[int]) -> DataFrame:
-    """Fact rows whose key MIGHT be in the bloom set (superset of the true
-    matches — no false negatives). Pure codegen: position → word lookup in
-    the literal array → shift + mask; zero shuffles, zero UDFs."""
+def bloom_probe(
+    fact: DataFrame, key_col: str, bitset_words: list[int], flag_col: str = "__bloom_hit"
+) -> DataFrame:
+    """fact + boolean `flag_col`: True iff the key MIGHT be in the bloom
+    set (no false negatives — False means definitely absent). Pure
+    codegen: position → word lookup in the literal array → shift + mask;
+    zero shuffles, zero UDFs. Callers that need both branches (e.g. the
+    anti-join composition: misses are definite keeps, hits go through the
+    exact join) filter on the flag once instead of probing twice."""
     bitset = F.lit(bitset_words)
     # stage position → word → bit-test as named columns (the __-prefixed
-    # plumbing is dropped after the filter)
+    # plumbing is dropped after the flag is computed)
     o = fact
     probe = None
     for s in (0, 1):
@@ -250,7 +255,17 @@ def bloom_prefilter(fact: DataFrame, key_col: str, bitset_words: list[int]) -> D
         )
         hit = F.expr(f"(shiftright(__w{s}, CAST(__h{s} % 64 AS INT)) & 1) = 1")
         probe = hit if probe is None else (probe & hit)
-    return o.filter(probe).drop("__h0", "__w0", "__h1", "__w1")
+    return o.withColumn(flag_col, probe).drop("__h0", "__w0", "__h1", "__w1")
+
+
+def bloom_prefilter(fact: DataFrame, key_col: str, bitset_words: list[int]) -> DataFrame:
+    """Fact rows whose key MIGHT be in the bloom set (superset of the true
+    matches — no false negatives)."""
+    return (
+        bloom_probe(fact, key_col, bitset_words)
+        .filter(F.col("__bloom_hit"))
+        .drop("__bloom_hit")
+    )
 
 
 @register(

@@ -409,6 +409,66 @@ def test_stream_stream_join_multibatch_watermark_eviction(spark, tmp_path):
     assert pairs == {(1, 2), (3, 4), (7, 8)}, pairs  # (5, 6) dropped by eviction
 
 
+def test_stream_quantile_hist_batching_invariance(spark, tmp_path):
+    """The mergeable-sketch claim, pinned end to end: because each
+    micro-batch appends a PARTIAL histogram and the merge is plain
+    integer addition (exact, associative, commutative), the final
+    quantile rows must be BIT-IDENTICAL no matter how the stream was
+    batched. Drain the same values as 1 micro-batch and as 8, compare
+    the full result rows bit-for-bit (round-3 verdict #9)."""
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.queries.stream_q import _SQH_BIN, _sqh_tail
+    from posting_lines_spark.sources import load_table
+    from tests.conftest import SF0001
+
+    events = load_table(spark, SF0001, "events")
+    events.createOrReplaceTempView("events")
+
+    def drain(n_files: int) -> list:
+        src = str(tmp_path / f"src_{n_files}")
+        out = str(tmp_path / f"out_{n_files}")
+        ckpt = str(tmp_path / f"ckpt_{n_files}")
+        events.select("value").repartition(n_files).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def per_batch(batch_df, epoch_id):
+            (
+                batch_df.selectExpr(f"{_SQH_BIN} AS bin")
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = spark.read.parquet(out).groupBy("bin").count().agg(
+            F.max("count")
+        ).first()[0]
+        spark.read.parquet(out).createOrReplaceTempView("sqh_partials")
+        rows = spark.sql(
+            _sqh_tail(
+                "SELECT bin, CAST(sum(n) AS BIGINT) AS n "
+                "FROM sqh_partials GROUP BY bin"
+            )
+        ).collect()
+        return n_batches, [tuple(r) for r in rows]
+
+    n1, one_batch = drain(1)
+    n8, eight_batches = drain(8)
+    assert n1 == 1 and n8 > 1, "the 8-file drain must really multi-batch"
+    assert one_batch == eight_batches  # bit-for-bit, incl. the bound flag
+
+
 def test_cw_minhash_sql_matches_python_mirror(spark):
     """The Spark-side CW mix (limbs from md5, integer mix) must equal the
     pure-Python mirror bit-for-bit — the same property the DuckDB oracle
