@@ -101,10 +101,18 @@ def brute_force_topk(
 
 def probe_masks(num_planes: int, probes: int) -> list[int]:
     """Bucket-XOR masks for multi-probe: probes=0 → own bucket only;
-    probes=1 → own + every Hamming-1 neighbor (flip each plane bit)."""
+    probes=1 → own + every Hamming-1 neighbor (flip each plane bit);
+    probes=2 → additionally every Hamming-2 neighbor (flip each pair) —
+    the next recall rung at ×C(B,2) extra candidate buckets."""
     masks = [0]
     if probes >= 1:
         masks += [1 << p for p in range(num_planes)]
+    if probes >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(num_planes)
+            for q in range(p + 1, num_planes)
+        ]
     return masks
 
 

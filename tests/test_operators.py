@@ -200,9 +200,10 @@ class TestSimilarity:
             }
             return len(got & truth) / len(truth)
 
-        r0, r1 = recall(0), recall(1)
+        r0, r1, r2 = recall(0), recall(1), recall(2)
         # deterministic data + deterministic planes → stable values
         assert r1 > r0, f"multi-probe recall {r1} not above single-probe {r0}"
+        assert r2 > r1, f"Hamming-2 recall {r2} not above Hamming-1 {r1}"
 
     def test_ivf_bucket_join_contains_duplicate(self, spark):
         emb = spark.createDataFrame(

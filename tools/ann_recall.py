@@ -1,0 +1,142 @@
+"""ANN recall vs candidate-budget measurement (round-3 verdict #7).
+
+Compares the repo's three index variants against brute-force ground
+truth on the same embeddings table, reporting recall@K alongside the
+candidate fraction each variant scans (the cost that matters at 100 TB:
+candidates/query ≈ corpus_fraction × n). Run:
+
+    python tools/ann_recall.py [sf_dir] [n_queries]
+
+Writes one table to stdout; the round's numbers are recorded in
+SCALE.md. On the synthetic random embeddings there is NO cluster
+structure, so recall ≈ candidate fraction is the information-theoretic
+expectation — the table shows each variant sits on that line and what
+each probing rung buys.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from posting_lines_spark.operators import similarity as sim  # noqa: E402
+from posting_lines_spark.queries.vectors_q import (  # noqa: E402
+    _KM_LONG_SPARK,
+    _km_chain,
+    DIMS,
+    KM_K,
+    NUM_PLANES,
+)
+from posting_lines_spark.functions.hashing import md5_int_spark  # noqa: E402
+from posting_lines_spark.session import get_spark  # noqa: E402
+from posting_lines_spark.sources import load_table  # noqa: E402
+
+K = 10
+
+
+def kmeans_assignment(spark):
+    """(vec_id, cluster_id) from the registered 2-round Lloyd training."""
+    return spark.sql(
+        f"""{_km_chain(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))}
+SELECT vec_id, cluster_id FROM a2"""
+    )
+
+
+def bucket_recall(emb, queries, truth, assign, n_queries):
+    """Generic cell-index recall: join emb/queries on the cell id."""
+    eb = emb.join(assign, "vec_id")
+    qb = eb.filter(F.col("vec_id").isin([r for r in range(n_queries)])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cluster_id",
+    )
+    cand = eb.join(qb, "cluster_id").filter(F.col("vec_id") != F.col("query_id"))
+    n_cand = cand.count()
+    scored = cand.withColumn(
+        "cosine", F.expr(sim.cosine_spark("embedding", "qv"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+    return len(got & truth) / len(truth), n_cand
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark(app="ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, queries, k=K).collect()
+    }
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+
+    rows = []
+    for probes in (0, 1, 2):
+        got_df = sim.ivf_topk(
+            emb, queries, planes, k=K, probes=probes, num_planes=NUM_PLANES
+        )
+        got = {(r.query_id, r.vec_id) for r in got_df.collect()}
+        n_buckets = len(sim.probe_masks(NUM_PLANES, probes))
+        # candidate count: emb joined on probed buckets
+        eb = sim.bucketize(emb, planes)
+        qb = sim.bucketize(queries, planes).select(
+            F.col("vec_id").alias("query_id"), F.col("bucket").alias("qbucket")
+        )
+        masks = sim.probe_masks(NUM_PLANES, probes)
+        probed = qb.select(
+            "query_id",
+            F.explode(
+                F.array(*[F.expr(f"qbucket ^ {m}") for m in masks])
+            ).alias("bucket"),
+        )
+        n_cand = (
+            eb.join(probed, "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .count()
+        )
+        rows.append(
+            (
+                f"hyperplane B={NUM_PLANES} probes={probes} "
+                f"({n_buckets}/{2**NUM_PLANES} buckets)",
+                len(got & truth) / len(truth),
+                n_cand / (n_queries * (n - 1)),
+            )
+        )
+
+    r, n_cand = bucket_recall(
+        emb, queries, truth, kmeans_assignment(spark), n_queries
+    )
+    rows.append(
+        (
+            f"kmeans IVF K={KM_K} cells probes=0",
+            r,
+            n_cand / (n_queries * (n - 1)),
+        )
+    )
+
+    print(f"\nANN recall@{K} vs candidate budget — {sf_dir}, n={n}, "
+          f"{n_queries} queries")
+    print(f"{'variant':<46} {'recall@10':>9} {'cand_frac':>10} {'ratio':>6}")
+    for name, rec, frac in rows:
+        ratio = rec / frac if frac else float("nan")
+        print(f"{name:<46} {rec:>9.3f} {frac:>10.3f} {ratio:>6.2f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
