@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         stream_q,
         temporal_q,
         text_q,
+        tpch_q,
         vectors_q,
         windows_q,
     )

@@ -130,3 +130,33 @@ def test_bucketed_join_query_has_no_join_side_shuffle(spark):
     assert "SortMergeJoin" in plan, plan[:1500]
     n = len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
     assert n <= 2, f"{n} shuffles — the join side grew an exchange:\n{plan[:2000]}"
+
+
+def test_q19_disjunctive_predicate_stays_equi_hash_join(spark):
+    """TPC-H Q19's OR-of-conjunctions must NOT degrade the join: the
+    optimizer factors the common p_partkey = l_partkey conjunct out of
+    the disjunction, leaving a hash join with a disjunctive residual and
+    the per-leg ranges pushed to BOTH parquet scans. A CartesianProduct /
+    BroadcastNestedLoopJoin here is the plan that melts at 100 TB."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["q19_disjunctive_join"].fn(spark, SF001)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    pushed = [ln for ln in scans if "Or(Or(" in ln]
+    assert len(pushed) == 2, f"disjunctive ranges not pushed to both scans:\n{scans}"
+
+
+def test_q17_decorrelates_to_one_extra_aggregate(spark):
+    """The correlated scalar AVG must decorrelate: exactly one extra
+    lineitem aggregate joined back on l_partkey — no per-row subquery
+    node survives in the physical plan."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["q17_small_qty_revenue"].fn(spark, SF001)
+    plan = _executed_plan(df)
+    # decorrelated: the avg shows up as a joined aggregate, not a scalar
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
