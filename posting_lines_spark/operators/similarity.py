@@ -162,3 +162,148 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
+
+
+# --- product quantization (PQ) ---
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split each vector into M subvectors, quantize each against
+# a per-subspace codebook of K' centroids, search with an Asymmetric
+# Distance Computation (ADC) table — approx dist(q, v) = Σ_m
+# ‖q_m − centroid[code_m(v)]‖². The corpus stores M small codes per
+# vector (M·log2(K') bits — a 32× compression of a float32 dim-64
+# embedding at M=4, K'=16), which is what makes exhaustive candidate
+# scoring affordable at 100 TB: the scan touches codes, not vectors.
+#
+# Codebook here is sampled (the K' lexicographically-first vectors per
+# subspace — the k-means init step; operators above own the Lloyd
+# refinement), which keeps it deterministic and oracle-replayable.
+
+
+def l2sq_spark(a: str, b: str) -> str:
+    """Squared L2 distance, sequential fold in index order (portable)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_subvectors(
+    emb: DataFrame, m_subs: int, sub_dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, m, sub): each vector exploded into its M subspace slices."""
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_subs - 1)),
+            lambda m: F.struct(
+                m.alias("m"),
+                F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("sub"),
+            ),
+        )
+    )
+    return emb.select(id_col, subs.alias("s")).select(id_col, "s.m", "s.sub")
+
+
+def pq_encode(
+    subs: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, m, code): argmin-centroid per subspace. The codebook
+    (m, code, cent) is tiny (M·K' rows) and broadcasts; the n·M·K'
+    distance stream is map-side only — the one shuffle is the argmin
+    window on (id, m). Ties break on code (deterministic)."""
+    d = subs.join(F.broadcast(codebook), "m").withColumn(
+        "sq", F.expr(l2sq_spark("sub", "cent"))
+    )
+    w = W.partitionBy(id_col, "m").orderBy("sq", "code")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "m", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    dtable: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ADC search + exact re-rank. `dtable` is the per-query distance
+    table (query_id, m, code, qd) — M·K' rows per query, broadcast; the
+    corpus side streams CODES only. The per-(query, vec) ADC sum folds
+    the M partial distances in subspace order (engine-stable bits), takes
+    the `rerank` closest, then re-scores just those against the real
+    vectors for the final exact-cosine top-k."""
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .groupBy(query_id, id_col)
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, qd))), "
+                "s -> s.qd), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("adc")
+        )
+        .filter(F.col(id_col) != F.col(query_id))
+    )
+    wa = W.partitionBy(query_id).orderBy("adc", id_col)
+    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= rerank)
+    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(emb, id_col)
+        .join(F.broadcast(q), query_id)
+        .withColumn("cosine", F.expr(cosine_spark(vec_col, "qv")))
+    )
+    wr = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+# --- Johnson–Lindenstrauss random projection ---
+# Dimensionality reduction for the pre-filter stage of a similarity
+# pipeline: project dim-D vectors onto R md5-derived random directions
+# (same deterministic weight scheme as the LSH planes, distinct salt).
+# JL: pairwise angles are preserved within ~1/sqrt(R), so the projected
+# cosine ranks candidates cheaply at R/D of the scan cost.
+
+
+def rp_weight_spark(row: str, dim: str) -> str:
+    h = (
+        f"CAST(conv(substring(md5(concat('rproj', CAST({row} AS STRING), '_', "
+        f"CAST({dim} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return f"(({h} % 2001) - 1000) / 1000.0e0"
+
+
+def rp_matrix(spark: SparkSession, proj_dim: int, dims: int) -> DataFrame:
+    """(row_idx, w array<double>): R×D projection matrix, broadcast-sized."""
+    return spark.sql(
+        f"""
+        SELECT r AS row_idx,
+               transform(sequence(1, {dims}), d -> {rp_weight_spark('r', 'd')}) AS w
+        FROM (SELECT explode(sequence(0, {proj_dim - 1})) AS r)
+        """
+    )
+
+
+def rp_project(
+    emb: DataFrame, mat: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, vec, proj array<double>): one broadcast fan-out (n·R narrow
+    rows, no shuffle) + one groupBy(id) to assemble the projected vector
+    in row order (sorted fold — engine-stable bits)."""
+    p = emb.crossJoin(F.broadcast(mat)).select(
+        id_col, vec_col, "row_idx", F.expr(dot_spark(vec_col, "w")).alias("pv")
+    )
+    return p.groupBy(id_col, vec_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(row_idx, pv))), s -> s.pv)"
+        ).alias("proj")
+    )

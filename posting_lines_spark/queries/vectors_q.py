@@ -427,3 +427,198 @@ ORDER BY label, dim
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_centroid_sql(_KM_LONG_SPARK))
+
+
+# --- product quantization (PQ) ADC search + exact re-rank ---
+# Jégou et al. TPAMI 2011 (see operators/similarity.py). M=4 subspaces
+# × 16 codes compress a dim-64 float vector to 4 bytes of codes — the
+# candidate scan at 100 TB touches codes + a broadcast M·K' distance
+# table instead of raw vectors; only the `RERANK` survivors per query
+# are re-scored against real embeddings. The sampled codebook (K'
+# lexicographically-first vectors per subspace = the k-means init) keeps
+# both engines' codebooks identical; every distance is a sequential
+# index-order fold, so codes, ADC sums, and the final ranking are
+# bit-identical.
+
+PQ_M = 4
+PQ_SUBDIM = DIMS // PQ_M
+PQ_KPRIME = 16
+PQ_RERANK = 50
+
+
+def l2sq_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+PQ_ORACLE = f"""
+WITH subs AS (
+  SELECT vec_id, m, embedding[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS sub
+  FROM embeddings CROSS JOIN range(0, {PQ_M}) t(m)
+),
+codebook AS (SELECT m, vec_id AS code, sub AS cent FROM subs WHERE vec_id < {PQ_KPRIME}),
+cdist AS (
+  SELECT s.vec_id, s.m, c.code, {l2sq_duck('s.sub', 'c.cent')} AS sq
+  FROM subs s JOIN codebook c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY sq, code) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT s.vec_id AS query_id, s.m, c.code, {l2sq_duck('s.sub', 'c.cent')} AS qd
+  FROM subs s JOIN codebook c USING (m)
+  WHERE s.vec_id IN ({_QIDS})
+),
+adc AS (
+  SELECT d.query_id, co.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.qd ORDER BY d.m)),
+                     (acc, v) -> acc + v) AS adc
+  FROM codes co JOIN dtable d ON co.m = d.m AND co.code = d.code
+  WHERE co.vec_id != d.query_id
+  GROUP BY d.query_id, co.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_RERANK}
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cosine_duck('e.embedding', 'q.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_pq",
+    oracle=PQ_ORACLE,
+    description="product-quantization ANN (Jégou et al. 2011): M=4×16-code "
+    "sampled codebook, corpus stored as 4 codes/vector (32× compression), "
+    "broadcast ADC distance table, exact cosine re-rank of the 50 closest "
+    "— the code-scan-not-vector-scan path for 100 TB embedding search",
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = sim.pq_subvectors(emb, PQ_M, PQ_SUBDIM)
+    codebook = (
+        subs.filter(F.col("vec_id") < PQ_KPRIME)
+        .select("m", F.col("vec_id").alias("code"), F.col("sub").alias("cent"))
+    )
+    codes = sim.pq_encode(subs, codebook)
+    dtable = (
+        subs.filter(F.col("vec_id").isin(QUERY_IDS))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "code", F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
+    )
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return sim.pq_adc_topk(codes, dtable, emb, queries, K, PQ_RERANK).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --- Johnson–Lindenstrauss random projection ---
+# Projected cosine vs exact cosine side by side: the query returns BOTH,
+# so the oracle pins the projection math and the result quantifies the
+# JL distortion the pre-filter stage would trade for a 4× cheaper scan
+# (R=16 of D=64 dims). Weights reuse the md5 scheme under a distinct
+# salt; projections fold in row order (engine-stable bits).
+
+RP_DIM = 16
+
+
+def rp_weight_duck(row: str, dim: str) -> str:
+    h = (
+        f"CAST('0x' || substring(md5(concat('rproj', CAST({row} AS VARCHAR), '_', "
+        f"CAST({dim} AS VARCHAR))), 1, 15) AS BIGINT)"
+    )
+    return f"(({h} % 2001) - 1000) / 1000.0e0"
+
+
+RP_ORACLE = f"""
+WITH mat AS (
+  SELECT r AS row_idx,
+         list_transform(range(1, {DIMS + 1}), d -> {rp_weight_duck('r', 'd')}) AS w
+  FROM range(0, {RP_DIM}) t(r)
+),
+proj AS (
+  SELECT vec_id, embedding, list(dd ORDER BY row_idx) AS proj FROM (
+    SELECT e.vec_id, e.embedding, m.row_idx, {dot_duck('e.embedding', 'm.w')} AS dd
+    FROM embeddings e CROSS JOIN mat m
+  ) GROUP BY vec_id, embedding
+),
+scored AS (
+  SELECT q.vec_id AS query_id, p.vec_id,
+         {cosine_duck('p.proj', 'q.proj')} AS cosine_proj,
+         {cosine_duck('p.embedding', 'q.embedding')} AS cosine_exact
+  FROM proj p CROSS JOIN (SELECT * FROM proj WHERE vec_id IN ({_QIDS})) q
+  WHERE p.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_proj, cosine_exact,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_proj DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_proj, cosine_exact, rank
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_random_projection",
+    oracle=RP_ORACLE,
+    description="Johnson–Lindenstrauss random projection (64→16 dims, "
+    "deterministic md5 directions): top-k by PROJECTED cosine with the "
+    "exact cosine alongside — the cheap pre-filter stage of a two-stage "
+    "similarity scan, distortion directly visible in the result",
+)
+def sim_topk_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = sim.rp_matrix(spark, RP_DIM, DIMS)
+    proj = sim.rp_project(emb, mat)
+    q = (
+        proj.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("proj").alias("q_proj"),
+        )
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(sim.cosine_spark("proj", "q_proj")).alias("cosine_proj"),
+            F.expr(sim.cosine_spark("embedding", "q_embedding")).alias("cosine_exact"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine_proj").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= K)
+        .orderBy("query_id", "rank")
+    )

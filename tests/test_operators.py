@@ -500,3 +500,72 @@ def test_cw_minhash_sql_matches_python_mirror(spark):
             a = cw_constants(j)
             want = (sum(a[i] * lm[i] for i in range(4)) + j) % CW_MOD
             assert row[f"h{j}"] == want, (row.shingle, j)
+
+
+class TestPQ:
+    def test_pq_full_rerank_equals_brute_force(self, spark):
+        """With rerank >= n the ADC stage is a pure candidate pass-through
+        and the exact re-rank must reproduce brute force bit-for-bit —
+        pins that PQ's join/fold plumbing loses no candidates and scores
+        with the same cosine kernel (data-independent property)."""
+        from posting_lines_spark.queries.vectors_q import PQ_KPRIME, PQ_M, PQ_SUBDIM
+        from posting_lines_spark.sources import load_table
+        from tests.conftest import SF0001
+
+        emb = load_table(spark, SF0001, "embeddings")
+        n = emb.count()
+        queries = emb.filter(F.col("vec_id") < 5)
+        subs = sim.pq_subvectors(emb, PQ_M, PQ_SUBDIM)
+        codebook = subs.filter(F.col("vec_id") < PQ_KPRIME).select(
+            "m", F.col("vec_id").alias("code"), F.col("sub").alias("cent")
+        )
+        codes = sim.pq_encode(subs, codebook)
+        dtable = (
+            subs.filter(F.col("vec_id") < 5)
+            .withColumnRenamed("vec_id", "query_id")
+            .join(F.broadcast(codebook), "m")
+            .select("query_id", "m", "code",
+                    F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
+        )
+        got = sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in sim.pq_adc_topk(codes, dtable, emb, queries, 10, rerank=n).collect()
+        )
+        want = sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in sim.brute_force_topk(emb, queries, k=10).collect()
+        )
+        assert got == want
+
+    def test_pq_beats_random_candidate_floor(self, spark):
+        """ADC recall at a 10% rerank budget must clearly beat the 10%
+        random-candidate expectation (measured ~5× above it; asserted
+        loosely so the pin survives testdata regeneration)."""
+        from posting_lines_spark.queries.vectors_q import PQ_KPRIME, PQ_M, PQ_SUBDIM
+        from posting_lines_spark.sources import load_table
+        from tests.conftest import SF0001
+
+        emb = load_table(spark, SF0001, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in sim.brute_force_topk(emb, queries, k=10).collect()
+        }
+        subs = sim.pq_subvectors(emb, PQ_M, PQ_SUBDIM)
+        codebook = subs.filter(F.col("vec_id") < PQ_KPRIME).select(
+            "m", F.col("vec_id").alias("code"), F.col("sub").alias("cent")
+        )
+        codes = sim.pq_encode(subs, codebook)
+        dtable = (
+            subs.filter(F.col("vec_id") < 20)
+            .withColumnRenamed("vec_id", "query_id")
+            .join(F.broadcast(codebook), "m")
+            .select("query_id", "m", "code",
+                    F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
+        )
+        got = {
+            (r.query_id, r.vec_id)
+            for r in sim.pq_adc_topk(codes, dtable, emb, queries, 10, rerank=50).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall > 0.25, f"PQ recall {recall} not above the random floor"

@@ -128,6 +128,77 @@ def main() -> int:
         )
     )
 
+    # PQ ADC: rerank-budget candidates from the code scan, exact re-rank
+    from posting_lines_spark.queries.vectors_q import (
+        PQ_KPRIME,
+        PQ_M,
+        PQ_RERANK,
+        PQ_SUBDIM,
+    )
+
+    subs = sim.pq_subvectors(emb, PQ_M, PQ_SUBDIM)
+    codebook = subs.filter(F.col("vec_id") < PQ_KPRIME).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cent")
+    )
+    codes = sim.pq_encode(subs, codebook)
+    dtable = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "code",
+                F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sim.pq_adc_topk(
+            codes, dtable, emb, queries, K, PQ_RERANK
+        ).collect()
+    }
+    rows.append(
+        (
+            f"PQ M={PQ_M} K'={PQ_KPRIME} ADC rerank={PQ_RERANK}",
+            len(got & truth) / len(truth),
+            PQ_RERANK / (n - 1),
+        )
+    )
+
+    # JL random projection: rerank-budget candidates by projected cosine
+    from posting_lines_spark.queries.vectors_q import RP_DIM
+
+    proj = sim.rp_project(emb, sim.rp_matrix(spark, RP_DIM, DIMS))
+    qp = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("proj").alias("q_proj"),
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("cosine_proj").desc(), F.col("vec_id")
+    )
+    we = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in proj.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_proj", F.expr(sim.cosine_spark("proj", "q_proj")))
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= PQ_RERANK)
+        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "q_embedding")))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+    rows.append(
+        (
+            f"JL projection {DIMS}->{RP_DIM} rerank={PQ_RERANK}",
+            len(got & truth) / len(truth),
+            PQ_RERANK / (n - 1),
+        )
+    )
+
     print(f"\nANN recall@{K} vs candidate budget — {sf_dir}, n={n}, "
           f"{n_queries} queries")
     print(f"{'variant':<46} {'recall@10':>9} {'cand_frac':>10} {'ratio':>6}")
