@@ -469,3 +469,109 @@ FROM (SELECT i, name, explode(sequence(1, length(name) - 1)) AS p FROM names)
 )
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fuzzy_sql(_FUZZY_SPARK_CORPUS, _FUZZY_SPARK_GRAMS))
+
+
+# --- corpus-trained bigram LM quality score (CCNet-style perplexity) ---
+# The quality-filter stage real curation pipelines run (CCNet/KenLM):
+# score each document by the cross-entropy of its word bigrams under a
+# language model — here an add-one-smoothed bigram LM trained on the
+# corpus ITSELF (no external model in this container), which is the
+# same shape: low xent = fluent/common phrasing, high xent = rare or
+# garbled text. p(w2|w1) = (c12 + 1) / (c1 + V).
+#
+# Cross-engine parity is the hard part: ln() is not IEEE-specified, so
+# xent goes through functions/dmath.py's deterministic integer-ln kernel
+# (decimal range reduction + anchor + atanh Horner; bit-identical
+# Spark↔DuckDB, 1-ulp accurate). Both ln arguments are INTEGERS
+# (c12+1, c1+V), the per-bigram logprob is their ln difference, and the
+# per-doc sum folds in token-position order — every float op identical
+# on both engines.
+#
+# Scale shape: one window pass builds bigrams (no self-join), two
+# hash-aggregates train the model (keyed w1,w2 / w1 — map-side combined),
+# one equi-join scores instances, one per-doc fold. The model table is
+# corpus-bigram-cardinality; at 100 TB you'd prune it to the top-V rows
+# by count (the standard LM cutoff) before the scoring join — the join
+# stays an equi-join either way.
+
+
+def _lm_stage_layers() -> tuple[str, str]:
+    from posting_lines_spark.functions.dmath import dln_int_stages
+
+    na = dln_int_stages("na", "na")
+    nb = dln_int_stages("nb", "nb")
+    layers = []
+    prev = "m0"
+    for i, ((ca, ea), (cb, eb)) in enumerate(zip(na, nb)):
+        layers.append(f"m{i+1} AS (SELECT *, {ea} AS {ca}, {eb} AS {cb} FROM {prev})")
+        prev = f"m{i+1}"
+    return ",\n".join(layers), prev
+
+
+def _lm_sql(toks: str, fold: str) -> str:
+    layers, last = _lm_stage_layers()
+    return f"""
+WITH toks AS ({toks}),
+big AS (
+  SELECT doc_id, pos, w1, w2 FROM (
+    SELECT doc_id, pos, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) t WHERE w2 IS NOT NULL
+),
+cnt12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+cnt1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w2) AS v FROM big),
+m0 AS (
+  SELECT c.w1, c.w2, CAST(c.c12 + 1 AS BIGINT) AS na,
+         CAST(o.c1 + vocab.v AS BIGINT) AS nb
+  FROM cnt12 c JOIN cnt1 o ON c.w1 = o.w1 CROSS JOIN vocab
+),
+{layers},
+lp AS (SELECT w1, w2, (na_ln - nb_ln) AS lp FROM {last}),
+inst AS (
+  SELECT b.doc_id, b.pos, l.lp
+  FROM big b JOIN lp l ON b.w1 = l.w1 AND b.w2 = l.w2
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, {fold} AS sum_lp
+  FROM inst GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       (0e0 - (sum_lp / CAST(n_bigrams AS DOUBLE))) AS xent_nats
+FROM perdoc
+ORDER BY doc_id
+"""
+
+
+_LM_TOKS_SPARK = (
+    "SELECT doc_id, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(split(text, ' ')) v AS pos, tok"
+)
+_LM_TOKS_DUCK = (
+    "SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+_LM_FOLD_SPARK = (
+    "aggregate(transform(array_sort(collect_list(struct(pos, lp))), s -> s.lp), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_LM_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "text_lm_score",
+    oracle=_lm_sql(_LM_TOKS_DUCK, _LM_FOLD_DUCK),
+    description="bigram-LM quality score (CCNet-style perplexity filter): "
+    "add-one-smoothed bigram LM trained on the corpus, per-doc "
+    "cross-entropy in nats via the deterministic integer-ln kernel "
+    "(functions/dmath.py — ln() is not IEEE; both engines evaluate the "
+    "same range-reduced atanh polynomial bit-for-bit); one window pass "
+    "for bigrams, two model aggregates, one scoring equi-join",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_lm_sql(_LM_TOKS_SPARK, _LM_FOLD_SPARK))

@@ -122,3 +122,52 @@ def test_mad_zero_group_flags_outliers_with_null_ratio_on_both_engines(
     # NULL (nullif guard), never Inf/NaN
     assert {r[2] for r in madzero} == {90.0, 95.0}
     assert all(r[4] == 0.0 and r[5] is None for r in madzero)
+
+
+class TestDeterministicLn:
+    def test_dln_python_mirror_accuracy(self):
+        """The integer-ln kernel's Python mirror is ≤ 2 ulp of math.log
+        across digit-count and anchor boundaries."""
+        import math
+
+        from posting_lines_spark.functions.dmath import dln_int_py
+
+        vals = (
+            list(range(1, 3000))
+            + [10**k + d for k in range(3, 15) for d in (-1, 0, 1)]
+            + [2**52, 999999937]
+        )
+        for n in vals:
+            got, want = dln_int_py(n), math.log(n)
+            if n == 1:
+                assert got == 0.0
+            else:
+                assert abs(got - want) <= 2 * abs(want) * 2.3e-16, (n, got, want)
+
+    def test_dln_spark_duckdb_bit_parity(self, spark):
+        """Both engines evaluate the staged kernel bit-identically —
+        the property the text_lm_score oracle depends on."""
+        import duckdb
+
+        from posting_lines_spark.functions.dmath import dln_int_py, dln_int_stages
+
+        vals = list(range(1, 500)) + [10**k + d for k in range(3, 12) for d in (-1, 0, 1)]
+        stages = dln_int_stages("n", "x")
+        layers, prev = [], "nums"
+        for i, (c, e) in enumerate(stages):
+            layers.append(f"s{i} AS (SELECT *, {e} AS {c} FROM {prev})")
+            prev = f"s{i}"
+        sql = (
+            "WITH nums AS (SELECT CAST(n AS BIGINT) AS n FROM src),\n"
+            + ",\n".join(layers)
+            + f"\nSELECT n, x_ln FROM {prev} ORDER BY n"
+        )
+        con = duckdb.connect()
+        con.sql("CREATE TABLE src AS SELECT unnest(?) AS n", params=[vals])
+        duck = con.sql(sql).fetchall()
+        spark.createDataFrame([(v,) for v in vals], "n long").createOrReplaceTempView("src")
+        sp = [(r.n, r.x_ln) for r in spark.sql(sql).collect()]
+        assert len(duck) == len(sp) == len(vals)
+        for (dn, dv), (sn, sv) in zip(duck, sp):
+            assert dn == sn and dv == sv, (dn, dv, sv)
+            assert dv == dln_int_py(dn), (dn, dv, dln_int_py(dn))
