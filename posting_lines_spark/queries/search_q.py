@@ -106,3 +106,90 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _bm25_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
     )
+
+
+# --- classic BM25 (Robertson log idf), via the deterministic ln kernel ---
+# The rational idf above was the round-3 workaround for ln() not being
+# IEEE-specified. functions/dmath.py (round 4) removes the constraint:
+# idf = ln((N − df + ½)/(df + ½)) = ln(2N−2df+1) − ln(2(df)+1) — a
+# difference of integer logs, which the staged kernel computes
+# bit-identically on both engines. The idf stages run on the DF table
+# (|query terms| rows — free); everything downstream is IEEE arithmetic.
+
+
+def _bm25_ln_sql(tok_explode: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_stages
+
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    per_term = ", ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0e0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in QUERY_TERMS)
+    layers, prev = [], "idf0"
+    for i, ((ca, ea), (cb, eb)) in enumerate(
+        zip(dln_int_stages("na", "na"), dln_int_stages("nb", "nb"))
+    ):
+        layers.append(f"idf{i+1} AS (SELECT *, {ea} AS {ca}, {eb} AS {cb} FROM {prev})")
+        prev = f"idf{i+1}"
+    stage_sql = ",\n".join(layers)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS dl
+  FROM (SELECT doc_id, count(*) AS n_tokens FROM ({tok_explode}) GROUP BY doc_id)
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({tok_explode}) WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+idf0 AS (
+  SELECT term, df, CAST(2 * n_docs - 2 * df + 1 AS BIGINT) AS na,
+         CAST(2 * df + 1 AS BIGINT) AS nb
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+  CROSS JOIN corpus
+),
+{stage_sql},
+idf AS (SELECT term, df, (na_ln - nb_ln) AS idf FROM {prev}),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         idf.idf * (tf.tf * ({K1} + 1.0e0))
+           / (tf.tf + {K1} * (1.0e0 - {B} + {B} * dl.dl / corpus.avgdl)) AS s
+  FROM tf
+  JOIN idf ON tf.term = idf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+),
+per_doc AS (
+  SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       {total} AS bm25_score,
+       CAST({" + ".join(f"CASE WHEN s_{t} > 0.0e0 THEN 1 ELSE 0 END" for t in QUERY_TERMS)} AS BIGINT) AS n_terms_matched
+FROM per_doc
+ORDER BY bm25_score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "search_bm25_ln",
+    oracle=_bm25_ln_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    ),
+    description="classic BM25 with the true Robertson log idf: "
+    "ln((N−df+½)/(df+½)) as a difference of integer logs through the "
+    "deterministic ln kernel (functions/dmath.py) — exact textbook "
+    "scoring, still bit-identical across engines; idf stages run on the "
+    "|terms|-row df table, so the kernel costs nothing at any scale",
+)
+def search_bm25_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _bm25_ln_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
+    )

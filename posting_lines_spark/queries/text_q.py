@@ -575,3 +575,87 @@ _LM_FOLD_DUCK = (
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_lm_sql(_LM_TOKS_SPARK, _LM_FOLD_SPARK))
+
+
+# --- token-distribution entropy per source (corpus diagnostics) ---
+# Shannon entropy of each source's token distribution, in nats:
+#   H = −Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln(c))/n
+# — every log argument is an INTEGER count, so the deterministic ln
+# kernel makes it bit-identical across engines. The per-source Σ c·ln(c)
+# folds in token order (engine-stable); n and the vocab size are exact
+# integers. Low entropy = repetitive/boilerplate source, high = diverse —
+# the standard corpus-mix diagnostic next to text_quality.
+#
+# Scale: one (source, tok) hash-aggregate (map-side combined), the ln
+# stages are per DISTINCT (source, token) — vocabulary-sized, not
+# corpus-sized. The ordered fold bounds per-source state by vocabulary;
+# at open-web vocabulary sizes swap it for the decimal-routed sum
+# (parity.dsum at reduced scale) documented in parity.py.
+
+
+def _entropy_sql(tok_explode: str, fold: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_stages
+
+    c_layers, prev = [], "tc0"
+    for i, (cc, ce) in enumerate(dln_int_stages("c", "c")):
+        c_layers.append(f"tc{i+1} AS (SELECT *, {ce} AS {cc} FROM {prev})")
+        prev = f"tc{i+1}"
+    c_sql, c_last = ",\n".join(c_layers), prev
+    n_layers, prev = [], "ns0"
+    for i, (nc, ne) in enumerate(dln_int_stages("n", "n")):
+        n_layers.append(f"ns{i+1} AS (SELECT *, {ne} AS {nc} FROM {prev})")
+        prev = f"ns{i+1}"
+    n_sql, n_last = ",\n".join(n_layers), prev
+    return f"""
+WITH tc0 AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM ({tok_explode}) GROUP BY source, tok
+),
+{c_sql},
+terms AS (
+  SELECT source, tok, c, (CAST(c AS DOUBLE) * c_ln) AS clnc FROM {c_last}
+),
+persrc AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab,
+         {fold} AS sum_clnc
+  FROM terms GROUP BY source
+),
+ns0 AS (SELECT source, n, vocab, sum_clnc FROM persrc),
+{n_sql}
+SELECT source, n AS n_tokens, vocab,
+       (n_ln - (sum_clnc / CAST(n AS DOUBLE))) AS entropy_nats
+FROM {n_last}
+ORDER BY source
+"""
+
+
+_ENT_TOKS_SPARK = (
+    "SELECT source, tok FROM (SELECT source, explode(split(text, ' ')) AS tok "
+    "FROM documents)"
+)
+_ENT_TOKS_DUCK = (
+    "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+_ENT_FOLD_SPARK = (
+    "aggregate(transform(array_sort(collect_list(struct(tok, clnc))), s -> s.clnc), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_ENT_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(clnc ORDER BY tok)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "text_token_entropy",
+    oracle=_entropy_sql(_ENT_TOKS_DUCK, _ENT_FOLD_DUCK),
+    description="per-source Shannon entropy of the token distribution "
+    "(nats): H = ln(n) − Σ c·ln(c)/n with every log over an integer "
+    "count through the deterministic ln kernel — the boilerplate/"
+    "diversity diagnostic for corpus mixing; one vocab-sized aggregate",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_entropy_sql(_ENT_TOKS_SPARK, _ENT_FOLD_SPARK))
