@@ -519,3 +519,61 @@ def stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM sqh_partials GROUP BY bin"
         )
     )
+
+
+# --- streaming near-dup index maintenance ---
+# The Structured-Streaming twin of dedup_incremental, and the shape a
+# CONTINUOUS ingestion pipeline actually runs: the corpus arrives as
+# micro-batches (maxFilesPerTrigger=1 → one batch per source file); each
+# batch signs its own docs, probes the persisted band index
+# ((new × index) ∪ (new × new) — never index × index), Jaccard-verifies
+# against the persisted shingle state, appends the pairs, then folds its
+# rows into the index. Every pair is discovered exactly once — when its
+# later-arriving member lands — so the cumulative pair table equals the
+# BATCH recompute no matter how the corpus is batched or ordered. The
+# oracle is therefore dedup_minhash_lsh's full batch oracle, unchanged:
+# hash-equality proves streaming index maintenance ≡ batch recompute.
+
+
+def _dedup_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """NEAR_BASE docs as 4 single-file parquet chunks (doc_id % 4) — the
+    micro-batch arrival order of the corpus."""
+    from posting_lines_spark.queries.dedup_q import NEAR_BASE_SPARK
+
+    def write(p: str) -> None:
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        base = spark.sql(NEAR_BASE_SPARK)
+        for k in range(4):
+            base.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(p)
+
+    return cached_fixture("dedup_idx_src", sf_dir, write, "pls_dedup_idx_src_")
+
+
+def _dedup_stream_oracle() -> str:
+    from posting_lines_spark.queries.dedup_q import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@register(
+    "stream_dedup_index",
+    oracle=_dedup_stream_oracle(),
+    description="streaming near-dup index maintenance: micro-batches "
+    "probe and then extend a persisted MinHash band index "
+    "((new × index) ∪ (new × new), exact-Jaccard verified against "
+    "persisted shingle state) — oracle is the full BATCH MinHash pair "
+    "set, proving stream-maintained index ≡ batch recompute at any "
+    "batching",
+)
+def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries.dedup_q import BANDS, JACCARD_T, NUM_HASHES
+
+    src = _dedup_stream_src(spark, sf_dir)
+    state = scratch_dir("pls_dedup_idx_state_")
+    ckpt = scratch_dir("pls_dedup_idx_ckpt_")
+    pairs = incremental.minhash_index_stream(
+        spark, src, state, ckpt, NUM_HASHES, BANDS, JACCARD_T
+    )
+    return pairs.orderBy("id_a", "id_b")

@@ -299,3 +299,73 @@ def session_windows_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def minhash_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Continuous near-dup index maintenance: each micro-batch of documents
+    computes its OWN MinHash band signatures, probes the persisted band
+    index ((new × index) ∪ (new × new) — never index × index), verifies
+    exact Jaccard against the persisted shingle state, appends the
+    verified pairs, then folds its own rows into the index.
+
+    Every pair is discovered exactly once — when its later-arriving
+    member's batch runs — so the cumulative pair table equals the batch
+    recompute REGARDLESS of how the corpus is split into batches or in
+    which order they arrive (the invariant `stream_dedup_index`'s oracle
+    pins). State layout under `state_dir`: `bands/` (id, band_idx,
+    band_key — H·8 bytes per doc) and `shingles/` (id, shingle — what
+    exact verification needs; a production variant may re-derive these
+    from doc storage instead). Per-batch cost ∝ batch size: the index
+    side of the probe is touched only on matching band keys.
+    """
+    import os
+
+    from posting_lines_spark.operators import dedup
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    def _maybe(path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.localCheckpoint()  # static within the batch
+        sig = dedup.minhash_signature(
+            dedup.shingles(b, "doc_id", "text", distinct=False), "doc_id", num_hashes
+        )
+        banded_new = dedup.band_signatures(sig, "doc_id", num_hashes, bands).localCheckpoint()
+        banded_idx = _maybe(bands_dir, "doc_id long, band_idx int, band_key string")
+        cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
+        sh_new = dedup.shingles(b, "doc_id", "text").localCheckpoint()
+        sh_all = _maybe(sh_dir, "doc_id long, shingle string").unionByName(sh_new)
+        verified = dedup.jaccard_verify(cand, sh_all, "doc_id", threshold)
+        verified.write.mode("append").parquet(pairs_dir)
+        banded_new.write.mode("append").parquet(bands_dir)
+        sh_new.write.mode("append").parquet(sh_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)

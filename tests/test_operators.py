@@ -569,3 +569,54 @@ class TestPQ:
         }
         recall = len(got & truth) / len(truth)
         assert recall > 0.25, f"PQ recall {recall} not above the random floor"
+
+
+def test_minhash_index_stream_batching_invariance(spark, tmp_path):
+    """Continuous index maintenance must be batching-invariant: every
+    pair is discovered exactly once (when its later member arrives), so
+    draining the corpus as 1 file or as 5 files yields the SAME verified
+    pair rows bit-for-bit — and both equal the one-shot batch pipeline."""
+    from posting_lines_spark.operators import dedup
+    from posting_lines_spark.queries.dedup_q import (
+        BANDS,
+        JACCARD_T,
+        NEAR_BASE_SPARK,
+        NUM_HASHES,
+    )
+    from posting_lines_spark.sources import load_table
+    from posting_lines_spark.streaming import incremental
+    from tests.conftest import SF0001
+
+    load_table(spark, SF0001, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(NEAR_BASE_SPARK).filter(F.col("doc_id") % 7 < 2)
+
+    def drain(n_files: int, tag: str):
+        src = str(tmp_path / f"src_{tag}")
+        for k in range(n_files):
+            base.filter(F.col("doc_id") % n_files == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        pairs = incremental.minhash_index_stream(
+            spark,
+            src,
+            str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            NUM_HASHES,
+            BANDS,
+            JACCARD_T,
+        )
+        return sorted((r.id_a, r.id_b, r.n_common, r.jaccard) for r in pairs.collect())
+
+    one, five = drain(1, "one"), drain(5, "five")
+    assert one == five and len(one) > 0
+
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    )
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS)
+    sh = dedup.shingles(base, "doc_id", "text")
+    batch = sorted(
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T).collect()
+    )
+    assert one == batch
