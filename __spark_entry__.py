@@ -41,6 +41,8 @@ _LEDGER_PRIORITY = [
     "text_lm_score",
     "search_bm25_ln",
     "text_token_entropy",
+    "stream_dedup_index",
+    "graph_clustering_coeff",
 ]
 
 

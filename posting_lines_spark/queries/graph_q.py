@@ -266,3 +266,98 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.agg(F.count(F.lit(1)).alias("n_triangle_nodes"))
     m = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return t.crossJoin(n).crossJoin(m)
+
+
+# --- local clustering coefficient ---
+# Per-node transitivity over the near-dup graph: cc(v) = 2·T(v) /
+# (deg(v)·(deg(v)−1)). High-degree low-cc nodes are HUB documents —
+# boilerplate that is "similar" to many mutually-dissimilar docs, the
+# false-merge risk of threshold dedup (a hub chains otherwise-unrelated
+# docs into one component); high-cc nodes sit in genuine all-pairs-
+# similar clusters. Reuses the persisted pair table and the ordered-edge
+# triangle join; T(v) credits each triangle to its 3 corners, degree is
+# one aggregate over the symmetrized edges. All counts are integers and
+# the ratio is one IEEE division — engine-stable with no decimal routing.
+
+CLUSTERING_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_DUCK}),
+e AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM pairs
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcount AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(t.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       CASE WHEN d.degree >= 2
+            THEN (2.0e0 * coalesce(t.n_tri, 0)) / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+            END AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+ORDER BY d.node
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=CLUSTERING_ORACLE,
+    description="per-node local clustering coefficient over the near-dup "
+    "graph: 2·T(v)/(deg·(deg−1)) from the ordered-edge triangle join — "
+    "flags hub/boilerplate docs (high degree, low cc = false-merge risk "
+    "of threshold dedup) vs genuine all-pairs-similar clusters; integer "
+    "counts + one IEEE division, engine-stable",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _spark_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    cc = (
+        F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+        / (F.col("degree").cast("double") * (F.col("degree") - 1))
+    )
+    return (
+        deg.join(tcount, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            F.when(F.col("degree") >= 2, cc).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
