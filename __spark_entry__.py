@@ -43,6 +43,7 @@ _LEDGER_PRIORITY = [
     "text_token_entropy",
     "stream_dedup_index",
     "graph_clustering_coeff",
+    "sim_topk_ivfpq",
 ]
 
 

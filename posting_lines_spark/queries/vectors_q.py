@@ -622,3 +622,144 @@ def sim_topk_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- IVF-PQ composite (the FAISS-style production ANN architecture) ---
+# Both index halves exist above; this is their composition, which is
+# what a real 100 TB vector store runs: k-means cells ROUTE each query
+# to ~n/K candidates, PQ codes RANK those candidates from 4 bytes each
+# (no raw-vector reads), and only the top `IVFPQ_RERANK` survivors are
+# re-scored against real embeddings. Classic IVFPQ quantizes residuals
+# (v − centroid) for tighter codes; this variant codes raw vectors so
+# the oracle replays byte-for-byte — the routing/rank/rerank plan shape
+# (and every join) is identical either way.
+
+IVFPQ_RERANK = 30
+
+IVFPQ_ORACLE = f"""{_km_chain(_KM_LONG_DUCK, md5_int_duck("CAST(vec_id AS VARCHAR)", salt="kmeans"))},
+cells AS (SELECT vec_id, cluster_id FROM a2),
+subs AS (
+  SELECT vec_id, m, embedding[(m*{PQ_SUBDIM}+1):(m*{PQ_SUBDIM}+{PQ_SUBDIM})] AS sub
+  FROM embeddings CROSS JOIN range(0, {PQ_M}) t(m)
+),
+codebook AS (SELECT m, vec_id AS code, sub AS cent FROM subs WHERE vec_id < {PQ_KPRIME}),
+cdist AS (
+  SELECT s.vec_id, s.m, c.code, {l2sq_duck('s.sub', 'c.cent')} AS sq
+  FROM subs s JOIN codebook c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY sq, code) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT s.vec_id AS query_id, s.m, c.code, {l2sq_duck('s.sub', 'c.cent')} AS qd
+  FROM subs s JOIN codebook c USING (m)
+  WHERE s.vec_id IN ({_QIDS})
+),
+cand0 AS (
+  SELECT q.vec_id AS query_id, v.vec_id
+  FROM cells v JOIN cells q ON v.cluster_id = q.cluster_id
+  WHERE q.vec_id IN ({_QIDS}) AND v.vec_id != q.vec_id
+),
+adc AS (
+  SELECT c0.query_id, c0.vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d.qd ORDER BY d.m)),
+                     (acc, v) -> acc + v) AS adc
+  FROM cand0 c0
+  JOIN codes co ON co.vec_id = c0.vec_id
+  JOIN dtable d ON d.query_id = c0.query_id AND d.m = co.m AND d.code = co.code
+  GROUP BY c0.query_id, c0.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {IVFPQ_RERANK}
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cosine_duck('e.embedding', 'q.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=IVFPQ_ORACLE,
+    description="IVF-PQ composite (the FAISS-style production "
+    "architecture): trained k-means cells route each query to ~n/K "
+    "candidates, PQ codes ADC-rank them from 4 bytes/vector, exact "
+    "cosine re-ranks the top 30 — route/rank/rerank with no raw-vector "
+    "scan outside the rerank budget",
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = spark.sql(
+        _km_chain(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))
+        + "\nSELECT vec_id, cluster_id FROM a2"
+    ).localCheckpoint(eager=False)
+    subs = sim.pq_subvectors(emb, PQ_M, PQ_SUBDIM)
+    codebook = (
+        subs.filter(F.col("vec_id") < PQ_KPRIME)
+        .select("m", F.col("vec_id").alias("code"), F.col("sub").alias("cent"))
+    )
+    codes = sim.pq_encode(subs, codebook)
+    dtable = (
+        subs.filter(F.col("vec_id").isin(QUERY_IDS))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "code", F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
+    )
+    qcells = (
+        cells.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+    )
+    cand0 = (
+        cells.join(F.broadcast(qcells), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand0.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, qd))), "
+                "s -> s.qd), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("adc")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= IVFPQ_RERANK)
+    q = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "qv")))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
