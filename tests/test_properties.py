@@ -159,3 +159,53 @@ def test_cw_family_members_differ(s):
     # only by modular coincidence, never structurally
     hs = {_cw_py(s, j) for j in range(12)}
     assert len(hs) >= 11
+
+
+# --- deterministic integer-ln kernel (functions/dmath.py) ---
+# The Python mirror is bit-identical to both engines (proven in
+# tests/test_degenerate.py), so these properties transfer to the SQL.
+
+ints = st.integers(min_value=1, max_value=10**15)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ints)
+def test_dln_accuracy(n):
+    from posting_lines_spark.functions.dmath import dln_int_py
+
+    got, want = dln_int_py(n), math.log(n)
+    assert math.isfinite(got)
+    if n == 1:
+        assert got == 0.0
+    else:
+        assert abs(got - want) <= 2 * abs(want) * 2.3e-16, (n, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=10**15 - 1))
+def test_dln_monotonic(n):
+    from posting_lines_spark.functions.dmath import dln_int_py
+
+    # non-decreasing across successor pairs, even across digit-count and
+    # anchor boundaries (strictness is impossible in double once
+    # 1/n < ulp(ln n) — near 10^15 successive integers legitimately
+    # share a ln value; the kernel must never INVERT, though)
+    assert dln_int_py(n) <= dln_int_py(n + 1)
+    if n < 10**12:  # 1/n ≫ ulp(ln n): strict order must hold here
+        assert dln_int_py(n) < dln_int_py(n + 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ints, ints)
+def test_dln_order_preserving(a, b):
+    import math as _m
+
+    from posting_lines_spark.functions.dmath import dln_int_py
+
+    if a == b:
+        assert dln_int_py(a) == dln_int_py(b)
+        return
+    lo, hi = min(a, b), max(a, b)
+    assert dln_int_py(lo) <= dln_int_py(hi)
+    if _m.log(hi) - _m.log(lo) > 1e-12:  # gap above rounding noise
+        assert dln_int_py(lo) < dln_int_py(hi)
