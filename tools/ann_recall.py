@@ -162,6 +162,61 @@ def main() -> int:
         )
     )
 
+    # IVF-PQ composite: kmeans cells route, PQ codes rank, exact rerank.
+    # Recall is CAPPED by the cell router (a neighbor outside the query's
+    # cell is unreachable), so compare against the kmeans IVF row — the
+    # delta is what ADC ranking loses inside the cell, the scan saving is
+    # codes-only reads.
+    from posting_lines_spark.queries.vectors_q import IVFPQ_RERANK
+
+    km = kmeans_assignment(spark)
+    qcells = km.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "cluster_id"
+    )
+    cand0 = (
+        km.join(F.broadcast(qcells), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    n_cand = cand0.count()
+    adc = (
+        cand0.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(m, qd))), "
+                "s -> s.qd), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("adc")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    wa = _W.partitionBy("query_id").orderBy("adc", "vec_id")
+    ivfpq_cand = adc.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") <= IVFPQ_RERANK
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    we = _W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_cand.join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "qv")))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+    rows.append(
+        (
+            f"IVF-PQ K={KM_K} cells, ADC rerank={IVFPQ_RERANK}",
+            len(got & truth) / len(truth),
+            n_cand / (n_queries * (n - 1)),
+        )
+    )
+
     # JL random projection: rerank-budget candidates by projected cosine
     from posting_lines_spark.queries.vectors_q import RP_DIM
 
