@@ -44,6 +44,7 @@ _LEDGER_PRIORITY = [
     "stream_dedup_index",
     "graph_clustering_coeff",
     "sim_topk_ivfpq",
+    "timeseries_interpolate",
 ]
 
 

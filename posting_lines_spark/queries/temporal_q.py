@@ -218,3 +218,97 @@ ORDER BY event_type, bucket
 def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_m4_sql("unix_micros(ts)").replace("{idiv}", "div"))
+
+
+# --- linear-interpolation gap fill ---
+# The interpolate() companion to LOCF above (timescale's
+# time_bucket_gapfill + interpolate): a gap bucket takes the straight
+# line between its nearest observed neighbors. Window math only — the
+# bracketing observation (value, bucket) pairs come from IGNORE NULLS
+# last_value/first_value over opposite frame directions; the same
+# partition key serves all four windows, so Catalyst plans ONE exchange.
+# Parity: the bracketing values are the decimal-routed bucket sums
+# (engine-exact), the fraction is a ratio of integer-valued doubles, and
+# the interpolation expression is the same IEEE op sequence on both
+# engines — bit-identical without further routing. Gap buckets always
+# have both brackets (the spine spans min..max observed per group).
+
+
+def _interp_sql(bucket_expr: str, spine_fn, ig) -> str:
+    """`ig(fn, expr)` renders the IGNORE NULLS call — Spark puts the
+    clause after the parens, DuckDB inside them."""
+    prev_val = ig("last_value", "sum_value")
+    prev_b = ig("last_value", "CASE WHEN sum_value IS NOT NULL THEN bucket END")
+    next_val = ig("first_value", "sum_value")
+    next_b = ig("first_value", "CASE WHEN sum_value IS NOT NULL THEN bucket END")
+    return f"""
+WITH obs AS (
+  SELECT event_type, {bucket_expr} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         {dsum_expr("value")} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+spine AS (
+  SELECT event_type, {spine_fn} AS bucket FROM bounds
+),
+joined AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(o.n_events, 0) AS n_events,
+         o.sum_value,
+         o.n_events IS NULL AS is_gap
+  FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.bucket = o.bucket
+),
+br AS (
+  SELECT event_type, bucket, n_events, sum_value, is_gap,
+         {prev_val} OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         {prev_b} OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         {next_val} OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         {next_b} OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM joined
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN NOT is_gap THEN sum_value
+            ELSE prev_val + (next_val - prev_val)
+                 * (CAST(bucket - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+       END AS interp_sum,
+       is_gap
+FROM br
+ORDER BY event_type, bucket
+"""
+
+
+INTERP_ORACLE = _interp_sql(
+    "epoch_us(ts) // 3600000000",
+    "unnest(generate_series(lo, hi))",
+    lambda fn, e: f"{fn}({e} IGNORE NULLS)",
+)
+
+
+@register(
+    "timeseries_interpolate",
+    oracle=INTERP_ORACLE,
+    description="linear-interpolation gap fill (time_bucket_gapfill + "
+    "interpolate): gap buckets take the straight line between their "
+    "bracketing observations via IGNORE NULLS window scans in both "
+    "directions — four windows, one exchange; decimal-routed bracket "
+    "values keep the interpolation engine-exact",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _interp_sql(
+            "unix_micros(ts) div 3600000000",
+            "explode(sequence(lo, hi))",
+            lambda fn, e: f"{fn}({e}) IGNORE NULLS",
+        )
+    )
