@@ -335,10 +335,12 @@ def minhash_index_stream(
     pairs_dir = os.path.join(state_dir, "pairs")
 
     def _maybe(path: str, schema: str) -> DataFrame:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
+        # empty only when the state genuinely doesn't exist yet (first
+        # batch); a corrupt/unreadable EXISTING state must raise, not
+        # silently produce an empty index (which would drop pairs)
+        if not os.path.isdir(path):
             return spark.createDataFrame([], schema)
+        return spark.read.parquet(path)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.localCheckpoint()  # static within the batch
