@@ -45,6 +45,7 @@ _LEDGER_PRIORITY = [
     "graph_clustering_coeff",
     "sim_topk_ivfpq",
     "timeseries_interpolate",
+    "profile_equidepth",
 ]
 
 

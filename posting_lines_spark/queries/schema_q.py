@@ -412,3 +412,45 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- equi-depth histogram (quantile binning) ---
+# The partner to profile_histogram's equi-width buckets: ntile(10) over
+# a TOTAL order (value, then PK — ties deterministic) gives each bucket
+# an equal row count and DATA-ADAPTIVE bounds; the per-bucket min/max
+# are the decile boundaries feature binning / range-partition planning
+# use. ntile semantics are SQL-standard (first buckets take the
+# remainder row), identical on both engines given the same total order.
+#
+# Scale note: a global ntile is a single-partition window — fine for
+# profiling samples, wrong for full 100 TB scans; at scale replace with
+# approx_percentile cutpoints + a map-side bucket join (same output
+# shape, documented tradeoff: exact ranks vs one pass).
+
+EQUIDEPTH_SQL = """
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "profile_equidepth",
+    oracle=EQUIDEPTH_SQL,
+    description="equi-depth histogram (decile binning): ntile(10) over a "
+    "deterministic total order — equal-count buckets with data-adaptive "
+    "bounds, the feature-binning/range-partition-planning profile; at "
+    "scale the exact global window swaps for approx_percentile cutpoints "
+    "(noted in the docstring)",
+)
+def profile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(EQUIDEPTH_SQL)
