@@ -46,6 +46,7 @@ _LEDGER_PRIORITY = [
     "sim_topk_ivfpq",
     "timeseries_interpolate",
     "profile_equidepth",
+    "geo_point_in_polygon",
 ]
 
 

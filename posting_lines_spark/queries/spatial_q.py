@@ -357,3 +357,66 @@ def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_in_bbox"))
         .orderBy("returnflag")
     )
+
+
+# --- point-in-polygon (ray casting) ---
+# The ST_Contains predicate the reference's unused GiST index was built
+# for, over a fixed coastal-zone pentagon in lon/lat. Classic even-odd
+# ray cast, fully unrolled over the polygon's edges as literal-coordinate
+# expression math: each edge contributes
+#   ((yi > y) != (yj > y)) AND (x < (xj−xi)·(y−yi)/(yj−yi) + xi)
+# and inside = odd crossing count. Every operation is an IEEE compare /
+# multiply / divide on identical literals — the SAME SQL text runs on
+# both engines, so parity is structural. Scale: pure map-side filter
+# math (no join, no shuffle beyond the final 2-row aggregate); a
+# many-polygon variant becomes a broadcast join of (polygon_id, edges)
+# with the same per-edge expression.
+
+ZONE = [(-133.0, 49.0), (-128.0, 48.5), (-123.0, 50.0), (-125.0, 53.5), (-131.0, 53.0)]
+
+
+def _ray_cast_crossings(x: str, y: str) -> str:
+    terms = []
+    n = len(ZONE)
+    for i in range(n):
+        xi, yi = ZONE[i]
+        xj, yj = ZONE[(i + 1) % n]
+        cond = (
+            f"(({dlit(yi)} > {y}) != ({dlit(yj)} > {y})) AND "
+            f"({x} < ({dlit(xj)} - {dlit(xi)}) * ({y} - {dlit(yi)}) / "
+            f"({dlit(yj)} - {dlit(yi)}) + {dlit(xi)})"
+        )
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pip_sql() -> str:
+    from posting_lines_spark.plans.ais import SEGMENTS_SQL
+
+    return f"""
+WITH seg AS ({SEGMENTS_SQL}),
+pts AS (SELECT segment_id, start_lon AS x, start_lat AS y FROM seg),
+c AS (SELECT segment_id, {_ray_cast_crossings('x', 'y')} AS crossings FROM pts)
+SELECT (crossings % 2) = 1 AS inside,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(segment_id) AS BIGINT) AS min_seg,
+       CAST(max(segment_id) AS BIGINT) AS max_seg,
+       CAST(sum(segment_id) AS BIGINT) AS seg_checksum
+FROM c
+GROUP BY (crossings % 2) = 1
+ORDER BY inside
+"""
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=_pip_sql(),
+    description="point-in-polygon via even-odd ray casting, unrolled over "
+    "a literal coastal pentagon — the ST_Contains predicate as pure "
+    "map-side expression math (no join, no UDF); identical SQL on both "
+    "engines so parity is structural; many-polygon form broadcasts "
+    "(polygon_id, edges) with the same per-edge terms",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_pip_sql())
