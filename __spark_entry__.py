@@ -47,6 +47,7 @@ _LEDGER_PRIORITY = [
     "timeseries_interpolate",
     "profile_equidepth",
     "geo_point_in_polygon",
+    "graph_khop_reach",
 ]
 
 

@@ -361,3 +361,78 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- bounded k-hop reachability (shortest-path distance ≤ 3) ---
+# The multi-hop expansion primitive (citation/similarity neighborhoods):
+# how many unordered pairs sit at shortest distance exactly 1, 2, 3 over
+# the near-dup graph. Spark side is the iterative frontier form a
+# distributed engine actually runs — distance-k frontier = (distance-k−1
+# frontier ⋈ edges) minus everything already reached, each round one
+# equi-join + one anti-join (both on node keys; no distinct over paths,
+# so no path-count blowup on dense clusters). The oracle is DuckDB's
+# RECURSIVE CTE taking min(d) per pair — an INDEPENDENT algorithm
+# (path enumeration + group-min) agreeing on the result.
+
+KHOP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_DUCK}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+paths AS (
+  SELECT u, v, 1 AS d FROM sym
+  UNION ALL
+  SELECT p.u, s.v, p.d + 1 FROM paths p JOIN sym s ON p.v = s.u WHERE p.d < 3
+),
+sp AS (
+  SELECT u, v, min(d) AS dist FROM paths WHERE u != v GROUP BY u, v
+)
+SELECT CAST(dist AS BIGINT) AS hop,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs
+FROM sp
+GROUP BY dist
+ORDER BY hop
+"""
+
+
+@register(
+    "graph_khop_reach",
+    oracle=KHOP_ORACLE,
+    description="bounded k-hop reachability: unordered pair counts at "
+    "shortest distance 1/2/3 over the near-dup graph — frontier "
+    "expansion as per-round equi-join + anti-join on node keys (no path "
+    "enumeration, no blowup on dense clusters); oracle is an independent "
+    "recursive-CTE min-distance computation",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _spark_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reached = sym.withColumn("dist", F.lit(1))  # (u, v, dist): shortest so far
+    frontier = sym
+    for k in (2, 3):
+        expanded = (
+            frontier.withColumnRenamed("v", "mid")
+            .join(sym.withColumnRenamed("u", "mid"), "mid")
+            .select("u", "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        frontier = expanded.join(
+            reached.select("u", "v"), ["u", "v"], "left_anti"
+        ).localCheckpoint(eager=False)
+        reached = reached.unionAll(frontier.withColumn("dist", F.lit(k)))
+    return (
+        reached.filter(F.col("u") < F.col("v"))
+        .groupBy(F.col("dist").cast("long").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hop")
+    )
