@@ -48,6 +48,7 @@ _LEDGER_PRIORITY = [
     "profile_equidepth",
     "geo_point_in_polygon",
     "graph_khop_reach",
+    "curation_pipeline_lm",
 ]
 
 

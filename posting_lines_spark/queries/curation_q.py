@@ -723,3 +723,85 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- LM-gated curation pipeline (round-4 composition) ---
+# curation_pipeline_e2e gates on surface features (length/diversity);
+# this is the MODEL-gated version real pipelines graduate to (CCNet):
+# score every document with the corpus-trained bigram LM, keep the
+# fluent ones (xent ≤ 3.4 nats — ~the corpus median — and ≥ 20 bigrams),
+# exact-dedup the survivors, hash-shard for training. One lazy plan:
+# the LM chain's two model aggregates + scoring join, the digest
+# dedup aggregate, and the final shard aggregate — the xent gate and
+# shard key are map-side. Every float in the gate comparison comes off
+# the deterministic ln kernel, so the kept set is bit-identical across
+# engines — which is exactly what makes a perplexity threshold
+# reproducible across reruns of a 100 TB pipeline.
+
+_LM_XENT_GATE = "3.4e0"
+_LM_MIN_BIGRAMS = 20
+_LM_SHARDS = 8
+
+
+def _pipeline_lm_sql(toks: str, fold: str, shard_hash: str) -> str:
+    from posting_lines_spark.queries.text_q import _lm_chain
+
+    return f"""{_lm_chain(toks, fold)},
+kept AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN lmscore p ON p.doc_id = d.doc_id
+  WHERE p.xent_nats <= {_LM_XENT_GATE} AND p.n_bigrams >= {_LM_MIN_BIGRAMS}
+),
+groups AS (
+  SELECT md5(text) AS digest, min(doc_id) AS doc_kept
+  FROM kept GROUP BY md5(text)
+),
+surv AS (
+  SELECT k.doc_id, k.text, k.source
+  FROM kept k JOIN groups g ON k.doc_id = g.doc_kept
+),
+sharded AS (
+  SELECT CAST({shard_hash} % {_LM_SHARDS} AS BIGINT) AS shard, doc_id, text
+  FROM surv
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def _pipeline_lm_oracle() -> str:
+    from posting_lines_spark.queries.text_q import _LM_FOLD_DUCK, _LM_TOKS_DUCK
+
+    return _pipeline_lm_sql(
+        _LM_TOKS_DUCK,
+        _LM_FOLD_DUCK,
+        md5_int_duck("CAST(doc_id AS VARCHAR)", salt="lmshard"),
+    )
+
+
+@register(
+    "curation_pipeline_lm",
+    oracle=_pipeline_lm_oracle(),
+    description="LM-gated curation pipeline (the CCNet shape): bigram-LM "
+    "perplexity gate (deterministic ln kernel ⇒ the kept set is "
+    "bit-identical across engines and reruns) → exact dedup of the "
+    "survivors → hash-shard audit; one lazy plan composing the round's "
+    "pieces",
+)
+def curation_pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries.text_q import _LM_FOLD_SPARK, _LM_TOKS_SPARK
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _pipeline_lm_sql(
+            _LM_TOKS_SPARK,
+            _LM_FOLD_SPARK,
+            md5_int_spark("CAST(doc_id AS STRING)", salt="lmshard"),
+        )
+    )

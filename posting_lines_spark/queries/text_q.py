@@ -508,7 +508,10 @@ def _lm_stage_layers() -> tuple[str, str]:
     return ",\n".join(layers), prev
 
 
-def _lm_sql(toks: str, fold: str) -> str:
+def _lm_chain(toks: str, fold: str) -> str:
+    """The shared LM CTE chain ending at `lmscore` (doc_id, n_bigrams,
+    xent_nats) — reused by text_lm_score and the LM-gated curation
+    pipeline (curation_q.curation_pipeline_lm)."""
     layers, last = _lm_stage_layers()
     return f"""
 WITH toks AS ({toks}),
@@ -536,12 +539,19 @@ inst AS (
 perdoc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, {fold} AS sum_lp
   FROM inst GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams,
-       (0e0 - (sum_lp / CAST(n_bigrams AS DOUBLE))) AS xent_nats
-FROM perdoc
-ORDER BY doc_id
-"""
+),
+lmscore AS (
+  SELECT doc_id, n_bigrams,
+         (0e0 - (sum_lp / CAST(n_bigrams AS DOUBLE))) AS xent_nats
+  FROM perdoc
+)"""
+
+
+def _lm_sql(toks: str, fold: str) -> str:
+    return (
+        _lm_chain(toks, fold)
+        + "\nSELECT doc_id, n_bigrams, xent_nats FROM lmscore ORDER BY doc_id"
+    )
 
 
 _LM_TOKS_SPARK = (
