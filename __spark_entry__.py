@@ -49,6 +49,7 @@ _LEDGER_PRIORITY = [
     "geo_point_in_polygon",
     "graph_khop_reach",
     "curation_pipeline_lm",
+    "multimodal_cdc_chunks",
 ]
 
 

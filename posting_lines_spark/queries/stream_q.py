@@ -577,3 +577,86 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, state, ckpt, NUM_HASHES, BANDS, JACCARD_T
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+# --- content-defined chunking (binary dedup storage) ---
+# The rsync/LBFS/backup-store primitive a 100 TB multimodal lake runs to
+# deduplicate redundant media bytes: chunk boundaries are decided by the
+# CONTENT (a rolling 4-byte gear hash hitting a modulus), not by fixed
+# offsets — so an insertion early in a payload shifts at most one chunk,
+# and identical regions across payloads yield identical chunks wherever
+# they sit. Expected chunk ≈ 32 bytes at mod 32. The per-position gram
+# is built INSIDE the array transform (no payload duplication per
+# exploded row); chunk reassembly touches the payload once per chunk.
+# Output: corpus-level dedup accounting — unique/total chunks and bytes,
+# i.e. the storage saving the chunk store realizes. All counts integer;
+# digests md5 — engine-identical.
+
+CDC_MOD = 32
+
+_CDC_GRAMS_SPARK = """
+SELECT doc_id, g.p AS p, g.gram AS gram FROM documents
+LATERAL VIEW explode(transform(sequence(1, length(text)),
+  p -> struct(p AS p, substring(text, greatest(p - 3, 1), 4) AS gram))) t AS g
+"""
+_CDC_GRAMS_DUCK = """
+SELECT doc_id, u.g['p'] AS p, u.g['gram'] AS gram FROM (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+    p -> {'p': p, 'gram': substr(text, CAST(greatest(p - 3, 1) AS BIGINT), 4)})) AS g
+  FROM documents
+) u
+"""
+
+
+def _cdc_sql(grams: str, h_gram: str) -> str:
+    return f"""
+WITH pts AS ({grams}),
+bnd AS (
+  SELECT doc_id, p,
+         CASE WHEN p = 1 OR (p >= 4 AND ({h_gram}) % {CDC_MOD} = 0)
+              THEN 1 ELSE 0 END AS b
+  FROM pts
+),
+cids AS (
+  SELECT doc_id, p,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+  FROM bnd
+),
+spans AS (
+  SELECT doc_id, cid, min(p) AS s, max(p) AS e FROM cids GROUP BY doc_id, cid
+),
+content AS (
+  SELECT sp.doc_id, sp.cid,
+         md5(substring(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT))) AS digest,
+         CAST(sp.e - sp.s + 1 AS BIGINT) AS clen
+  FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+),
+uniq AS (SELECT digest, min(clen) AS clen FROM content GROUP BY digest)
+SELECT CAST((SELECT count(*) FROM content) AS BIGINT) AS n_chunks,
+       CAST((SELECT count(*) FROM uniq) AS BIGINT) AS n_unique_chunks,
+       CAST((SELECT sum(clen) FROM content) AS BIGINT) AS total_bytes,
+       CAST((SELECT sum(clen) FROM uniq) AS BIGINT) AS unique_bytes
+"""
+
+
+@register(
+    "multimodal_cdc_chunks",
+    oracle=_cdc_sql(
+        _CDC_GRAMS_DUCK,
+        __import__(
+            "posting_lines_spark.functions.hashing", fromlist=["md5_int_duck"]
+        ).md5_int_duck("gram", salt="cdc"),
+    ),
+    description="content-defined chunking (rsync/LBFS gear-hash "
+    "boundaries, ~32-byte chunks): boundaries decided by content so "
+    "identical regions chunk identically anywhere they sit — corpus "
+    "dedup accounting (unique vs total chunks/bytes = the chunk store's "
+    "storage saving); grams built inside the transform so payloads are "
+    "never duplicated per position",
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.functions.hashing import md5_int_spark
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_cdc_sql(_CDC_GRAMS_SPARK, md5_int_spark("gram", salt="cdc")))
