@@ -50,6 +50,7 @@ _LEDGER_PRIORITY = [
     "graph_khop_reach",
     "curation_pipeline_lm",
     "multimodal_cdc_chunks",
+    "curation_shards_hrw",
 ]
 
 
