@@ -620,3 +620,45 @@ def test_minhash_index_stream_batching_invariance(spark, tmp_path):
         for r in dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T).collect()
     )
     assert one == batch
+
+
+def test_cdc_chunking_is_insertion_tolerant():
+    """The content-defined property, pinned: inserting one byte mid-doc
+    re-chunks only the neighborhood of the edit — the digest multisets
+    before/after differ in a handful of chunks, not everything after the
+    edit (fixed-offset chunking would shift every later chunk). Runs the
+    same SQL the oracle uses, on DuckDB only (no session needed)."""
+    import duckdb
+
+    from posting_lines_spark.functions.hashing import md5_int_duck
+    from posting_lines_spark.queries.stream_q import _CDC_GRAMS_DUCK, _cdc_sql
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW base AS SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') WHERE doc_id = 7"
+    )
+    # per-chunk digests (not the registered summary): reuse the chain up
+    # to `content` by rewriting the tail
+    chain = _cdc_sql(_CDC_GRAMS_DUCK, md5_int_duck("gram", salt="cdc"))
+    chain = chain[: chain.index("uniq AS")] + "x AS (SELECT 1)\nSELECT digest FROM content"
+
+    def digests(view_sql: str) -> list[str]:
+        con.sql(f"CREATE OR REPLACE VIEW documents AS {view_sql}")
+        return sorted(r[0] for r in con.sql(chain).fetchall())
+
+    before = digests("SELECT * FROM base")
+    after = digests(
+        "SELECT doc_id, substr(text, 1, 200) || 'X' || substr(text, 201) AS text FROM base"
+    )
+    assert len(before) > 6, "doc too short to exercise chunking"
+    from collections import Counter
+
+    diff = Counter(before) - Counter(after) | Counter(after) - Counter(before)
+    changed = sum(diff.values())
+    assert changed <= 6, (
+        f"insertion changed {changed} chunks of {len(before)} — boundaries "
+        "are not content-defined"
+    )
+    # and most chunks survived verbatim
+    assert len(Counter(before) & Counter(after)) >= len(before) - 4
