@@ -51,6 +51,8 @@ _LEDGER_PRIORITY = [
     "curation_pipeline_lm",
     "multimodal_cdc_chunks",
     "curation_shards_hrw",
+    "geo_track_summary",
+    "geo_heatmap_grid",
 ]
 
 

@@ -168,3 +168,88 @@ def geo_line_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("segment_id", "wkt")
         .limit(1000)
     )
+
+
+# --- per-vessel track summary (the reference user's next query) ---
+# The reference enriches segments and stops; its user's first analytics
+# ask is per-vessel: how far did each ship travel, how fast. Pure
+# aggregate over the enriched frame keyed on mmsi: totals via the int64
+# fixed-point route (len_m bounded ⇒ exact/associative), the fleet-wide
+# mean speed recomputed from exact totals (total_len / total_dur — one
+# IEEE division, not an avg-of-ratios), max over doubles is
+# order-independent by definition.
+
+TRACK_ORACLE = f"""
+SELECT mmsi,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       {lsum("len_m", "total_len_m", scale=3)},
+       CAST(sum(duration) AS BIGINT) AS total_duration_s,
+       ({lsum_expr("len_m", scale=3)} / sum(duration)) * 1.94384e0 AS track_sog_kt,
+       max(sog_kt) AS max_sog_kt
+FROM ({enriched_sql(["mmsi"])})
+WHERE duration > 0
+GROUP BY mmsi
+ORDER BY mmsi
+"""
+
+
+@register(
+    "geo_track_summary",
+    oracle=TRACK_ORACLE,
+    description="per-vessel trajectory summary: distance/time totals via "
+    "the exact int64 fixed-point route, track-level speed from exact "
+    "totals (not avg-of-ratios), max segment speed — one hash aggregate "
+    "on mmsi, the reference user's first analytics query",
+)
+def geo_track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TRACK_ORACLE)
+
+
+# --- density heatmap grid (tile-server aggregation) ---
+# Segment-start density at two zoom levels over projected coordinates —
+# the aggregation behind every map heatmap tile. Cells are
+# floor-division bucket ids (exact integer math on both engines); the
+# two zooms are two aggregates unioned with a zoom tag. Map-side
+# combine makes each a |cells|-row shuffle at any SF.
+
+HEATMAP_ORACLE = f"""
+WITH pts AS (SELECT x1, y1, len_m FROM ({enriched_sql()})),
+z1 AS (
+  SELECT CAST(1 AS BIGINT) AS zoom,
+         CAST(floor(x1 / 400000e0) AS BIGINT) AS cell_x,
+         CAST(floor(y1 / 400000e0) AS BIGINT) AS cell_y,
+         CAST(count(*) AS BIGINT) AS n_points,
+         {lsum("len_m", "cell_len_m", scale=3)}
+  FROM pts GROUP BY 2, 3
+),
+z2 AS (
+  SELECT CAST(2 AS BIGINT) AS zoom,
+         CAST(floor(x1 / 100000e0) AS BIGINT) AS cell_x,
+         CAST(floor(y1 / 100000e0) AS BIGINT) AS cell_y,
+         CAST(count(*) AS BIGINT) AS n_points,
+         {lsum("len_m", "cell_len_m", scale=3)}
+  FROM pts GROUP BY 2, 3
+)
+SELECT * FROM z1
+UNION ALL
+SELECT * FROM z2
+ORDER BY zoom, cell_x, cell_y
+"""
+
+
+@register(
+    "geo_heatmap_grid",
+    oracle=HEATMAP_ORACLE,
+    description="density heatmap tiles: segment-start counts + exact "
+    "distance mass per 400 km and 100 km projected grid cell (two "
+    "map-side-combined aggregates, |cells|-row shuffles) — the "
+    "tile-server aggregation over the reference's geometry",
+)
+def geo_heatmap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(HEATMAP_ORACLE)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from posting_lines_spark.fixtures import cached_fixture, scratch_dir
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark
 from posting_lines_spark.operators import multimodal
 from posting_lines_spark.queries import register
 from posting_lines_spark.queries.pipeline_q import ENRICH_ORACLE, segments_state_df  # noqa: F401
@@ -642,12 +643,7 @@ SELECT CAST((SELECT count(*) FROM content) AS BIGINT) AS n_chunks,
 
 @register(
     "multimodal_cdc_chunks",
-    oracle=_cdc_sql(
-        _CDC_GRAMS_DUCK,
-        __import__(
-            "posting_lines_spark.functions.hashing", fromlist=["md5_int_duck"]
-        ).md5_int_duck("gram", salt="cdc"),
-    ),
+    oracle=_cdc_sql(_CDC_GRAMS_DUCK, md5_int_duck("gram", salt="cdc")),
     description="content-defined chunking (rsync/LBFS gear-hash "
     "boundaries, ~32-byte chunks): boundaries decided by content so "
     "identical regions chunk identically anywhere they sit — corpus "
@@ -656,7 +652,5 @@ SELECT CAST((SELECT count(*) FROM content) AS BIGINT) AS n_chunks,
     "never duplicated per position",
 )
 def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from posting_lines_spark.functions.hashing import md5_int_spark
-
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_cdc_sql(_CDC_GRAMS_SPARK, md5_int_spark("gram", salt="cdc")))
