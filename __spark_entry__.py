@@ -53,6 +53,8 @@ _LEDGER_PRIORITY = [
     "curation_shards_hrw",
     "geo_track_summary",
     "geo_heatmap_grid",
+    "window_rolling_distinct",
+    "stats_chi2_independence",
 ]
 
 

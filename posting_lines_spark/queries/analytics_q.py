@@ -14,6 +14,7 @@ cohort retention is two hash-aggregates keyed on user then
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from posting_lines_spark.queries import register
 from posting_lines_spark.sources import load_table
@@ -412,3 +413,128 @@ ORDER BY user_id
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(MODE_SQL)
+
+
+# --- rolling distinct users (7-day active users per day) ---
+# The DAU/WAU query every event pipeline runs, and a shape windows can't
+# express directly (count(DISTINCT) over a RANGE frame is unsupported):
+# the scalable form is the contribute-explode — each (user, day) fact
+# contributes itself to the 7 windows ending on days d..d+6, then one
+# distinct + one count per window day. Cost is exactly 7× the distinct
+# fact stream (linear, map-side explode), never a per-day rescan. The
+# oracle computes the same number INDEPENDENTLY as a per-day correlated
+# range join (spine BETWEEN day-6 AND day) — two different algorithms,
+# one answer. Day ids are integer epoch-day buckets; all math integer.
+
+ROLLING_DISTINCT_ORACLE = """
+WITH facts AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM facts),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds)
+SELECT s.d AS day,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS active_7d
+FROM spine s JOIN facts f ON f.day BETWEEN s.d - 6 AND s.d
+GROUP BY s.d
+ORDER BY day
+"""
+
+
+@register(
+    "window_rolling_distinct",
+    oracle=ROLLING_DISTINCT_ORACLE,
+    description="rolling 7-day distinct users per day (WAU curve): "
+    "count(DISTINCT) over a range frame is unsupported, so each "
+    "(user, day) fact contributes to its 7 covering windows via a "
+    "map-side explode (7× the distinct fact stream, linear) — the "
+    "oracle recomputes it as an independent correlated range join",
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    facts = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    contrib = facts.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    bounds = facts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        contrib.join(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .select("user_id", "day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+# --- chi-square independence test (categorical association) ---
+# Are l_returnflag and l_linestatus independent? The contingency-table
+# chi-square: χ² = Σ_cells (observed − expected)²/expected with
+# expected = row_total·col_total/n. Every input is an exact integer
+# count, expected is one IEEE multiply/divide, and the cell terms fold
+# in (flag, status) order — bit-identical across engines with no
+# decimal routing. The shape: one count aggregate, two marginal
+# re-aggregates joined back (all broadcast-sized), one ordered fold.
+# At 100 TB only the first aggregate sees data; everything downstream
+# is |cells| rows.
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(count(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+rows_m AS (SELECT flag, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY flag),
+cols_m AS (SELECT status, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY status),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.flag, c.status, c.o,
+         (CAST(r.rt AS DOUBLE) * ct) / n AS e
+  FROM cells c
+  JOIN rows_m r ON r.flag = c.flag
+  JOIN cols_m m ON m.status = c.status
+  CROSS JOIN tot
+),
+t2 AS (
+  SELECT flag, status, ((o - e) * (o - e)) / e AS term FROM terms
+)
+SELECT CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_cells,
+       (SELECT count(*) FROM rows_m) * (SELECT count(*) FROM cols_m)
+         - (SELECT count(*) FROM rows_m) - (SELECT count(*) FROM cols_m) + 1 AS dof,
+       (SELECT {FOLD} FROM t2) AS chi2
+"""
+
+
+def _chi2_sql(fold: str) -> str:
+    return CHI2_SQL.replace("{FOLD}", fold)
+
+
+_CHI2_FOLD_SPARK = (
+    "aggregate(transform(array_sort(collect_list(struct(flag, status, term))), "
+    "s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_CHI2_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(term ORDER BY flag, status)), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "stats_chi2_independence",
+    oracle=_chi2_sql(_CHI2_FOLD_DUCK),
+    description="chi-square independence test on the returnflag × "
+    "linestatus contingency table: integer cell counts, IEEE expected "
+    "values, cell-ordered fold — categorical-association stats with "
+    "structural cross-engine parity; only the first aggregate touches "
+    "data, everything downstream is |cells| rows",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_chi2_sql(_CHI2_FOLD_SPARK))
