@@ -55,6 +55,7 @@ _LEDGER_PRIORITY = [
     "geo_heatmap_grid",
     "window_rolling_distinct",
     "stats_chi2_independence",
+    "curation_mixture_nucleus",
 ]
 
 

@@ -872,3 +872,47 @@ _HRW_H_DUCK = md5_int_duck(
 def curation_shards_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_hrw_sql(_HRW_H_SPARK))
+
+
+# --- nucleus (top-p) source truncation ---
+# The mixture-trimming rule: keep the smallest set of sources covering
+# ≥ 80% of the corpus (rank by size, include while the cumulative mass
+# BEFORE the row is under the threshold — so the boundary source that
+# crosses 80% is kept, everything after is dropped). Integer counts,
+# one ratio per row; the rank tiebreak (n DESC, source) makes the kept
+# set deterministic. Shape: one count aggregate + one window over the
+# |sources|-row table — free at any corpus size.
+
+_NUCLEUS_P = "0.8e0"
+
+NUCLEUS_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, n_docs,
+         CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS total
+  FROM src
+)
+SELECT source, n_docs,
+       CAST(cum AS DOUBLE) / total AS cum_share
+FROM ranked
+WHERE (CAST(cum - n_docs AS DOUBLE) / total) < {_NUCLEUS_P}
+ORDER BY n_docs DESC, source
+"""
+
+
+@register(
+    "curation_mixture_nucleus",
+    oracle=NUCLEUS_SQL,
+    description="nucleus (top-p) source truncation: smallest source set "
+    "covering ≥80% of the corpus — rank by size, gate on the cumulative "
+    "mass before each row (the crossing source is kept); deterministic "
+    "tiebreak, |sources|-row window, free at any scale",
+)
+def curation_mixture_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(NUCLEUS_SQL)
