@@ -56,6 +56,8 @@ _LEDGER_PRIORITY = [
     "window_rolling_distinct",
     "stats_chi2_independence",
     "curation_mixture_nucleus",
+    "search_phrase",
+    "funnel_conversion_lag",
 ]
 
 

@@ -538,3 +538,70 @@ _CHI2_FOLD_DUCK = (
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_chi2_sql(_CHI2_FOLD_SPARK))
+
+
+# --- conversion-lag curve (discrete survival analysis) ---
+# The time-to-convert distribution funnel_analysis doesn't show: for
+# every user whose journey starts with a view, how many days until
+# their first purchase AT OR AFTER that view — reported as the
+# cumulative conversion curve per day offset (the complement of a
+# Kaplan-Meier survival curve with administrative censoring at the
+# observation horizon; no other censoring exists in a closed event
+# log). All time math is integer microseconds; the curve is a window
+# cumsum over the |offsets|-row lag histogram; the fraction is one IEEE
+# division by the fixed cohort size.
+
+
+def _conv_lag_sql(us: str) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN {us} END) AS v_us
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.v_us,
+         min(CASE WHEN e.event_type = 'purchase' AND {us} >= f.v_us
+                  THEN {us} END) AS p_us
+  FROM firsts f JOIN events e ON e.user_id = f.user_id
+  WHERE f.v_us IS NOT NULL
+  GROUP BY f.user_id, f.v_us
+),
+lags AS (
+  SELECT CAST(floor((p_us - v_us) / 86400000000e0) AS BIGINT) AS lag_days
+  FROM conv WHERE p_us IS NOT NULL
+),
+cohort AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM conv),
+hist AS (SELECT lag_days, CAST(count(*) AS BIGINT) AS n FROM lags GROUP BY lag_days)
+SELECT lag_days,
+       n AS n_converted_on_day,
+       CAST(sum(n) OVER (ORDER BY lag_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+       CAST(sum(n) OVER (ORDER BY lag_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (SELECT n_users FROM cohort) AS cum_conversion
+FROM hist
+ORDER BY lag_days
+"""
+
+
+@register(
+    "funnel_conversion_lag",
+    oracle=_conv_lag_sql("epoch_us(e.ts)").replace(
+        "min(CASE WHEN event_type = 'view' THEN epoch_us(e.ts) END)",
+        "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)",
+    ),
+    description="conversion-lag curve (discrete survival): days from "
+    "first view to first subsequent purchase per user, reported as the "
+    "cumulative conversion fraction per day offset — integer-µs lag "
+    "histogram + one window cumsum; the Kaplan-Meier complement for a "
+    "closed log",
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _conv_lag_sql("unix_micros(e.ts)").replace(
+            "min(CASE WHEN event_type = 'view' THEN unix_micros(e.ts) END)",
+            "min(CASE WHEN event_type = 'view' THEN unix_micros(ts) END)",
+        )
+    )

@@ -193,3 +193,53 @@ def search_bm25_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _bm25_ln_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
     )
+
+
+# --- exact phrase search (positional posting lists) ---
+# The other half of an IR engine next to BM25's bag-of-words scoring:
+# "table hash" as an exact phrase. Positional postings are built ONLY
+# for the phrase's terms (the IN-list filter runs before the explode is
+# shuffled, same discipline as the tf stage above), then adjacency is
+# one equi-join on (doc, pos+1). Generalizes to k-word phrases as a
+# chain of k−1 position joins; at 100 TB the positional index is the
+# stored artifact and this is a pure index-side query.
+
+PHRASE = ("table", "hash")
+
+
+def _phrase_sql(tok_pos: str) -> str:
+    w1, w2 = PHRASE
+    return f"""
+WITH tp AS ({tok_pos}),
+p1 AS (SELECT doc_id, pos FROM tp WHERE tok = '{w1}'),
+p2 AS (SELECT doc_id, pos FROM tp WHERE tok = '{w2}')
+SELECT p1.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+GROUP BY p1.doc_id
+ORDER BY n_occurrences DESC, p1.doc_id
+LIMIT 20
+"""
+
+
+_TOKPOS_SPARK = (
+    "SELECT doc_id, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(split(text, ' ')) v AS pos, tok"
+)
+_TOKPOS_DUCK = (
+    "SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+
+
+@register(
+    "search_phrase",
+    oracle=_phrase_sql(_TOKPOS_DUCK),
+    description="exact phrase search over positional posting lists: "
+    "postings built only for the phrase's terms (filter before shuffle), "
+    "adjacency = one equi-join on (doc, pos+1), top-20 by occurrence — "
+    "the phrase-query half of an IR engine next to BM25",
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_phrase_sql(_TOKPOS_SPARK))
