@@ -123,3 +123,25 @@ def dln_int_py(n: int) -> float:
     for c in reversed(LN_ATANH_COEFFS[:-1]):
         acc = c + (u * u) * acc
     return (float(d - 1) * math.log(10.0)) + (lna + (2.0 * u * acc))
+
+
+def dln_int_cte_layers(
+    args: list[tuple[str, str]], source: str, layer_prefix: str
+) -> tuple[str, str]:
+    """Emit the staged-CTE stack computing ln() for each (n_expr, prefix)
+    in `args`, starting from CTE `source`. Returns (sql, last_name) —
+    append `sql` to a WITH chain and read `{prefix}_ln` from `last_name`.
+
+    This is THE sanctioned way to call the kernel from SQL: one layer
+    per stage keeps every expression on simple column refs (the geo
+    family's Janino-64KB staging discipline), and centralizing the
+    stacking means the discipline is enforced here, not re-implemented
+    at each call site."""
+    staged = [dln_int_stages(n, p) for n, p in args]
+    layers, prev = [], source
+    for i in range(len(staged[0])):
+        cols = ", ".join(f"{e} AS {c}" for (c, e) in (st[i] for st in staged))
+        name = f"{layer_prefix}{i + 1}"
+        layers.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return ",\n".join(layers), prev

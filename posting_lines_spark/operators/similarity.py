@@ -232,15 +232,28 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search + exact re-rank. `dtable` is the per-query distance
     table (query_id, m, code, qd) — M·K' rows per query, broadcast; the
     corpus side streams CODES only. The per-(query, vec) ADC sum folds
     the M partial distances in subspace order (engine-stable bits), takes
     the `rerank` closest, then re-scores just those against the real
-    vectors for the final exact-cosine top-k."""
+    vectors for the final exact-cosine top-k.
+
+    `candidates` (query_id, id) optionally pre-restricts which pairs are
+    ADC-scored — the IVF-PQ composite passes its cell-routed pairs here;
+    None means flat PQ (every query scores every coded vector). Keeping
+    both paths in THIS function keeps the bit-parity-critical fold and
+    tie-break in exactly one place."""
+    if candidates is None:
+        scored_src = codes.join(F.broadcast(dtable), ["m", "code"])
+    else:
+        scored_src = candidates.join(codes, id_col).join(
+            F.broadcast(dtable), [query_id, "m", "code"]
+        )
     adc = (
-        codes.join(F.broadcast(dtable), ["m", "code"])
+        scored_src
         .groupBy(query_id, id_col)
         .agg(
             F.expr(

@@ -467,9 +467,9 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.join(F.broadcast(bounds))
         .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
         .select("user_id", "day")
-        .distinct()
+        .distinct()  # one row per (user, day) — so the count below is exact
         .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .agg(F.count(F.lit(1)).alias("active_7d"))
         .orderBy("day")
     )
 

@@ -186,7 +186,7 @@ SELECT mmsi,
        CAST(sum(duration) AS BIGINT) AS total_duration_s,
        ({lsum_expr("len_m", scale=3)} / sum(duration)) * 1.94384e0 AS track_sog_kt,
        max(sog_kt) AS max_sog_kt
-FROM ({enriched_sql(["mmsi"])})
+FROM ({enriched_sql()})
 WHERE duration > 0
 GROUP BY mmsi
 ORDER BY mmsi

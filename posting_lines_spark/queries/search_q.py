@@ -118,7 +118,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_ln_sql(tok_explode: str) -> str:
-    from posting_lines_spark.functions.dmath import dln_int_stages
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
 
     terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     per_term = ", ".join(
@@ -126,13 +126,7 @@ def _bm25_ln_sql(tok_explode: str) -> str:
         for t in QUERY_TERMS
     )
     total = " + ".join(f"s_{t}" for t in QUERY_TERMS)
-    layers, prev = [], "idf0"
-    for i, ((ca, ea), (cb, eb)) in enumerate(
-        zip(dln_int_stages("na", "na"), dln_int_stages("nb", "nb"))
-    ):
-        layers.append(f"idf{i+1} AS (SELECT *, {ea} AS {ca}, {eb} AS {cb} FROM {prev})")
-        prev = f"idf{i+1}"
-    stage_sql = ",\n".join(layers)
+    stage_sql, prev = dln_int_cte_layers([("na", "na"), ("nb", "nb")], "idf0", "idf")
     return f"""
 WITH dl AS (
   SELECT doc_id, CAST(n_tokens AS BIGINT) AS dl

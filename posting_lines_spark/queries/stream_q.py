@@ -595,10 +595,16 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_MOD = 32
 
+# empty-text guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+# (same hazard as shingle_array_spark's, operators/dedup.py) — an empty
+# payload must yield zero positions like DuckDB's range(1, 1), not two
+# phantom chunk rows
 _CDC_GRAMS_SPARK = """
 SELECT doc_id, g.p AS p, g.gram AS gram FROM documents
-LATERAL VIEW explode(transform(sequence(1, length(text)),
-  p -> struct(p AS p, substring(text, greatest(p - 3, 1), 4) AS gram))) t AS g
+LATERAL VIEW explode(CASE WHEN length(text) >= 1 THEN
+  transform(sequence(1, length(text)),
+    p -> struct(p AS p, substring(text, greatest(p - 3, 1), 4) AS gram))
+  ELSE CAST(array() AS array<struct<p:int,gram:string>>) END) t AS g
 """
 _CDC_GRAMS_DUCK = """
 SELECT doc_id, u.g['p'] AS p, u.g['gram'] AS gram FROM (

@@ -496,16 +496,9 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lm_stage_layers() -> tuple[str, str]:
-    from posting_lines_spark.functions.dmath import dln_int_stages
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
 
-    na = dln_int_stages("na", "na")
-    nb = dln_int_stages("nb", "nb")
-    layers = []
-    prev = "m0"
-    for i, ((ca, ea), (cb, eb)) in enumerate(zip(na, nb)):
-        layers.append(f"m{i+1} AS (SELECT *, {ea} AS {ca}, {eb} AS {cb} FROM {prev})")
-        prev = f"m{i+1}"
-    return ",\n".join(layers), prev
+    return dln_int_cte_layers([("na", "na"), ("nb", "nb")], "m0", "m")
 
 
 def _lm_chain(toks: str, fold: str) -> str:
@@ -604,18 +597,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entropy_sql(tok_explode: str, fold: str) -> str:
-    from posting_lines_spark.functions.dmath import dln_int_stages
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
 
-    c_layers, prev = [], "tc0"
-    for i, (cc, ce) in enumerate(dln_int_stages("c", "c")):
-        c_layers.append(f"tc{i+1} AS (SELECT *, {ce} AS {cc} FROM {prev})")
-        prev = f"tc{i+1}"
-    c_sql, c_last = ",\n".join(c_layers), prev
-    n_layers, prev = [], "ns0"
-    for i, (nc, ne) in enumerate(dln_int_stages("n", "n")):
-        n_layers.append(f"ns{i+1} AS (SELECT *, {ne} AS {nc} FROM {prev})")
-        prev = f"ns{i+1}"
-    n_sql, n_last = ",\n".join(n_layers), prev
+    c_sql, c_last = dln_int_cte_layers([("c", "c")], "tc0", "tc")
+    n_sql, n_last = dln_int_cte_layers([("n", "n")], "ns0", "ns")
     return f"""
 WITH tc0 AS (
   SELECT source, tok, CAST(count(*) AS BIGINT) AS c

@@ -733,33 +733,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    adc = (
-        cand0.join(codes, "vec_id")
-        .join(F.broadcast(dtable), ["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(m, qd))), "
-                "s -> s.qd), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ).alias("adc")
-        )
-    )
-    from pyspark.sql import Window as W
-
-    wa = W.partitionBy("query_id").orderBy("adc", "vec_id")
-    cand = adc.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") <= IVFPQ_RERANK)
-    q = emb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    scored = (
-        cand.join(emb, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "qv")))
-    )
-    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= K)
-        .select("query_id", "vec_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
-    )
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return sim.pq_adc_topk(
+        codes, dtable, emb, queries, K, IVFPQ_RERANK, candidates=cand0
+    ).orderBy("query_id", "rank")

@@ -337,10 +337,11 @@ def minhash_index_stream(
     def _maybe(path: str, schema: str) -> DataFrame:
         # empty only when the state genuinely doesn't exist yet (first
         # batch); a corrupt/unreadable EXISTING state must raise, not
-        # silently produce an empty index (which would drop pairs)
+        # silently produce an empty index (which would drop pairs).
+        # recursiveFileLookup: state lives in per-epoch subdirs (below)
         if not os.path.isdir(path):
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(path)
+        return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         b = batch_df.localCheckpoint()  # static within the batch
@@ -353,9 +354,22 @@ def minhash_index_stream(
         sh_new = dedup.shingles(b, "doc_id", "text").localCheckpoint()
         sh_all = _maybe(sh_dir, "doc_id long, shingle string").unionByName(sh_new)
         verified = dedup.jaccard_verify(cand, sh_all, "doc_id", threshold)
-        verified.write.mode("append").parquet(pairs_dir)
-        banded_new.write.mode("append").parquet(bands_dir)
-        sh_new.write.mode("append").parquet(sh_dir)
+        # RETRY IDEMPOTENCE: foreachBatch is at-least-once — a failure
+        # after some sinks committed re-runs the whole epoch. Each epoch
+        # OVERWRITES its own subdir (deterministic content ⇒ a retry
+        # rewrites identical rows) instead of appending to a shared dir
+        # (which would double-count pairs and inflate every later
+        # batch's shingle sets). This keeps the documented "every pair
+        # discovered exactly once" invariant under retries.
+        verified.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch_{epoch_id}")
+        )
+        banded_new.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"epoch_{epoch_id}")
+        )
+        sh_new.write.mode("overwrite").parquet(
+            os.path.join(sh_dir, f"epoch_{epoch_id}")
+        )
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -370,4 +384,4 @@ def minhash_index_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(pairs_dir)

@@ -179,35 +179,11 @@ def main() -> int:
         .select("query_id", "vec_id")
     )
     n_cand = cand0.count()
-    adc = (
-        cand0.join(codes, "vec_id")
-        .join(F.broadcast(dtable), ["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(m, qd))), "
-                "s -> s.qd), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            ).alias("adc")
-        )
-    )
-    from pyspark.sql import Window as _W
-
-    wa = _W.partitionBy("query_id").orderBy("adc", "vec_id")
-    ivfpq_cand = adc.withColumn("rn", F.row_number().over(wa)).filter(
-        F.col("rn") <= IVFPQ_RERANK
-    )
-    qv = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    we = _W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     got = {
         (r.query_id, r.vec_id)
-        for r in ivfpq_cand.join(emb, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "qv")))
-        .withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= K)
-        .collect()
+        for r in sim.pq_adc_topk(
+            codes, dtable, emb, queries, K, IVFPQ_RERANK, candidates=cand0
+        ).collect()
     }
     rows.append(
         (
