@@ -58,6 +58,7 @@ _LEDGER_PRIORITY = [
     "curation_mixture_nucleus",
     "search_phrase",
     "funnel_conversion_lag",
+    "scd2_time_travel",
 ]
 
 

@@ -367,3 +367,71 @@ def lake_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- SCD2 time travel (point-in-time read) ---
+# The read half of the SCD2 story (operators/scd.py — the write half is
+# exercised by stream_scd_upsert): reconstruct the state of every user
+# AS OF a fixed instant from the validity-interval table. History =
+# per-user event timeline with [valid_from, valid_to) from a lead()
+# window (tie-safe on (µs, event_id) — an empty interval from duplicate
+# timestamps can never cover an instant, matching the argmax). The
+# oracle recomputes the same snapshot INDEPENDENTLY as a per-user argmax
+# of (µs, event_id) among events ≤ T — interval containment vs argmax,
+# two algorithms, one answer. Scale: one user-keyed window builds the
+# history; the as-of read is a map-side filter on any interval table.
+
+# 2024-01-15 12:00:00 UTC in epoch microseconds (mid-timeline)
+_AS_OF_US = 1705320000000000
+
+SCD2_TT_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events WHERE epoch_us(ts) <= {_AS_OF_US}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM ranked WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "scd2_time_travel",
+    oracle=SCD2_TT_ORACLE,
+    description="SCD2 point-in-time read: per-user state AS OF a fixed "
+    "instant via validity-interval containment (operators/scd.py "
+    "scd2_as_of) over a lead()-built history — oracle recomputes the "
+    "snapshot as an independent per-user argmax; the time-travel read "
+    "every history-keeping lake serves",
+)
+def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from posting_lines_spark.operators.scd import scd2_as_of
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    hist = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("valid_from"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("valid_to"),
+    )
+    snap = scd2_as_of(hist, F.lit(_AS_OF_US))
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
