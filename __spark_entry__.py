@@ -59,6 +59,17 @@ _LEDGER_PRIORITY = [
     "search_phrase",
     "funnel_conversion_lag",
     "scd2_time_travel",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q14_promo_effect",
+    "q16_supplier_relation",
+    "q20_part_promotion",
 ]
 
 

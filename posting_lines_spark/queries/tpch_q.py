@@ -321,3 +321,426 @@ ORDER BY segment
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(Q22_SQL)
+
+
+# ============================================================================
+# Round-4 continuation: the remaining 11 TPC-H shapes (full 22-query suite).
+# The driver schema has no partsupp / l_shipmode / l_commitdate /
+# l_receiptdate / c_phone / p_mfgr / p_container — each absent column is
+# substituted with an available one that preserves the query's PLAN SHAPE
+# (correlation structure, join graph, aggregate nesting), noted per query.
+# The partsupp role (part × supplier cost/stock relation) is played by
+# the (l_partkey, l_suppkey) grain of lineitem wherever needed.
+# ============================================================================
+
+
+# --- TPC-H Q2 (minimum-cost supplier): correlated scalar MIN over the
+# same relation, 4-dim snowflake (supplier→nation→region). ps_supplycost
+# becomes the per-(part, supplier) minimum unit price observed in
+# lineitem — the cost relation is a named CTE referenced both as rows and
+# inside the correlated MIN, exactly Q2's double-reference shape. MIN over
+# doubles is order-independent, and the equality compares two bit-identical
+# per-row divisions, so the argmin is engine-stable with no decimal routing.
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM part, supplier, cost, nation, region
+WHERE p_partkey = l_partkey
+  AND s_suppkey = l_suppkey
+  AND p_size <= 15
+  AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND unit_cost = (
+    SELECT min(unit_cost) FROM cost c2, supplier s2, nation n2, region r2
+    WHERE c2.l_partkey = p_partkey
+      AND s2.s_suppkey = c2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=Q2_SQL,
+    description="TPC-H Q2 shape (lineitem (partkey,suppkey) grain plays "
+    "partsupp): cost CTE referenced as rows AND inside a correlated scalar "
+    "MIN filtered through the same snowflake — Catalyst decorrelates to a "
+    "per-partkey aggregate joined back; dims broadcast; argmin "
+    "engine-stable because MIN is order-independent",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    return spark.sql(Q2_SQL)
+
+
+# --- TPC-H Q4 (order priority checking): EXISTS semi-join + count ---
+# ("late line" l_commitdate < l_receiptdate becomes l_returnflag = 'R';
+# same one-sided EXISTS correlated on the order key.)
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q4_order_priority",
+    oracle=Q4_SQL,
+    description="TPC-H Q4 shape (returnflag for the absent commit/receipt "
+    "dates): EXISTS decorrelates to a left-semi join on o_orderkey — the "
+    "quarter filter is pushed to the orders scan BEFORE the semi-join "
+    "probe, so the build side is the filtered order-key set",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Q4_SQL)
+
+
+# --- TPC-H Q6 (forecasting revenue change): pure scan-side filters ---
+# The canonical predicate-pushdown probe: every filter reaches the
+# parquet scan; the plan is scan → partial agg → final agg, zero joins.
+
+Q6_SQL = f"""
+SELECT {dsum_expr("l_extendedprice * l_discount")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+  AND l_quantity < 24.0e0
+"""
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=Q6_SQL,
+    description="TPC-H Q6: all four predicates pushed to the parquet scan "
+    "(PushedFilters plan-asserted), scan → partial/final agg, no shuffle "
+    "of row data — the minimal full-scan aggregate at any scale",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(Q6_SQL)
+
+
+# --- TPC-H Q7 (volume shipping): dual-nation join with a disjunctive
+# nation-pair predicate, group by (supp_nation, cust_nation, year). The
+# nation table joins TWICE (supplier side + customer side) and the
+# OR-of-pairs predicate lands as a residual on broadcast joins.
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_expr("volume")} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1.0e0 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=Q7_SQL,
+    description="TPC-H Q7: nation joined twice (supplier + customer side, "
+    "both broadcast) with the disjunctive nation-pair residual; lineitem "
+    "shuffles once for the orders join, then the (nation, nation, year) "
+    "aggregate is tiny",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(Q7_SQL)
+
+
+# --- TPC-H Q8 (national market share): conditional-share aggregate ---
+# share = sum(volume where supp nation = target) / sum(volume), per order
+# year, customers restricted to a region. Both sums go through the
+# decimal route; the final division of two string-cast doubles is
+# bit-identical across engines. (p_type filter plays the Q8 part filter.)
+
+Q8_SQL = f"""
+SELECT o_year,
+       {dsum_expr("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0e0 END")}
+         / {dsum_expr("volume")} AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1.0e0 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "q8_market_share",
+    oracle=Q8_SQL,
+    description="TPC-H Q8: 8-table join (every dim broadcast, nation "
+    "twice), conditional share = decimal-routed CASE sum / decimal-routed "
+    "total per year — the two-sums-one-division shape; region filter "
+    "prunes the customer side before the fact join",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
+    )
+    return spark.sql(Q8_SQL)
+
+
+# --- TPC-H Q9 (product type profit): profit expression across part +
+# lineitem, grouped by (supplier nation, order year). ps_supplycost
+# becomes p_retailprice (same role: a per-part unit cost multiplied by
+# l_quantity inside the profit expression).
+
+Q9_SQL = f"""
+SELECT nation, o_year, {dsum_expr("amount")} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1.0e0 - l_discount)
+           - p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "q9_product_profit",
+    oracle=Q9_SQL,
+    description="TPC-H Q9 shape (p_retailprice plays ps_supplycost in the "
+    "profit expression): LIKE filter pushed to the part scan prunes the "
+    "fact join by broadcast-semi; one lineitem shuffle for orders, then a "
+    "(25 nations × years) aggregate",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    return spark.sql(Q9_SQL)
+
+
+# --- TPC-H Q11 (important stock identification): group-sum vs a global
+# scalar threshold. Stock value per part = sum(l_extendedprice *
+# l_quantity) restricted to one nation's suppliers (lineitem grain plays
+# partsupp); HAVING compares each group's decimal-routed sum against
+# fraction × the same sum computed globally (uncorrelated scalar
+# subquery → broadcast). Both sides exact → threshold engine-stable.
+
+Q11_SQL = f"""
+SELECT l_partkey AS ps_partkey, {dsum_expr("l_extendedprice * l_quantity")} AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING {dsum_expr("l_extendedprice * l_quantity")} > (
+  SELECT 3.0e-4 * {dsum_expr("l_extendedprice * l_quantity")}
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@register(
+    "q11_important_stock",
+    oracle=Q11_SQL,
+    description="TPC-H Q11 shape (lineitem value plays ps_supplycost × "
+    "ps_availqty): per-part aggregate HAVING-filtered against an "
+    "uncorrelated global-sum scalar (computed once, broadcast); both the "
+    "group sums and the threshold go through the decimal route so the "
+    "comparison is bit-stable",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(Q11_SQL)
+
+
+# --- TPC-H Q12 (shipping modes / priority classes): CASE-sum pivot ---
+# (l_shipmode becomes l_linestatus; the receipt-date window becomes a
+# shipdate year. Same shape: join + two conditional counts per group.)
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register(
+    "q12_priority_classes",
+    oracle=Q12_SQL,
+    description="TPC-H Q12 shape (linestatus plays shipmode): fact-fact "
+    "equi-join with the year + flag filters pushed to the lineitem scan, "
+    "then integer CASE-sum pivot columns — counts are exact so no decimal "
+    "routing needed",
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Q12_SQL)
+
+
+# --- TPC-H Q14 (promotion effect): conditional share over one month ---
+
+Q14_SQL = f"""
+SELECT 100.0e0 * {dsum_expr(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0e0 - l_discount) ELSE 0.0e0 END"
+)} / {dsum_expr("l_extendedprice * (1.0e0 - l_discount)")} AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register(
+    "q14_promo_effect",
+    oracle=Q14_SQL,
+    description="TPC-H Q14: month filter pushed to the lineitem scan, "
+    "part broadcast, promo share = two decimal-routed sums divided in "
+    "double — single-row result, bit-identical across engines",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Q14_SQL)
+
+
+# --- TPC-H Q16 (parts/supplier relationship): count-distinct + NOT IN ---
+# (The complaint-supplier exclusion becomes negative account balance;
+# partsupp is the distinct (l_partkey, l_suppkey) grain of lineitem.)
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) partsupp, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0e0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "q16_supplier_relation",
+    oracle=Q16_SQL,
+    description="TPC-H Q16 shape (negative balance plays the complaint "
+    "filter; distinct lineitem grain plays partsupp): NOT IN over a "
+    "non-null key set → null-safe anti-join with a tiny broadcast build; "
+    "count(DISTINCT) per (brand, type, size) after the part filters",
+)
+def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(Q16_SQL)
+
+
+# --- TPC-H Q20 (potential part promotion): nested IN + correlated scalar ---
+# Suppliers who shipped more than 30% of a 'small%' part's total 1997
+# volume. ps_availqty > 0.5 × shipped-qty becomes per-(supplier, part)
+# shipped qty > 0.3 × the part's ALL-supplier total — the same
+# IN(GROUP BY ... HAVING agg > correlated-scalar) nesting. Quantities
+# are integer-valued doubles, so every sum and the 0.3 multiply are
+# exact/deterministic — no decimal routing needed for the comparison.
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem l1
+    WHERE l1.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > (
+      SELECT 0.3e0 * sum(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_5'
+ORDER BY s_name
+"""
+
+
+@register(
+    "q20_part_promotion",
+    oracle=Q20_SQL,
+    description="TPC-H Q20 shape (per-part 1997 volume share plays the "
+    "availqty threshold): IN(GROUP BY + HAVING agg > correlated scalar) — "
+    "Catalyst decorrelates the inner scalar to a per-partkey aggregate "
+    "joined on the correlation key, then the outer IN becomes a left-semi "
+    "probe on s_suppkey; integer-valued quantities keep every comparison "
+    "exact",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(Q20_SQL)

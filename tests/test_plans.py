@@ -160,3 +160,79 @@ def test_q17_decorrelates_to_one_extra_aggregate(spark):
     # decorrelated: the avg shows up as a joined aggregate, not a scalar
     assert plan.count("HashAggregate") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """TPC-H Q6: the shipdate range, discount range, and quantity bound
+    must ALL appear as PushedFilters on the lineitem parquet scan — the
+    plan is scan → partial agg → final agg with no join and no shuffle of
+    row data."""
+    from posting_lines_spark.queries import load_all
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = load_all()["q6_forecast_revenue"].fn(spark, SF001)
+        plan = _executed_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 1, plan[:2000]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in scans[0], f"predicate not pushed: {frag}\n{scans[0][:1200]}"
+    assert "Join" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """TPC-H Q2's correlated scalar MIN over the cost CTE must become a
+    per-partkey aggregate joined back — no per-row subquery, no
+    cartesian product in the physical plan."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["q2_min_cost_supplier"].fn(spark, SF001)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the cost grain + the decorrelated min = at least two aggregates
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_q20_nested_in_decorrelates_to_semi_joins(spark):
+    """TPC-H Q20's IN(GROUP BY … HAVING agg > correlated-scalar) nesting
+    must land as semi-join probes plus one decorrelated per-partkey
+    aggregate — nested-loop execution here is the 100 TB melt-down."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()["q20_part_promotion"].fn(spark, SF001)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+TPCH_NEW = [
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q14_promo_effect",
+    "q16_supplier_relation",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_NEW)
+def test_tpch_suite_no_cartesian_no_python_rows(spark, name):
+    """Blanket scale guard for the completed TPC-H suite: no cartesian
+    products, no nested-loop joins, no row-wise Python evaluation."""
+    from posting_lines_spark.queries import load_all
+
+    df = load_all()[name].fn(spark, SF001)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
