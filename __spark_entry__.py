@@ -70,6 +70,10 @@ _LEDGER_PRIORITY = [
     "q14_promo_effect",
     "q16_supplier_relation",
     "q20_part_promotion",
+    "sketch_kmv_overlap",
+    "profile_psi_drift",
+    "dedup_sorted_neighborhood",
+    "sample_bottomk_per_group",
 ]
 
 

@@ -916,3 +916,44 @@ ORDER BY n_docs DESC, source
 def curation_mixture_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(NUCLEUS_SQL)
+
+
+# --- per-group bottom-k uniform sample ---
+# Bottom-k-by-hash is the distributed equivalent of a per-stratum
+# reservoir sample: the k smallest md5 values of a group are a uniform
+# k-subset of it, reproducible across runs/engines with zero RNG state,
+# and mergeable (bottom-k of a union = bottom-k of the per-shard
+# bottom-ks — the same property the KMV sketch exploits). This is the
+# "give me k example rows per source" primitive every curation review
+# loop needs, at a cost of one partial top-k per partition + a k·groups
+# merge, never a global sort.
+
+BOTTOMK_K = 5
+
+
+def _bottomk_sql(h_doc: str) -> str:
+    return f"""
+SELECT source, doc_id, sample_rank
+FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY {h_doc}, doc_id)
+           AS BIGINT) AS sample_rank
+  FROM documents
+) r
+WHERE sample_rank <= {BOTTOMK_K}
+ORDER BY source, sample_rank
+"""
+
+
+@register(
+    "sample_bottomk_per_group",
+    oracle=_bottomk_sql(md5_int_duck("CAST(doc_id AS VARCHAR)", salt="bk")),
+    description=f"per-group bottom-{BOTTOMK_K} uniform sample: the k "
+    "smallest md5(doc_id) per source — the deterministic, mergeable "
+    "equivalent of a per-stratum reservoir sample (bottom-k of shard "
+    "bottom-ks = global bottom-k); partial top-k per partition, no "
+    "global sort",
+)
+def sample_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bottomk_sql(md5_int_spark("CAST(doc_id AS STRING)", salt="bk")))

@@ -454,3 +454,89 @@ ORDER BY bucket
 def profile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(EQUIDEPTH_SQL)
+
+
+# --- PSI drift detection between two snapshots ---
+# Population Stability Index, the standard production drift monitor for
+# a numeric column between a baseline window and a current window:
+#   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+# (< 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted.) Bins are
+# fixed-width (the production shape: cutpoints frozen from the baseline
+# so the comparison is apples-to-apples shard to shard); add-one
+# smoothing keeps empty bins finite. The log ratio is rearranged to
+#   ln((a_i+1)·(B+n_bins)) − ln((b_i+1)·(A+n_bins))
+# so every ln argument is an INTEGER — the deterministic integer-ln
+# kernel (functions/dmath.py) makes the whole statistic bit-identical
+# across engines. The total folds in bin order (10 terms).
+#
+# Scale (100 TB): one map-side-combinable (snapshot, bin) count
+# aggregate over the scan — 2·n_bins partial rows per task, merged by
+# addition; the PSI arithmetic runs on 10 rows. This is the drift
+# monitor you can afford to run on every ingest batch.
+
+PSI_BINS = 10
+PSI_WIDTH = 50_000.0
+PSI_SPLIT = "TIMESTAMP '1998-07-01 00:00:00'"
+
+
+def _psi_sql(fold: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    ln_sql, ln_last = dln_int_cte_layers(
+        [("pnum", "pn"), ("qnum", "qn")], "psi0", "psi"
+    )
+    return f"""
+WITH binned AS (
+  SELECT CAST(least(floor(o_totalprice / {PSI_WIDTH!r}e0), {PSI_BINS - 1}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN o_orderdate >= {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM orders
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+  FROM binned
+),
+psi0 AS (
+  SELECT bin, n_a, n_b, tot_a, tot_b,
+         (n_a + 1) * (tot_b + {PSI_BINS}) AS pnum,
+         (n_b + 1) * (tot_a + {PSI_BINS}) AS qnum
+  FROM binned CROSS JOIN tot
+),
+{ln_sql},
+terms AS (
+  SELECT bin, n_a, n_b,
+         (CAST(n_a + 1 AS DOUBLE) / (tot_a + {PSI_BINS})
+           - CAST(n_b + 1 AS DOUBLE) / (tot_b + {PSI_BINS}))
+           * (pn_ln - qn_ln) AS contrib
+  FROM {ln_last}
+),
+total AS (SELECT {fold} AS psi FROM terms)
+SELECT t.bin, t.n_a, t.n_b, t.contrib, tt.psi
+FROM terms t CROSS JOIN total tt
+ORDER BY t.bin
+"""
+
+
+_PSI_FOLD_SPARK = (
+    "aggregate(transform(array_sort(collect_list(struct(bin, contrib))), "
+    "s -> s.contrib), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PSI_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY bin)), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "profile_psi_drift",
+    oracle=_psi_sql(_PSI_FOLD_DUCK),
+    description="PSI drift monitor between two order snapshots (date-split): "
+    f"{PSI_BINS} frozen fixed-width bins, add-one smoothing, log-ratio "
+    "rearranged so every ln argument is an integer through the "
+    "deterministic ln kernel — bit-identical PSI on both engines; one "
+    "map-side-combinable (bin × snapshot) aggregate at any scale",
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_psi_sql(_PSI_FOLD_SPARK))

@@ -380,3 +380,123 @@ ORDER BY est.p
 def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_qh_sql())
+
+
+# --- KMV (bottom-k / theta-style) sketch: cross-source overlap estimation ---
+# The DataSketches-theta idea (Beyer et al., "On Synopses for Distinct-
+# Value Estimation Under Multiset Operations", SIGMOD'07): keep the K
+# smallest hash values per set; the union sketch is the bottom-K of the
+# merged sketches, and Jaccard(A,B) ≈ |union-sketch ∩ A-sketch ∩
+# B-sketch| / K. Unlike HLL, KMV supports INTERSECTION estimates — the
+# corpus-overlap question ("how much does source A share with source
+# B?") that drives contamination and mixture decisions.
+#
+# Because the hash is md5-derived (functions/hashing.py), DuckDB replays
+# the ENTIRE sketch bit-for-bit: estimates are exact-checkable, and the
+# in-query exact Jaccard (full shingle sets — affordable at test SF)
+# doubles as the accuracy readout.
+#
+# Scale (100 TB): per-source sketch is K rows no matter the corpus —
+# the bottom-K runs as one partial top-K per partition then a K·shards
+# merge (Spark's window rank after a (source, hv) distinct; the partial
+# aggregate absorbs the volume). The pairwise stage touches only
+# |sources|²·K sketch rows — sketch-sized, never corpus-sized. The
+# exact-Jaccard column is the TEST-scale accuracy readout only; at
+# production scale you'd drop it (that is the point of the sketch).
+
+KMV_K = 64
+
+
+def _kmv_sql(shingle_unnest: str, h_shingle: str) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM ({shingle_unnest}) t
+),
+hv AS (
+  SELECT source, shingle, {h_shingle} AS h FROM sh
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hv
+  ) r WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sh),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+  SELECT p.source_a, p.source_b, s.h
+  FROM pairs p JOIN sk s ON s.source = p.source_a
+  UNION
+  SELECT p.source_a, p.source_b, s.h
+  FROM pairs p JOIN sk s ON s.source = p.source_b
+),
+ub AS (
+  SELECT source_a, source_b, h FROM (
+    SELECT source_a, source_b, h,
+           row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged
+  ) r WHERE rn <= {KMV_K}
+),
+shared AS (
+  SELECT u.source_a, u.source_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM ub u
+  JOIN sk x ON x.source = u.source_a AND x.h = u.h
+  JOIN sk y ON y.source = u.source_b AND y.h = u.h
+  GROUP BY u.source_a, u.source_b
+),
+kcnt AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS k_used
+  FROM ub GROUP BY source_a, source_b
+),
+exact AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM hv a JOIN hv b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source)
+SELECT k.source_a, k.source_b, k.k_used,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / k.k_used AS jaccard_est,
+       CAST(COALESCE(e.n_inter, 0) AS DOUBLE)
+         / (za.n_sh + zb.n_sh - COALESCE(e.n_inter, 0)) AS jaccard_exact
+FROM kcnt k
+LEFT JOIN shared s ON s.source_a = k.source_a AND s.source_b = k.source_b
+LEFT JOIN exact e ON e.source_a = k.source_a AND e.source_b = k.source_b
+JOIN sizes za ON za.source = k.source_a
+JOIN sizes zb ON zb.source = k.source_b
+ORDER BY k.source_a, k.source_b
+"""
+
+
+def _kmv_unnest_spark() -> str:
+    from posting_lines_spark.operators.dedup import shingle_array_spark
+
+    return (
+        f"SELECT source, explode({shingle_array_spark('text')}) AS shingle "
+        "FROM documents"
+    )
+
+
+def _kmv_unnest_duck() -> str:
+    from posting_lines_spark.queries.dedup_q import shingle_sql_duck
+
+    return f"SELECT source, unnest({shingle_sql_duck('text')}) AS shingle FROM documents"
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle=_kmv_sql(_kmv_unnest_duck(), md5_int_duck("shingle", salt="kmv")),
+    description=f"KMV (bottom-{KMV_K} / theta-style) sketch overlap: per-source "
+    "bottom-K of md5 shingle hashes; pairwise Jaccard estimated from the "
+    "union sketch (theta intersection rule) next to the exact Jaccard as "
+    "the accuracy readout — sketches are K rows/source at ANY corpus "
+    "size, so the pairwise stage is sketch-sized; DuckDB replays the "
+    "sketch bit-for-bit (md5-derived hashes)",
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_kmv_sql(_kmv_unnest_spark(), md5_int_spark("shingle", salt="kmv")))
