@@ -74,6 +74,7 @@ _LEDGER_PRIORITY = [
     "profile_psi_drift",
     "dedup_sorted_neighborhood",
     "sample_bottomk_per_group",
+    "events_pattern_match",
 ]
 
 

@@ -605,3 +605,61 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min(CASE WHEN event_type = 'view' THEN unix_micros(ts) END)",
         )
     )
+
+
+# --- event-sequence pattern matching (MATCH_RECOGNIZE-style) ---
+# The row-pattern-matching feature Trino/Flink expose as MATCH_RECOGNIZE,
+# expressed as pure relational algebra: PATTERN (V+ C P) — one or more
+# 'view' rows, immediately followed by a 'click', immediately followed
+# by a 'purchase', per user in event-time order, with greedy V+ and
+# AFTER MATCH SKIP PAST LAST ROW semantics. Maximal view-runs come from
+# the gaps-and-islands trick (rn − run-local rn is constant within a
+# run), so V+ is greedy and matches can't overlap by construction; the
+# C and P legs are equi-joins on the successor positions.
+#
+# Scale (100 TB): one shuffle by user for the row_number window, then
+# the run aggregate and two successor equi-joins all reuse the same
+# (user_id) partitioning — co-partitioned, no extra exchanges of the
+# event stream; per-user window state is a row counter, not a buffer.
+
+PATTERN_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
+  FROM events
+),
+views AS (
+  SELECT user_id, rn, ts,
+         rn - CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT)
+           AS isl
+  FROM ev WHERE event_type = 'view'
+),
+vruns AS (
+  SELECT user_id, isl,
+         max(rn) AS rn_last,
+         CAST(count(*) AS BIGINT) AS n_views,
+         min(ts) AS ts_start
+  FROM views GROUP BY user_id, isl
+)
+SELECT r.user_id, r.n_views, r.ts_start, p.ts AS ts_purchase
+FROM vruns r
+JOIN ev c ON c.user_id = r.user_id AND c.rn = r.rn_last + 1
+         AND c.event_type = 'click'
+JOIN ev p ON p.user_id = r.user_id AND p.rn = r.rn_last + 2
+         AND p.event_type = 'purchase'
+ORDER BY r.user_id, r.ts_start
+"""
+
+
+@register(
+    "events_pattern_match",
+    oracle=PATTERN_SQL,
+    description="MATCH_RECOGNIZE-style row-pattern matching: PATTERN "
+    "(view+ click purchase) per user in event order, greedy V+ via "
+    "gaps-and-islands maximal runs (matches provably non-overlapping — "
+    "SKIP PAST LAST ROW), successor legs as co-partitioned equi-joins; "
+    "one shuffle by user_id for the whole match",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(PATTERN_SQL)

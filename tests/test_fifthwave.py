@@ -130,3 +130,34 @@ def test_psi_matches_python_replay(spark):
         assert r.n_a == n_a[r.bin] and r.n_b == n_b[r.bin]
         assert r.contrib == contribs[r.bin], r.bin
         assert r.psi == psi
+
+
+def test_pattern_match_equals_regex_replay(spark):
+    """MATCH_RECOGNIZE semantics cross-checked against an actual regex:
+    per user, the event sequence becomes a character string and
+    re.finditer(r'v+cp') — greedy, non-overlapping, left-to-right — must
+    produce exactly the query's matches (start ts, view count, end ts)."""
+    import re as _re
+
+    from posting_lines_spark.queries import load_all
+
+    events = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    by_user: dict = {}
+    for e in events:
+        by_user.setdefault(e["user_id"], []).append(e)
+    code = {"view": "v", "click": "c", "purchase": "p"}
+    expected = []
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: e["ts"])
+        s = "".join(code.get(e["event_type"], "x") for e in evs)
+        for m in _re.finditer(r"v+cp", s):
+            n_views = m.end() - m.start() - 2
+            expected.append(
+                (uid, n_views, evs[m.start()]["ts"], evs[m.end() - 1]["ts"])
+            )
+    expected.sort()
+    got = sorted(
+        (r.user_id, r.n_views, r.ts_start, r.ts_purchase)
+        for r in load_all()["events_pattern_match"].fn(spark, SF0001).collect()
+    )
+    assert got == expected and got
