@@ -75,6 +75,8 @@ _LEDGER_PRIORITY = [
     "dedup_sorted_neighborhood",
     "sample_bottomk_per_group",
     "events_pattern_match",
+    "stream_psi_drift",
+    "spatial_hilbert_locality",
 ]
 
 

@@ -272,3 +272,116 @@ def spatial_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_segments"), F.expr(davg_expr("len_m")).alias("avg_len_m"))
         .orderBy("zcell")
     )
+
+
+# --- Hilbert-curve layout vs Z-order: measured locality comparison ---
+# The layout-clustering alternative to spatial_zorder's Morton code: the
+# Hilbert curve visits every cell of a 2^k × 2^k grid so that CONSECUTIVE
+# curve positions are always grid-neighbors — no Morton-style "seam
+# jumps" — which is why lakehouse table formats offer hilbert clustering
+# for multi-dimensional layout. xy→d is the standard rotate-and-descend
+# recurrence (Hamilton's compact algorithm), unrolled here into one
+# staged layer per bit with pure +/·/floor/% arithmetic (no engine
+# bitwise ops, identical semantics on Spark and DuckDB).
+#
+# Output: one row per curve with the measured locality — the fraction of
+# consecutive OCCUPIED cells (curve order) that are grid-neighbors
+# (Chebyshev distance ≤ 2) plus the mean curve-index gap. Hilbert must
+# beat Morton on both; the assertion lives in tests (not the oracle,
+# which replays the identical computation).
+#
+# Scale: everything after the cell aggregate operates on DISTINCT CELLS
+# (≤ 4096 for the 64×64 grid) — the lag window is bounded by the grid
+# constant, never by data size.
+
+HILBERT_BITS = 6
+
+
+def _hilbert_layers(src: str) -> tuple[str, str]:
+    """Staged CTEs computing hd (Hilbert index) from columns cx, cy."""
+    layers = []
+    prev = src
+    for i, s in enumerate(2 ** b for b in range(HILBERT_BITS - 1, -1, -1)):
+        x, y, d = ("cx", "cy", "CAST(0 AS BIGINT)") if i == 0 else ("hx", "hy", "hd")
+        name = f"hl{i + 1}"
+        layers.append(
+            f"""{name} AS (
+  SELECT *except_cols*,
+         CAST(floor({x} / {s}.0e0) AS BIGINT) % 2 AS rx,
+         CAST(floor({y} / {s}.0e0) AS BIGINT) % 2 AS ry,
+         {x} AS px, {y} AS py, {d} AS pd
+  FROM {prev}
+),
+{name}b AS (
+  SELECT *except_cols*,
+         pd + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                              WHEN rx = 0 AND ry = 1 THEN 1
+                              WHEN rx = 1 AND ry = 1 THEN 2
+                              ELSE 3 END) AS hd,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - (py % {s}) ELSE py % {s} END)
+              ELSE px % {s} END AS hx,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - (px % {s}) ELSE px % {s} END)
+              ELSE py % {s} END AS hy
+  FROM {name}
+)"""
+        )
+        prev = f"{name}b"
+    sql = ",\n".join(layers).replace("*except_cols*", "cx, cy")
+    # each layer re-selects only (cx, cy) plus its own working columns
+    return sql, prev
+
+
+def _curve_locality_sql(base: str, interleave) -> str:
+    hsql, hlast = _hilbert_layers("cells")
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT cx, cy FROM ({_CELLS.format(base=base)})
+),
+{hsql},
+idx AS (
+  SELECT cx, cy, {interleave("cx", "cy")} AS mcell, hd AS hcell
+  FROM {hlast}
+),
+both_curves AS (
+  SELECT 'morton' AS curve, mcell AS pos, cx, cy FROM idx
+  UNION ALL
+  SELECT 'hilbert' AS curve, hcell AS pos, cx, cy FROM idx
+),
+hops AS (
+  SELECT curve, pos, cx, cy,
+         lag(cx) OVER (PARTITION BY curve ORDER BY pos) AS pcx,
+         lag(cy) OVER (PARTITION BY curve ORDER BY pos) AS pcy,
+         lag(pos) OVER (PARTITION BY curve ORDER BY pos) AS ppos
+  FROM both_curves
+)
+SELECT curve,
+       CAST(count(*) AS BIGINT) AS n_hops,
+       CAST(sum(CASE WHEN greatest(abs(cx - pcx), abs(cy - pcy)) <= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_local_hops,
+       CAST(sum(pos - ppos) AS BIGINT) AS total_index_gap
+FROM hops
+WHERE ppos IS NOT NULL
+GROUP BY curve
+ORDER BY curve
+"""
+
+
+@register(
+    "spatial_hilbert_locality",
+    oracle=_curve_locality_sql(
+        enriched_sql(keep_extra=["start_lon", "start_lat"]), _interleave_duck
+    ),
+    description="Hilbert-curve layout vs Z-order, measured: both indices "
+    "computed for the occupied 64x64 cells (Hilbert via the unrolled "
+    "rotate-and-descend recurrence in portable integer arithmetic), then "
+    "per-curve locality of consecutive occupied cells — the clustering "
+    "quality argument lakehouse formats make for hilbert layout, as a "
+    "query; all post-aggregate work is bounded by the grid constant",
+)
+def spatial_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _curve_locality_sql(
+            enriched_sql(keep_extra=["start_lon", "start_lat"]), _interleave_spark
+        )
+    )

@@ -479,20 +479,23 @@ PSI_WIDTH = 50_000.0
 PSI_SPLIT = "TIMESTAMP '1998-07-01 00:00:00'"
 
 
-def _psi_sql(fold: str) -> str:
+PSI_BINNED_BATCH = f"""
+  SELECT CAST(least(floor(o_totalprice / {PSI_WIDTH!r}e0), {PSI_BINS - 1}) AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN o_orderdate >= {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM orders
+  GROUP BY 1
+"""
+
+
+def _psi_sql(fold: str, binned_src: str | None = None) -> str:
     from posting_lines_spark.functions.dmath import dln_int_cte_layers
 
     ln_sql, ln_last = dln_int_cte_layers(
         [("pnum", "pn"), ("qnum", "qn")], "psi0", "psi"
     )
     return f"""
-WITH binned AS (
-  SELECT CAST(least(floor(o_totalprice / {PSI_WIDTH!r}e0), {PSI_BINS - 1}) AS BIGINT) AS bin,
-         CAST(sum(CASE WHEN o_orderdate < {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(sum(CASE WHEN o_orderdate >= {PSI_SPLIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-  FROM orders
-  GROUP BY 1
-),
+WITH binned AS ({binned_src or PSI_BINNED_BATCH}),
 tot AS (
   SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
   FROM binned

@@ -660,3 +660,84 @@ SELECT CAST((SELECT count(*) FROM content) AS BIGINT) AS n_chunks,
 def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_cdc_sql(_CDC_GRAMS_SPARK, md5_int_spark("gram", salt="cdc")))
+
+
+# --- streaming PSI drift monitor (twin of schema_q.profile_psi_drift) ---
+# The per-ingest-batch shape the batch monitor is FOR: each micro-batch
+# (maxFilesPerTrigger=1 availableNow drain) appends its own (bin, n_a,
+# n_b) partial counts — constant 2·n_bins rows per batch, no
+# complete-mode state — and the query-time merge is plain ADDITION, so
+# the PSI computed from merged partials is bit-identical to the batch
+# statistic no matter how the order stream is batched. The oracle is
+# the batch PSI SQL, unchanged: hash-equality proves the streaming
+# partial-merge path ≡ the batch computation.
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries.schema_q import _PSI_FOLD_SPARK, _psi_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = cached_fixture(
+        "psi_orders_src",
+        sf_dir,
+        lambda p: orders.select("o_totalprice", "o_orderdate")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(p),
+        "pls_psi_src_",
+    )
+    out = scratch_dir("pls_psi_out_")
+    ckpt = scratch_dir("pls_psi_ckpt_")
+    schema = spark.read.parquet(src).schema
+
+    from posting_lines_spark.queries.schema_q import PSI_BINS, PSI_SPLIT, PSI_WIDTH
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.selectExpr(
+                f"CAST(least(floor(o_totalprice / {PSI_WIDTH!r}e0), {PSI_BINS - 1})"
+                " AS BIGINT) AS bin",
+                f"CASE WHEN o_orderdate < {PSI_SPLIT} THEN 1 ELSE 0 END AS ia",
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("ia").cast("bigint").alias("n_a"),
+                (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("n_b"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).createOrReplaceTempView("psi_partials")
+    merged = (
+        "SELECT bin, CAST(sum(n_a) AS BIGINT) AS n_a, "
+        "CAST(sum(n_b) AS BIGINT) AS n_b FROM psi_partials GROUP BY bin"
+    )
+    return spark.sql(_psi_sql(_PSI_FOLD_SPARK, merged))
+
+
+def _stream_psi_oracle() -> str:
+    from posting_lines_spark.queries.schema_q import _PSI_FOLD_DUCK, _psi_sql
+
+    return _psi_sql(_PSI_FOLD_DUCK)
+
+
+register(
+    "stream_psi_drift",
+    oracle=_stream_psi_oracle(),
+    description="streaming PSI drift monitor: per-micro-batch partial "
+    "(bin × snapshot) counts appended to the sink (2·n_bins rows/batch, "
+    "no complete-mode state), query-time merge by addition — PSI from "
+    "merged partials is bit-identical to the batch statistic at any "
+    "batching; oracle = the batch PSI SQL, unchanged",
+)(stream_psi_drift)
