@@ -77,6 +77,7 @@ _LEDGER_PRIORITY = [
     "events_pattern_match",
     "stream_psi_drift",
     "spatial_hilbert_locality",
+    "events_pattern_negation",
 ]
 
 

@@ -663,3 +663,59 @@ ORDER BY r.user_id, r.ts_start
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(PATTERN_SQL)
+
+
+# --- row-pattern matching with EXCLUSION (negation shape) ---
+# The second MATCH_RECOGNIZE idiom: "A then B with NO C between" —
+# here, each purchase matched to its NEAREST preceding view, qualified
+# only when no 'error' event occurred between them. Expressed with two
+# running windows and zero joins: a cumulative error count, and a
+# packed (rn, cum_err) carry of the latest view (single BIGINT:
+# rn·2^20 + cum_err, exact — both components bounded far below 2^20/2^43),
+# so the between-count is current cum_err minus the view's, read
+# directly off the packed carry. One shuffle by user_id, no
+# self-joins at all — cheaper than the V+ matcher.
+
+PATTERN_NEG_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_err
+  FROM events
+),
+carried AS (
+  SELECT user_id, ts, event_type, rn, cum_err,
+         max(CASE WHEN event_type = 'view'
+                  THEN rn * 1048576 + cum_err END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vpack
+  FROM ev
+)
+SELECT user_id,
+       CAST(floor(vpack / 1048576.0e0) AS BIGINT) AS view_rn,
+       rn AS purchase_rn,
+       ts AS ts_purchase,
+       CAST(rn - floor(vpack / 1048576.0e0) - 1 AS BIGINT) AS n_between
+FROM carried
+WHERE event_type = 'purchase'
+  AND vpack IS NOT NULL
+  AND cum_err - (vpack % 1048576) = 0
+ORDER BY user_id, purchase_rn
+"""
+
+
+@register(
+    "events_pattern_negation",
+    oracle=PATTERN_NEG_SQL,
+    description="MATCH_RECOGNIZE exclusion shape: each purchase matched "
+    "to its nearest preceding view with NO error between — a cumulative "
+    "error count plus a packed (rn, cum_err) carry of the latest view "
+    "make the between-count pure window math: one user_id shuffle, zero "
+    "joins",
+)
+def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(PATTERN_NEG_SQL)

@@ -211,3 +211,33 @@ def test_hilbert_locality_beats_morton(spark):
     h, m = rows["hilbert"], rows["morton"]
     assert h.n_hops == m.n_hops
     assert h.n_local_hops > m.n_local_hops
+
+
+def test_pattern_negation_equals_backward_scan_replay(spark):
+    """Exclusion-pattern semantics replayed directly: for each purchase,
+    scan back to the nearest view; qualify iff no error strictly
+    between. Output tuples must match exactly."""
+    from posting_lines_spark.queries import load_all
+
+    events = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    by_user: dict = {}
+    for e in events:
+        by_user.setdefault(e["user_id"], []).append(e)
+    expected = []
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: e["ts"])
+        for i, e in enumerate(evs):
+            if e["event_type"] != "purchase":
+                continue
+            for j in range(i - 1, -1, -1):
+                if evs[j]["event_type"] == "view":
+                    between = [x["event_type"] for x in evs[j + 1 : i]]
+                    if "error" not in between:
+                        expected.append((uid, j + 1, i + 1, e["ts"], i - j - 1))
+                    break
+    expected.sort()
+    got = sorted(
+        (r.user_id, r.view_rn, r.purchase_rn, r.ts_purchase, r.n_between)
+        for r in load_all()["events_pattern_negation"].fn(spark, SF0001).collect()
+    )
+    assert got == expected and got

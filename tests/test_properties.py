@@ -209,3 +209,59 @@ def test_dln_order_preserving(a, b):
     assert dln_int_py(lo) <= dln_int_py(hi)
     if _m.log(hi) - _m.log(lo) > 1e-12:  # gap above rounding noise
         assert dln_int_py(lo) < dln_int_py(hi)
+
+
+# --- fifth-wave combinatorial lemmas (pure Python mirrors) ---
+
+from hypothesis import strategies as _st5
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(2, 120), st.integers(1, 8))
+def test_snm_overlapped_blocks_are_window_complete(n, w):
+    """The SNM candidate scheme (each rank in blocks g and g+1 of size w,
+    pairs equi-joined on block) must produce EVERY pair within rank
+    distance w — the completeness lemma dedup_sorted_neighborhood's
+    equi-join formulation rests on."""
+    member = [(r, (r - 1) // w) for r in range(1, n + 1)]
+    member += [(r, (r - 1) // w + 1) for r in range(1, n + 1)]
+    cand = set()
+    by_block: dict = {}
+    for r, g in member:
+        by_block.setdefault(g, []).append(r)
+    for rs in by_block.values():
+        for a in rs:
+            for b in rs:
+                if 0 < b - a <= w:
+                    cand.add((a, b))
+    expected = {(a, a + d) for a in range(1, n + 1) for d in range(1, w + 1) if a + d <= n}
+    assert cand == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    _st5.sets(_st5.integers(0, 2**60), min_size=1, max_size=300),
+    _st5.sets(_st5.integers(0, 2**60), min_size=1, max_size=300),
+    _st5.integers(4, 64),
+)
+def test_kmv_sketch_union_merge_lemma(a, b, k):
+    """bottom-K(A ∪ B) == bottom-K(sketch(A) ∪ sketch(B)) — the
+    mergeability identity sketch_kmv_overlap's pairwise stage relies on
+    (sketches compose without revisiting the data)."""
+    sk_a, sk_b = set(sorted(a)[:k]), set(sorted(b)[:k])
+    assert set(sorted(a | b)[:k]) == set(sorted(sk_a | sk_b)[:k])
+
+
+@settings(max_examples=100, deadline=None)
+@given(_st5.sets(_st5.integers(0, 2**60), min_size=1, max_size=300), _st5.integers(4, 64))
+def test_kmv_estimator_identity_edges(vals, k):
+    """Estimator sanity at the identities: J(A,A) estimates exactly 1;
+    disjoint hash sets estimate exactly 0."""
+    sk = set(sorted(vals)[:k])
+    union_bottom = set(sorted(vals)[:k])
+    shared = len(union_bottom & sk & sk)
+    assert shared / len(union_bottom) == 1.0
+    other = {v + 2**61 for v in vals}  # disjoint by construction
+    sk_o = set(sorted(other)[:k])
+    ub = set(sorted(vals | other)[:k])
+    assert len(ub & sk & sk_o) == 0
