@@ -78,6 +78,9 @@ _LEDGER_PRIORITY = [
     "stream_psi_drift",
     "spatial_hilbert_locality",
     "events_pattern_negation",
+    "timeseries_ewma",
+    "feature_target_encoding",
+    "feature_hashing",
 ]
 
 

@@ -93,7 +93,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from a window sum over the tiny transition matrix. One shuffle on
 # user_id for the lag, one aggregate on the 25-cell (prev, next) key.
 
-from posting_lines_spark.queries.parity import dsum_expr  # noqa: E402
+from posting_lines_spark.queries.parity import davg_expr, dsum_expr  # noqa: E402
 
 
 def _transitions_sql(us: str) -> str:
@@ -719,3 +719,123 @@ ORDER BY user_id, purchase_rn
 def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(PATTERN_NEG_SQL)
+
+
+# --- EWMA smoothing over daily aggregates ---
+# Exponentially-weighted moving average per event_type over the daily
+# mean value series — the standard online smoother for monitoring
+# metrics. The recurrence ewma_t = α·v_t + (1−α)·ewma_{t−1} folds in
+# day order (an ordered fold over ≤ |days| terms — bounded by the
+# calendar, not the data), seeded with the first day's value. Daily
+# means go through the decimal route first so both engines fold the
+# SAME inputs; the fold itself is identical double arithmetic.
+# Scale: one (type, day) aggregate (map-side combined); the fold state
+# is days·types rows — calendar-bounded. A pow()-weighted closed form
+# would avoid the fold but pow() is not cross-engine bit-stable.
+
+EWMA_ALPHA = 0.3
+
+
+def _ewma_sql(epoch_us: str, fold: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+folded AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         min(day) AS first_day,
+         {fold} AS ewma
+  FROM daily
+  GROUP BY event_type
+)
+SELECT event_type, n_days, ewma
+FROM folded
+ORDER BY event_type
+"""
+
+
+_EWMA_FOLD_SPARK = (
+    "aggregate(slice(transform(array_sort(collect_list(struct(day, v))), s -> s.v), 2, "
+    "size(collect_list(v))), "
+    "element_at(transform(array_sort(collect_list(struct(day, v))), s -> s.v), 1), "
+    f"(acc, x) -> CAST({EWMA_ALPHA!r}e0 * x + {1 - EWMA_ALPHA!r}e0 * acc AS DOUBLE))"
+)
+_EWMA_FOLD_DUCK = (
+    "list_reduce(list(v ORDER BY day), "
+    f"(acc, x) -> {EWMA_ALPHA!r}e0 * x + {1 - EWMA_ALPHA!r}e0 * acc)"
+)
+
+
+@register(
+    "timeseries_ewma",
+    oracle=_ewma_sql("epoch_us(ts)", _EWMA_FOLD_DUCK),
+    description=f"EWMA (α={EWMA_ALPHA}) per event type over the daily "
+    "mean-value series: decimal-routed daily means, then an ordered fold "
+    "of the recurrence seeded with the first day — fold state bounded by "
+    "the calendar; identical double arithmetic on both engines",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ewma_sql("unix_micros(ts)", _EWMA_FOLD_SPARK))
+
+
+# --- leave-one-out target encoding (feature engineering) ---
+# The standard high-cardinality categorical encoder for tabular ML:
+# replace a category with the mean target of the OTHER rows in that
+# category, shrunk toward the global mean by a smoothing pseudo-count m:
+#   enc(row) = (sum_cat − y_row + m·prior) / (n_cat − 1 + m)
+# Leave-one-out removes the row's own target from its feature (the
+# standard target-leakage guard); m regularizes rare categories.
+# Per-category sums and the global prior go through the decimal route
+# (exact → bit-stable), after which every row's encoding is plain
+# double arithmetic — identical on both engines.
+#
+# Scale: one (category) aggregate (tiny), broadcast back over the fact
+# scan — encoding is map-side; the output here samples 1-in-97 orders
+# to keep the parity check bounded (the full encoded table would be a
+# written column, not a query result).
+
+TE_SMOOTH = 20.0
+
+
+def _te_sql() -> str:
+    return f"""
+WITH stats AS (
+  SELECT c_mktsegment AS seg,
+         {dsum_expr("o_totalprice")} AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+),
+prior AS (
+  SELECT {dsum_expr("o_totalprice")} / count(*) AS p FROM orders
+)
+SELECT o_orderkey, c_mktsegment AS seg,
+       (s - o_totalprice + {TE_SMOOTH!r}e0 * p) / (n - 1 + {TE_SMOOTH!r}e0)
+         AS target_enc
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN stats ON stats.seg = c_mktsegment
+CROSS JOIN prior
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "feature_target_encoding",
+    oracle=_te_sql(),
+    description=f"leave-one-out target encoding with m={TE_SMOOTH:.0f} "
+    "smoothing: per-category decimal-routed sums + global prior "
+    "broadcast back over the scan — encoding is map-side arithmetic; "
+    "LOO subtracts the row's own target (the leakage guard); sampled "
+    "1-in-97 for the parity check",
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_te_sql())

@@ -654,3 +654,65 @@ _ENT_FOLD_DUCK = (
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_entropy_sql(_ENT_TOKS_SPARK, _ENT_FOLD_SPARK))
+
+
+# --- feature hashing (the hashing trick) ---
+# Weinberger et al. (ICML'09): map tokens to a fixed D-dim space with
+# index = h(tok) mod D and a second hash choosing the sign (the signed
+# variant that makes collisions cancel in expectation — unbiased inner
+# products). Vocabulary-free, so it needs NO fitted dictionary state:
+# the property that makes it the featurizer of choice for streaming /
+# sharded pipelines at corpus scale. md5-derived hashes → DuckDB
+# replays every index and sign bit-for-bit.
+#
+# Scale: one (doc, index) hash-aggregate over the token stream, D
+# bounded (64) — output is the sparse long format (doc_id, idx, w);
+# sampled 1-in-10 docs to keep the parity result bounded.
+
+FH_DIM = 64
+
+
+def _fh_sql(tok_unnest: str, h_idx: str, h_sign: str) -> str:
+    return f"""
+SELECT doc_id, idx,
+       CAST(sum(sgn) AS BIGINT) AS w
+FROM (
+  SELECT doc_id, {h_idx} % {FH_DIM} AS idx,
+         CASE WHEN {h_sign} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM ({tok_unnest}) t
+  WHERE doc_id % 10 = 0
+) f
+GROUP BY doc_id, idx
+HAVING CAST(sum(sgn) AS BIGINT) <> 0
+ORDER BY doc_id, idx
+"""
+
+
+_FH_TOKS_SPARK = (
+    "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+)
+_FH_TOKS_DUCK = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+
+@register(
+    "feature_hashing",
+    oracle=_fh_sql(
+        _FH_TOKS_DUCK,
+        md5_int_duck("tok", salt="fh"),
+        md5_int_duck("tok", salt="fh", slot=1),
+    ),
+    description=f"feature hashing (signed hashing trick, D={FH_DIM}): "
+    "index and sign from two md5-derived hashes (one digest, two slots) "
+    "— vocabulary-free featurization with zero fitted state, collisions "
+    "cancel in expectation; one (doc, index) aggregate, sparse long-form "
+    "output sampled 1-in-10",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _fh_sql(
+            _FH_TOKS_SPARK,
+            md5_int_spark("tok", salt="fh"),
+            md5_int_spark("tok", salt="fh", slot=1),
+        )
+    )

@@ -241,3 +241,94 @@ def test_pattern_negation_equals_backward_scan_replay(spark):
         for r in load_all()["events_pattern_negation"].fn(spark, SF0001).collect()
     )
     assert got == expected and got
+
+
+def test_ewma_matches_python_recurrence(spark):
+    """EWMA replayed in plain Python: exact-decimal daily means (2-dp
+    values make the decimal route exact), then the seeded recurrence —
+    final smoothed values must match bit-for-bit."""
+    from decimal import Decimal
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import EWMA_ALPHA
+
+    events = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    agg: dict = {}
+    for e in events:
+        day = int((e["ts"].timestamp() * 1e6) // 86400000000)
+        key = (e["event_type"], day)
+        s, n = agg.get(key, (Decimal(0), 0))
+        agg[key] = (s + Decimal(str(e["value"])), n + 1)
+    series: dict = {}
+    for (et, day), (s, n) in agg.items():
+        series.setdefault(et, []).append((day, float(str(s)) / n))
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        acc = pts[0][1]
+        for _, v in pts[1:]:
+            acc = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * acc
+        expected[et] = (len(pts), acc)
+    rows = load_all()["timeseries_ewma"].fn(spark, SF0001).collect()
+    assert {r.event_type: (r.n_days, r.ewma) for r in rows} == expected
+
+
+def test_target_encoding_matches_python_replay(spark):
+    """LOO target encoding replayed with exact-decimal sums: every
+    sampled row's encoded value must match bit-for-bit, and the
+    encoding must exclude the row's own target (leakage guard: encoding
+    differs from the plain category mean whenever n_cat > 1)."""
+    from decimal import Decimal
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import TE_SMOOTH
+
+    orders = pq.read_table(f"{SF0001}/orders.parquet").to_pylist()
+    cust = {
+        c["c_custkey"]: c["c_mktsegment"]
+        for c in pq.read_table(f"{SF0001}/customer.parquet").to_pylist()
+    }
+    stats: dict = {}
+    gsum, gn = Decimal(0), 0
+    for o in orders:
+        seg = cust[o["o_custkey"]]
+        s, n = stats.get(seg, (Decimal(0), 0))
+        stats[seg] = (s + Decimal(str(o["o_totalprice"])), n + 1)
+        gsum += Decimal(str(o["o_totalprice"]))
+        gn += 1
+    prior = float(str(gsum)) / gn
+    rows = load_all()["feature_target_encoding"].fn(spark, SF0001).collect()
+    assert rows
+    for r in (o for o in orders if o["o_orderkey"] % 97 == 0):
+        seg = cust[r["o_custkey"]]
+        s, n = stats[seg]
+        exp = (float(str(s)) - r["o_totalprice"] + TE_SMOOTH * prior) / (
+            n - 1 + TE_SMOOTH
+        )
+        got = next(x for x in rows if x.o_orderkey == r["o_orderkey"])
+        assert got.seg == seg and got.target_enc == exp
+
+
+def test_feature_hashing_matches_hashlib_replay(spark):
+    """The signed hashing trick replayed with hashlib: same index, same
+    sign, same cancelled-out zero weights."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import FH_DIM
+
+    docs = _docs(SF0001)
+    expected: dict = {}
+    for d in docs:
+        if d["doc_id"] % 10 != 0:
+            continue
+        for tok in d["text"].split(" "):
+            hx = hashlib.md5(f"fh|{tok}".encode()).hexdigest()
+            idx = int(hx[:15], 16) % FH_DIM
+            sgn = 1 if int(hx[15:30], 16) % 2 == 0 else -1
+            k = (d["doc_id"], idx)
+            expected[k] = expected.get(k, 0) + sgn
+    expected = {k: v for k, v in expected.items() if v != 0}
+    got = {
+        (r.doc_id, r.idx): r.w
+        for r in load_all()["feature_hashing"].fn(spark, SF0001).collect()
+    }
+    assert got == expected and got
