@@ -81,6 +81,7 @@ _LEDGER_PRIORITY = [
     "timeseries_ewma",
     "feature_target_encoding",
     "feature_hashing",
+    "stream_pattern_match",
 ]
 
 

@@ -622,11 +622,12 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (user_id) partitioning — co-partitioned, no extra exchanges of the
 # event stream; per-user window state is a row counter, not a buffer.
 
-PATTERN_SQL = """
+def _pattern_sql(src: str = "events") -> str:
+    return f"""
 WITH ev AS (
   SELECT user_id, ts, event_type,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS rn
-  FROM events
+  FROM {src}
 ),
 views AS (
   SELECT user_id, rn, ts,
@@ -649,6 +650,9 @@ JOIN ev p ON p.user_id = r.user_id AND p.rn = r.rn_last + 2
          AND p.event_type = 'purchase'
 ORDER BY r.user_id, r.ts_start
 """
+
+
+PATTERN_SQL = _pattern_sql()
 
 
 @register(

@@ -741,3 +741,152 @@ register(
     "merged partials is bit-identical to the batch statistic at any "
     "batching; oracle = the batch PSI SQL, unchanged",
 )(stream_psi_drift)
+
+
+# --- streaming row-pattern matching with cross-batch carry state ---
+# The hard part of streaming MATCH_RECOGNIZE: a match can SPAN batch
+# boundaries (a view-run open at the end of batch k completes with a
+# click+purchase in batch k+1). Flink CEP solves this with per-key NFA
+# state; here the same carry is relational: the only suffixes that can
+# extend into a future match of (view+ click purchase) are "v..v" and
+# "v..vc", so per-user state is (k_views, has_click, ts_start) — three
+# scalars. Each batch re-materializes the carry as synthetic prefix
+# rows (k ≤ trailing-run length, μs-offset timestamps that keep the
+# true ts_start), runs the UNCHANGED batch matcher over carry ⊕ batch,
+# emits completed matches, and re-derives the carry from the combined
+# tail with one regexp over the per-user code string. In-order input is
+# the contract (the fixture time-slices the stream; Flink CEP assumes
+# the same post-watermark ordering).
+#
+# Retry idempotence: state and matches are written to per-epoch dirs
+# with overwrite, so a replayed epoch rewrites identical output.
+# Scale: state is 3 scalars/user; every per-batch step is one user_id
+# shuffle over batch ⊕ carry rows — cost ∝ batch, never corpus.
+#
+# Oracle: the batch PATTERN_SQL on the full events table, UNCHANGED —
+# hash-equality proves streaming-with-carry ≡ batch recompute.
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from posting_lines_spark.queries.analytics_q import PATTERN_SQL, _pattern_sql
+
+    events = load_table(spark, sf_dir, "events")
+
+    def write_slices(p: str) -> None:
+        # 4 sequential time-slice appends → mtime-ordered files → the
+        # availableNow drain (maxFilesPerTrigger=1) replays time order
+        day0 = events.selectExpr(
+            "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d"
+        ).collect()[0].d
+        sliced = events.selectExpr(
+            "user_id", "ts", "event_type",
+            f"CAST(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0}) / 8)"
+            " AS INT) AS slice",
+        )
+        for i in range(4):
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(p)
+            )
+
+    src = cached_fixture("pm_events_src", sf_dir, write_slices, "pls_pm_src_")
+    state_root = scratch_dir("pls_pm_state_")
+    out_root = scratch_dir("pls_pm_out_")
+    ckpt = scratch_dir("pls_pm_ckpt_")
+    schema = spark.read.parquet(src).schema
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = f"{state_root}/e{epoch_id - 1}"
+        if os.path.isdir(prev):
+            state = s.read.parquet(prev)
+        else:
+            state = s.createDataFrame(
+                [],
+                "user_id long, k_views long, has_click boolean, ts_start timestamp_ntz",
+            )
+        synth = state.selectExpr(
+            "user_id",
+            "explode(sequence(1, k_views + CASE WHEN has_click THEN 1 ELSE 0 END)) AS i",
+            "k_views", "ts_start",
+        ).selectExpr(
+            "user_id",
+            "timestampadd(MICROSECOND, i - 1, ts_start) AS ts",
+            "CASE WHEN i <= k_views THEN 'view' ELSE 'click' END AS event_type",
+        )
+        combined = synth.unionByName(batch_df.select("user_id", "ts", "event_type"))
+        combined.createOrReplaceTempView("pm_combined")
+        # completed matches (carry ⊕ batch) — the unchanged batch matcher
+        s.sql(_pattern_sql("pm_combined")).write.mode("overwrite").parquet(
+            f"{out_root}/e{epoch_id}"
+        )
+        # re-derive the carry: regexp over the per-user code string
+        new_state = s.sql(
+            """
+WITH arr AS (
+  SELECT user_id,
+         array_sort(collect_list(struct(ts, event_type))) AS evs
+  FROM pm_combined GROUP BY user_id
+),
+coded AS (
+  SELECT user_id, evs,
+         concat_ws('', transform(evs, x -> CASE x.event_type
+           WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+           WHEN 'purchase' THEN 'p' ELSE 'x' END)) AS s
+  FROM arr
+),
+carry AS (
+  SELECT user_id, evs, s,
+         regexp_extract(s, 'v+c?$', 0) AS suf
+  FROM coded
+)
+SELECT user_id,
+       CAST(length(suf) - CASE WHEN suf LIKE '%c' THEN 1 ELSE 0 END AS BIGINT)
+         AS k_views,
+       suf LIKE '%c' AS has_click,
+       element_at(evs, length(s) - length(suf) + 1).ts AS ts_start
+FROM carry
+WHERE length(suf) - CASE WHEN suf LIKE '%c' THEN 1 ELSE 0 END >= 1
+"""
+        )
+        new_state.write.mode("overwrite").parquet(f"{state_root}/e{epoch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out_root}/e*")
+        .orderBy("user_id", "ts_start")
+    )
+
+
+def _stream_pm_oracle() -> str:
+    from posting_lines_spark.queries.analytics_q import PATTERN_SQL
+
+    return PATTERN_SQL
+
+
+register(
+    "stream_pattern_match",
+    oracle=_stream_pm_oracle(),
+    description="streaming MATCH_RECOGNIZE with cross-batch carry: "
+    "per-user state is (k_views, has_click, ts_start) — the only match-"
+    "prefix suffixes of (view+ click purchase); each batch replays the "
+    "carry as synthetic prefix rows, runs the UNCHANGED batch matcher "
+    "over carry + batch, and re-derives the carry with one regexp; "
+    "per-epoch overwrite makes retries idempotent; oracle = the batch "
+    "pattern SQL, so hash-equality proves boundary-spanning matches "
+    "are found exactly once",
+)(stream_pattern_match)

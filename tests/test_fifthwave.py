@@ -332,3 +332,31 @@ def test_feature_hashing_matches_hashlib_replay(spark):
         for r in load_all()["feature_hashing"].fn(spark, SF0001).collect()
     }
     assert got == expected and got
+
+
+def test_stream_pattern_match_equals_batch_and_spans_boundaries(spark):
+    """The streaming matcher must equal the batch matcher exactly AND the
+    fixture must contain matches that SPAN micro-batch boundaries — i.e.
+    the cross-batch carry path is genuinely exercised, not vacuous."""
+    import re as _re
+
+    from posting_lines_spark.queries import load_all
+
+    reg = load_all()
+    batch = sorted(
+        (r.user_id, r.n_views, r.ts_start, r.ts_purchase)
+        for r in reg["events_pattern_match"].fn(spark, SF0001).collect()
+    )
+    stream = sorted(
+        (r.user_id, r.n_views, r.ts_start, r.ts_purchase)
+        for r in reg["stream_pattern_match"].fn(spark, SF0001).collect()
+    )
+    assert stream == batch and stream
+    # at least one match must cross a slice boundary (8-day slices)
+    events = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    day0 = min(int(e["ts"].timestamp() * 1e6) // 86400000000 for e in events)
+
+    def sl(ts):
+        return (int(ts.timestamp() * 1e6) // 86400000000 - day0) // 8
+
+    assert any(sl(a) != sl(b) for (_, _, a, b) in batch)

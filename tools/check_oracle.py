@@ -65,9 +65,14 @@ def main() -> int:
         print(f"ERROR: unknown queries: {unknown}; known: {sorted(qs)}")
         return 2
 
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-layout table dirs (tools/make_sf.py output) need a glob
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     spark = get_spark(app="check_oracle", cpus=8, shuffle_partitions=16)
 
