@@ -360,3 +360,65 @@ def test_stream_pattern_match_equals_batch_and_spans_boundaries(spark):
         return (int(ts.timestamp() * 1e6) // 86400000000 - day0) // 8
 
     assert any(sl(a) != sl(b) for (_, _, a, b) in batch)
+
+
+def test_pattern_matchers_on_random_sequences(spark):
+    """Adversarial coverage beyond the fixture: 200 random users with
+    random-length random event strings (seeded), including degenerate
+    shapes (all views, single event, empty-ish) — both pattern matchers
+    must equal their Python replays exactly."""
+    import datetime
+    import random
+    import re as _re
+
+    from posting_lines_spark.queries.analytics_q import (
+        PATTERN_NEG_SQL,
+        PATTERN_SQL,
+    )
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for uid in range(200):
+        n = rng.choice([1, 2, 3, 5, 8, 13, 21, 34])
+        if uid == 0:
+            seq = ["view"] * 10  # all-views degenerate
+        elif uid == 1:
+            seq = ["view", "click", "purchase"] * 5  # back-to-back matches
+        else:
+            seq = [rng.choice(types) for _ in range(n)]
+        for i, et in enumerate(seq):
+            rows.append((uid, t0 + datetime.timedelta(minutes=i), et))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    df.createOrReplaceTempView("events")
+
+    code = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    by_user: dict = {}
+    for uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+
+    exp_match, exp_neg = [], []
+    for uid, evs in by_user.items():
+        evs.sort()
+        s = "".join(code.get(et, "x") for _, et in evs)
+        for m in _re.finditer(r"v+cp", s):
+            exp_match.append((uid, m.end() - m.start() - 2, evs[m.start()][0], evs[m.end() - 1][0]))
+        for i, (ts, et) in enumerate(evs):
+            if et != "purchase":
+                continue
+            for j in range(i - 1, -1, -1):
+                if evs[j][1] == "view":
+                    if all(evs[x][1] != "error" for x in range(j + 1, i)):
+                        exp_neg.append((uid, j + 1, i + 1, ts, i - j - 1))
+                    break
+    got_match = sorted(
+        (r.user_id, r.n_views, r.ts_start, r.ts_purchase)
+        for r in spark.sql(PATTERN_SQL).collect()
+    )
+    got_neg = sorted(
+        (r.user_id, r.view_rn, r.purchase_rn, r.ts_purchase, r.n_between)
+        for r in spark.sql(PATTERN_NEG_SQL).collect()
+    )
+    assert got_match == sorted(exp_match) and got_match
+    assert got_neg == sorted(exp_neg) and got_neg
