@@ -1,0 +1,69 @@
+"""Distributed global ranking — the scale path for total-order indexes.
+
+A plain `row_number() OVER (ORDER BY ...)` is a SINGLE-partition window:
+every row funnels through one task — the classic scale-killer that is
+invisible at sf0.01 and fatal at 100 TB. The standard two-pass fix
+(Spark's own `zipWithIndex` shape, lifted to the DataFrame layer):
+
+  1. `repartitionByRange` on the order key — partition p holds a
+     contiguous key range, ranges ordered by p;
+  2. rank locally within each partition (parallel windows);
+  3. collect ONE count per partition (bounded by the partition count,
+     never the data — the same driver-metadata budget as a bloom
+     bitset) and add the exclusive prefix-sum offset of each partition.
+
+Correctness requires a TOTAL order (a tiebreak column): with no ties,
+any contiguous range split preserves global order, so the result equals
+the single-partition window's ranks exactly — asserted by test on the
+real corpus (tests/test_fifthwave.py) regardless of where the sampled
+range boundaries land.
+
+Reference scope note: the reference engine (SURVEY.md §2) never ranks;
+this underpins the sorted-neighborhood dedup family (Hernandez-Stolfo
+SNM), equi-depth profiling, and any ORDER-BY-layout write path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row numbers over `order_cols` without a
+    single-partition window. `order_cols` must be a total order (include
+    a unique tiebreak column — with ties the boundary split would be
+    arbitrary). Adds `out_col`; preserves all input columns."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # materialize the partitioned frame ONCE: the counts job and the
+    # ranking job must see the SAME range boundaries (RangePartitioner
+    # re-samples per execution — two independent runs can split ties at
+    # different boundaries and skew every downstream offset)
+    rp = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # one count per partition -> exclusive prefix sums on the driver
+    # (bounded by the partition count; the sanctioned metadata collect)
+    counts = {r._pid: r.cnt for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in sorted(offsets.items()) for v in kv]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        rp.withColumn(out_col, (F.row_number().over(w) + off_expr).cast("bigint"))
+        .drop("_pid")
+    )

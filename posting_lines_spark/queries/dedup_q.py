@@ -670,14 +670,23 @@ SNM_WINDOW = 4
 SNM_KEYLEN = 32
 
 
-def _snm_sql(base: str, shingle_unnest: str) -> str:
+def _snm_sql(base: str, shingle_unnest: str, ranked_src: str | None = None) -> str:
+    # default: the oracle-exact single-partition window; the Spark side
+    # passes a pre-ranked view from operators/ranking.global_row_number
+    # (range-partitioned two-pass index — the 100 TB shape; equality
+    # with the window ranks is pinned by test)
+    ranked = (
+        f"SELECT doc_id, rnk FROM {ranked_src}"
+        if ranked_src
+        else f"""SELECT doc_id,
+         row_number() OVER (ORDER BY substring(text, 1, {SNM_KEYLEN}), doc_id)
+           AS rnk
+  FROM base"""
+    )
     return f"""
 WITH base AS ({base}),
 ranked AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY substring(text, 1, {SNM_KEYLEN}), doc_id)
-           AS rnk
-  FROM base
+  {ranked}
 ),
 mem AS (
   SELECT doc_id, rnk,
@@ -739,5 +748,15 @@ def _snm_shingles_duck() -> str:
     "banding for truncation/prefix-preserving duplicates",
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_row_number
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_snm_sql(NEAR_BASE_SPARK, _snm_shingles_spark()))
+    base = spark.sql(NEAR_BASE_SPARK)
+    ranked = global_row_number(
+        base.selectExpr("doc_id", f"substring(text, 1, {SNM_KEYLEN}) AS k"),
+        ["k", "doc_id"],
+    )
+    ranked.createOrReplaceTempView("snm_ranked")
+    return spark.sql(
+        _snm_sql(NEAR_BASE_SPARK, _snm_shingles_spark(), ranked_src="snm_ranked")
+    )

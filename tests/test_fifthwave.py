@@ -422,3 +422,26 @@ def test_pattern_matchers_on_random_sequences(spark):
     )
     assert got_match == sorted(exp_match) and got_match
     assert got_neg == sorted(exp_neg) and got_neg
+
+
+def test_global_row_number_equals_window_and_parallelizes(spark):
+    """The two-pass distributed ranker must produce EXACTLY the
+    single-partition window's ranks on a total order, and its plan must
+    rank inside range partitions (no Exchange SinglePartition feeding
+    the row_number window)."""
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 10000).selectExpr(
+        "id", "CAST(id % 977 AS STRING) AS k"  # dense dup keys, id tiebreak
+    )
+    got = global_row_number(df, ["k", "id"], num_partitions=7)
+    expected = df.selectExpr(
+        "id", "k", "CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS rnk"
+    )
+    assert got.select("id", "rnk").exceptAll(expected.select("id", "rnk")).count() == 0
+    assert got.count() == 10000
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "Window" in plan
