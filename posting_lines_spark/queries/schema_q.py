@@ -442,18 +442,57 @@ ORDER BY bucket
 """
 
 
+def ntile_from_rank_sql(rank_col: str, n: int, k: int) -> str:
+    """SQL expr reproducing ntile(k) from a 1-based global rank, for any
+    n: ntile front-loads the remainder — the first (n mod k) buckets
+    hold ceil(n/k) rows, the rest floor(n/k). (A naive
+    floor((rank-1)·k/n)+1 spreads the remainder Bresenham-style and
+    diverges from ntile whenever k does not divide n — caught by
+    tests/test_fifthwave.py on n=10007.)"""
+    q, r = divmod(n, k)
+    big = q + 1
+    cut = r * big  # ranks 1..cut live in the size-(q+1) buckets
+    if r == 0:
+        return f"(floor(({rank_col} - 1) / {q}) + 1)"
+    if q == 0:  # n < k: one row per bucket
+        return rank_col
+    return (
+        f"(CASE WHEN {rank_col} <= {cut} THEN floor(({rank_col} - 1) / {big}) + 1 "
+        f"ELSE {r} + floor(({rank_col} - {cut} - 1) / {q}) + 1 END)"
+    )
+
+
 @register(
     "profile_equidepth",
     oracle=EQUIDEPTH_SQL,
-    description="equi-depth histogram (decile binning): ntile(10) over a "
-    "deterministic total order — equal-count buckets with data-adaptive "
-    "bounds, the feature-binning/range-partition-planning profile; at "
-    "scale the exact global window swaps for approx_percentile cutpoints "
-    "(noted in the docstring)",
+    description="equi-depth histogram (decile binning): the Spark side "
+    "ranks through operators/ranking.global_row_number (range-partitioned "
+    "two-pass index — no single-partition window) and reproduces ntile's "
+    "bucket sizes exactly via floor((rank-1)·k/n)+1; the oracle stays the "
+    "plain ntile(10) window, so the equivalence IS the parity check",
 )
 def profile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(EQUIDEPTH_SQL)
+    from posting_lines_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    n = ranked.count()
+    return (
+        ranked.selectExpr(
+            "o_totalprice",
+            f"CAST({ntile_from_rank_sql('rnk', n, 10)} AS BIGINT) AS bucket",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
 
 
 # --- PSI drift detection between two snapshots ---

@@ -445,3 +445,24 @@ def test_global_row_number_equals_window_and_parallelizes(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:2000]
     assert "Window" in plan
+
+
+def test_rank_formula_reproduces_ntile_for_ragged_n(spark):
+    """ntile_from_rank_sql must equal ntile(k) exactly, including the
+    ragged case where the first (n mod k) buckets take the remainder
+    (the naive floor((rank-1)·k/n)+1 diverges there — 6 rows at
+    n=10007, which is why the helper exists)."""
+    from posting_lines_spark.queries.schema_q import ntile_from_rank_sql
+
+    df = spark.range(0, 10007).selectExpr("id")  # n not divisible by k
+    expr = ntile_from_rank_sql("(row_number() OVER (ORDER BY id))", 10007, 10)
+    got = spark.sql(
+        f"""
+SELECT id,
+       CAST({expr} AS BIGINT) AS formula,
+       CAST(ntile(10) OVER (ORDER BY id) AS BIGINT) AS nt
+FROM {{df}}
+""",
+        df=df,
+    )
+    assert got.filter("formula <> nt").count() == 0
