@@ -82,6 +82,7 @@ _LEDGER_PRIORITY = [
     "feature_target_encoding",
     "feature_hashing",
     "stream_pattern_match",
+    "basket_association_rules",
 ]
 
 

@@ -843,3 +843,65 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_te_sql())
+
+
+# --- market-basket association rules (co-occurrence mining) ---
+# The a-priori first pass every recommender / cross-sell analysis runs:
+# item pairs co-occurring in the same order, scored with
+# support = n_ab/N, confidence = n_ab/n_a, lift = n_ab·N/(n_a·n_b).
+# All three are ratios of exact int64 counts — bit-deterministic.
+#
+# Scale (100 TB): the pair fan-out is the hazard — it is quadratic in
+# BASKET SIZE, not in data (Σ k_b² over baskets; here avg k≈4 → ~16
+# pairs/order). The self-join is an equi-join on the order key over the
+# DISTINCT (order, item) grain, and a min-support HAVING prunes the
+# pair table before the dimension joins. For pathological mega-baskets
+# the standard cap (drop baskets above k_max before pairing) applies —
+# same df-cap discipline as the shingle families.
+
+BASKET_MIN_SUPPORT = 3
+
+
+def _basket_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY l_partkey
+),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b
+),
+pairs AS (
+  SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.item_a, p.item_b, p.n_ab, na.n_i AS n_a, nb.n_i AS n_b,
+       CAST(p.n_ab AS DOUBLE) / o.n AS support,
+       CAST(p.n_ab AS DOUBLE) / na.n_i AS confidence,
+       CAST(p.n_ab AS DOUBLE) * o.n / (na.n_i * nb.n_i) AS lift
+FROM pairs p
+JOIN n_items na ON na.l_partkey = p.item_a
+JOIN n_items nb ON nb.l_partkey = p.item_b
+CROSS JOIN n_orders o
+ORDER BY lift DESC, p.item_a, p.item_b
+"""
+
+
+@register(
+    "basket_association_rules",
+    oracle=_basket_sql(),
+    description=f"market-basket association rules (support ≥ "
+    f"{BASKET_MIN_SUPPORT}): distinct (order, item) grain self-joined on "
+    "the order key — fan-out quadratic in basket size, never in data — "
+    "min-support HAVING prunes before the dimension joins; "
+    "support/confidence/lift are ratios of exact int64 counts",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_basket_sql())
