@@ -672,13 +672,13 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- row-pattern matching with EXCLUSION (negation shape) ---
 # The second MATCH_RECOGNIZE idiom: "A then B with NO C between" —
 # here, each purchase matched to its NEAREST preceding view, qualified
-# only when no 'error' event occurred between them. Expressed with two
-# running windows and zero joins: a cumulative error count, and a
-# packed (rn, cum_err) carry of the latest view (single BIGINT:
-# rn·2^20 + cum_err, exact — both components bounded far below 2^20/2^43),
-# so the between-count is current cum_err minus the view's, read
-# directly off the packed carry. One shuffle by user_id, no
-# self-joins at all — cheaper than the V+ matcher.
+# only when no 'error' event occurred between them. Expressed with
+# running windows and zero joins: a cumulative error count, the latest
+# preceding view's position, and — because cum_err is MONOTONE
+# non-decreasing in rn — the max of cum_err over preceding views IS the
+# latest view's cum_err (no packed carries, no overflow bound at any
+# per-user event count). One shuffle by user_id; Catalyst evaluates all
+# three windows in a single Window node over the same frame.
 
 PATTERN_NEG_SQL = """
 WITH ev AS (
@@ -692,21 +692,23 @@ WITH ev AS (
 ),
 carried AS (
   SELECT user_id, ts, event_type, rn, cum_err,
-         max(CASE WHEN event_type = 'view'
-                  THEN rn * 1048576 + cum_err END)
+         max(CASE WHEN event_type = 'view' THEN rn END)
            OVER (PARTITION BY user_id ORDER BY rn
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vpack
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vrn,
+         max(CASE WHEN event_type = 'view' THEN cum_err END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS verr
   FROM ev
 )
 SELECT user_id,
-       CAST(floor(vpack / 1048576.0e0) AS BIGINT) AS view_rn,
+       vrn AS view_rn,
        rn AS purchase_rn,
        ts AS ts_purchase,
-       CAST(rn - floor(vpack / 1048576.0e0) - 1 AS BIGINT) AS n_between
+       CAST(rn - vrn - 1 AS BIGINT) AS n_between
 FROM carried
 WHERE event_type = 'purchase'
-  AND vpack IS NOT NULL
-  AND cum_err - (vpack % 1048576) = 0
+  AND vrn IS NOT NULL
+  AND cum_err - verr = 0
 ORDER BY user_id, purchase_rn
 """
 
@@ -716,9 +718,9 @@ ORDER BY user_id, purchase_rn
     oracle=PATTERN_NEG_SQL,
     description="MATCH_RECOGNIZE exclusion shape: each purchase matched "
     "to its nearest preceding view with NO error between — a cumulative "
-    "error count plus a packed (rn, cum_err) carry of the latest view "
-    "make the between-count pure window math: one user_id shuffle, zero "
-    "joins",
+    "error count plus preceding-view windows (cum_err monotone in rn, so "
+    "max-over-views equals the latest view's count — exact at any event "
+    "volume); one user_id shuffle, zero joins",
 )
 def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -740,7 +742,7 @@ def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3
 
 
-def _ewma_sql(epoch_us: str, fold: str) -> str:
+def _ewma_sql(epoch_us: str, collect_series: str, fold: str) -> str:
     day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
     return f"""
 WITH daily AS (
@@ -748,35 +750,36 @@ WITH daily AS (
   FROM events
   GROUP BY event_type, {day}
 ),
-folded AS (
+series AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_days,
-         min(day) AS first_day,
-         {fold} AS ewma
+         {collect_series} AS vs
   FROM daily
   GROUP BY event_type
 )
-SELECT event_type, n_days, ewma
-FROM folded
+SELECT event_type, n_days, {fold} AS ewma
+FROM series
 ORDER BY event_type
 """
 
 
+# the day-ordered series is collected ONCE per group (one aggregation
+# buffer); the recurrence folds over the materialized array column in
+# the outer select — seed = first element, fold the tail
+_EWMA_SERIES_SPARK = "transform(array_sort(collect_list(struct(day, v))), s -> s.v)"
+_EWMA_SERIES_DUCK = "list(v ORDER BY day)"
 _EWMA_FOLD_SPARK = (
-    "aggregate(slice(transform(array_sort(collect_list(struct(day, v))), s -> s.v), 2, "
-    "size(collect_list(v))), "
-    "element_at(transform(array_sort(collect_list(struct(day, v))), s -> s.v), 1), "
+    "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), "
     f"(acc, x) -> CAST({EWMA_ALPHA!r}e0 * x + {1 - EWMA_ALPHA!r}e0 * acc AS DOUBLE))"
 )
 _EWMA_FOLD_DUCK = (
-    "list_reduce(list(v ORDER BY day), "
-    f"(acc, x) -> {EWMA_ALPHA!r}e0 * x + {1 - EWMA_ALPHA!r}e0 * acc)"
+    f"list_reduce(vs, (acc, x) -> {EWMA_ALPHA!r}e0 * x + {1 - EWMA_ALPHA!r}e0 * acc)"
 )
 
 
 @register(
     "timeseries_ewma",
-    oracle=_ewma_sql("epoch_us(ts)", _EWMA_FOLD_DUCK),
+    oracle=_ewma_sql("epoch_us(ts)", _EWMA_SERIES_DUCK, _EWMA_FOLD_DUCK),
     description=f"EWMA (α={EWMA_ALPHA}) per event type over the daily "
     "mean-value series: decimal-routed daily means, then an ordered fold "
     "of the recurrence seeded with the first day — fold state bounded by "
@@ -784,7 +787,7 @@ _EWMA_FOLD_DUCK = (
 )
 def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ewma_sql("unix_micros(ts)", _EWMA_FOLD_SPARK))
+    return spark.sql(_ewma_sql("unix_micros(ts)", _EWMA_SERIES_SPARK, _EWMA_FOLD_SPARK))
 
 
 # --- leave-one-out target encoding (feature engineering) ---

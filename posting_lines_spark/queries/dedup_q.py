@@ -683,9 +683,9 @@ def _snm_sql(base: str, shingle_unnest: str, ranked_src: str | None = None) -> s
            AS rnk
   FROM base"""
     )
+    base_cte = f"base AS ({base}),\n" if not ranked_src else ""
     return f"""
-WITH base AS ({base}),
-ranked AS (
+WITH {base_cte}ranked AS (
   {ranked}
 ),
 mem AS (

@@ -468,8 +468,9 @@ def ntile_from_rank_sql(rank_col: str, n: int, k: int) -> str:
     description="equi-depth histogram (decile binning): the Spark side "
     "ranks through operators/ranking.global_row_number (range-partitioned "
     "two-pass index — no single-partition window) and reproduces ntile's "
-    "bucket sizes exactly via floor((rank-1)·k/n)+1; the oracle stays the "
-    "plain ntile(10) window, so the equivalence IS the parity check",
+    "front-loaded bucket sizing exactly via ntile_from_rank_sql; the "
+    "oracle stays the plain ntile(10) window, so the equivalence IS the "
+    "parity check",
 )
 def profile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from posting_lines_spark.operators.ranking import global_row_number

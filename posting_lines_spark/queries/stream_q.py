@@ -704,8 +704,10 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("ia").cast("bigint").alias("n_a"),
                 (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("n_b"),
             )
-            .write.mode("append")
-            .parquet(out)
+            # per-epoch dir + overwrite: an at-least-once epoch REPLAY
+            # rewrites identical rows instead of double-appending them
+            .write.mode("overwrite")
+            .parquet(f"{out}/e{epoch_id}")
         )
 
     q = (
@@ -718,7 +720,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    spark.read.parquet(out).createOrReplaceTempView("psi_partials")
+    spark.read.parquet(f"{out}/e*").createOrReplaceTempView("psi_partials")
     merged = (
         "SELECT bin, CAST(sum(n_a) AS BIGINT) AS n_a, "
         "CAST(sum(n_b) AS BIGINT) AS n_b FROM psi_partials GROUP BY bin"
@@ -782,8 +784,10 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0].d
         sliced = events.selectExpr(
             "user_id", "ts", "event_type",
-            f"CAST(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0}) / 8)"
-            " AS INT) AS slice",
+            # least(..., 3): a regenerated span beyond 32 days lands in
+            # the final slice instead of silently dropping events
+            f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
+            " / 8), 3) AS INT) AS slice",
         )
         for i in range(4):
             (

@@ -25,6 +25,9 @@ def main() -> int:
     limit = 20
     if "--limit" in args:
         i = args.index("--limit")
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            print("usage: --limit <N>")
+            return 2
         limit = int(args[i + 1])
         del args[i : i + 2]
     args = [a for a in args if not a.startswith("--")]
@@ -57,8 +60,12 @@ def main() -> int:
     if explain:
         df.explain("formatted")
         return 0
-    df.show(limit, truncate=False)
-    print(f"({df.count()} rows total)")
+    df.persist()  # show + count share one execution
+    try:
+        df.show(limit, truncate=False)
+        print(f"({df.count()} rows total)")
+    finally:
+        df.unpersist()
     return 0
 
 
