@@ -83,6 +83,7 @@ _LEDGER_PRIORITY = [
     "feature_hashing",
     "stream_pattern_match",
     "basket_association_rules",
+    "stream_ewma",
 ]
 
 

@@ -894,3 +894,127 @@ register(
     "pattern SQL, so hash-equality proves boundary-spanning matches "
     "are found exactly once",
 )(stream_pattern_match)
+
+
+# --- streaming EWMA (order-dependent carry, unlike the additive twins) ---
+# The PSI/quantile twins merge by ADDITION, so any batching works. EWMA
+# is the harder class: the recurrence is ORDER-DEPENDENT, so the carry
+# must be the smoother's state itself — (ewma, n_days) per event_type —
+# and batches must arrive in day order with day boundaries respected
+# (the time-sliced fixture guarantees both; same in-order contract as
+# stream_pattern_match). Each batch computes its own decimal-routed
+# daily means, folds them SEEDED BY THE CARRY, and writes per-epoch
+# state (overwrite → retry-idempotent). The final state equals the
+# batch EWMA bit-for-bit — the oracle is the batch SQL, unchanged.
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from posting_lines_spark.queries.analytics_q import (
+        _EWMA_FOLD_SPARK,
+        _EWMA_SERIES_SPARK,
+        EWMA_ALPHA,
+    )
+    from posting_lines_spark.queries.parity import davg_expr
+
+    events = load_table(spark, sf_dir, "events")
+
+    def write_slices(p: str) -> None:
+        day0 = events.selectExpr(
+            "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d"
+        ).collect()[0].d
+        sliced = events.selectExpr(
+            "event_type", "value",
+            "CAST(floor(unix_micros(ts) / 86400000000.0e0) AS BIGINT) AS day",
+            f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
+            " / 8), 3) AS INT) AS slice",
+        )
+        for i in range(4):
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(p)
+            )
+
+    src = cached_fixture("ewma_events_src", sf_dir, write_slices, "pls_ewma_src_")
+    state_root = scratch_dir("pls_ewma_state_")
+    ckpt = scratch_dir("pls_ewma_ckpt_")
+    schema = spark.read.parquet(src).schema
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = f"{state_root}/e{epoch_id - 1}"
+        if os.path.isdir(prev):
+            state = s.read.parquet(prev)
+        else:
+            state = s.createDataFrame([], "event_type string, n_days long, ewma double")
+        series = (
+            batch_df.groupBy("event_type", "day")
+            .agg(F.expr(davg_expr("value")).alias("v"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("b_days"),
+                F.expr(_EWMA_SERIES_SPARK).alias("vs"),
+            )
+        )
+        merged = state.withColumnRenamed("event_type", "et").join(
+            series, F.col("et") == F.col("event_type"), "full_outer"
+        )
+        # carry present: fold the WHOLE batch series seeded by the carry;
+        # no carry: seed with the first day (the batch-form fold)
+        new_state = merged.selectExpr(
+            "coalesce(event_type, et) AS event_type",
+            "coalesce(n_days, 0) + coalesce(b_days, 0) AS n_days",
+            f"""CASE
+              WHEN vs IS NULL THEN ewma
+              WHEN ewma IS NULL THEN {_EWMA_FOLD_SPARK}
+              ELSE aggregate(vs, ewma,
+                (acc, x) -> CAST({EWMA_ALPHA!r}e0 * x
+                  + {1 - EWMA_ALPHA!r}e0 * acc AS DOUBLE))
+            END AS ewma""",
+        )
+        new_state.write.mode("overwrite").parquet(f"{state_root}/e{epoch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(
+        int(d[1:]) for d in os.listdir(state_root) if d.startswith("e")
+    )
+    return (
+        spark.read.parquet(f"{state_root}/e{last}")
+        .select("event_type", "n_days", "ewma")
+        .orderBy("event_type")
+    )
+
+
+def _stream_ewma_oracle() -> str:
+    from posting_lines_spark.queries.analytics_q import (
+        _EWMA_FOLD_DUCK,
+        _EWMA_SERIES_DUCK,
+        _ewma_sql,
+    )
+
+    return _ewma_sql("epoch_us(ts)", _EWMA_SERIES_DUCK, _EWMA_FOLD_DUCK)
+
+
+register(
+    "stream_ewma",
+    oracle=_stream_ewma_oracle(),
+    description="streaming EWMA — the ORDER-DEPENDENT carry class (unlike "
+    "the additive PSI/quantile twins): per-type state is the smoother "
+    "itself (ewma, n_days); each in-order micro-batch folds its "
+    "decimal-routed daily means seeded by the carry; per-epoch overwrite "
+    "= retry-idempotent; final state is bit-identical to the batch "
+    "recurrence (the oracle is the batch SQL, unchanged)",
+)(stream_ewma)

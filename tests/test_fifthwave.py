@@ -466,3 +466,37 @@ FROM {{df}}
         df=df,
     )
     assert got.filter("formula <> nt").count() == 0
+
+
+def test_ntile_from_rank_formula_exhaustive():
+    """Pure-Python exhaustive check of ntile_from_rank_sql's arithmetic
+    against ntile's front-loaded sizing for every n ≤ 60 (plus primes
+    997, 10007) × k ∈ {1,2,3,7,10} — including n < k and n % k == 0."""
+    from posting_lines_spark.queries.schema_q import ntile_from_rank_sql  # noqa: F401
+
+    def ref(n, k):
+        q, r = divmod(n, k)
+        out = []
+        for i in range(k):
+            out += [i + 1] * (q + (1 if i < r else 0))
+        return out
+
+    def formula(n, k):
+        q, r = divmod(n, k)
+        big, cut = q + 1, r * (q + 1)
+        res = []
+        for rank in range(1, n + 1):
+            if r == 0:
+                v = (rank - 1) // q + 1
+            elif q == 0:
+                v = rank
+            elif rank <= cut:
+                v = (rank - 1) // big + 1
+            else:
+                v = r + (rank - cut - 1) // q + 1
+            res.append(v)
+        return res
+
+    for n in list(range(1, 61)) + [997, 10007]:
+        for k in (1, 2, 3, 7, 10):
+            assert formula(n, k) == ref(n, k), (n, k)
