@@ -84,6 +84,8 @@ _LEDGER_PRIORITY = [
     "stream_pattern_match",
     "basket_association_rules",
     "stream_ewma",
+    "search_rrf_fusion",
+    "embedding_quantize_int8",
 ]
 
 

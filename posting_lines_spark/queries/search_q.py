@@ -237,3 +237,102 @@ _TOKPOS_DUCK = (
 def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_phrase_sql(_TOKPOS_SPARK))
+
+
+# --- reciprocal-rank fusion (hybrid-ranker ensembling) ---
+# RRF (Cormack et al., SIGIR'09): fuse N rankers without score
+# calibration — each contributes 1/(k + rank), k=60. Here the two
+# registered BM25 variants (rational idf vs true-ln idf) rank the same
+# query and are fused over their FULL rankings. Ranks come from
+# row_number over (score DESC, doc_id) — deterministic total order —
+# so the fused score is a sum of reciprocals of exact integers:
+# bit-identical cross-engine with no decimal routing.
+#
+# Scale: both rankers share one tf/df/dl/corpus build (the CTEs are
+# written once and reused); ranking |matched docs| rows is
+# top-k-sized work, and the fusion join is rank-table × rank-table.
+
+RRF_K = 60
+
+
+def _rrf_sql(tok_explode: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    per_term = ", ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0e0) AS s_{t}"
+        for t in QUERY_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in QUERY_TERMS)
+    stage_sql, prev = dln_int_cte_layers([("na", "na"), ("nb", "nb")], "idf0", "idf")
+    norm = f"(tf.tf * ({K1} + 1.0e0)) / (tf.tf + {K1} * (1.0e0 - {B} + {B} * dl.dl / corpus.avgdl))"
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS dl
+  FROM (SELECT doc_id, count(*) AS n_tokens FROM ({tok_explode}) GROUP BY doc_id)
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({tok_explode}) WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+idf0 AS (
+  SELECT term, df, CAST(2 * n_docs - 2 * df + 1 AS BIGINT) AS na,
+         CAST(2 * df + 1 AS BIGINT) AS nb,
+         ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) AS idf_rational
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+  CROSS JOIN corpus
+),
+{stage_sql},
+idf AS (
+  SELECT term, idf_rational, (na_ln - nb_ln) AS idf_ln FROM {prev}
+),
+scored_a AS (
+  SELECT tf.doc_id, tf.term, idf.idf_rational * {norm} AS s
+  FROM tf JOIN idf ON tf.term = idf.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+),
+scored_b AS (
+  SELECT tf.doc_id, tf.term, idf.idf_ln * {norm} AS s
+  FROM tf JOIN idf ON tf.term = idf.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+),
+rank_a AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+  FROM (SELECT doc_id, {total} AS score
+        FROM (SELECT doc_id, {per_term} FROM scored_a GROUP BY doc_id) pa) ra
+),
+rank_b AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+  FROM (SELECT doc_id, {total} AS score
+        FROM (SELECT doc_id, {per_term} FROM scored_b GROUP BY doc_id) pb) rb
+)
+SELECT a.doc_id, a.r AS rank_rational, b.r AS rank_ln,
+       1.0e0 / ({RRF_K} + a.r) + 1.0e0 / ({RRF_K} + b.r) AS rrf
+FROM rank_a a JOIN rank_b b ON a.doc_id = b.doc_id
+ORDER BY rrf DESC, a.doc_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "search_rrf_fusion",
+    oracle=_rrf_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    ),
+    description=f"reciprocal-rank fusion (k={RRF_K}) of the two BM25 "
+    "variants' full rankings — score-calibration-free hybrid ensembling; "
+    "both rankers share one tf/df/dl/corpus build, ranks are a "
+    "deterministic total order, and the fused score is a sum of exact "
+    "integer reciprocals (bit-identical with no decimal routing)",
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _rrf_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
+    )

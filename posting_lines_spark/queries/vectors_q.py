@@ -737,3 +737,89 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(
         codes, dtable, emb, queries, K, IVFPQ_RERANK, candidates=cand0
     ).orderBy("query_id", "rank")
+
+
+# --- int8 embedding quantization (scale/zero-point, per-vector) ---
+# The storage/serving compression every vector index applies before PQ:
+# asymmetric per-vector linear quantization q = round((v − zp) / s) with
+# s = (max − min)/255, zp = min — 4× smaller than float32, dequantized
+# error bounded by s/2 per component. round() on doubles is
+# half-away-from-zero on BOTH engines (the parity.py lsum contract), and
+# the quantized codes are exact integers, so codes, reconstruction, and
+# the error bound check are all bit-identical cross-engine.
+#
+# Scale: pure per-row array math (transform/aggregate inside codegen —
+# no UDF, no shuffle except the presentation sample); the codes column
+# is what a 100 TB vector lake stores.
+
+QUANT_SAMPLE_MOD = 40
+
+
+def _quant_spark() -> str:
+    return f"""
+WITH stats AS (
+  SELECT vec_id, embedding,
+         aggregate(embedding, CAST('Infinity' AS DOUBLE), (m, x) -> least(m, CAST(x AS DOUBLE))) AS lo,
+         aggregate(embedding, CAST('-Infinity' AS DOUBLE), (m, x) -> greatest(m, CAST(x AS DOUBLE))) AS hi
+  FROM embeddings WHERE vec_id % {QUANT_SAMPLE_MOD} = 0
+),
+q AS (
+  SELECT vec_id, lo, hi, (hi - lo) / 255.0e0 AS scale,
+         transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0e0)) AS BIGINT)) AS codes,
+         embedding
+  FROM stats
+)
+SELECT vec_id, scale,
+       CAST(aggregate(codes, 0L, (acc, c) -> acc + c) AS BIGINT) AS code_sum,
+       CAST(aggregate(codes, 0L, (acc, c) -> CASE WHEN c < 0 OR c > 255 THEN acc + 1 ELSE acc END) AS BIGINT) AS n_out_of_range,
+       aggregate(zip_with(codes, embedding, (c, x) -> abs(c * scale + lo - CAST(x AS DOUBLE))),
+                 CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e)) AS max_abs_err,
+       aggregate(zip_with(codes, embedding, (c, x) -> abs(c * scale + lo - CAST(x AS DOUBLE))),
+                 CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e)) <= scale / 2.0e0 + 1.0e-12 AS bound_ok
+FROM q
+ORDER BY vec_id
+"""
+
+
+def _quant_duck() -> str:
+    return f"""
+WITH stats AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(CAST('Infinity' AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (m, x) -> least(m, x)) AS lo,
+         list_reduce(list_prepend(CAST('-Infinity' AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (m, x) -> greatest(m, x)) AS hi
+  FROM embeddings WHERE vec_id % {QUANT_SAMPLE_MOD} = 0
+),
+q AS (
+  SELECT vec_id, lo, hi, (hi - lo) / 255.0e0 AS scale,
+         list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0e0)) AS BIGINT)) AS codes,
+         embedding
+  FROM stats
+),
+errs AS (
+  SELECT vec_id, scale, codes,
+         list_transform(list_zip(codes, embedding),
+                        p -> abs(p[1] * scale + lo - CAST(p[2] AS DOUBLE))) AS es
+  FROM q
+)
+SELECT vec_id, scale,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (acc, c) -> acc + c) AS BIGINT) AS code_sum,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (acc, c) -> CASE WHEN c < 0 OR c > 255 THEN acc + 1 ELSE acc END) AS BIGINT) AS n_out_of_range,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), es), (m, e) -> greatest(m, e)) AS max_abs_err,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), es), (m, e) -> greatest(m, e)) <= scale / 2.0e0 + 1.0e-12 AS bound_ok
+FROM errs
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=_quant_duck(),
+    description="per-vector int8 linear quantization (scale/zero-point): "
+    "codes, their checksum, range check, and the dequantized max-error "
+    f"bound (≤ scale/2), sampled 1-in-{QUANT_SAMPLE_MOD} vectors — pure "
+    "per-row array math inside codegen, no UDF; round() is "
+    "half-away-from-zero on both engines so codes are bit-identical",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_quant_spark())
