@@ -436,3 +436,194 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hop")
     )
+
+
+# --- weighted label propagation (community detection) ---
+# LPA over the part co-purchase graph (parts appearing in the same order,
+# edge weight = co-occurrence count): each synchronous round every node
+# adopts the label with the largest incident weight sum, ties broken by
+# the smaller label — the deterministic variant of Raghavan et al. 2007.
+# Unlike connected components (min-label propagation), mode-propagation
+# splits a connected graph along weak cuts, so communities != components.
+# The spec is FIXED_ROUNDS synchronous rounds (sync LPA can oscillate on
+# bipartite-ish structure, so "run R rounds" is the deterministic
+# contract, not "run to convergence"). Each round is one equi-join
+# edges ⋈ labels (co-partitioned on the node key at scale) + one
+# weighted-mode aggregate; the oracle unrolls the identical recurrence
+# as chained CTEs. All arithmetic is integer — engine-exact.
+
+LPA_ROUNDS = 4
+
+_LPA_EDGES = """SELECT a.l_partkey AS u, b.l_partkey AS v,
+       CAST(count(*) AS BIGINT) AS w
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2"""
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"e0 AS ({_LPA_EDGES})",
+        "edges AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0)",
+        "lab0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""lab{r} AS (
+  SELECT node, label FROM (
+    SELECT v.node, v.label,
+           row_number() OVER (PARTITION BY v.node
+                              ORDER BY v.wt DESC, v.label ASC) AS rn
+    FROM (
+      SELECT e.v AS node, l.label, sum(e.w) AS wt
+      FROM edges e JOIN lab{r - 1} l ON l.node = e.u
+      GROUP BY e.v, l.label
+    ) v
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       min(node) AS min_node, max(node) AS max_node
+FROM lab{LPA_ROUNDS}
+GROUP BY label
+ORDER BY community"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    description=f"weighted label propagation ({LPA_ROUNDS} synchronous "
+    "rounds, deterministic max-weight/min-label rule) over the part "
+    "co-purchase graph — communities along weak cuts, not components; "
+    "per round one edges⋈labels equi-join + one weighted-mode aggregate, "
+    "all-integer arithmetic; oracle = identical recurrence unrolled as CTEs",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    e0 = spark.sql(_LPA_EDGES)
+    edges = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        # loop-invariant: the join side of every round — materialize once
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    rn_w = Window.partitionBy("node").orderBy(F.col("wt").desc(), F.col("label").asc())
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            # cut lineage per round: keeps the next round's plan flat
+            # (at cluster scale: checkpoint to storage every few rounds)
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("community")
+    )
+
+
+# --- k-core decomposition (k = 2) ---
+# Iterative peeling: drop every node with degree < k, remove its incident
+# edges, recompute degrees, repeat. The 2-core of the near-dup graph is
+# the cyclic backbone — documents in genuinely clustered duplicate
+# structure — while peeled nodes are tree-like appendages (single-link
+# chains, the weak evidence threshold dedup should distrust). Both
+# engines run the SAME fixed number of peel rounds; peeling is monotone
+# (a converged graph is a fixpoint), so any rounds past convergence are
+# no-ops and parity is by construction. tests assert actual convergence
+# within KCORE_ROUNDS at the shipped SFs. Each round: one degree
+# aggregate + two semi-joins on node keys — co-partitioned at scale.
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # every e{r} references e{r-1} three times (degree filter + two
+    # semi-joins): without MATERIALIZED, DuckDB inlines the chain and the
+    # plan grows 3^rounds copies of the MinHash subquery (observed: "too
+    # many open files" at 6 rounds). MATERIALIZED pins each round to one
+    # evaluation — the same thing the Spark side's localCheckpoint does.
+    parts = [
+        f"pairs AS MATERIALIZED ({_PAIRS_DUCK})",
+        "e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT u FROM e{r - 1} GROUP BY u HAVING count(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON a.u = e.u
+  JOIN k{r} b ON b.u = e.v
+)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ROUNDS}
+GROUP BY u
+ORDER BY node"""
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    description=f"{KCORE_K}-core of the near-dup graph by iterative peeling "
+    f"({KCORE_ROUNDS} fixed rounds; peeling is monotone so post-convergence "
+    "rounds are no-ops — convergence itself is test-asserted): the cyclic "
+    "duplicate backbone vs tree-like single-link appendages; per round one "
+    "degree aggregate + a semi-join on each endpoint",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _spark_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -312,3 +312,134 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda fn, e: f"{fn}({e}) IGNORE NULLS",
         )
     )
+
+
+# --- classical seasonal decomposition (trend + seasonal + residual) ---
+# The additive decomposition every time-series QA pass runs before
+# anomaly detection: hourly event counts on a dense spine, trend =
+# centered 25-hour moving average (complete windows only), seasonal =
+# hour-of-day mean of the detrended series, residual = remainder.
+# Engine-exactness: the series is INTEGER counts, so the detrended
+# value is kept as the exact integer 25·n − window_sum ("dscaled");
+# every aggregate sums integers (associative, order-free) and each
+# output double is produced by a SINGLE correctly-rounded division or
+# subtraction chain written identically on both engines — no decimal
+# routing needed anywhere.
+# Scale shape: one hourly pre-aggregate (map-side combinable), a spine
+# explode that is O(hours) per series, ONE window pass partitioned by
+# series, one tiny hour-of-day aggregate (24 rows/series) joined back
+# broadcast. No global window, no driver loop.
+
+SEASONAL_WIN = 12  # ±12 h → 25-hour centered window
+
+SEASONAL_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM bounds),
+dense AS (
+  SELECT s.event_type, s.bucket, coalesce(o.n, 0) AS n
+  FROM spine s LEFT JOIN obs o USING (event_type, bucket)
+),
+win AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER w AS win_sum,
+         count(*) OVER w AS win_cnt
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN {SEASONAL_WIN} PRECEDING AND {SEASONAL_WIN} FOLLOWING)
+),
+det AS (
+  SELECT event_type, bucket, n, win_sum,
+         {2 * SEASONAL_WIN + 1} * n - win_sum AS dscaled,
+         bucket % 24 AS hod
+  FROM win WHERE win_cnt = {2 * SEASONAL_WIN + 1}
+),
+season AS (
+  SELECT event_type, hod,
+         CAST(sum(dscaled) AS BIGINT) AS s_num,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM det GROUP BY 1, 2
+)
+SELECT d.event_type, CAST(d.bucket AS BIGINT) AS bucket,
+       CAST(d.n AS BIGINT) AS n_events,
+       CAST(d.win_sum AS DOUBLE) / {2 * SEASONAL_WIN + 1}.0e0 AS trend,
+       CAST(s.s_num AS DOUBLE) / ({2 * SEASONAL_WIN + 1}.0e0 * s.s_cnt) AS seasonal,
+       (CAST(d.n AS DOUBLE) - CAST(d.win_sum AS DOUBLE) / {2 * SEASONAL_WIN + 1}.0e0)
+         - CAST(s.s_num AS DOUBLE) / ({2 * SEASONAL_WIN + 1}.0e0 * s.s_cnt) AS residual
+FROM det d JOIN season s ON s.event_type = d.event_type AND s.hod = d.hod
+ORDER BY d.event_type, d.bucket
+"""
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=SEASONAL_ORACLE,
+    description="additive seasonal decomposition of hourly event counts: "
+    "dense spine, centered 25-h moving-average trend (complete windows "
+    "only), hour-of-day seasonal means of the detrended series, residual; "
+    "all-integer internals (25·n − window_sum) so both engines agree "
+    "bit-for-bit with no decimal routing; one window pass + one tiny "
+    "seasonal aggregate joined back (broadcast at scale)",
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    width = 2 * SEASONAL_WIN + 1
+    obs = spark.sql(
+        """SELECT event_type, unix_micros(ts) div 3600000000 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2"""
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select("event_type", F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    dense = spine.join(obs, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-SEASONAL_WIN, SEASONAL_WIN)
+    )
+    det = (
+        dense.select(
+            "event_type",
+            "bucket",
+            "n",
+            F.sum("n").over(w).alias("win_sum"),
+            F.count(F.lit(1)).over(w).alias("win_cnt"),
+        )
+        .filter(F.col("win_cnt") == width)
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            "win_sum",
+            (F.lit(width) * F.col("n") - F.col("win_sum")).alias("dscaled"),
+            (F.col("bucket") % 24).alias("hod"),
+        )
+    )
+    season = det.groupBy("event_type", "hod").agg(
+        F.sum("dscaled").cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    trend = F.col("win_sum").cast("double") / F.lit(float(width))
+    seasonal = F.col("s_num").cast("double") / (F.lit(float(width)) * F.col("s_cnt"))
+    return (
+        det.join(F.broadcast(season), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n_events"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            ((F.col("n").cast("double") - trend) - seasonal).alias("residual"),
+        )
+        .orderBy("event_type", "bucket")
+    )
