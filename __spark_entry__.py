@@ -86,6 +86,12 @@ _LEDGER_PRIORITY = [
     "stream_ewma",
     "search_rrf_fusion",
     "embedding_quantize_int8",
+    "graph_label_propagation",
+    "graph_kcore",
+    "timeseries_seasonal_decompose",
+    "stats_ks_test",
+    "privacy_k_anonymity",
+    "text_winnow_fingerprint",
 ]
 
 

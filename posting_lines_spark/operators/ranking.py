@@ -67,3 +67,48 @@ def global_row_number(
         rp.withColumn(out_col, (F.row_number().over(w) + off_expr).cast("bigint"))
         .drop("_pid")
     )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global cumulative sums of `sum_cols` in `order_cols` order
+    without a single-partition window — the ECDF/prefix-sum shape (same
+    two-pass range-partition trick as global_row_number: local window
+    cumsum + per-partition exclusive-prefix offsets collected once,
+    bounded by the partition count). `order_cols` must be a total order.
+    Sum columns must be integral (exact, order-free addition). Adds
+    `run_<col>` for each sum col; preserves all input columns."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # counts job and cumsum job must
+        # see the SAME sampled range boundaries (see global_row_number)
+    )
+    totals = rp.groupBy("_pid").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
+    ).collect()
+    by_pid = {r._pid: r for r in totals}
+    offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
+    acc = dict.fromkeys(sum_cols, 0)
+    for pid in sorted(by_pid):
+        for c in sum_cols:
+            offsets[c][pid] = acc[c]
+            acc[c] += by_pid[pid][c] or 0
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = rp
+    for c in sum_cols:
+        off = F.element_at(
+            F.create_map(*[F.lit(v) for kv in sorted(offsets[c].items()) for v in kv]),
+            F.col("_pid"),
+        )
+        out = out.withColumn(f"run_{c}", (F.sum(c).over(w) + off).cast("bigint"))
+    return out.drop("_pid")

@@ -908,3 +908,102 @@ ORDER BY lift DESC, p.item_a, p.item_b
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_basket_sql())
+
+
+# --- two-sample Kolmogorov–Smirnov test (distribution drift) ---
+# D = max over x of |ECDF_purchase(x) − ECDF_click(x)| — the classic
+# nonparametric drift check between two numeric samples, complementing
+# the binned PSI (profile_psi_drift) and categorical chi-square
+# (stats_chi2_independence): KS is bin-free, so it catches shifts PSI's
+# fixed bins blur. Engine-exactness: ECDF numerators/denominators are
+# exact integers; each ECDF value is ONE correctly-rounded division and
+# the difference/abs/max chain is written identically on both engines.
+# Scale shape: the Spark side computes the global running counts with
+# operators/ranking.global_running_sums (range-partitioned two-pass
+# prefix sums) — NO single-partition window anywhere; the oracle uses a
+# plain global window, tractable at oracle scale.
+
+KS_A, KS_B = "purchase", "click"
+
+KS_ORACLE = f"""
+WITH pts AS (
+  SELECT value AS x,
+         sum(CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+  GROUP BY value
+),
+run AS (
+  SELECT x,
+         sum(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS r1,
+         sum(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS r2
+  FROM pts
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pts),
+diffs AS (
+  SELECT x, abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2) AS diff
+  FROM run, tot
+),
+dmax AS (SELECT max(diff) AS d_stat FROM diffs)
+SELECT t.n1, t.n2, d.d_stat,
+       (SELECT min(x) FROM diffs WHERE diff = d.d_stat) AS x_at_d,
+       d.d_stat * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2)) AS ks_scaled
+FROM tot t, dmax d
+"""
+
+
+@register(
+    "stats_ks_test",
+    oracle=KS_ORACLE,
+    description="two-sample Kolmogorov–Smirnov drift test (purchase vs "
+    "click values): bin-free max ECDF gap, plus the √(n1·n2/(n1+n2))-"
+    "scaled statistic; Spark side builds the global ECDFs with the "
+    "range-partitioned two-pass prefix sums (operators/ranking."
+    "global_running_sums) — no single-partition window; exact-integer "
+    "counts, one division per ECDF value",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    pts = (
+        e.filter(F.col("event_type").isin(KS_A, KS_B))
+        .groupBy(F.col("value").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_A, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == KS_B, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    run = global_running_sums(pts, ["x"], ["c1", "c2"])
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    diffs = run.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("run_c1").cast("double") / F.col("n1")
+            - F.col("run_c2").cast("double") / F.col("n2")
+        ).alias("diff"),
+    )
+    dmax = diffs.agg(F.max("diff").alias("d_stat"))
+    x_at = (
+        diffs.crossJoin(F.broadcast(dmax))
+        .filter(F.col("diff") == F.col("d_stat"))
+        .agg(F.min("x").alias("x_at_d"))
+    )
+    return (
+        tot.crossJoin(dmax)
+        .crossJoin(x_at)
+        .select(
+            "n1",
+            "n2",
+            "d_stat",
+            "x_at_d",
+            (
+                F.col("d_stat")
+                * F.sqrt(F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2")))
+            ).alias("ks_scaled"),
+        )
+    )

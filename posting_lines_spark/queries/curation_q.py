@@ -957,3 +957,73 @@ ORDER BY source, sample_rank
 def sample_bottomk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_bottomk_sql(md5_int_spark("CAST(doc_id AS STRING)", salt="bk")))
+
+
+# --- k-anonymity audit (privacy QA before release) ---
+# A record is k-anonymous iff at least k rows share its quasi-identifier
+# (QI) tuple — the standard re-identification audit run before a dataset
+# (or its metadata) ships. QIs here: (nation, market segment, account-
+# balance band); k = 5. Output is the per-nation risk profile: how many
+# QI equivalence classes exist, how many are below k, and what fraction
+# of rows would need suppression/generalization — the actionable shape
+# (which slice of the data is re-identifiable), not just a global flag.
+# Scale: one hash-aggregate on the QI tuple + one rollup to nation; the
+# band edges are constants, so the QI aggregate is map-side combinable.
+
+K_ANON = 5
+
+K_ANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1.0e3) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END) AS DOUBLE)
+         / sum(class_size) AS risk_rate,
+       CAST(min(class_size) AS BIGINT) AS min_class_size
+FROM qi
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=K_ANON_ORACLE,
+    description=f"k-anonymity audit (k={K_ANON}) over quasi-identifiers "
+    "(nation, segment, balance band): per-nation equivalence-class "
+    "profile — classes below k, rows at re-identification risk, "
+    "suppression rate; two chained hash-aggregates, map-side combinable",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1.0e3)).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    small = F.col("class_size") < K_ANON
+    return (
+        qi.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(small, 1).otherwise(0)).alias("n_small_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.sum(F.when(small, F.col("class_size")).otherwise(0)).alias("rows_at_risk"),
+            (
+                F.sum(F.when(small, F.col("class_size")).otherwise(0)).cast("double")
+                / F.sum("class_size")
+            ).alias("risk_rate"),
+            F.min("class_size").alias("min_class_size"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -716,3 +716,121 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_int_spark("tok", salt="fh", slot=1),
         )
     )
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS) ---
+# text_fingerprint keeps ONE min-hash per doc (whole-doc signature);
+# winnowing keeps the positional fingerprint SET: slide a window of
+# WNW_W consecutive k-gram hashes and select each window's minimum
+# (rightmost position on hash ties). Guarantee: any shared token run of
+# length ≥ WNW_W + WNW_K − 1 contributes at least one common selected
+# fingerprint, with density ~2/(WNW_W+1) — the local-dup / plagiarism /
+# attribution primitive that min-sampling can't give.
+# Determinism: selection key = zero-padded hash string ++ zero-padded
+# (BIG − pos), so the per-window min is a single deterministic string
+# min on both engines (rightmost-min tie rule encoded in the key).
+# Scale shape: explode is O(n_kgrams · WNW_W) rows but purely map-side;
+# the only shuffle is the (doc, window) min aggregate (map-side
+# combinable) + the distinct — both keyed on doc_id.
+
+WNW_K = 3  # tokens per k-gram
+WNW_W = 4  # k-gram hashes per winnowing window
+_WNW_POSPAD = 100_000_000  # > any k-gram count; encodes rightmost-min ties
+
+
+def _winnow_duck() -> str:
+    from posting_lines_spark.functions.hashing import md5_int_duck
+    from posting_lines_spark.queries.dedup_q import shingle_sql_duck
+
+    h = md5_int_duck("shingle", salt="wn")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, s.pos AS pos, s.sh AS shingle,
+         greatest(len(string_split(text, ' ')) - {WNW_K - 1}, 0) AS n
+  FROM (
+    SELECT doc_id, text,
+           unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - {WNW_K - 1}, 0) + 1),
+                  i -> struct_pack(pos := i,
+                                   sh := concat_ws(' ', string_split(text, ' ')[i],
+                                                        string_split(text, ' ')[i + 1],
+                                                        string_split(text, ' ')[i + 2]))))
+             AS s
+    FROM documents
+  )
+),
+keyed AS (
+  SELECT doc_id, pos, n,
+         lpad(CAST({h} AS VARCHAR), 19, '0')
+           || lpad(CAST({_WNW_POSPAD} - pos AS VARCHAR), 9, '0') AS key
+  FROM grams
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(pos, pos + {WNW_W - 1})) AS t, key, n
+  FROM keyed
+),
+sel AS (
+  SELECT doc_id, t, min(key) AS sel_key
+  FROM wins WHERE t >= {WNW_W} AND t <= n
+  GROUP BY doc_id, t
+),
+fp AS (SELECT DISTINCT doc_id, sel_key FROM sel)
+SELECT doc_id,
+       CAST({_WNW_POSPAD} - CAST(substring(sel_key, 20, 9) AS BIGINT) AS BIGINT) AS pos,
+       CAST(substring(sel_key, 1, 19) AS BIGINT) AS fingerprint
+FROM fp
+ORDER BY doc_id, pos
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=_winnow_duck(),
+    description=f"winnowing positional fingerprints (MOSS): min of every "
+    f"{WNW_W} consecutive {WNW_K}-gram hashes, rightmost-min tie rule "
+    "encoded in a padded string key — guarantees a shared fingerprint for "
+    f"any common run ≥ {WNW_W + WNW_K - 1} tokens at ~2/(w+1) density; "
+    "map-side window explode, one (doc, window) min aggregate + distinct, "
+    "both keyed on doc_id",
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.functions.hashing import md5_int_spark
+    from posting_lines_spark.operators.dedup import shingle_array_spark
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    h = md5_int_spark("shingle", salt="wn")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(F.expr(shingle_array_spark("text", k=WNW_K))).alias("pos0", "shingle"),
+        F.greatest(
+            F.size(F.split("text", " ")) - F.lit(WNW_K - 1), F.lit(0)
+        ).alias("n"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "shingle",
+        "n",
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        "n",
+        F.concat(
+            F.lpad(F.expr(h).cast("string"), 19, "0"),
+            F.lpad((F.lit(_WNW_POSPAD) - F.col("pos")).cast("string"), 9, "0"),
+        ).alias("key"),
+    )
+    wins = keyed.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + F.lit(WNW_W - 1))).alias("t"),
+        "key",
+        "n",
+    ).filter((F.col("t") >= WNW_W) & (F.col("t") <= F.col("n")))
+    sel = wins.groupBy("doc_id", "t").agg(F.min("key").alias("sel_key"))
+    fp = sel.select("doc_id", "sel_key").distinct()
+    return fp.select(
+        "doc_id",
+        (F.lit(_WNW_POSPAD) - F.substring("sel_key", 20, 9).cast("long")).alias("pos"),
+        F.substring("sel_key", 1, 19).cast("long").alias("fingerprint"),
+    ).orderBy("doc_id", "pos")

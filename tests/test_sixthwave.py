@@ -1,0 +1,260 @@
+"""Independent Python replays for the sixth-wave operators (winnowing,
+KS test, label propagation, k-core, seasonal decomposition, k-anonymity,
+distributed running sums) — same policy as test_fifthwave: each expected
+result is re-derived from raw parquet with plain Python so correctness
+does not rest on the shared-SQL oracle alone."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF0001
+
+
+def _md5_int(s: str, salt: str) -> int:
+    return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:15], 16)
+
+
+# --- winnowing ---
+
+
+def _winnow_expected(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [_md5_int(g, "wn") for g in grams]
+    n = len(grams)
+    out = set()
+    for t in range(w - 1, n):  # 0-based window end
+        window = [(hs[p], -p) for p in range(t - w + 1, t + 1)]
+        h, negp = min(window)
+        out.add((-negp + 1, h))  # 1-based pos
+    return out
+
+
+def test_winnow_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import WNW_K, WNW_W
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet").to_pylist()
+    expected = set()
+    for d in docs:
+        for pos, h in _winnow_expected(d["text"], WNW_K, WNW_W):
+            expected.add((d["doc_id"], pos, h))
+    got = {
+        (r.doc_id, r.pos, r.fingerprint)
+        for r in load_all()["text_winnow_fingerprint"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
+    # density sanity: guarantee bound says ~2/(w+1) of k-grams selected
+    n_grams = sum(max(len(d["text"].split(" ")) - WNW_K + 1, 0) for d in docs)
+    assert 0 < len(got) < n_grams
+
+
+# --- Kolmogorov–Smirnov ---
+
+
+def test_ks_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import KS_A, KS_B
+
+    ev = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    c1, c2 = Counter(), Counter()
+    for r in ev:
+        if r["event_type"] == KS_A:
+            c1[r["value"]] += 1
+        elif r["event_type"] == KS_B:
+            c2[r["value"]] += 1
+    xs = sorted(set(c1) | set(c2))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    r1 = r2 = 0
+    d = -1.0
+    x_at = None
+    for x in xs:
+        r1 += c1.get(x, 0)
+        r2 += c2.get(x, 0)
+        diff = abs(r1 / n1 - r2 / n2)
+        if diff > d:
+            d, x_at = diff, x
+    row = load_all()["stats_ks_test"].fn(spark, SF0001).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.d_stat == d
+    assert row.x_at_d == x_at
+    assert row.ks_scaled == d * math.sqrt(float(n1) * n2 / (n1 + n2))
+    assert 0.0 <= row.d_stat <= 1.0
+
+
+# --- label propagation ---
+
+
+def test_lpa_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import LPA_ROUNDS
+
+    li = pq.read_table(f"{SF0001}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).to_pylist()
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append(r["l_partkey"])
+    w = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    w[(a, b)] += 1
+    adj = defaultdict(dict)
+    for (a, b), wt in w.items():
+        adj[a][b] = adj[a].get(b, 0) + wt
+        adj[b][a] = adj[b].get(a, 0) + wt
+    label = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for node, nbrs in adj.items():
+            votes = defaultdict(int)
+            for nbr, wt in nbrs.items():
+                votes[label[nbr]] += wt
+            nxt[node] = min(votes, key=lambda lb: (-votes[lb], lb))
+        label = nxt
+    comm = defaultdict(list)
+    for node, lb in label.items():
+        comm[lb].append(node)
+    expected = {
+        lb: (len(ns), min(ns), max(ns)) for lb, ns in comm.items()
+    }
+    got = {
+        r.community: (r.n_members, r.min_node, r.max_node)
+        for r in load_all()["graph_label_propagation"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+# --- k-core ---
+
+
+def test_kcore_matches_python_peel_to_convergence(spark):
+    """Python peels to the true fixpoint; Spark runs KCORE_ROUNDS fixed
+    rounds — equality proves KCORE_ROUNDS suffices (convergence) AND the
+    per-round semantics match."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import KCORE_K, _spark_pairs
+
+    pairs = [(r.id_a, r.id_b) for r in _spark_pairs(spark, SF0001).collect()]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(1 for m in adj[n] if m in alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expected = {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+    got = {
+        r.node: r.core_degree
+        for r in load_all()["graph_kcore"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
+
+
+# --- seasonal decomposition ---
+
+
+def test_seasonal_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import SEASONAL_WIN
+
+    width = 2 * SEASONAL_WIN + 1
+    ev = pq.read_table(f"{SF0001}/events.parquet", columns=["event_type", "ts"]).to_pylist()
+    cnt = Counter()
+    for r in ev:
+        b = (r["ts"].timestamp() * 1_000_000) // 3_600_000_000
+        cnt[(r["event_type"], int(b))] += 1
+    types = {t for t, _ in cnt}
+    expected = {}
+    season_num, season_cnt = defaultdict(int), defaultdict(int)
+    det = []
+    for t in types:
+        buckets = [b for tt, b in cnt if tt == t]
+        lo, hi = min(buckets), max(buckets)
+        series = {b: cnt.get((t, b), 0) for b in range(lo, hi + 1)}
+        for b in range(lo + SEASONAL_WIN, hi - SEASONAL_WIN + 1):
+            win_sum = sum(series[x] for x in range(b - SEASONAL_WIN, b + SEASONAL_WIN + 1))
+            dscaled = width * series[b] - win_sum
+            hod = b % 24
+            season_num[(t, hod)] += dscaled
+            season_cnt[(t, hod)] += 1
+            det.append((t, b, series[b], win_sum, hod))
+    for t, b, n, win_sum, hod in det:
+        trend = float(win_sum) / float(width)
+        seasonal = float(season_num[(t, hod)]) / (float(width) * season_cnt[(t, hod)])
+        residual = (float(n) - trend) - seasonal
+        expected[(t, b)] = (n, trend, seasonal, residual)
+    got = {
+        (r.event_type, r.bucket): (r.n_events, r.trend, r.seasonal, r.residual)
+        for r in load_all()["timeseries_seasonal_decompose"].fn(spark, SF0001).collect()
+    }
+    assert got == expected  # bit-exact: all-integer internals, single divisions
+
+
+# --- k-anonymity ---
+
+
+def test_k_anonymity_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.curation_q import K_ANON
+
+    cust = pq.read_table(f"{SF0001}/customer.parquet").to_pylist()
+    classes = Counter()
+    for r in cust:
+        band = math.floor(float(r["c_acctbal"]) / 1.0e3)
+        classes[(r["c_nationkey"], r["c_mktsegment"], band)] += 1
+    per_nation = defaultdict(lambda: [0, 0, 0, 0, 1 << 60])  # classes, small, rows, at_risk, min
+    for (nk, _seg, _band), sz in classes.items():
+        p = per_nation[nk]
+        p[0] += 1
+        p[1] += 1 if sz < K_ANON else 0
+        p[2] += sz
+        p[3] += sz if sz < K_ANON else 0
+        p[4] = min(p[4], sz)
+    got = {
+        r.c_nationkey: (
+            r.n_classes, r.n_small_classes, r.n_rows, r.rows_at_risk,
+            r.risk_rate, r.min_class_size,
+        )
+        for r in load_all()["privacy_k_anonymity"].fn(spark, SF0001).collect()
+    }
+    expected = {
+        nk: (p[0], p[1], p[2], p[3], float(p[3]) / p[2], p[4])
+        for nk, p in per_nation.items()
+    }
+    assert got == expected
+
+
+# --- distributed running sums ---
+
+
+def test_global_running_sums_matches_sequential(spark):
+    import random
+
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 5), rng.randint(-3, 3)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "a", "b"]).repartition(8)
+    out = {
+        r.k: (r.run_a, r.run_b)
+        for r in global_running_sums(df, ["k"], ["a", "b"]).collect()
+    }
+    ca = cb = 0
+    for k, a, b in sorted(rows):
+        ca += a
+        cb += b
+        assert out[k] == (ca, cb)
