@@ -705,3 +705,66 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+# --- broadcast range-lookup join (tier/geo-IP dimension shape) ---
+# The other data-driven binning idiom (vs case_buckets' inline CASE): a
+# small DIMENSION TABLE of irregular, non-overlapping [lo, hi) bands is
+# joined to the fact by containment. This is how IP→geo, score→tier,
+# and rate-card lookups actually ship (the bands live in a table, not in
+# query text). Scale shape: broadcast the tiny dim; the containment join
+# is a BroadcastNestedLoopJoin — each fact row scans ≤ n_bands broadcast
+# rows (bounded work per row, zero shuffle before the rollup); the
+# rollup then aggregates on the handful of band names. Bands must not
+# overlap or the join would duplicate fact rows (asserted by the
+# n_orders total in the test suite's oracle comparison).
+
+TIER_BANDS = [
+    ("0_subzero", -1.0e6, 0.0),
+    ("1_starter", 0.0, 25.0e3),
+    ("2_growth", 25.0e3, 75.0e3),
+    ("3_core", 75.0e3, 175.0e3),
+    ("4_major", 175.0e3, 350.0e3),
+    ("5_jumbo", 350.0e3, 1.0e9),
+]
+
+_TIER_VALUES_SQL = ", ".join(f"('{t}', {lo!r}, {hi!r})" for t, lo, hi in TIER_BANDS)
+
+LOOKUP_RANGE_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES_SQL})
+SELECT t.tier,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {dsum_expr("o.o_totalprice", 2)} AS sum_price,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM orders o
+JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
+@register(
+    "lookup_range_join",
+    oracle=LOOKUP_RANGE_ORACLE,
+    description="broadcast range-lookup join: order value binned by a "
+    "small dimension table of irregular [lo, hi) bands (the IP→geo / "
+    "rate-card shape, data-driven unlike case_buckets' inline CASE); "
+    "BroadcastNestedLoopJoin bounds per-row work by n_bands with zero "
+    "pre-rollup shuffle",
+)
+def lookup_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(TIER_BANDS, ["tier", "lo", "hi"])
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum_expr("o_totalprice", 2)).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("tier")
+    )

@@ -834,3 +834,68 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_WNW_POSPAD) - F.substring("sel_key", 20, 9).cast("long")).alias("pos"),
         F.substring("sel_key", 1, 19).cast("long").alias("fingerprint"),
     ).orderBy("doc_id", "pos")
+
+
+# --- BPE pair counting (one tokenizer-training round) ---
+# The inner loop of byte-pair-encoding tokenizer training: count every
+# adjacent character pair across the corpus, weighted by word frequency
+# — the highest-count pair is the next merge rule. The corpus-scale
+# formulation: aggregate words FIRST (distinct words ≪ running words,
+# the standard BPE-training compression), then explode each distinct
+# word's len−1 adjacent pairs once and weight by its frequency.
+# Scale shape: one word hash-aggregate (map-side combinable), a
+# map-side position explode bounded by word length, one pair aggregate,
+# and a top-k under a deterministic total order (count DESC, pair ASC).
+
+BPE_TOP = 50
+
+BPE_ORACLE = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT substring(word, i, 2) AS pair, freq
+  FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP}
+"""
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=BPE_ORACLE,
+    description=f"BPE tokenizer-training round: adjacent character-pair "
+    "counts weighted by word frequency, computed over DISTINCT words "
+    "(the standard training compression — distinct words ≪ running "
+    f"words); top {BPE_TOP} merge candidates under a deterministic "
+    "(count DESC, pair ASC) order; two map-side-combinable aggregates",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).alias(
+            "pair"
+        ),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )

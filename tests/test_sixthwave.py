@@ -258,3 +258,44 @@ def test_global_running_sums_matches_sequential(spark):
         ca += a
         cb += b
         assert out[k] == (ca, cb)
+
+
+# --- BPE pair counts ---
+
+
+def test_bpe_pairs_match_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import BPE_TOP
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["text"]).to_pylist()
+    words = Counter()
+    for d in docs:
+        for w in d["text"].split(" "):
+            if len(w) >= 2:
+                words[w] += 1
+    pairs = Counter()
+    for w, freq in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += freq
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+    got = [
+        (r.pair, r.n_occurrences)
+        for r in load_all()["text_bpe_pair_counts"].fn(spark, SF0001).collect()
+    ]
+    assert got == expected
+
+
+# --- broadcast range-lookup join ---
+
+
+def test_lookup_range_bands_partition_all_orders(spark):
+    """Non-overlap + totality: every order lands in exactly one band, so
+    the per-tier counts must sum to the table count."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.relational_q import TIER_BANDS
+
+    for i in range(len(TIER_BANDS) - 1):
+        assert TIER_BANDS[i][2] == TIER_BANDS[i + 1][1]  # contiguous, no overlap
+    rows = load_all()["lookup_range_join"].fn(spark, SF0001).collect()
+    n_orders = pq.read_table(f"{SF0001}/orders.parquet", columns=["o_orderkey"]).num_rows
+    assert sum(r.n_orders for r in rows) == n_orders
