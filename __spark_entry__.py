@@ -92,6 +92,11 @@ _LEDGER_PRIORITY = [
     "stats_ks_test",
     "privacy_k_anonymity",
     "text_winnow_fingerprint",
+    "lookup_range_join",
+    "text_bpe_pair_counts",
+    "dq_benford_digits",
+    "dq_skew_gini",
+    "timeseries_changepoint_cusum",
 ]
 
 

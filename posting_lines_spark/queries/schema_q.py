@@ -583,3 +583,139 @@ _PSI_FOLD_DUCK = (
 def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_psi_sql(_PSI_FOLD_SPARK))
+
+
+# --- Benford first-digit audit ---
+# Fraud/corruption screening for numeric columns that SHOULD be
+# Benford-distributed (multiplicative processes — amounts, populations):
+# compare the observed first-significant-digit distribution of order
+# totals against log10(1 + 1/d). Deviation per digit is reported as the
+# chi-square CONTRIBUTION n·(p_obs − p_exp)²/p_exp — per-row single-op
+# float math (no 9-term sum whose association order could differ between
+# engines). First digit is extracted via the DECIMAL→VARCHAR path (plain
+# digits on both engines — the same parity mechanism queries/parity.py
+# documents), never via log10 (libm rounding at exact powers of ten
+# differs between engines).
+# Scale: one map-side-combinable digit aggregate; 9-row output.
+
+_BENFORD_P = {
+    1: "3.010299956639812e-1",
+    2: "1.7609125905568124e-1",
+    3: "1.2493873660829992e-1",
+    4: "9.691001300805642e-2",
+    5: "7.918124604762482e-2",
+    6: "6.694678963061322e-2",
+    7: "5.799194697768673e-2",
+    8: "5.115252244738129e-2",
+    9: "4.575749056067514e-2",
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+def _benford_sql() -> str:
+    return f"""
+WITH digits AS (
+  SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+           AS first_digit
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (
+  SELECT first_digit, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM digits GROUP BY first_digit
+)
+SELECT first_digit, n_obs, n_total,
+       CAST(n_obs AS DOUBLE) / n_total AS p_obs,
+       {_BENFORD_CASE} AS p_benford,
+       CAST(n_total AS DOUBLE)
+         * (CAST(n_obs AS DOUBLE) / n_total - {_BENFORD_CASE})
+         * (CAST(n_obs AS DOUBLE) / n_total - {_BENFORD_CASE})
+         / ({_BENFORD_CASE}) AS chi2_contribution
+FROM counts
+ORDER BY first_digit
+"""
+
+
+@register(
+    "dq_benford_digits",
+    oracle=_benford_sql(),
+    description="Benford first-digit audit of order totals: observed "
+    "digit shares vs log10(1+1/d), per-digit chi-square contributions "
+    "(single-op float math per row — no cross-engine sum-order hazard); "
+    "digit extracted via the DECIMAL→VARCHAR parity path, not libm log10; "
+    "one map-side-combinable aggregate",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_benford_sql().replace("AS VARCHAR", "AS STRING"))
+
+
+# --- join-key skew audit (Gini + top-key concentration) ---
+# The pre-flight shuffle-health check for a planned join/groupBy key:
+# key-frequency Gini coefficient (0 = uniform, →1 = one hot key) plus
+# max/total concentration. Gini over sorted frequencies needs a global
+# rank — computed with the range-partitioned two-pass index
+# (operators/ranking.global_row_number), never a single-partition
+# window; Σ rank·freq and totals are exact integers, the final Gini is
+# two divisions and a subtraction written identically on both engines.
+
+def _gini_sql() -> str:
+    return """
+WITH freq AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS f
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f, key) AS r FROM freq
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(f) AS BIGINT) AS n_rows,
+         CAST(sum(r * f) AS BIGINT) AS s_rank_w,
+         CAST(max(f) AS BIGINT) AS max_freq
+  FROM ranked
+)
+SELECT n_keys, n_rows, max_freq,
+       CAST(max_freq AS DOUBLE) / n_rows AS top_key_share,
+       (2.0e0 * s_rank_w) / (CAST(n_keys AS DOUBLE) * n_rows)
+         - (CAST(n_keys + 1 AS DOUBLE) / n_keys) AS gini
+FROM agg
+"""
+
+
+@register(
+    "dq_skew_gini",
+    oracle=_gini_sql(),
+    description="join-key skew audit for o_custkey: frequency Gini "
+    "(0 uniform → 1 one hot key) + top-key share — the pre-flight check "
+    "before keying a shuffle; Spark ranks frequencies with the "
+    "range-partitioned global index (no single-partition window), "
+    "exact-integer Σrank·freq, two final divisions",
+)
+def dq_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    ranked = global_row_number(freq, ["f", "key"], out_col="r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+        F.sum(F.col("r") * F.col("f")).cast("long").alias("s_rank_w"),
+        F.max("f").cast("long").alias("max_freq"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        (F.col("max_freq").cast("double") / F.col("n_rows")).alias("top_key_share"),
+        (
+            (F.lit(2.0) * F.col("s_rank_w"))
+            / (F.col("n_keys").cast("double") * F.col("n_rows"))
+            - (F.col("n_keys") + 1).cast("double") / F.col("n_keys")
+        ).alias("gini"),
+    )

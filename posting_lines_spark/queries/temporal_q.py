@@ -443,3 +443,86 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- CUSUM change-point detection ---
+# Where did the level of a series shift? CUSUM over hourly event counts:
+# C_t = Σ_{i≤t} (n_i − mean); the change-point estimate is argmax |C_t|
+# (the classic at-most-one-change estimator). Engine-exactness: with N
+# buckets and T total events, N·C_t = N·prefix_t − t·T is an EXACT
+# integer — the argmax, tie-broken by earliest bucket, is integer
+# comparison; only the reported cusum value pays one final division.
+# Scale shape: hourly pre-aggregate, dense spine, ONE per-series window
+# cumsum + per-series argmax window — all partitioned by event_type.
+
+CUSUM_SPARK_TS = "unix_micros(ts) div 3600000000"
+CUSUM_DUCK_TS = "epoch_us(ts) // 3600000000"
+
+
+def _cusum_sql(bucket_expr: str) -> str:
+    return f"""
+WITH obs AS (
+  SELECT event_type, {bucket_expr} AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+spine AS (SELECT event_type, {{SPINE}} AS bucket FROM bounds),
+dense AS (
+  SELECT s.event_type, s.bucket, coalesce(o.n, 0) AS n
+  FROM spine s LEFT JOIN obs o USING (event_type, bucket)
+),
+pre AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS prefix_n,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS t
+  FROM dense
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM dense GROUP BY event_type
+),
+scaled AS (
+  SELECT p.event_type, p.bucket, p.t, t.n_buckets, t.n_total,
+         t.n_buckets * p.prefix_n - p.t * t.n_total AS c_scaled
+  FROM pre p JOIN tot t ON t.event_type = p.event_type
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(c_scaled) DESC, bucket ASC) AS rn
+  FROM scaled
+)
+SELECT event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(bucket AS BIGINT) AS change_bucket,
+       CAST(t AS BIGINT) AS t_at_change,
+       CAST(c_scaled AS DOUBLE) / n_buckets AS cusum_at_change,
+       CASE WHEN c_scaled > 0 THEN 'up_then_down'
+            WHEN c_scaled < 0 THEN 'down_then_up'
+            ELSE 'flat' END AS shift_shape
+FROM best WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+CUSUM_ORACLE = _cusum_sql(CUSUM_DUCK_TS).replace(
+    "{SPINE}", "unnest(generate_series(lo, hi))"
+)
+
+
+@register(
+    "timeseries_changepoint_cusum",
+    oracle=CUSUM_ORACLE,
+    description="CUSUM at-most-one-change detection per event series: "
+    "argmax |Σ(nᵢ−mean)| over the dense hourly series, computed as the "
+    "EXACT integer N·prefix−t·T (tie → earliest bucket) so the located "
+    "change-point is engine-exact; one per-series window cumsum + one "
+    "per-series argmax window, both partitioned by event_type",
+)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _cusum_sql(CUSUM_SPARK_TS).replace("{SPINE}", "explode(sequence(lo, hi))")
+    )

@@ -299,3 +299,82 @@ def test_lookup_range_bands_partition_all_orders(spark):
     rows = load_all()["lookup_range_join"].fn(spark, SF0001).collect()
     n_orders = pq.read_table(f"{SF0001}/orders.parquet", columns=["o_orderkey"]).num_rows
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+# --- Benford digit audit ---
+
+
+def test_benford_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+
+    orders = pq.read_table(f"{SF0001}/orders.parquet", columns=["o_totalprice"]).to_pylist()
+    digits = Counter()
+    for r in orders:
+        p = r["o_totalprice"]
+        if p > 0:
+            digits[f"{p:.2f}"[0]] += 1
+    n = sum(digits.values())
+    got = {
+        r.first_digit: (r.n_obs, r.n_total, r.p_obs, r.p_benford, r.chi2_contribution)
+        for r in load_all()["dq_benford_digits"].fn(spark, SF0001).collect()
+    }
+    assert set(got) == set(digits)
+    for d, cnt in digits.items():
+        n_obs, n_total, p_obs, p_exp, chi2c = got[d]
+        assert (n_obs, n_total) == (cnt, n)
+        assert p_obs == cnt / n
+        assert p_exp == math.log10(1 + 1 / int(d))
+        assert chi2c == float(n) * (cnt / n - p_exp) * (cnt / n - p_exp) / p_exp
+
+
+# --- skew Gini audit ---
+
+
+def test_gini_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+
+    orders = pq.read_table(f"{SF0001}/orders.parquet", columns=["o_custkey"]).to_pylist()
+    freq = Counter(r["o_custkey"] for r in orders)
+    ranked = sorted(freq.items(), key=lambda kv: (kv[1], kv[0]))
+    n_keys = len(ranked)
+    n_rows = sum(freq.values())
+    s = sum((i + 1) * f for i, (_, f) in enumerate(ranked))
+    row = load_all()["dq_skew_gini"].fn(spark, SF0001).collect()[0]
+    assert (row.n_keys, row.n_rows, row.max_freq) == (n_keys, n_rows, max(freq.values()))
+    assert row.top_key_share == float(max(freq.values())) / n_rows
+    assert row.gini == (2.0 * s) / (float(n_keys) * n_rows) - float(n_keys + 1) / n_keys
+    assert 0.0 <= row.gini < 1.0
+
+
+# --- CUSUM change-point ---
+
+
+def test_cusum_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+
+    ev = pq.read_table(f"{SF0001}/events.parquet", columns=["event_type", "ts"]).to_pylist()
+    cnt = Counter()
+    for r in ev:
+        b = int((r["ts"].timestamp() * 1_000_000) // 3_600_000_000)
+        cnt[(r["event_type"], b)] += 1
+    expected = {}
+    for t in {k for k, _ in cnt}:
+        buckets = [b for tt, b in cnt if tt == t]
+        lo, hi = min(buckets), max(buckets)
+        series = [cnt.get((t, b), 0) for b in range(lo, hi + 1)]
+        n_buckets, n_total = len(series), sum(series)
+        prefix = 0
+        best = None  # (-abs, bucket) min
+        for i, n in enumerate(series):
+            prefix += n
+            c_scaled = n_buckets * prefix - (i + 1) * n_total
+            key = (-abs(c_scaled), lo + i)
+            if best is None or key < best[0]:
+                best = (key, i + 1, c_scaled)
+        _, t_at, c_at = best
+        expected[t] = (n_buckets, n_total, lo + t_at - 1, t_at, float(c_at) / n_buckets)
+    got = {
+        r.event_type: (r.n_buckets, r.n_total, r.change_bucket, r.t_at_change, r.cusum_at_change)
+        for r in load_all()["timeseries_changepoint_cusum"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
