@@ -97,6 +97,8 @@ _LEDGER_PRIORITY = [
     "dq_benford_digits",
     "dq_skew_gini",
     "timeseries_changepoint_cusum",
+    "text_pmi_collocations",
+    "attribution_touch_models",
 ]
 
 

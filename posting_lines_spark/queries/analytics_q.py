@@ -1007,3 +1007,70 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_scaled"),
         )
     )
+
+
+# --- marketing attribution (first-touch vs last-touch) ---
+# Every purchase's value is credited to the touch channel (view/click/
+# signup event type) that FIRST touched the user and, separately, to the
+# one that LAST touched before the purchase — the two standard
+# single-touch attribution models, whose revenue split per channel is
+# the canonical comparison report. One window pass per user ordered by
+# (ts, event_id) carries the running first/last touch via IGNORE NULLS
+# first_value/last_value (no per-purchase join, no lookback explode);
+# purchases with no prior touch credit 'direct'. Revenue sums are
+# decimal-routed (queries/parity.py).
+# Scale: single shuffle on user_id for the window, then one tiny
+# (model, channel) aggregate.
+
+_ATTR_CASE = "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
+
+# IGNORE NULLS placement differs: Spark takes it AFTER the call
+# (`first_value(x) IGNORE NULLS`), DuckDB inside the parens
+# (`first_value(x IGNORE NULLS)`).
+
+
+def _attr_core(inner: str, outer: str) -> str:
+    w = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+SELECT * FROM (
+  SELECT event_type, value,
+         first_value({_ATTR_CASE}{inner}){outer} {w} AS first_touch,
+         last_value({_ATTR_CASE}{inner}){outer} {w} AS last_touch
+  FROM events
+) t WHERE event_type = 'purchase'
+"""
+
+
+def _attribution_sql(inner: str = '', outer: str = ' IGNORE NULLS') -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+WITH purch AS ({_attr_core(inner, outer)})
+SELECT model, channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {dsum_expr("value")} AS revenue
+FROM (
+  SELECT 'first_touch' AS model, coalesce(first_touch, 'direct') AS channel, value
+  FROM purch
+  UNION ALL
+  SELECT 'last_touch' AS model, coalesce(last_touch, 'direct') AS channel, value
+  FROM purch
+) m
+GROUP BY model, channel
+ORDER BY model, channel
+"""
+
+
+@register(
+    "attribution_touch_models",
+    oracle=_attribution_sql(inner=' IGNORE NULLS', outer=''),
+    description="first-touch vs last-touch revenue attribution: running "
+    "IGNORE NULLS first_value/last_value of the touch channel per user "
+    "(one window pass, no per-purchase lookback join), purchases with no "
+    "prior touch credited 'direct'; decimal-routed revenue sums; one "
+    "user-keyed shuffle + a tiny (model, channel) rollup",
+)
+def attribution_touch_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_attribution_sql())

@@ -899,3 +899,69 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(BPE_TOP)
     )
+
+
+# --- PMI collocations ---
+# Pointwise mutual information over adjacent token pairs — the classic
+# collocation extractor (Church & Hanks 1990): PMI(a,b) =
+# ln(c_ab·T / (c_a·c_b)) with c_a/c_b the bigram MARGINS and T the
+# total bigram count. All four ln arguments are exact integers, so the
+# statistic routes through the deterministic integer-ln kernel
+# (functions/dmath.py) and both engines produce bit-identical doubles;
+# the final combination is written with fixed parenthesization.
+# Scale: the same one-window bigram build as the LM family, three
+# hash-aggregates (pair, left margin, right margin), two margin joins
+# (broadcastable after a top-V cutoff at corpus scale), top-k under a
+# (pmi DESC, w1, w2) total order.
+
+PMI_MIN_COUNT = 3
+PMI_TOP = 50
+
+
+def _pmi_sql(toks: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    layers, last = dln_int_cte_layers(
+        [("c12", "p12"), ("tt", "pt"), ("c1", "p1"), ("c2", "p2")], "pm0", "pm"
+    )
+    return f"""
+WITH toks AS ({toks}),
+big AS (
+  SELECT w1, w2 FROM (
+    SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) t WHERE w2 IS NOT NULL
+),
+cnt12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+cntl AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+cntr AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM big),
+pm0 AS (
+  SELECT p.w1, p.w2, p.c12, l.c1, r.c2, tot.tt
+  FROM cnt12 p
+  JOIN cntl l ON l.w1 = p.w1
+  JOIN cntr r ON r.w2 = p.w2
+  CROSS JOIN tot
+  WHERE p.c12 >= {PMI_MIN_COUNT}
+),
+{layers}
+SELECT w1, w2, c12,
+       (p12_ln + pt_ln) - (p1_ln + p2_ln) AS pmi
+FROM {last}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_pmi_sql(_LM_TOKS_DUCK),
+    description=f"PMI collocations (Church–Hanks): ln(c_ab·T/(c_a·c_b)) "
+    f"over adjacent token pairs with count ≥ {PMI_MIN_COUNT}, all four ln "
+    "args exact integers through the deterministic integer-ln kernel — "
+    f"bit-identical ranking on both engines; top {PMI_TOP} under a total "
+    "order; one window pass + three map-side-combinable aggregates",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_pmi_sql(_LM_TOKS_SPARK))

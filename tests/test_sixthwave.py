@@ -378,3 +378,69 @@ def test_cusum_matches_bruteforce(spark):
         for r in load_all()["timeseries_changepoint_cusum"].fn(spark, SF0001).collect()
     }
     assert got == expected
+
+
+# --- PMI collocations ---
+
+
+def test_pmi_matches_bruteforce(spark):
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import PMI_MIN_COUNT, PMI_TOP
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet", columns=["text"]).to_pylist()
+    big = Counter()
+    for d in docs:
+        toks = d["text"].split(" ")
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    left, right = Counter(), Counter()
+    for (a, b), c in big.items():
+        left[a] += c
+        right[b] += c
+    tt = sum(big.values())
+    rows = []
+    for (a, b), c in big.items():
+        if c >= PMI_MIN_COUNT:
+            pmi = (dln_int_py(c) + dln_int_py(tt)) - (dln_int_py(left[a]) + dln_int_py(right[b]))
+            rows.append((a, b, c, pmi))
+    expected = sorted(rows, key=lambda r: (-r[3], r[0], r[1]))[:PMI_TOP]
+    got = [
+        (r.w1, r.w2, r.c12, r.pmi)
+        for r in load_all()["text_pmi_collocations"].fn(spark, SF0001).collect()
+    ]
+    assert got == expected  # bit-exact: integer-ln kernel + fixed parens
+
+
+# --- touch attribution ---
+
+
+def test_attribution_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+
+    ev = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    agg = defaultdict(lambda: [0, 0.0])
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        first = last = None
+        for r in rows:
+            if r["event_type"] in ("view", "click", "signup"):
+                if first is None:
+                    first = r["event_type"]
+                last = r["event_type"]
+            elif r["event_type"] == "purchase":
+                for model, ch in (("first_touch", first), ("last_touch", last)):
+                    key = (model, ch or "direct")
+                    agg[key][0] += 1
+                    agg[key][1] += r["value"]
+    got = {
+        (r.model, r.channel): (r.n_purchases, r.revenue)
+        for r in load_all()["attribution_touch_models"].fn(spark, SF0001).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, rev) in agg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - rev) < 1e-6  # replay sums floats, engine sums decimal
