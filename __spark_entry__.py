@@ -99,6 +99,7 @@ _LEDGER_PRIORITY = [
     "timeseries_changepoint_cusum",
     "text_pmi_collocations",
     "attribution_touch_models",
+    "embedding_silhouette",
 ]
 
 

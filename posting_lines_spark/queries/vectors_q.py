@@ -823,3 +823,80 @@ ORDER BY vec_id
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_quant_spark())
+
+
+# --- centroid silhouette (clustering-quality QA) ---
+# The simplified (centroid-based) silhouette over the labeled embedding
+# corpus: a(v) = ‖v − c_own‖, b(v) = min over other labels ‖v − c_l‖,
+# sil(v) = (b − a)/max(a, b) — the standard "are these clusters real"
+# audit run after any clustering/labeling stage (full silhouette is
+# all-pairs; the centroid form is the O(n·k) one used at scale, e.g.
+# sklearn's davies-bouldin cousin). Parity: centroids are decimal-exact
+# per-dim averages; every distance is the sequential index-order fold
+# (bit-identical both engines); one final min/division per vector; the
+# per-label mean silhouette is decimal-routed.
+# Scale: centroid table is k·dims values → broadcast; the vector×centroid
+# "join" is a k-way fanout, not a shuffle; one label rollup at the end.
+
+
+def _silhouette_sql(long_explode: str, l2sq, list_build: str) -> str:
+    return f"""
+WITH long_vecs AS ({long_explode}),
+lab AS (SELECT vec_id, label FROM embeddings),
+cent_long AS (
+  SELECT l.label, lv.dim,
+         CAST(sum(CAST(lv.val AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cv
+  FROM long_vecs lv JOIN lab l ON l.vec_id = lv.vec_id
+  GROUP BY l.label, lv.dim
+),
+cent AS (SELECT label, {list_build} AS cvec FROM cent_long GROUP BY label),
+dists AS (
+  SELECT e.vec_id, e.label AS own_label, c.label AS cand_label,
+         sqrt({l2sq("e.embedding", "c.cvec")}) AS dist
+  FROM embeddings e CROSS JOIN cent c
+),
+ab AS (
+  SELECT vec_id, own_label,
+         min(CASE WHEN cand_label = own_label THEN dist END) AS a,
+         min(CASE WHEN cand_label <> own_label THEN dist END) AS b
+  FROM dists GROUP BY vec_id, own_label
+),
+sil AS (
+  SELECT own_label AS label,
+         CASE WHEN a > b THEN (b - a) / a
+              WHEN b > a THEN (b - a) / b
+              ELSE 0.0e0 END AS s
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(sum(CAST(s AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / count(*)
+         AS mean_silhouette
+FROM sil
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_silhouette",
+    oracle=_silhouette_sql(
+        _KM_LONG_DUCK, l2sq_duck, "list(cv ORDER BY dim)"
+    ).replace("AS STRING", "AS VARCHAR"),
+    description="centroid silhouette per label: (b−a)/max(a,b) against "
+    "decimal-exact per-label centroids — the O(n·k) clustering-quality "
+    "audit; centroid table broadcasts (k·dims values), distances are "
+    "sequential index-order folds (bit-identical engines), per-label "
+    "mean decimal-routed; no shuffle except the label rollup",
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.similarity import l2sq_spark
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _silhouette_sql(
+            _KM_LONG_SPARK,
+            l2sq_spark,
+            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+        )
+    )

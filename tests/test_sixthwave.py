@@ -444,3 +444,42 @@ def test_attribution_matches_bruteforce(spark):
     for k, (n, rev) in agg.items():
         assert got[k][0] == n
         assert abs(got[k][1] - rev) < 1e-6  # replay sums floats, engine sums decimal
+
+
+# --- centroid silhouette ---
+
+
+def test_silhouette_matches_bruteforce(spark):
+    """Float replay (the engines quantize centroids to decimal(38,6);
+    the replay uses raw float sums, so compare to 1e-4 — tight enough to
+    catch any algorithmic divergence, loose enough for the quantization)."""
+    from posting_lines_spark.queries import load_all
+
+    emb = pq.read_table(f"{SF0001}/embeddings.parquet").to_pylist()
+    by_label = defaultdict(list)
+    for r in emb:
+        by_label[r["label"]].append([float(x) for x in r["embedding"]])
+    cents = {
+        lb: [sum(col) / len(vecs) for col in zip(*vecs)]
+        for lb, vecs in by_label.items()
+    }
+    sil_sum, sil_n = defaultdict(float), defaultdict(int)
+    for r in emb:
+        v = [float(x) for x in r["embedding"]]
+        d = {
+            lb: math.sqrt(sum((x - y) * (x - y) for x, y in zip(v, c)))
+            for lb, c in cents.items()
+        }
+        a = d[r["label"]]
+        b = min(dist for lb, dist in d.items() if lb != r["label"])
+        s = 0.0 if a == b else (b - a) / max(a, b)
+        sil_sum[r["label"]] += s
+        sil_n[r["label"]] += 1
+    got = {
+        r.label: (r.n_vecs, r.mean_silhouette)
+        for r in load_all()["embedding_silhouette"].fn(spark, SF0001).collect()
+    }
+    assert set(got) == set(sil_sum)
+    for lb in sil_sum:
+        assert got[lb][0] == sil_n[lb]
+        assert abs(got[lb][1] - sil_sum[lb] / sil_n[lb]) < 1e-4
