@@ -100,6 +100,7 @@ _LEDGER_PRIORITY = [
     "text_pmi_collocations",
     "attribution_touch_models",
     "embedding_silhouette",
+    "stream_attribution",
 ]
 
 

@@ -1018,3 +1018,171 @@ register(
     "= retry-idempotent; final state is bit-identical to the batch "
     "recurrence (the oracle is the batch SQL, unchanged)",
 )(stream_ewma)
+
+
+# --- streaming touch attribution (cross-batch per-user carry) ---
+# The stateful-stream form of analytics_q.attribution_touch_models: the
+# carried state is per-user (first_touch, last_touch) — the running
+# IGNORE NULLS first/last the batch query computes with a window — plus
+# the additive attribution ledger (model, channel, n, decimal revenue).
+# Each time-ordered micro-batch resolves its purchases against
+# coalesce(state_first, batch_running_first) / coalesce(batch_running_
+# last, state_last), then advances the user carry from the batch's own
+# touch extremes (min_by/max_by over (ts, event_id) — the same tie rule
+# as the batch window). Revenue partials are DECIMAL(38,6) sums, so
+# cross-batch addition is exact and the final cast matches the batch
+# dsum digit-for-digit: the oracle IS the batch SQL, unchanged.
+# Per-epoch state overwrite keyed by epoch_id = retry-idempotent.
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+
+    def write_slices(p: str) -> None:
+        day0 = events.selectExpr(
+            "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d"
+        ).collect()[0].d
+        sliced = events.selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value",
+            f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
+            " / 8), 3) AS INT) AS slice",
+        )
+        for i in range(4):
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(p)
+            )
+
+    src = cached_fixture("attr_events_src", sf_dir, write_slices, "pls_attr_src_")
+    state_root = scratch_dir("pls_attr_state_")
+    ckpt = scratch_dir("pls_attr_ckpt_")
+    schema = spark.read.parquet(src).schema
+    touch = "CASE WHEN event_type IN ('view','click','signup') THEN event_type END"
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = f"{state_root}/e{epoch_id - 1}"
+        if os.path.isdir(prev):
+            ustate = s.read.parquet(f"{prev}/users")
+            ledger = s.read.parquet(f"{prev}/ledger")
+        else:
+            ustate = s.createDataFrame(
+                [], "user_id long, st_first string, st_last string"
+            )
+            ledger = s.createDataFrame(
+                [], "model string, channel string, n long, rev decimal(38,6)"
+            )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = batch_df.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.first(F.expr(touch), ignorenulls=True).over(w).alias("bf"),
+            F.last(F.expr(touch), ignorenulls=True).over(w).alias("bl"),
+        ).localCheckpoint(eager=False)
+        purch = (
+            run.filter(F.col("event_type") == "purchase")
+            .join(ustate, "user_id", "left")
+            .select(
+                F.coalesce("st_first", "bf").alias("eff_first"),
+                F.coalesce("bl", "st_last").alias("eff_last"),
+                "value",
+            )
+        )
+        partial = (
+            purch.selectExpr(
+                "'first_touch' AS model", "coalesce(eff_first, 'direct') AS channel", "value"
+            )
+            .unionAll(
+                purch.selectExpr(
+                    "'last_touch' AS model", "coalesce(eff_last, 'direct') AS channel", "value"
+                )
+            )
+            .groupBy("model", "channel")
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("decimal(38,6)").alias("brev"),
+            )
+        )
+        new_ledger = (
+            ledger.join(partial, ["model", "channel"], "full_outer")
+            .select(
+                "model",
+                "channel",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("bn", F.lit(0))).alias("n"),
+                (
+                    F.coalesce(F.col("rev"), F.lit(0).cast("decimal(38,6)"))
+                    + F.coalesce(F.col("brev"), F.lit(0).cast("decimal(38,6)"))
+                ).cast("decimal(38,6)").alias("rev"),
+            )
+        )
+        btouch = (
+            batch_df.filter(F.expr(touch).isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.expr(f"min_by({touch}, struct(ts, event_id))").alias("b_first"),
+                F.expr(f"max_by({touch}, struct(ts, event_id))").alias("b_last"),
+            )
+        )
+        new_ustate = (
+            ustate.join(btouch, "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.coalesce("st_first", "b_first").alias("st_first"),
+                F.coalesce("b_last", "st_last").alias("st_last"),
+            )
+        )
+        new_ustate.write.mode("overwrite").parquet(f"{state_root}/e{epoch_id}/users")
+        new_ledger.write.mode("overwrite").parquet(f"{state_root}/e{epoch_id}/ledger")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(int(d[1:]) for d in os.listdir(state_root) if d.startswith("e"))
+    return (
+        spark.read.parquet(f"{state_root}/e{last}/ledger")
+        .select(
+            "model",
+            "channel",
+            F.col("n").alias("n_purchases"),
+            F.col("rev").cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+def _stream_attr_oracle() -> str:
+    from posting_lines_spark.queries.analytics_q import _attribution_sql
+
+    return _attribution_sql(inner=" IGNORE NULLS", outer="")
+
+
+register(
+    "stream_attribution",
+    oracle=_stream_attr_oracle(),
+    description="streaming first/last-touch attribution: per-user carry "
+    "(first_touch, last_touch) + an additive DECIMAL revenue ledger; "
+    "each time-ordered micro-batch resolves purchases against "
+    "coalesce(carry, batch-running) touches with the batch window's "
+    "(ts, event_id) tie rule, then advances the carry via min_by/max_by; "
+    "exact decimal partials make the final revenue digit-identical to "
+    "the batch query — the oracle IS the batch SQL; per-epoch state "
+    "overwrite = retry-idempotent",
+)(stream_attribution)

@@ -483,3 +483,22 @@ def test_silhouette_matches_bruteforce(spark):
     for lb in sil_sum:
         assert got[lb][0] == sil_n[lb]
         assert abs(got[lb][1] - sil_sum[lb] / sil_n[lb]) < 1e-4
+
+
+# --- streaming attribution ---
+
+
+def test_stream_attribution_equals_batch(spark):
+    """The carry logic must make the 4-micro-batch drain EXACTLY equal
+    to the one-shot batch query (same engine, so this isolates the carry
+    from cross-engine concerns)."""
+    from posting_lines_spark.queries import load_all
+
+    qs = load_all()
+    got_stream = [
+        tuple(r) for r in qs["stream_attribution"].fn(spark, SF0001).collect()
+    ]
+    got_batch = [
+        tuple(r) for r in qs["attribution_touch_models"].fn(spark, SF0001).collect()
+    ]
+    assert got_stream == got_batch
