@@ -101,6 +101,7 @@ _LEDGER_PRIORITY = [
     "attribution_touch_models",
     "embedding_silhouette",
     "stream_attribution",
+    "stats_welch_ttest",
 ]
 
 

@@ -1074,3 +1074,66 @@ ORDER BY model, channel
 def attribution_touch_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_attribution_sql())
+
+
+# --- Welch's two-sample t-test (A/B experiment readout) ---
+# The standard unequal-variance mean comparison between two groups
+# (purchase vs click values — same samples as stats_ks_test, which
+# compares DISTRIBUTIONS; Welch compares MEANS). Parity: Σx and Σx² are
+# decimal-exact per group (order-free), means/variances/t are then a
+# fixed chain of double ops written identically on both engines; the
+# Welch–Satterthwaite df is reported too. No p-value (erf is not in the
+# deterministic kernel set); |t| ≫ 2 is the actionable readout.
+# Scale: one map-side-combinable aggregate per group — two rows of
+# state, O(1) driver math.
+
+def _welch_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    stats = """
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {sx} AS sx,
+         {sxx} AS sxx
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type
+""".format(sx=dsum_expr("value"), sxx=dsum_expr("value * value"))
+    return f"""
+WITH stats AS ({stats}),
+wide AS (
+  SELECT
+    max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'purchase' THEN sx END) AS sx1,
+    max(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx1,
+    max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'click' THEN sx END) AS sx2,
+    max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx2
+  FROM stats
+),
+m AS (
+  SELECT n1, n2,
+         sx1 / n1 AS mean1, sx2 / n2 AS mean2,
+         ((sxx1 - (sx1 * sx1) / n1) / (n1 - 1)) / n1 AS se1sq,
+         ((sxx2 - (sx2 * sx2) / n2) / (n2 - 1)) / n2 AS se2sq
+  FROM wide
+)
+SELECT n1, n2, mean1, mean2,
+       (mean1 - mean2) / sqrt(se1sq + se2sq) AS t_stat,
+       ((se1sq + se2sq) * (se1sq + se2sq))
+         / ((se1sq * se1sq) / (n1 - 1) + (se2sq * se2sq) / (n2 - 1)) AS welch_df
+FROM m
+"""
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=_welch_sql(),
+    description="Welch's unequal-variance two-sample t-test (purchase vs "
+    "click values): decimal-exact Σx/Σx² per group, then a fixed chain "
+    "of double ops for means, standard errors, t, and the Welch–"
+    "Satterthwaite df — bit-identical across engines; one map-side-"
+    "combinable aggregate, two rows of state",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_welch_sql())

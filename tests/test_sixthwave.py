@@ -502,3 +502,45 @@ def test_stream_attribution_equals_batch(spark):
         tuple(r) for r in qs["attribution_touch_models"].fn(spark, SF0001).collect()
     ]
     assert got_stream == got_batch
+
+
+# --- Welch t-test ---
+
+
+def test_welch_matches_bruteforce(spark):
+    from posting_lines_spark.queries import load_all
+
+    ev = pq.read_table(f"{SF0001}/events.parquet", columns=["event_type", "value"]).to_pylist()
+    s = {"purchase": [], "click": []}
+    for r in ev:
+        if r["event_type"] in s:
+            s[r["event_type"]].append(r["value"])
+    # replicate the engine math: decimal-exact sums (values quantized at
+    # 1e-6), then the same double chain
+    from decimal import Decimal
+
+    def q(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"))
+
+    out = {}
+    for k, xs in s.items():
+        n = len(xs)
+        sx = float(sum(q(x) for x in xs))
+        sxx = float(sum(q(x * x) for x in xs))
+        out[k] = (n, sx, sxx)
+    n1, sx1, sxx1 = out["purchase"]
+    n2, sx2, sxx2 = out["click"]
+    mean1, mean2 = sx1 / n1, sx2 / n2
+    se1sq = ((sxx1 - (sx1 * sx1) / n1) / (n1 - 1)) / n1
+    se2sq = ((sxx2 - (sx2 * sx2) / n2) / (n2 - 1)) / n2
+    t = (mean1 - mean2) / math.sqrt(se1sq + se2sq)
+    df = ((se1sq + se2sq) * (se1sq + se2sq)) / (
+        (se1sq * se1sq) / (n1 - 1) + (se2sq * se2sq) / (n2 - 1)
+    )
+    row = load_all()["stats_welch_ttest"].fn(spark, SF0001).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    # the replay's double→decimal quantization can differ from the
+    # engines' by half an ulp on boundary values; compare to float noise
+    assert abs(row.mean1 - mean1) < 1e-9 and abs(row.mean2 - mean2) < 1e-9
+    assert abs(row.t_stat - t) < 1e-6
+    assert abs(row.welch_df - df) < 1e-3
