@@ -544,3 +544,36 @@ def test_welch_matches_bruteforce(spark):
     assert abs(row.mean1 - mean1) < 1e-9 and abs(row.mean2 - mean2) < 1e-9
     assert abs(row.t_stat - t) < 1e-6
     assert abs(row.welch_df - df) < 1e-3
+
+
+# --- winnowing MOSS guarantee (property) ---
+
+
+def test_winnow_guarantee_property():
+    """Schleimer et al. Theorem: any shared token run of length
+    ≥ w + k − 1 yields at least one common selected fingerprint — tested
+    on randomized sequences with a planted shared run (pure-Python
+    replay of the exact query algorithm; no engine needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from posting_lines_spark.queries.text_q import WNW_K, WNW_W
+
+    token = st.integers(0, 30).map(lambda i: f"t{i}")
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(token, min_size=0, max_size=20),  # prefix A
+        st.lists(token, min_size=0, max_size=20),  # suffix A
+        st.lists(token, min_size=0, max_size=20),  # prefix B
+        st.lists(token, min_size=0, max_size=20),  # suffix B
+        st.lists(token, min_size=WNW_W + WNW_K - 1, max_size=WNW_W + WNW_K + 4),
+    )
+    def run(pa, sa, pb, sb, shared):
+        ta = " ".join(pa + shared + sa)
+        tb = " ".join(pb + shared + sb)
+        fa = {h for _, h in _winnow_expected(ta, WNW_K, WNW_W)}
+        fb = {h for _, h in _winnow_expected(tb, WNW_K, WNW_W)}
+        assert fa & fb, "planted shared run produced no common fingerprint"
+
+    run()
