@@ -102,6 +102,7 @@ _LEDGER_PRIORITY = [
     "embedding_silhouette",
     "stream_attribution",
     "stats_welch_ttest",
+    "text_roundtrip",
 ]
 
 

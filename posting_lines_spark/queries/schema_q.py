@@ -719,3 +719,62 @@ def dq_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n_keys") + 1).cast("double") / F.col("n_keys")
         ).alias("gini"),
     )
+
+
+# --- line-text source roundtrip ---
+# Plain .txt lines — with JSONL, the rawest pretraining-corpus exchange
+# format. Write "doc_id<TAB>text" lines with the text writer, read them
+# back with the line reader, split on the FIRST tab only (document text
+# is tab-free by schema; split limit 2 keeps the contract explicit),
+# and prove content integrity per source with the same digest rollup the
+# other roundtrips use. The oracle re-derives the expected digests from
+# the parquet view directly (the scratch dir is invisible to DuckDB) —
+# identical-by-construction iff write→read is lossless.
+
+TEXT_RT_ORACLE = """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       min(md5(concat(CAST(d.doc_id AS VARCHAR), '|', d.text))) AS min_digest,
+       max(md5(concat(CAST(d.doc_id AS VARCHAR), '|', d.text))) AS max_digest
+FROM documents d
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "text_roundtrip",
+    oracle=TEXT_RT_ORACLE,
+    description="line-text (.txt) source roundtrip: doc_id<TAB>text lines "
+    "written with the text writer and read back with the line reader "
+    "(first-tab split, limit 2), digest rollup per source proves lossless "
+    "write→read; completes the source matrix (parquet/CSV/JSONL/ORC/"
+    "JDBC/text) with the rawest corpus exchange format",
+)
+def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pls_txt_")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split("value", "\t", 2).getItem(0).cast("long").alias("doc_id"),
+        F.split("value", "\t", 2).getItem(1).alias("text"),
+    )
+    # join source back from the table (the .txt carries only id+text —
+    # the sidecar-metadata shape real corpus dumps use)
+    src = d.select("doc_id", "source")
+    return (
+        back.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))).alias("min_digest"),
+            F.max(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))).alias("max_digest"),
+        )
+        .orderBy("source")
+    )
