@@ -13,6 +13,7 @@ from posting_lines_spark.queries import register
 from posting_lines_spark.queries.geo_q import enrich_all_df, enriched_sql
 from posting_lines_spark.queries.parity import davg_expr, dsum_expr
 from posting_lines_spark.sources import load_table
+from posting_lines_spark.fixtures import scratch_dir
 
 CUBE_ORACLE = f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n, {dsum_expr('l_quantity')} AS sum_qty
@@ -190,10 +191,9 @@ ORDER BY hour_start_us, event_type
     "availableNow); oracle replays the window as epoch bucketing",
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="pls_tumb_src_")
+    src = scratch_dir(prefix="pls_tumb_src_")
     events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)

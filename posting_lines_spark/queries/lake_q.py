@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from posting_lines_spark.queries import register
 from posting_lines_spark.sources import load_table
+from posting_lines_spark.fixtures import scratch_dir
 
 PRUNE_LO = "1995-01-01"
 PRUNE_HI = "1995-12-31"
@@ -88,10 +89,9 @@ def prune_files(manifest_rows, lo, hi) -> list[str]:
 )
 def files_prune_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="pls_manifest_")
+    path = scratch_dir(prefix="pls_manifest_")
     # range-clustering is what MAKES files skippable: each file owns a
     # contiguous date slice, so min/max intervals are narrow
     o.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
@@ -144,10 +144,9 @@ ORDER BY 1
     "(how corpus tables grow columns without rewriting history)",
 )
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="pls_evolve_")
+    root = scratch_dir(prefix="pls_evolve_")
     old_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
     o.filter(F.col("o_orderkey") % 2 == 0).select(*old_cols).write.mode(
         "overwrite"
@@ -256,10 +255,9 @@ WHERE o_custkey = {BLOOM_PROBE_CUSTKEY}
     "full-scan oracle; false positives only cost an extra file read",
 )
 def files_prune_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="pls_bloomman_")
+    path = scratch_dir(prefix="pls_bloomman_")
     # date clustering: custkeys scatter across every file, the worst case
     # for min/max skipping and the motivating case for blooms
     o.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
@@ -296,7 +294,6 @@ def targeted_delete(
     n_rewritten). The rewritten replacements land in a sidecar dir; the
     returned frame is untouched-originals ∪ rewrites — exactly the file
     set a table-format commit (Iceberg/Delta) would swap in atomically."""
-    import tempfile
 
     full = spark.read.parquet(path)
     manifest = file_manifest(full, key_col).collect()
@@ -311,7 +308,7 @@ def targeted_delete(
             untouched.append(r.file)
     if not hit:
         return full, len(manifest), 0
-    rewrite_dir = tempfile.mkdtemp(prefix="pls_delete_rw_")
+    rewrite_dir = scratch_dir(prefix="pls_delete_rw_")
     (
         spark.read.parquet(*hit)
         # NULL keys never match a delete predicate: bare ~isin(...) is NULL
@@ -351,10 +348,9 @@ ORDER BY o_orderstatus
     "table size; oracle is the logical DELETE over the source",
 )
 def lake_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="pls_delete_")
+    path = scratch_dir(prefix="pls_delete_")
     # custkey clustering makes the erasure key prunable (the layout choice
     # a GDPR-erasable table makes deliberately)
     o.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(path)

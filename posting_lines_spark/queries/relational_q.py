@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from posting_lines_spark.queries import register
 from posting_lines_spark.queries.parity import davg_expr, dsum_expr
 from posting_lines_spark.sources import load_table
+from posting_lines_spark.fixtures import scratch_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -677,7 +678,6 @@ ORDER BY mktsegment
     "at scale; oracle is the plain join aggregate",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -685,7 +685,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temp path: independent of the session's warehouse location (the
     # driver owns the session), idempotent because each run gets a fresh
     # location and re-registers the catalog entry
-    loc = tempfile.mkdtemp(prefix="pls_bkt_")
+    loc = scratch_dir(prefix="pls_bkt_")
     spark.sql("DROP TABLE IF EXISTS pls_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS pls_bkt_customer")
     o.select("o_custkey", "o_orderkey").write.bucketBy(8, "o_custkey").sortBy(

@@ -83,6 +83,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cast to BIGINT — double→string formatting is NOT portable).
 
 from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark  # noqa: E402
+from posting_lines_spark.fixtures import scratch_dir
 
 _CK_COLS = (
     "l_orderkey, '|', l_partkey, '|', l_suppkey, '|', l_linenumber, '|', "
@@ -167,12 +168,11 @@ ORDER BY source
     "column pruning: parquet stays the processing format)",
 )
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from posting_lines_spark.sources import load_jsonl, write_jsonl
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="pls_jsonl_")
+    path = scratch_dir(prefix="pls_jsonl_")
     write_jsonl(d, path)
     back = load_jsonl(spark, path, schema=d.schema)
     return (
@@ -217,12 +217,11 @@ ORDER BY o_orderstatus
     "parquet)",
 )
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from posting_lines_spark.sources import load_orc, write_orc
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="pls_orc_")
+    path = scratch_dir(prefix="pls_orc_")
     write_orc(o, path, partition_by=["o_orderstatus"])
     back = load_orc(spark, path)
     return (
@@ -393,12 +392,11 @@ ORDER BY nationkey
     "default — an edge format like jsonl",
 )
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from posting_lines_spark.sources import load_csv
 
     c = load_table(spark, sf_dir, "customer")
-    path = tempfile.mkdtemp(prefix="pls_csv_")
+    path = scratch_dir(prefix="pls_csv_")
     c.write.mode("overwrite").option("header", "true").csv(path)
     back = load_csv(spark, path, schema=c.schema)
     return (
@@ -753,10 +751,9 @@ ORDER BY d.source
     "JDBC/text) with the rawest corpus exchange format",
 )
 def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="pls_txt_")
+    path = scratch_dir(prefix="pls_txt_")
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
     ).write.mode("overwrite").text(path)

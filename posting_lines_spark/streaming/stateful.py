@@ -36,9 +36,9 @@ def running_user_stats(
     """Run the stateful tracker over `events` split into `n_files` files →
     n_files micro-batches. Returns the LAST emitted row per user (= final
     state). Update-mode memory sink keeps the latest row per key batch."""
-    import tempfile
+    from posting_lines_spark.fixtures import scratch_dir
 
-    src = tempfile.mkdtemp(prefix="pls_state_src_")
+    src = scratch_dir(prefix="pls_state_src_")
     events.repartition(n_files).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
