@@ -43,6 +43,23 @@ def dir_stamp(path: str) -> tuple[int, int]:
     return total, mtime
 
 
+def force_mtime_order(path: str, seen: set[str], slice_idx: int, base: float) -> None:
+    """Pin strictly increasing mtimes on the data files a sequential
+    slice append just produced. FileStreamSource orders micro-batches by
+    file modification time; on a filesystem with coarse mtime
+    granularity two back-to-back appends can tie, letting the source
+    drain slices out of time order and silently corrupting any
+    order-sensitive cross-batch carry (round-4 advice,
+    stream_attribution). Files not yet in `seen` belong to slice
+    `slice_idx` and get mtime base+slice_idx — batch order becomes time
+    order by construction, on every filesystem."""
+    for fn in os.listdir(path):
+        if not fn.startswith("_") and fn not in seen:
+            seen.add(fn)
+            t = base + slice_idx
+            os.utime(os.path.join(path, fn), (t, t))
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp registered for removal at interpreter exit."""
     d = tempfile.mkdtemp(prefix=prefix)

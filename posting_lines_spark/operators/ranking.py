@@ -80,8 +80,13 @@ def global_running_sums(
     two-pass range-partition trick as global_row_number: local window
     cumsum + per-partition exclusive-prefix offsets collected once,
     bounded by the partition count). `order_cols` must be a total order.
-    Sum columns must be integral (exact, order-free addition). Adds
-    `run_<col>` for each sum col; preserves all input columns."""
+    Sum columns must be integral (exact, order-free addition). NULLs in
+    sum columns count as 0 — both the per-partition window sum and the
+    partition totals coalesce to 0, so a NULL never silently skews
+    `run_<col>` (a leading-NULL window sum would otherwise be NULL while
+    the driver offsets coerced NULL totals to 0, desynchronizing the
+    two). Adds `run_<col>` for each sum col; preserves all input
+    columns."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -92,7 +97,10 @@ def global_running_sums(
         # see the SAME sampled range boundaries (see global_row_number)
     )
     totals = rp.groupBy("_pid").agg(
-        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
+        *[
+            F.sum(F.coalesce(F.col(c), F.lit(0))).cast("bigint").alias(c)
+            for c in sum_cols
+        ]
     ).collect()
     by_pid = {r._pid: r for r in totals}
     offsets: dict[str, dict[int, int]] = {c: {} for c in sum_cols}
@@ -110,5 +118,8 @@ def global_running_sums(
             F.create_map(*[F.lit(v) for kv in sorted(offsets[c].items()) for v in kv]),
             F.col("_pid"),
         )
-        out = out.withColumn(f"run_{c}", (F.sum(c).over(w) + off).cast("bigint"))
+        out = out.withColumn(
+            f"run_{c}",
+            (F.sum(F.coalesce(F.col(c), F.lit(0))).over(w) + off).cast("bigint"),
+        )
     return out.drop("_pid")

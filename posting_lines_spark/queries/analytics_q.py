@@ -1084,6 +1084,12 @@ def attribution_touch_models(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed chain of double ops written identically on both engines; the
 # Welch–Satterthwaite df is reported too. No p-value (erf is not in the
 # deterministic kernel set); |t| ≫ 2 is the actionable readout.
+# Degenerate-input guards (both engines, identical text): variance terms
+# are clamped at 0 with greatest() — 1e-6 decimal quantization of sx/sxx
+# can make them slightly negative for near-constant data, which would
+# sqrt() to NaN — and n=1 groups hit nullif(n-1, 0) so t_stat/welch_df
+# come back NULL instead of a silent divide-by-zero; the `degenerate`
+# flag column makes such groups visible rather than NaN.
 # Scale: one map-side-combinable aggregate per group — two rows of
 # state, O(1) driver math.
 
@@ -1113,14 +1119,17 @@ wide AS (
 m AS (
   SELECT n1, n2,
          sx1 / n1 AS mean1, sx2 / n2 AS mean2,
-         ((sxx1 - (sx1 * sx1) / n1) / (n1 - 1)) / n1 AS se1sq,
-         ((sxx2 - (sx2 * sx2) / n2) / (n2 - 1)) / n2 AS se2sq
+         (greatest(sxx1 - (sx1 * sx1) / n1, 0.0e0) / nullif(n1 - 1, 0)) / n1 AS se1sq,
+         (greatest(sxx2 - (sx2 * sx2) / n2, 0.0e0) / nullif(n2 - 1, 0)) / n2 AS se2sq
   FROM wide
 )
 SELECT n1, n2, mean1, mean2,
-       (mean1 - mean2) / sqrt(se1sq + se2sq) AS t_stat,
+       (mean1 - mean2) / nullif(sqrt(se1sq + se2sq), 0.0e0) AS t_stat,
        ((se1sq + se2sq) * (se1sq + se2sq))
-         / ((se1sq * se1sq) / (n1 - 1) + (se2sq * se2sq) / (n2 - 1)) AS welch_df
+         / nullif((se1sq * se1sq) / (n1 - 1) + (se2sq * se2sq) / (n2 - 1), 0.0e0)
+         AS welch_df,
+       (n1 IS NULL OR n2 IS NULL OR coalesce(n1, 0) < 2 OR coalesce(n2, 0) < 2
+        OR coalesce(se1sq, 0.0e0) + coalesce(se2sq, 0.0e0) = 0.0e0) AS degenerate
 FROM m
 """
 

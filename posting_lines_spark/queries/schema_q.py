@@ -723,7 +723,11 @@ def dq_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Plain .txt lines — with JSONL, the rawest pretraining-corpus exchange
 # format. Write "doc_id<TAB>text" lines with the text writer, read them
 # back with the line reader, split on the FIRST tab only (document text
-# is tab-free by schema; split limit 2 keeps the contract explicit),
+# is tab-free AND newline-free by schema — spark.read.text splits on
+# \n / \r\n, so an embedded line terminator would shear a document in
+# two; the pre-write assert below fails loudly if the fixture ever
+# violates either contract, rather than relying on the digest mismatch
+# to surface it downstream; split limit 2 keeps the tab contract explicit),
 # and prove content integrity per source with the same digest rollup the
 # other roundtrips use. The oracle re-derives the expected digests from
 # the parquet view directly (the scratch dir is invisible to DuckDB) —
@@ -754,6 +758,16 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     path = scratch_dir(prefix="pls_txt_")
+    # line-format schema contract: text must contain no tab (field
+    # separator) and no \n/\r (record separator). Assert before writing
+    # so a violating fixture fails here, loudly, not as a digest
+    # mismatch three operators later.
+    n_bad = d.filter(F.col("text").rlike("[\\t\\n\\r]")).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "text_roundtrip: document text contains tab or newline — "
+            "violates the line-format schema contract"
+        )
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
     ).write.mode("overwrite").text(path)

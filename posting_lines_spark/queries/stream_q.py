@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from posting_lines_spark.fixtures import cached_fixture, scratch_dir
+from posting_lines_spark.fixtures import cached_fixture, force_mtime_order, scratch_dir
 from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark
 from posting_lines_spark.operators import multimodal
 from posting_lines_spark.queries import register
@@ -778,7 +778,12 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_slices(p: str) -> None:
         # 4 sequential time-slice appends → mtime-ordered files → the
-        # availableNow drain (maxFilesPerTrigger=1) replays time order
+        # availableNow drain (maxFilesPerTrigger=1) replays time order;
+        # force_mtime_order pins the order even on coarse-mtime
+        # filesystems (a tie would replay slices out of order and break
+        # the cross-batch pattern carry)
+        import time
+
         day0 = events.selectExpr(
             "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d"
         ).collect()[0].d
@@ -789,6 +794,8 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
             " / 8), 3) AS INT) AS slice",
         )
+        seen: set[str] = set()
+        base = time.time()
         for i in range(4):
             (
                 sliced.filter(F.col("slice") == i)
@@ -797,6 +804,7 @@ def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(p)
             )
+            force_mtime_order(p, seen, i, base)
 
     src = cached_fixture("pm_events_src", sf_dir, write_slices, "pls_pm_src_")
     state_root = scratch_dir("pls_pm_state_")
@@ -921,6 +929,10 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     def write_slices(p: str) -> None:
+        # force_mtime_order: the EWMA carry is order-sensitive — an
+        # mtime tie between appends could replay slices out of order
+        import time
+
         day0 = events.selectExpr(
             "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d"
         ).collect()[0].d
@@ -930,6 +942,8 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
             " / 8), 3) AS INT) AS slice",
         )
+        seen: set[str] = set()
+        base = time.time()
         for i in range(4):
             (
                 sliced.filter(F.col("slice") == i)
@@ -938,6 +952,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(p)
             )
+            force_mtime_order(p, seen, i, base)
 
     src = cached_fixture("ewma_events_src", sf_dir, write_slices, "pls_ewma_src_")
     state_root = scratch_dir("pls_ewma_state_")
@@ -1050,6 +1065,10 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
             " / 8), 3) AS INT) AS slice",
         )
+        import time
+
+        seen: set[str] = set()
+        base = time.time()
         for i in range(4):
             (
                 sliced.filter(F.col("slice") == i)
@@ -1058,6 +1077,9 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(p)
             )
+            # mtime tie → out-of-order drain → corrupted first/last-
+            # touch carry (round-4 advice); pin slice order explicitly
+            force_mtime_order(p, seen, i, base)
 
     src = cached_fixture("attr_events_src", sf_dir, write_slices, "pls_attr_src_")
     state_root = scratch_dir("pls_attr_state_")
