@@ -241,3 +241,47 @@ def dedup_groups(components: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("survivor"))
         .withColumn("n_drops", F.col("n_members") - 1)
     )
+
+
+class CheckpointCycler:
+    """Eager localCheckpoint per iteration + unpersist of the superseded
+    round's blocks — the memory-bounded form of the lineage-cut loop.
+
+    A chain of lazy localCheckpoints retains EVERY round's block-manager
+    partitions until the terminal action finishes (round-4 verdict: LPA
+    needed >8 GiB driver heap at sf1 in local mode purely from this
+    retention; on a cluster it is executor memory, but the retention
+    itself is avoidable). `step(df)` checkpoints eagerly, then frees the
+    blocks of the PREVIOUS `step` result — safe because eager
+    materialization means round N no longer reads round N−1. The final
+    result's blocks are kept (it is what the caller returns); loop-
+    invariant checkpoints made outside the cycler are never touched
+    (superseded rounds are identified by diffing persistent-RDD ids
+    around this cycler's own checkpoint calls only).
+
+    `DataFrame.unpersist()` does NOT free localCheckpoint blocks (the
+    persisted RDD is the internal one inside LogicalRDD, not the
+    Dataset's cache entry — verified on this engine), hence the
+    getPersistentRDDs diff + direct JVM-side RDD unpersist."""
+
+    def __init__(self, spark) -> None:
+        self._jsc = spark.sparkContext._jsc.sc()
+        self._prev: list = []
+
+    def _persistent(self) -> dict:
+        out = {}
+        it = self._jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    def step(self, df: DataFrame) -> DataFrame:
+        before = set(self._persistent())
+        out = df.localCheckpoint(eager=True)
+        after = self._persistent()
+        fresh = [after[i] for i in after if i not in before]
+        for rdd in self._prev:
+            rdd.unpersist(False)
+        self._prev = fresh
+        return out

@@ -516,6 +516,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # Eager per-round checkpoint + unpersist of round N−1's blocks: a
+    # lazy-checkpoint chain retains every round's partitions until the
+    # terminal action (measured >8 GiB driver heap at sf1 in local
+    # mode); the cycler keeps peak block-manager footprint at ~2 rounds.
+    cycler = graph.CheckpointCycler(spark)
     for _ in range(LPA_ROUNDS):
         votes = (
             edges.join(labels.withColumnRenamed("node", "u"), "u")
@@ -526,12 +531,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (wt, -label) struct — a hash aggregate, not a sort-window (the
         # oracle's row_number formulation is the same rule, different
         # mechanism; measured 1.7× faster at sf1)
-        labels = (
+        labels = cycler.step(
             votes.groupBy("node")
             .agg(F.expr("max_by(label, struct(wt, -label))").alias("label"))
-            # cut lineage per round: keeps the next round's plan flat
-            # (at cluster scale: checkpoint to storage every few rounds)
-            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -606,10 +608,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pairs = _spark_pairs(spark, sf_dir)
-    edges = (
+    # eager checkpoint + unpersist of the superseded round (see LPA):
+    # peel rounds shrink the edge set, so peak footprint is ~2 rounds'
+    # blocks instead of all KCORE_ROUNDS. The initial edge build goes
+    # through the cycler too — unlike LPA's loop-invariant edge table,
+    # k-core's round 1 supersedes it.
+    cycler = graph.CheckpointCycler(spark)
+    edges = cycler.step(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .localCheckpoint(eager=False)
     )
     for _ in range(KCORE_ROUNDS):
         keep = (
@@ -617,11 +624,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("u")
         )
-        edges = (
+        edges = cycler.step(
             edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy(F.col("u").alias("node"))
