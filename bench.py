@@ -43,6 +43,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from posting_lines_spark.session import get_spark
 
+    # Host-contention telemetry (round-4 lesson: BENCH_r04 ran under an
+    # external load-avg >11 and inflated every query ~1.7× uniformly; an
+    # idle re-run matched round 3 within 5%). Record load before/after
+    # and flag the run as contended when the pre-existing load exceeds
+    # half our own parallelism — such a run measures the host, not the
+    # engine, and the artifact of record should say so itself.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_before = os.getloadavg()
+
     spark = get_spark(app="bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)
@@ -83,6 +92,11 @@ def main() -> None:
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_after = os.getloadavg()
+    # load_before is what OTHER processes were doing when we started
+    # (our own Spark work legitimately drives load_after up to ~cpus);
+    # a high 1-min load at entry means the timings are contended.
+    contended = load_before[0] > cpus / 2
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -91,7 +105,18 @@ def main() -> None:
         "errors": errors,
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpus": cpus,
+        "contended": contended,
     }
+    if contended:
+        print(
+            f"# WARNING: pre-existing host load {load_before[0]:.1f} > "
+            f"{cpus / 2:.0f} — timings measure host contention, not the "
+            "engine; rerun idle for a trend-comparable number",
+            flush=True,
+        )
     print(json.dumps(out))
     spark.stop()
 

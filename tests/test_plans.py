@@ -236,3 +236,29 @@ def test_tpch_suite_no_cartesian_no_python_rows(spark, name):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_plans_md_covers_full_registry():
+    """PLANS.md is the reviewable plan-audit artifact; it must not drift
+    from the registry (round-4 verdict: text_roundtrip was registered one
+    commit after the last regen and the audit silently lagged). Compares
+    the audit table's query names to load_all() keys exactly — a new
+    query without a regenerated PLANS.md fails here, not in review."""
+    import os
+
+    from posting_lines_spark.queries import load_all
+
+    plans_path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md")
+    rows = set()
+    with open(plans_path) as f:
+        for line in f:
+            m = re.match(r"\| ([a-z0-9_]+) \|", line)
+            if m and m.group(1) != "query":
+                rows.add(m.group(1))
+    registry = set(load_all())
+    missing = sorted(registry - rows)
+    stale = sorted(rows - registry)
+    assert not missing and not stale, (
+        f"PLANS.md drift — regenerate with tools/dump_plans.py; "
+        f"missing={missing} stale={stale}"
+    )
