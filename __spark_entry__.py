@@ -56,6 +56,7 @@ _LEDGER_PRIORITY = [
     "embedding_quantize_int8",
     "embedding_silhouette",
     # -- round-5 additions registered below this line --
+    "stream_attribution_stateful",
 ]
 
 

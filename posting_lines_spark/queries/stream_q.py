@@ -1048,13 +1048,17 @@ register(
 # cross-batch addition is exact and the final cast matches the batch
 # dsum digit-for-digit: the oracle IS the batch SQL, unchanged.
 # Per-epoch state overwrite keyed by epoch_id = retry-idempotent.
+# SCALE NOTE: this form rewrites the full user-state table every epoch —
+# corpus-shaped state cost. The production swap is implemented below as
+# stream_attribution_stateful (applyInPandasWithState: engine-managed
+# per-user state, per-batch delta writes ∝ touched users, test-pinned);
+# this foreachBatch form stays registered as the exactly-auditable twin
+# (its state tables are plain parquet you can query between epochs).
 
-def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from pyspark.sql import Window
-
-    events = load_table(spark, sf_dir, "events")
+def _attr_write_slices(events: DataFrame):
+    """Writer for the 4-slice, mtime-ordered attribution stream source —
+    shared by the foreachBatch and applyInPandasWithState twins (same
+    cached_fixture key → one materialization per process)."""
 
     def write_slices(p: str) -> None:
         day0 = events.selectExpr(
@@ -1081,7 +1085,18 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # touch carry (round-4 advice); pin slice order explicitly
             force_mtime_order(p, seen, i, base)
 
-    src = cached_fixture("attr_events_src", sf_dir, write_slices, "pls_attr_src_")
+    return write_slices
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    src = cached_fixture(
+        "attr_events_src", sf_dir, _attr_write_slices(events), "pls_attr_src_"
+    )
     state_root = scratch_dir("pls_attr_state_")
     ckpt = scratch_dir("pls_attr_ckpt_")
     schema = spark.read.parquet(src).schema
@@ -1208,3 +1223,128 @@ register(
     "the batch query — the oracle IS the batch SQL; per-epoch state "
     "overwrite = retry-idempotent",
 )(stream_attribution)
+
+
+# --- streaming attribution, engine-managed state (applyInPandasWithState) ---
+# The scale swap the foreachBatch form documents: stream_attribution
+# rewrites its ENTIRE user-state table every epoch (state cost is
+# corpus-shaped — all users ever seen — rather than batch-shaped). This
+# twin hands the per-user (first_touch, last_touch) carry to Spark's
+# streaming state store instead: applyInPandasWithState invokes the
+# update function ONLY for keys present in the micro-batch, and the
+# state store persists per-batch DELTAS — write cost ∝ users touched in
+# the batch, by construction (test-pinned via the progress metrics'
+# numRowsUpdated in tests/test_operators.py). The ledger side stays
+# additive: each batch APPENDS its purchase credits (eff_first,
+# eff_last, value) to a parquet sink, and the final ledger is one batch
+# aggregate over the emitted credits with the same decimal routing as
+# the batch query — the oracle IS the batch SQL, unchanged.
+#
+# In-batch order: rows arrive per (key, batch) unordered; the update
+# function sorts by (ts, event_id) — the batch window's exact tie rule —
+# and walks sequentially, which reproduces the running IGNORE NULLS
+# first/last semantics. Cross-batch order is the mtime-forced slice
+# order. State is updated only when a touch actually moved it, so
+# numRowsUpdated counts TOUCHED users, not merely present ones.
+
+_ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def _attr_state_update(key, pdfs, state):
+    import pandas as pd
+
+    f, l = state.get if state.exists else (None, None)
+    f0, l0 = f, l
+    out_first, out_last, out_val = [], [], []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    for et, val in zip(batch["event_type"], batch["value"]):
+        if et in _ATTR_TOUCH_TYPES:
+            if f is None:
+                f = et
+            l = et
+        elif et == "purchase":
+            out_first.append(f)
+            out_last.append(l)
+            out_val.append(val)
+    if (f, l) != (f0, l0):
+        state.update((f, l))
+    if out_val:
+        yield pd.DataFrame(
+            {"eff_first": out_first, "eff_last": out_last, "value": out_val}
+        )
+
+
+def _attr_stateful_run(spark: SparkSession, sf_dir: str):
+    """Drive the stateful attribution stream; returns (credits_df,
+    per-batch progress dicts) so tests can pin the state-write metrics."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # same 4-slice mtime-ordered source fixture as stream_attribution
+    events = load_table(spark, sf_dir, "events")
+    src = cached_fixture(
+        "attr_events_src", sf_dir, _attr_write_slices(events), "pls_attr_src_"
+    )
+    out = scratch_dir("pls_attrst_out_")
+    ckpt = scratch_dir("pls_attrst_ckpt_")
+    schema = spark.read.parquet(src).schema
+    credits = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_state_update,
+            outputStructType="eff_first string, eff_last string, value double",
+            stateStructType="f string, l string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        credits.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress]
+    return spark.read.schema(
+        "eff_first string, eff_last string, value double"
+    ).parquet(out), progress
+
+
+def stream_attribution_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purch, _ = _attr_stateful_run(spark, sf_dir)
+    return (
+        purch.selectExpr(
+            "'first_touch' AS model", "coalesce(eff_first, 'direct') AS channel", "value"
+        )
+        .unionAll(
+            purch.selectExpr(
+                "'last_touch' AS model", "coalesce(eff_last, 'direct') AS channel", "value"
+            )
+        )
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.expr(
+                "CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+register(
+    "stream_attribution_stateful",
+    oracle=_stream_attr_oracle(),
+    description="streaming attribution with ENGINE-MANAGED state "
+    "(applyInPandasWithState): per-user (first,last) carry lives in the "
+    "state store, updated only for users a batch actually touches — "
+    "state-write cost ∝ touched users per batch (delta persistence), "
+    "not corpus size like the foreachBatch twin's full-table rewrite; "
+    "purchase credits append to a parquet sink and the final ledger is "
+    "one decimal-routed aggregate; oracle = the batch attribution SQL",
+)(stream_attribution_stateful)

@@ -662,3 +662,53 @@ def test_cdc_chunking_is_insertion_tolerant():
     )
     # and most chunks survived verbatim
     assert len(Counter(before) & Counter(after)) >= len(before) - 4
+
+
+def test_stateful_attribution_state_writes_scale_with_touched_users(spark):
+    """Pins the scale property of stream_attribution_stateful (round-4
+    verdict #7): the state store persists per-batch DELTAS, so each
+    micro-batch's numRowsUpdated is bounded by the users that batch
+    actually TOUCHED — never the full user corpus the foreachBatch twin
+    rewrites every epoch. Slices are mtime-ordered, so progress batch i
+    corresponds to slice file i."""
+    import os
+
+    from posting_lines_spark.queries.stream_q import (
+        _ATTR_TOUCH_TYPES,
+        _attr_stateful_run,
+    )
+    from posting_lines_spark.sources import load_table
+    from tests.conftest import SF0001
+
+    _credits, progress = _attr_stateful_run(spark, SF0001)
+    batches = [
+        p for p in progress if p.get("stateOperators") and p["numInputRows"] > 0
+    ]
+    assert len(batches) == 4, f"expected 4 slice batches, got {len(batches)}"
+
+    events = load_table(spark, SF0001, "events")
+    total_users = events.select("user_id").distinct().count()
+    # per-slice touched-user counts, in slice (mtime) order
+    from posting_lines_spark.fixtures import _CACHE
+
+    src = next(v for k, v in _CACHE.items() if k[0] == "attr_events_src")
+    files = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    assert len(files) == 4
+    touched = [
+        spark.read.parquet(f)
+        .filter(F.col("event_type").isin(list(_ATTR_TOUCH_TYPES)))
+        .select("user_id")
+        .distinct()
+        .count()
+        for f in files
+    ]
+    updated = [b["stateOperators"][0]["numRowsUpdated"] for b in batches]
+    for i, (u, t) in enumerate(zip(updated, touched)):
+        assert u <= t, f"batch {i}: {u} state writes > {t} touched users"
+    # and the corpus-shaped cost the twin avoids: later batches must NOT
+    # rewrite all users (only first-touch movers update after batch 0)
+    assert sum(updated) < 4 * total_users
+    assert updated[0] > 0

@@ -44,20 +44,36 @@ def main() -> int:
 
     from posting_lines_spark.session import get_spark
 
-    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    argv = list(sys.argv[1:])
+    tables: list[str] | None = None
+    offset = OFFSET
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    if "--offset" in argv:
+        # scaling an ALREADY-SCALED dir (second decade): the offset must
+        # exceed the max key in the source or replicas collide — e.g.
+        # sf1 keys reach 9·10⁹+, so sf1→sf10 needs --offset 1e10+
+        i = argv.index("--offset")
+        offset = int(float(argv[i + 1]))
+        del argv[i : i + 2]
+    src, dst, n = argv[0], argv[1], int(argv[2])
+    shift = {t: k for t, k in SHIFT.items() if tables is None or t in tables}
+    copy = [t for t in COPY if tables is None or t in tables]
     spark = get_spark(app="make_sf")
-    for t in COPY:
+    for t in copy:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
         print(f"{t}: copied")
-    for t, keys in SHIFT.items():
+    for t, keys in shift.items():
         base = spark.read.parquet(f"{src}/{t}.parquet")
         parts = []
         for i in range(n):
             rep = base
             for k in keys:
-                rep = rep.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+                rep = rep.withColumn(k, (F.col(k) + F.lit(i * offset)).cast("long"))
             if t == "documents" and i > 0:
                 # salt every word so replicas are not cross-replica
                 # (near-)duplicates; within-replica dup structure is
