@@ -57,6 +57,7 @@ _LEDGER_PRIORITY = [
     "embedding_silhouette",
     # -- round-5 additions registered below this line --
     "stream_attribution_stateful",
+    "lake_hilbert_write",
 ]
 
 

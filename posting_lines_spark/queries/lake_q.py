@@ -431,3 +431,138 @@ def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Hilbert-clustered WRITE + min/max file skipping, end to end ---
+# Round-4 verdict #8: spatial_hilbert_locality measures curve locality
+# as a query, but nothing WROTE with the index. This closes the loop —
+# the lakehouse "z-order/cluster-by" maintenance operation done with
+# plain Spark primitives:
+#   1. enrich segments with 64×64 grid cells (cx, cy) and the Hilbert
+#      index hd (computed once per DISTINCT cell — ≤4096 rows — then
+#      broadcast-joined back to the row stream: the curve recurrence
+#      never runs per row);
+#   2. write the SAME rows twice into 16 files each: hash-partitioned
+#      (the unclustered strawman) and repartitionByRange(hd) +
+#      sortWithinPartitions(hd) (the clustered layout — each file owns a
+#      contiguous curve range, hence a tight (cx, cy) bounding box);
+#   3. build per-file min/max (cx, cy) manifests via _metadata.file_path
+#      and prune both file lists against a bbox predicate driver-side;
+#   4. scan ONLY the surviving clustered files, apply the exact bbox
+#      filter, aggregate.
+# Equality with the full-scan oracle proves pruning sound; the
+# layout_wins column (and the stronger count assertion in
+# tests/test_lake.py) records that the clustered layout pruned strictly
+# more files than the hash layout for the same predicate. At 100 TB this
+# is the standard OPTIMIZE/cluster-by job: one range shuffle at write
+# time buys bbox scans that touch O(bbox-area / file-extent) files.
+
+HILB_FILES = 16
+# cx_lo, cx_hi, cy_lo, cy_hi. Chosen inside the OCCUPIED extent at every
+# shipped SF (the AIS track covers only cx≤12, cy≤5 at sf0.001 — a box
+# outside the extent would prune to zero files in BOTH layouts and the
+# comparison would be vacuous).
+HILB_BBOX = (2, 9, 1, 4)
+
+
+def _hilbert_rows_sql() -> str:
+    from posting_lines_spark.queries.extra_q import _CELLS
+    from posting_lines_spark.queries.geo_q import enriched_sql
+
+    base = _CELLS.format(base=enriched_sql(keep_extra=["start_lon", "start_lat"]))
+    return f"SELECT segment_id, len_m, cx, cy FROM ({base})"
+
+
+def _hilbert_write_and_prune(spark: SparkSession, sf_dir: str):
+    """Returns (pruned clustered scan DF filtered to the bbox,
+    n_files_kept_clustered, n_files_kept_hashed). Helper shared by the
+    registered query and the pruning-count test."""
+    from posting_lines_spark.queries.extra_q import _hilbert_layers
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    rows = spark.sql(_hilbert_rows_sql())
+    rows.createOrReplaceTempView("pls_hilb_rows")
+    hsql, hlast = _hilbert_layers("cells")
+    cell_hd = spark.sql(
+        f"WITH cells AS (SELECT DISTINCT cx, cy FROM pls_hilb_rows),\n{hsql}\n"
+        f"SELECT cx, cy, hd FROM {hlast}"
+    )
+    data = rows.join(F.broadcast(cell_hd), ["cx", "cy"]).select(
+        "segment_id", "len_m", "cx", "cy", "hd"
+    )
+    p_clustered = scratch_dir(prefix="pls_hilbw_c_")
+    p_hashed = scratch_dir(prefix="pls_hilbw_h_")
+    (
+        data.repartitionByRange(HILB_FILES, "hd")
+        .sortWithinPartitions("hd")
+        .write.mode("overwrite")
+        .parquet(p_clustered)
+    )
+    data.repartition(HILB_FILES, "segment_id").write.mode("overwrite").parquet(p_hashed)
+
+    cx_lo, cx_hi, cy_lo, cy_hi = HILB_BBOX
+
+    def kept_files(path: str) -> list[str]:
+        man = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_path").alias("file"))
+            .agg(
+                F.min("cx").alias("min_cx"), F.max("cx").alias("max_cx"),
+                F.min("cy").alias("min_cy"), F.max("cy").alias("max_cy"),
+            )
+            .collect()
+        )
+        return [
+            r.file
+            for r in man
+            if r.max_cx >= cx_lo and r.min_cx <= cx_hi
+            and r.max_cy >= cy_lo and r.min_cy <= cy_hi
+        ]
+
+    keep_c = kept_files(p_clustered)
+    keep_h = kept_files(p_hashed)
+    pruned = spark.read.parquet(*(keep_c or [p_clustered])).filter(
+        F.col("cx").between(cx_lo, cx_hi) & F.col("cy").between(cy_lo, cy_hi)
+    )
+    return pruned, len(keep_c), len(keep_h)
+
+
+def _hilbert_write_oracle() -> str:
+    from posting_lines_spark.queries.extra_q import _CELLS
+    from posting_lines_spark.queries.geo_q import enriched_sql
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    cx_lo, cx_hi, cy_lo, cy_hi = HILB_BBOX
+    base = _CELLS.format(base=enriched_sql(keep_extra=["start_lon", "start_lat"]))
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_segments,
+       {dsum_expr("len_m")} AS total_len_m,
+       CAST({HILB_FILES} AS BIGINT) AS files_total,
+       TRUE AS layout_wins
+FROM ({base})
+WHERE cx BETWEEN {cx_lo} AND {cx_hi} AND cy BETWEEN {cy_lo} AND {cy_hi}
+"""
+
+
+@register(
+    "lake_hilbert_write",
+    oracle=_hilbert_write_oracle(),
+    description="write-side Hilbert clustering end to end: per-cell curve "
+    "index broadcast onto the row stream, repartitionByRange(hd) write vs "
+    "a hash-partitioned strawman (16 files each), per-file min/max "
+    "(cx, cy) manifests, driver-side bbox pruning, then the aggregate "
+    "over ONLY the surviving clustered files — equality with the "
+    "full-scan oracle proves pruning sound, layout_wins records the "
+    "clustered layout pruning strictly more files; the OPTIMIZE/"
+    "cluster-by maintenance job in plain Spark primitives",
+)
+def lake_hilbert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    pruned, n_c, n_h = _hilbert_write_and_prune(spark, sf_dir)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.expr(dsum_expr("len_m")).alias("total_len_m"),
+        F.lit(HILB_FILES).cast("long").alias("files_total"),
+        F.lit(n_c < n_h).alias("layout_wins"),
+    )

@@ -149,3 +149,31 @@ def test_targeted_delete_preserves_null_key_rows(spark):
     assert table.filter(F.col("k").isin(keys)).count() == 0
     assert table.filter(F.col("k").isNull()).count() == n_null
     assert table.count() == len(rows) - len(keys)
+
+
+def test_hilbert_clustered_write_prunes_more_files(spark):
+    """The write-side clustering claim with actual counts: for the same
+    bbox predicate, the Hilbert range-clustered layout keeps strictly
+    fewer files than the hash layout (whose every file spans the whole
+    grid and so never prunes), and the pruned scan loses no rows."""
+    from posting_lines_spark.queries.lake_q import (
+        HILB_BBOX,
+        HILB_FILES,
+        _hilbert_rows_sql,
+        _hilbert_write_and_prune,
+    )
+    from posting_lines_spark.sources import load_table
+
+    pruned, n_clustered, n_hashed = _hilbert_write_and_prune(spark, SF0001)
+    # hash layout: every file spans the grid → bbox overlaps all 16
+    assert n_hashed == HILB_FILES
+    assert n_clustered < n_hashed, (n_clustered, n_hashed)
+    # soundness: pruned scan count == full-scan count for the same bbox
+    load_table(spark, SF0001, "lineitem").createOrReplaceTempView("lineitem")
+    cx_lo, cx_hi, cy_lo, cy_hi = HILB_BBOX
+    full = (
+        spark.sql(_hilbert_rows_sql())
+        .filter(F.col("cx").between(cx_lo, cx_hi) & F.col("cy").between(cy_lo, cy_hi))
+        .count()
+    )
+    assert pruned.count() == full
