@@ -58,6 +58,11 @@ _LEDGER_PRIORITY = [
     # -- round-5 additions registered below this line --
     "stream_attribution_stateful",
     "lake_hilbert_write",
+    "timeseries_holt",
+    "events_rfm_segmentation",
+    "curation_quality_logistic",
+    "search_tfidf_cosine",
+    "text_vocab_oov",
 ]
 
 

@@ -1146,3 +1146,99 @@ FROM m
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_welch_sql())
+
+
+# --- RFM segmentation (recency / frequency / monetary quintiles) ---
+# The classic customer-value segmentation, engine-exact: per user,
+# recency (days since last event, vs corpus max), frequency (event
+# count) and monetary (decimal-routed purchase revenue), each ranked
+# over the total order (metric, user_id) and cut into quintiles
+# q = 1 + floor(5·(rank−1)/n). The rank is the distributed two-pass
+# ranker (ranking.global_row_number — range repartition + local window
+# + partition-offset map; no Exchange SinglePartition), once per
+# metric over the per-USER table (|users| rows, not events). The
+# quintile arithmetic is small-integer double math, exact on both
+# engines; DuckDB replays with three plain row_number() windows.
+# Output: one row per (r_q, f_q, m_q) cell with user count and exact
+# decimal revenue — the segment matrix a marketing pipeline acts on.
+
+def _rfm_peruser_sql(epoch_us: str) -> str:
+    return f"""
+WITH mx AS (SELECT max({epoch_us}) AS m FROM events),
+peruser AS (
+  SELECT user_id, m,
+         CAST(floor((m - max({epoch_us})) / 86400000000.0e0) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(38,6)) END),
+                  CAST(0 AS DECIMAL(38,6))) AS monetary
+  FROM events CROSS JOIN mx
+  GROUP BY user_id, m
+)
+SELECT user_id, recency_days, frequency, monetary FROM peruser
+"""
+
+
+_RFM_Q = "CAST(floor((5.0e0 * ({r} - 1)) / n) AS BIGINT) + 1"
+
+
+def _rfm_oracle() -> str:
+    rq = _RFM_Q.format(r="rr")
+    fq = _RFM_Q.format(r="rf")
+    mq = _RFM_Q.format(r="rm")
+    return f"""
+WITH base AS ({_rfm_peruser_sql("epoch_us(ts)")}),
+ranked AS (
+  SELECT monetary,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency, user_id) AS rf,
+         row_number() OVER (ORDER BY monetary, user_id) AS rm,
+         count(*) OVER () AS n
+  FROM base
+)
+SELECT {rq} AS r_q, {fq} AS f_q, {mq} AS m_q,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(CAST(sum(monetary) AS STRING) AS DOUBLE) AS total_monetary
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle=_rfm_oracle(),
+    description="RFM segmentation: per-user recency/frequency/decimal "
+    "monetary, quintiled via the distributed two-pass ranker (three "
+    "global ranks over the |users|-row table, no single-partition "
+    "window) with q = 1 + floor(5·(rank−1)/n); outputs the "
+    "(r_q, f_q, m_q) segment matrix with exact decimal revenue; "
+    "oracle = three plain row_number windows over the same per-user "
+    "table",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_row_number
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    users = spark.sql(_rfm_peruser_sql("unix_micros(ts)"))
+    n = users.count()  # one driver scalar (like pagerank's node count)
+    ranked = global_row_number(users, ["recency_days", "user_id"], out_col="rr")
+    ranked = global_row_number(ranked, ["frequency", "user_id"], out_col="rf")
+    ranked = global_row_number(ranked, ["monetary", "user_id"], out_col="rm")
+    q = _RFM_Q
+    return (
+        ranked.selectExpr(
+            "monetary",
+            f"{q.format(r='rr').replace('/ n', f'/ {n}')} AS r_q",
+            f"{q.format(r='rf').replace('/ n', f'/ {n}')} AS f_q",
+            f"{q.format(r='rm').replace('/ n', f'/ {n}')} AS m_q",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("CAST(CAST(sum(monetary) AS STRING) AS DOUBLE)").alias(
+                "total_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

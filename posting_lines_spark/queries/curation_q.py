@@ -1027,3 +1027,93 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- logistic quality gate (fastText-style quality classifier shape) ---
+# Production corpus curation gates documents with a learned quality
+# classifier (fastText / logistic regression over cheap text features).
+# The inference side of that pipeline is pure arithmetic — features ×
+# fixed weights → log-odds — and that is what runs at 100-TB scale, so
+# that is what this query implements: the text_quality feature vector
+# plus deterministic ln(n_tokens) (functions/dmath staged kernel), a
+# fixed public weight vector, and the gate as z > 0. The sigmoid is
+# MONOTONE, so gating on probability p > 0.5 is exactly gating on
+# z > 0 — no exp() needed, keeping every op in the deterministic
+# IEEE kernel set. Reported z is the log-odds (the score production
+# systems threshold and log anyway).
+#
+# Scale: map-side feature math + one tiny per-source aggregate; the
+# decimal route makes the mean score order-independent. Weights are
+# double literals — swapping in trained weights changes nothing
+# structurally.
+
+# bias picked so the gate actually SPLITS the synthetic corpus (~54%
+# kept at sf0.001) — a gate that passes or drops everything would make
+# the parity check vacuous
+QL_W = {
+    "bias": -3.85,
+    "lex_div": 2.0,       # lexical diversity up → quality up
+    "mean_tok_len": 0.35,  # longer tokens → mildly up
+    "stop_ratio": 6.0,     # natural-language stopword mass → up
+    "ln_tokens": 0.25,     # log length → up
+}
+
+
+def _quality_logistic_sql(split_fn: str, len_fn: str, filt: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    w = QL_W
+    ln_sql, ln_last = dln_int_cte_layers([("n_tokens", "t")], "feat", "ql")
+    return f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CAST({len_fn}({split_fn}(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({len_fn}({filt}) AS BIGINT) AS n_stop,
+         CAST({len_fn}(list_distinct({split_fn}(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents
+),
+{ln_sql},
+scored AS (
+  SELECT doc_id, source,
+         {w["bias"]!r}e0
+         + {w["lex_div"]!r}e0 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         + {w["mean_tok_len"]!r}e0 * (CAST(n_chars AS DOUBLE) / n_tokens)
+         + {w["stop_ratio"]!r}e0 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         + {w["ln_tokens"]!r}e0 * t_ln AS z
+  FROM {ln_last}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN z > 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {dsum_expr("z")} / count(*) AS mean_log_odds
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+_QL_STOP_SPARK = "filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))"
+_QL_STOP_DUCK = (
+    "list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))"
+)
+
+
+@register(
+    "curation_quality_logistic",
+    oracle=_quality_logistic_sql("string_split", "len", _QL_STOP_DUCK),
+    description="logistic quality-classifier gate (fastText-inference "
+    "shape): text_quality features + deterministic staged ln(n_tokens), "
+    "fixed weight vector, gate = log-odds > 0 (sigmoid is monotone, so "
+    "p > 0.5 needs no exp and stays in the IEEE-exact kernel set); "
+    "map-side scoring + one per-source rollup with decimal-routed mean "
+    "log-odds",
+)
+def curation_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _quality_logistic_sql("split", "size", _QL_STOP_SPARK).replace(
+            "list_distinct", "array_distinct"
+        )
+    )

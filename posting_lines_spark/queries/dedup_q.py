@@ -675,6 +675,14 @@ def _snm_sql(base: str, shingle_unnest: str, ranked_src: str | None = None) -> s
     # passes a pre-ranked view from operators/ranking.global_row_number
     # (range-partitioned two-pass index — the 100 TB shape; equality
     # with the window ranks is pinned by test)
+    #
+    # /*+ MERGE(...) */ hints: every join side here is DATA-SHAPED (mem,
+    # sh, sizes all carry one-plus rows per document), but Catalyst's
+    # size estimate through the shingle explode is garbage-small, and at
+    # sf10 it admitted the 25M-row shingle table as a BROADCAST build
+    # side — OOM on a 24 GiB driver (round-5 measurement). The hints pin
+    # sort-merge; DuckDB reads them as plain comments, so the oracle
+    # text stays identical.
     ranked = (
         f"SELECT doc_id, rnk FROM {ranked_src}"
         if ranked_src
@@ -698,7 +706,7 @@ mem AS (
   FROM ranked
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM mem a JOIN mem b
     ON a.g = b.g AND b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW}
 ),
@@ -707,13 +715,14 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+  SELECT /*+ MERGE(x), MERGE(y) */ c.id_a, c.id_b,
+         CAST(count(*) AS BIGINT) AS n_common
   FROM cand c
   JOIN sh x ON x.doc_id = c.id_a
   JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
   GROUP BY c.id_a, c.id_b
 )
-SELECT i.id_a, i.id_b,
+SELECT /*+ MERGE(za), MERGE(zb) */ i.id_a, i.id_b,
        CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
 FROM inter i
 JOIN sizes za ON za.doc_id = i.id_a

@@ -336,3 +336,88 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _rrf_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
     )
+
+
+# --- TF-IDF cosine retrieval (vector-space model) ---
+# The vector-space complement to the BM25 family: documents and the
+# query are tf·idf vectors, ranked by cosine. Unlike BM25 (which only
+# needs postings for the QUERY terms), the cosine denominator needs the
+# FULL per-document norm over every term — the part naive ports get
+# wrong by computing norms over query terms only. Determinism: idf =
+# ln(n_docs) − ln(df) via the staged integer-ln kernel (both arguments
+# are integers), every order-sensitive sum (doc norms over the whole
+# vocab row set, per-doc query dot products) is decimal-routed, and the
+# final chain (sqrt, ·, /) is fixed-order IEEE scalar math.
+#
+# Scale: tf is the full posting aggregate — one (doc, term) shuffle over
+# the token stream (map-side combined); df/idf stages are |vocab| rows;
+# norms are one more doc-keyed aggregate; the query-side join then
+# touches only the query terms' postings. Top-k is
+# TakeOrderedAndProject.
+
+def _tfidf_cosine_sql(tok_explode: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    stage_sql, prev = dln_int_cte_layers([("df", "d"), ("n_docs", "n")], "idf0", "tfidf")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({tok_explode})
+  GROUP BY doc_id, tok
+),
+corpus AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+idf0 AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, n_docs
+  FROM tf CROSS JOIN corpus
+  GROUP BY term, n_docs
+),
+{stage_sql},
+idf AS (SELECT term, (n_ln - d_ln) AS idf FROM {prev}),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w, idf.idf
+  FROM tf JOIN idf ON tf.term = idf.term
+),
+norms AS (
+  SELECT doc_id, sqrt({dsum_expr("w * w")}) AS norm_d
+  FROM w GROUP BY doc_id
+),
+qnorm AS (
+  SELECT sqrt({dsum_expr("idf * idf")}) AS norm_q
+  FROM idf WHERE term IN ({terms})
+),
+dots AS (
+  SELECT doc_id, {dsum_expr("w * idf")} AS dot
+  FROM w WHERE term IN ({terms})
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.dot / (n.norm_d * q.norm_q) AS cosine
+FROM dots d
+JOIN norms n ON n.doc_id = d.doc_id
+CROSS JOIN qnorm q
+ORDER BY cosine DESC, d.doc_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "search_tfidf_cosine",
+    oracle=_tfidf_cosine_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    ),
+    description="TF-IDF cosine retrieval (vector-space model): full "
+    "per-document norms over the whole vocabulary (not just query "
+    "terms), staged integer-ln idf, decimal-routed norm/dot sums, "
+    "fixed-order IEEE cosine; one (doc, term) posting aggregate + one "
+    "doc-keyed norm aggregate, query-side work bounded by the query "
+    "terms' postings",
+)
+def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _tfidf_cosine_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+        )
+    )

@@ -526,3 +526,92 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _cusum_sql(CUSUM_SPARK_TS).replace("{SPINE}", "explode(sequence(lo, hi))")
     )
+
+
+# --- Holt double exponential smoothing (level + trend) ---
+# The trend-aware big sibling of timeseries_ewma: per event type, fold
+#   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+#   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+# over the day-ordered decimal-routed daily means, seeded (l₁=y₁, b₁=0).
+# The 2-field state folds as a STRUCT accumulator on both engines —
+# Spark's aggregate() HOF over the plain series with a named_struct
+# accumulator, DuckDB's 2-arg list_reduce over the struct-mapped series
+# (its seed is the first element, so the map supplies {l: y, b: 0} and
+# the lambda reads x.l) — the recurrence text is identical, so the
+# doubles chain is engine-exact like the EWMA twin. l_t recomputes once
+# inside b_t's expression (same IEEE ops → same value; no CTE needed).
+# Forecast_next = l + b is the one-step-ahead readout.
+#
+# Scale: identical to timeseries_ewma — one (type, day) aggregate with
+# map-side combine, then a per-type fold whose state is bounded by the
+# CALENDAR (days), not data volume; 5 output rows.
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def _holt_sql(epoch_us: str, collect_series: str, fold: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         {collect_series} AS vs
+  FROM daily
+  GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_days, {fold} AS st
+  FROM series
+)
+SELECT event_type, n_days,
+       st.l AS level, st.b AS trend,
+       st.l + st.b AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
+_HOLT_NEWL_SPARK = f"{HOLT_ALPHA!r}e0 * x + {1 - HOLT_ALPHA!r}e0 * (acc.l + acc.b)"
+_HOLT_NEWL_DUCK = f"{HOLT_ALPHA!r}e0 * x.l + {1 - HOLT_ALPHA!r}e0 * (acc.l + acc.b)"
+
+_HOLT_FOLD_SPARK = (
+    "aggregate(slice(vs, 2, size(vs) - 1), "
+    "named_struct('l', element_at(vs, 1), 'b', CAST(0 AS DOUBLE)), "
+    f"(acc, x) -> named_struct('l', CAST({_HOLT_NEWL_SPARK} AS DOUBLE), "
+    f"'b', CAST({HOLT_BETA!r}e0 * (({_HOLT_NEWL_SPARK}) - acc.l) "
+    f"+ {1 - HOLT_BETA!r}e0 * acc.b AS DOUBLE)))"
+)
+_HOLT_FOLD_DUCK = (
+    "list_reduce(list_transform(vs, v -> {'l': v, 'b': 0.0::DOUBLE}), "
+    f"(acc, x) -> {{'l': {_HOLT_NEWL_DUCK}, "
+    f"'b': {HOLT_BETA!r}e0 * (({_HOLT_NEWL_DUCK}) - acc.l) "
+    f"+ {1 - HOLT_BETA!r}e0 * acc.b}})"
+)
+
+_HOLT_SERIES_SPARK = "transform(array_sort(collect_list(struct(day, v))), s -> s.v)"
+_HOLT_SERIES_DUCK = "list(v ORDER BY day)"
+
+
+@register(
+    "timeseries_holt",
+    oracle=_holt_sql("epoch_us(ts)", _HOLT_SERIES_DUCK, _HOLT_FOLD_DUCK),
+    description=f"Holt double exponential smoothing (α={HOLT_ALPHA}, "
+    f"β={HOLT_BETA}) per event type: level+trend recurrence folded over "
+    "the day-ordered decimal-routed daily means with a struct "
+    "accumulator, seeded (l₁=y₁, b₁=0); identical recurrence text on "
+    "both engines → engine-exact doubles; one-step forecast = l + b; "
+    "fold state bounded by the calendar",
+)
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _holt_sql("unix_micros(ts)", _HOLT_SERIES_SPARK, _HOLT_FOLD_SPARK)
+    )

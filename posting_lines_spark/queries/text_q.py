@@ -965,3 +965,73 @@ LIMIT {PMI_TOP}
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_pmi_sql(_LM_TOKS_SPARK))
+
+
+# --- tokenizer vocabulary coverage / OOV rate ---
+# The pre-tokenizer question every training pipeline answers before
+# committing a vocab: with a top-K vocabulary, what fraction of each
+# source's token stream falls out of vocabulary? High-OOV sources are
+# the ones that blow up into byte-fallback tokens at training time.
+# Tokens here are CHARACTER 3-GRAMS (the subword-ish unit — the
+# synthetic corpus has only 31 distinct whitespace words, which would
+# make word-level OOV vacuous; 3-grams give a 377-type stream that a
+# 256-entry vocab genuinely cannot cover).
+#
+# Determinism: vocab membership is an exact top-K over (count DESC,
+# gram) — a total order. Scale: the gram explode is map-side (one row
+# per char position), one (gram) aggregate (map-side combined), top-K
+# via TakeOrderedAndProject, then the vocab (K rows) BROADCASTS back
+# onto the gram stream — OOV marking is map-side; one final per-source
+# rollup.
+
+OOV_VOCAB_K = 256
+
+
+def _oov_sql(explode_grams: str) -> str:
+    return f"""
+WITH toks AS ({explode_grams}),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM counts ORDER BY n DESC, tok LIMIT {OOV_VOCAB_K}
+),
+marked AS (
+  SELECT t.source, t.tok,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate,
+       CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT) AS n_oov_types
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
+_OOV_GRAMS_DUCK = """SELECT source, substr(text, CAST(i AS INT), 3) AS tok
+FROM documents CROSS JOIN LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) t
+WHERE length(text) >= 3"""
+
+_OOV_GRAMS_SPARK = """SELECT source, substr(text, CAST(i AS INT), 3) AS tok
+FROM documents LATERAL VIEW explode(sequence(1, length(text) - 2)) t AS i
+WHERE length(text) >= 3"""
+
+
+@register(
+    "text_vocab_oov",
+    oracle=_oov_sql(_OOV_GRAMS_DUCK),
+    description=f"tokenizer vocabulary coverage: top-{OOV_VOCAB_K} char-"
+    "3-gram vocab by occurrence count (exact total order), broadcast "
+    "back onto the gram stream for map-side OOV marking, per-source OOV "
+    "occurrence/type rates — the byte-fallback-rate readout a tokenizer "
+    "commit decision needs; map-side explode + one gram aggregate + "
+    "TakeOrderedAndProject + one source rollup",
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_oov_sql(_OOV_GRAMS_SPARK))
