@@ -255,32 +255,28 @@ class CheckpointCycler:
     blocks of the PREVIOUS `step` result — safe because eager
     materialization means round N no longer reads round N−1. The final
     result's blocks are kept (it is what the caller returns); loop-
-    invariant checkpoints made outside the cycler are never touched
-    (superseded rounds are identified by diffing persistent-RDD ids
-    around this cycler's own checkpoint calls only).
+    invariant checkpoints made outside the cycler — or by any CONCURRENT
+    query in the same SparkContext — are never touched: the superseded
+    round is identified by the checkpointed Dataset's OWN internal RDD
+    (its analyzed plan is a LogicalRDD wrapping exactly the persisted
+    RDD), not by diffing the global persistent-RDD set, so another
+    thread persisting between calls cannot be captured and lineage-cut
+    out from under it.
 
     `DataFrame.unpersist()` does NOT free localCheckpoint blocks (the
     persisted RDD is the internal one inside LogicalRDD, not the
-    Dataset's cache entry — verified on this engine), hence the
-    getPersistentRDDs diff + direct JVM-side RDD unpersist."""
+    Dataset's cache entry — verified on this engine), hence the direct
+    JVM-side RDD unpersist."""
 
     def __init__(self, spark) -> None:
-        self._jsc = spark.sparkContext._jsc.sc()
         self._prev: list = []
 
-    def _persistent(self) -> dict:
-        out = {}
-        it = self._jsc.getPersistentRDDs().iterator()
-        while it.hasNext():
-            t = it.next()
-            out[t._1()] = t._2()
-        return out
-
     def step(self, df: DataFrame) -> DataFrame:
-        before = set(self._persistent())
         out = df.localCheckpoint(eager=True)
-        after = self._persistent()
-        fresh = [after[i] for i in after if i not in before]
+        node = out._jdf.queryExecution().analyzed()
+        # analyzed() of a localCheckpoint result is a LogicalRDD whose
+        # rdd() IS the RDD the block manager persisted (id-verified).
+        fresh = [node.rdd()]
         for rdd in self._prev:
             rdd.unpersist(False)
         self._prev = fresh

@@ -1242,3 +1242,164 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --- Mann-Whitney U (rank-sum) two-sample test, tie-corrected ---
+# The nonparametric sibling of stats_welch_ttest over the same two
+# samples (purchase vs click values): no normality assumption, exactly
+# the test a drift monitor runs on skewed metrics. All rank math stays
+# in EXACT integers: per distinct value x with group counts (c1, c2)
+# and t = c1 + c2, the average rank is cum_before(x) + (t+1)/2, so
+# twice the group-A rank sum is Σ c1·(2·cum_before + t + 1) — a BIGINT.
+# U₁ = R₁ − n₁(n₁+1)/2, μ = n₁n₂/2, and the tie-corrected variance
+# n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) are then one fixed chain of
+# double ops (shared SQL text on both engines → bit-identical z).
+#
+# Scale: one (value) aggregate with map-side combine, the global
+# cumulative count via the range-partitioned two-pass prefix sums
+# (operators/ranking.global_running_sums — no single-partition window,
+# same as stats_ks_test), then a 4-scalar reduce. The final scalar
+# arithmetic runs on ONE row.
+
+_MW_A, _MW_B = "purchase", "click"
+
+
+def _mw_final_sql(src: str) -> str:
+    u1 = ("(CAST(r1_twice AS DOUBLE) - CAST(n1 AS DOUBLE) * "
+          "(CAST(n1 AS DOUBLE) + 1.0e0)) / 2.0e0")
+    nd = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    return f"""
+SELECT n1, n2,
+       {u1} AS u1,
+       tie_sum,
+       ({u1} - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0e0)
+       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0e0
+              * (({nd} + 1.0e0)
+                 - CAST(tie_sum AS DOUBLE) / ({nd} * ({nd} - 1.0e0))))
+         AS z_stat
+FROM {src}
+"""
+
+
+MW_ORACLE = f"""
+WITH pts AS (
+  SELECT value AS x,
+         CAST(sum(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+  GROUP BY value
+),
+run AS (
+  SELECT c1, c2, c1 + c2 AS t,
+         sum(c1 + c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS run_t
+  FROM pts
+),
+agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * (run_t - t) + t + 1)) AS BIGINT) AS r1_twice,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM run
+)
+{_mw_final_sql("agg")}
+"""
+
+
+@register(
+    "stats_mann_whitney",
+    oracle=MW_ORACLE,
+    description="tie-corrected Mann-Whitney U (rank-sum) two-sample test "
+    "(purchase vs click values): exact-integer rank sums from per-value "
+    "group counts + global cumulative counts via the range-partitioned "
+    "two-pass prefix sums (no single-partition window), then one fixed "
+    "shared-text double chain for U₁ and the tie-corrected z — "
+    "bit-identical across engines; the nonparametric sibling of "
+    "stats_welch_ttest for skewed drift metrics",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    pts = (
+        e.filter(F.col("event_type").isin(_MW_A, _MW_B))
+        .groupBy(F.col("value").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0)).alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    run = global_running_sums(pts, ["x"], ["t"])
+    agg = run.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * (F.col("run_t") - F.col("t")) + F.col("t") + 1)
+        ).cast("long").alias("r1_twice"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    agg.createOrReplaceTempView("pls_mw_agg")
+    return spark.sql(_mw_final_sql("pls_mw_agg"))
+
+
+# --- weight-of-evidence (WoE) categorical encoding + information value ---
+# The scorecard-standard supervised encoding feature_target_encoding
+# doesn't cover: per category i with event count gᵢ and non-event count
+# bᵢ, WoE = ln(gᵢ/G) − ln(bᵢ/B) — four EXACT-INTEGER ln() args through
+# the deterministic kernel (functions/dmath.py, same discipline as
+# text_pmi_collocations), so the encoding is bit-identical across
+# engines; IV term = (gᵢ/G − bᵢ/B)·WoE. Domain: order priority vs the
+# 'F' (fulfilled) status flag. Categories with an empty cell are
+# excluded (WoE undefined there — the standard smoothing variants are a
+# modeling choice, not an engine one).
+# Scale: one (category) aggregate with map-side combine (category
+# cardinality-bounded state), a 1-row totals broadcast, per-row kernel
+# math. No data-shaped shuffle.
+
+
+def _woe_sql() -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    layers, last = dln_int_cte_layers(
+        [("g", "wg"), ("b", "wb"), ("gt", "wgt"), ("bt", "wbt")], "w0", "wl"
+    )
+    woe = "(wg_ln - wgt_ln) - (wb_ln - wbt_ln)"
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS category,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt FROM base),
+w0 AS (
+  SELECT base.category, base.g, base.b, tot.gt, tot.bt
+  FROM base CROSS JOIN tot
+  WHERE base.g > 0 AND base.b > 0
+),
+{layers}
+SELECT category,
+       g AS n_events, b AS n_nonevents,
+       {woe} AS woe,
+       (CAST(g AS DOUBLE) / CAST(gt AS DOUBLE)
+        - CAST(b AS DOUBLE) / CAST(bt AS DOUBLE)) * ({woe}) AS iv_term
+FROM {last}
+ORDER BY category
+"""
+
+
+@register(
+    "feature_woe_encoding",
+    oracle=_woe_sql(),
+    description="weight-of-evidence categorical encoding + IV terms "
+    "(order priority vs fulfilled-status flag): WoE = ln(g/G) − ln(b/B) "
+    "with all four ln args exact integers through the deterministic "
+    "integer-ln kernel — bit-identical encoding across engines; one "
+    "cardinality-bounded category aggregate + 1-row totals broadcast, "
+    "zero data-shaped shuffles",
+)
+def feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_woe_sql())

@@ -473,10 +473,11 @@ def _hilbert_rows_sql() -> str:
     return f"SELECT segment_id, len_m, cx, cy FROM ({base})"
 
 
-def _hilbert_write_and_prune(spark: SparkSession, sf_dir: str):
-    """Returns (pruned clustered scan DF filtered to the bbox,
-    n_files_kept_clustered, n_files_kept_hashed). Helper shared by the
-    registered query and the pruning-count test."""
+def _hilbert_write_layouts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the SAME rows into both layouts (clustered-by-curve and
+    hash-partitioned strawman), HILB_FILES files each; returns
+    (clustered_path, hashed_path). Split out so the bbox sweep tool
+    (tools/hilbert_sweep.py) can write once and prune many."""
     from posting_lines_spark.queries.extra_q import _hilbert_layers
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -499,28 +500,51 @@ def _hilbert_write_and_prune(spark: SparkSession, sf_dir: str):
         .parquet(p_clustered)
     )
     data.repartition(HILB_FILES, "segment_id").write.mode("overwrite").parquet(p_hashed)
+    return p_clustered, p_hashed
+
+
+def _bbox_kept_files(spark: SparkSession, path: str, bbox: tuple) -> list[str]:
+    """Per-file min/max (cx, cy) manifest via _metadata.file_path, pruned
+    driver-side against the bbox — the file-skipping decision a lake
+    format makes from footer stats."""
+    cx_lo, cx_hi, cy_lo, cy_hi = bbox
+    man = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.min("cx").alias("min_cx"), F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"), F.max("cy").alias("max_cy"),
+        )
+        .collect()
+    )
+    return [
+        r.file
+        for r in man
+        if r.max_cx >= cx_lo and r.min_cx <= cx_hi
+        and r.max_cy >= cy_lo and r.min_cy <= cy_hi
+    ]
+
+
+def _hilbert_write_and_prune(spark: SparkSession, sf_dir: str):
+    """Returns (pruned clustered scan DF filtered to the bbox,
+    n_files_kept_clustered, n_files_kept_hashed). Helper shared by the
+    registered query and the pruning-count test."""
+    p_clustered, p_hashed = _hilbert_write_layouts(spark, sf_dir)
 
     cx_lo, cx_hi, cy_lo, cy_hi = HILB_BBOX
-
-    def kept_files(path: str) -> list[str]:
-        man = (
-            spark.read.parquet(path)
-            .groupBy(F.col("_metadata.file_path").alias("file"))
-            .agg(
-                F.min("cx").alias("min_cx"), F.max("cx").alias("max_cx"),
-                F.min("cy").alias("min_cy"), F.max("cy").alias("max_cy"),
-            )
-            .collect()
+    keep_c = _bbox_kept_files(spark, p_clustered, HILB_BBOX)
+    keep_h = _bbox_kept_files(spark, p_hashed, HILB_BBOX)
+    # Fail LOUDLY at the source if the comparison ever goes vacuous (a
+    # future SF where the bbox overlaps every clustered file's extent,
+    # or range partitioning yields fewer non-empty files) rather than as
+    # a confusing layout_wins/files_total oracle parity diff — the
+    # oracle hardcodes layout_wins=TRUE and files_total=HILB_FILES.
+    if not (0 < len(keep_c) < len(keep_h)):
+        raise AssertionError(
+            f"hilbert pruning comparison vacuous: clustered kept "
+            f"{len(keep_c)}/{HILB_FILES}, hashed kept {len(keep_h)}/"
+            f"{HILB_FILES} for bbox {HILB_BBOX} — retune HILB_BBOX"
         )
-        return [
-            r.file
-            for r in man
-            if r.max_cx >= cx_lo and r.min_cx <= cx_hi
-            and r.max_cy >= cy_lo and r.min_cy <= cy_hi
-        ]
-
-    keep_c = kept_files(p_clustered)
-    keep_h = kept_files(p_hashed)
     pruned = spark.read.parquet(*(keep_c or [p_clustered])).filter(
         F.col("cx").between(cx_lo, cx_hi) & F.col("cy").between(cy_lo, cy_hi)
     )
@@ -565,4 +589,98 @@ def lake_hilbert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dsum_expr("len_m")).alias("total_len_m"),
         F.lit(HILB_FILES).cast("long").alias("files_total"),
         F.lit(n_c < n_h).alias("layout_wins"),
+    )
+
+
+# --- small-file compaction (the OPTIMIZE bin-packing maintenance job) ---
+# The other half of lake maintenance next to lake_hilbert_write's
+# clustering: a fragmented table (here: deliberately written as
+# COMPACT_SMALL_FILES hash-partitioned files) is re-packed into
+# ~COMPACT_BINS right-sized files by greedy sequential bin packing over
+# the per-file byte sizes from the _metadata manifest (one row per
+# FILE — driver-collectable at any data scale, same argument as
+# file_manifest). Each bin's files are read together and rewritten as
+# one file; the query returns the per-status content aggregate over the
+# COMPACTED table, so equality with the plain-orders oracle proves the
+# rewrite lost/duplicated nothing. The file-count reduction itself is
+# asserted in-engine (loud failure, per the lake_hilbert_write
+# pattern) and pinned by tests.
+#
+# Scale: planning is O(n_files) driver-side; execution reads each input
+# file once and writes each output file once (one coalesce(1) job per
+# bin — at 100 TB you'd submit bins as parallel jobs or one job with a
+# bin-keyed repartition; per-bin data is target_bytes-bounded by
+# construction).
+
+COMPACT_SMALL_FILES = 32
+COMPACT_BINS = 4
+
+COMPACT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "lake_compaction_plan",
+    oracle=COMPACT_ORACLE,
+    description=f"small-file compaction: {COMPACT_SMALL_FILES} fragmented "
+    f"files re-packed into ~{COMPACT_BINS} by greedy byte-size bin "
+    "packing over the _metadata manifest, executed bin-by-bin, then the "
+    "content aggregate over the COMPACTED table — equality with the "
+    "plain-orders oracle proves the rewrite is lossless; file-count "
+    "reduction asserted in-engine; planning O(n_files) driver-side, "
+    "per-bin data target-bounded",
+)
+def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p_small = scratch_dir(prefix="pls_compact_in_")
+    p_out = scratch_dir(prefix="pls_compact_out_")
+    o.repartition(COMPACT_SMALL_FILES, "o_orderkey").write.mode("overwrite").parquet(
+        p_small
+    )
+    man = (
+        spark.read.parquet(p_small)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.first(F.col("_metadata.file_size")).alias("bytes"))
+        .collect()
+    )
+    n_before = len(man)
+    total = sum(r.bytes for r in man)
+    target = max(1, -(-total // COMPACT_BINS))  # ceil
+    bins: dict[int, list[str]] = {}
+    cum = 0
+    for r in sorted(man, key=lambda r: r.file):  # deterministic plan order
+        bins.setdefault(cum // target, []).append(r.file)
+        cum += r.bytes
+    for files in bins.values():
+        spark.read.parquet(*files).coalesce(1).write.mode("append").parquet(p_out)
+    n_after = (
+        spark.read.parquet(p_out)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+        .count()
+    )
+    if not (0 < n_after < n_before):
+        raise AssertionError(
+            f"compaction did not reduce file count: {n_before} -> {n_after} "
+            f"(bins={len(bins)}, target={target}B)"
+        )
+    return (
+        spark.read.parquet(p_out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
     )

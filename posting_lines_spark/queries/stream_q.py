@@ -1315,8 +1315,10 @@ def _attr_stateful_run(spark: SparkSession, sf_dir: str):
     ).parquet(out), progress
 
 
-def stream_attribution_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    purch, _ = _attr_stateful_run(spark, sf_dir)
+def _attr_ledger(purch: DataFrame) -> DataFrame:
+    """Final attribution ledger over emitted purchase credits — one
+    decimal-routed aggregate; shared by the registered query and the
+    restart-recovery test so both read the sink identically."""
     return (
         purch.selectExpr(
             "'first_touch' AS model", "coalesce(eff_first, 'direct') AS channel", "value"
@@ -1335,6 +1337,11 @@ def stream_attribution_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel")
     )
+
+
+def stream_attribution_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purch, _ = _attr_stateful_run(spark, sf_dir)
+    return _attr_ledger(purch)
 
 
 register(

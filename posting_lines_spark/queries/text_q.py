@@ -1035,3 +1035,171 @@ WHERE length(text) >= 3"""
 def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_oov_sql(_OOV_GRAMS_SPARK))
+
+
+# --- Zipf rank-frequency fit over the char-3-gram stream ---
+# The corpus-health diagnostic: natural text follows freq ∝ rank^(−s)
+# with s ≈ 1; synthetic/templated corpora flatten or steepen the curve.
+# OLS of ln(freq) on ln(rank) over the top ZIPF_TOP types — both ln
+# args are EXACT INTEGERS through the deterministic kernel, every OLS
+# sum is decimal-routed, and the slope/intercept/r² chain is one shared
+# SQL text → bit-identical across engines. Types are char 3-grams (the
+# 31-word synthetic vocabulary makes word ranks vacuous; grams give a
+# 377-type distribution). Ranks use a window over the COUNTS table,
+# whose size is TYPE-bounded (≤ alphabet³, ~50k for lowered ASCII at
+# any corpus size), never data-shaped.
+
+ZIPF_TOP = 200
+
+_ZIPF_GRAMS_DUCK = """SELECT substr(text, CAST(i AS INT), 3) AS tok
+FROM documents CROSS JOIN LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) t
+WHERE length(text) >= 3"""
+
+_ZIPF_GRAMS_SPARK = """SELECT substr(text, CAST(i AS INT), 3) AS tok
+FROM documents LATERAL VIEW explode(sequence(1, length(text) - 2)) t AS i
+WHERE length(text) >= 3"""
+
+
+def _zipf_sql(explode_grams: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    layers, last = dln_int_cte_layers([("n", "zn"), ("r", "zr")], "top", "zl")
+    return f"""
+WITH toks AS ({explode_grams}),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS r
+  FROM counts
+),
+top AS (SELECT * FROM ranked WHERE r <= {ZIPF_TOP}),
+{layers},
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         {dsum_expr("zr_ln")} AS sx,
+         {dsum_expr("zn_ln")} AS sy,
+         {dsum_expr("zr_ln * zr_ln")} AS sxx,
+         {dsum_expr("zr_ln * zn_ln")} AS sxy,
+         {dsum_expr("zn_ln * zn_ln")} AS syy
+  FROM {last}
+),
+fit AS (
+  SELECT m, sx, sy, syy, sxx, sxy,
+         (CAST(m AS DOUBLE) * sxy - sx * sy)
+           / (CAST(m AS DOUBLE) * sxx - sx * sx) AS slope
+  FROM sums
+)
+SELECT m AS n_points,
+       slope,
+       (sy - slope * sx) / CAST(m AS DOUBLE) AS intercept,
+       ((CAST(m AS DOUBLE) * sxy - sx * sy) * (CAST(m AS DOUBLE) * sxy - sx * sy))
+         / ((CAST(m AS DOUBLE) * sxx - sx * sx)
+            * (CAST(m AS DOUBLE) * syy - sy * sy)) AS r2
+FROM fit
+"""
+
+
+@register(
+    "text_zipf_fit",
+    oracle=_zipf_sql(_ZIPF_GRAMS_DUCK),
+    description=f"Zipf rank-frequency OLS over the top-{ZIPF_TOP} char-"
+    "3-gram types: ln(rank) and ln(freq) through the deterministic "
+    "integer-ln kernel, decimal-routed OLS sums, shared-text slope/"
+    "intercept/r² chain — bit-identical across engines; rank window is "
+    "TYPE-bounded (≤ alphabet³), never data-shaped; the corpus-"
+    "naturalness diagnostic",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_zipf_sql(_ZIPF_GRAMS_SPARK))
+
+
+# --- RAKE keyword extraction ---
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; each word scores
+# deg(w)/freq(w) where deg sums the lengths of phrases containing it
+# (co-occurrence degree, self included) and freq counts occurrences;
+# a phrase scores the sum of its member words' scores. Identical
+# phrase TEXT ⇒ identical score (word stats are corpus-level), so the
+# report groups by phrase text with occurrence counts. Exact-integer
+# deg/freq → one division per word; the per-phrase score sum is
+# decimal-routed; top 15 under a total order.
+#
+# Scale: one doc-partitioned window (running stopword count — state
+# bounded by doc length) assigns phrase ids; word stats and the phrase
+# rollup are map-side-combinable aggregates; the word-score join keys
+# on the token (vocabulary-bounded dimension → broadcast at scale).
+
+RAKE_STOPS = "'the', 'a', 'of', 'and', 'to'"
+RAKE_TOP = 15
+
+
+def _rake_sql(toks: str, phrase_agg: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+WITH toks AS ({toks}),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({RAKE_STOPS}) THEN 1 ELSE 0 END AS stop
+  FROM toks
+),
+numbered AS (
+  SELECT doc_id, pos, tok, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS p
+  FROM marked
+),
+members AS (
+  SELECT doc_id, p, pos, tok FROM numbered WHERE stop = 0
+),
+plen AS (
+  SELECT doc_id, p, CAST(count(*) AS BIGINT) AS len
+  FROM members GROUP BY doc_id, p
+),
+wstat AS (
+  SELECT m.tok,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(l.len) AS BIGINT) AS deg
+  FROM members m JOIN plen l ON l.doc_id = m.doc_id AND l.p = m.p
+  GROUP BY m.tok
+),
+phrases AS (
+  SELECT m.doc_id, m.p,
+         {phrase_agg} AS phrase,
+         {dsum_expr("CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE)")} AS score
+  FROM members m JOIN wstat w ON w.tok = m.tok
+  GROUP BY m.doc_id, m.p
+)
+SELECT phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(score) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY score DESC, phrase
+LIMIT {RAKE_TOP}
+"""
+
+
+_RAKE_AGG_SPARK = (
+    "concat_ws(' ', transform(array_sort(collect_list(struct(m.pos, m.tok))), "
+    "s -> s.tok))"
+)
+_RAKE_AGG_DUCK = "string_agg(m.tok, ' ' ORDER BY m.pos)"
+
+
+@register(
+    "text_keyword_rake",
+    oracle=_rake_sql(_LM_TOKS_DUCK, _RAKE_AGG_DUCK),
+    description="RAKE keyword extraction: stopword-free maximal phrase "
+    "runs via one doc-bounded running-count window, exact-integer "
+    "deg/freq word scores, decimal-routed phrase score sums, corpus "
+    f"rollup by phrase text, top {RAKE_TOP} under a total order; word-"
+    "score join is vocabulary-bounded (broadcast at scale)",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_rake_sql(_LM_TOKS_SPARK, _RAKE_AGG_SPARK))

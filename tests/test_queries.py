@@ -16,6 +16,33 @@ def test_approx_stats_within_bounds(spark):
     assert row.parts_ok and row.orders_ok and row.median_ok
 
 
+def test_no_oracle_uses_multifield_struct_accumulator():
+    """DuckDB 1.0's list_reduce mutates a multi-field STRUCT accumulator in
+    place while evaluating the lambda's field expressions (adjudicated in
+    round-5 VERDICT.md via a probe-field repro: 'lp': acc.l returned the
+    NEW l), silently corrupting any >=2-field fold state. The
+    timeseries_holt oracle hit this; its fix was a recursive CTE. This
+    guard keeps the bug class out of every FUTURE oracle: no oracle SQL
+    may build a struct-literal accumulator lambda ("-> {'" / "-> {{'")
+    inside list_reduce/reduce. Scalar accumulators (DOUBLE/BIGINT) and
+    struct ELEMENTS (x.field reads) remain fine.
+    """
+    import re
+
+    import __spark_entry__ as m
+
+    pat = re.compile(r"->\s*\{'")
+    offenders = [
+        name
+        for name, sql in m.oracle_sql().items()
+        if ("list_reduce" in sql or "reduce(" in sql) and pat.search(sql)
+    ]
+    assert not offenders, (
+        f"multi-field struct accumulator in DuckDB oracle (unsafe in "
+        f"DuckDB 1.0 list_reduce): {offenders}"
+    )
+
+
 # Queries allowed to contain a cartesian product: 1-row × 1-row scalar
 # combines, where a cross join is the correct plan.
 _CARTESIAN_OK = {"corpus_survivors", "approx_stats"}
