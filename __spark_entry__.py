@@ -39,6 +39,15 @@ _LEDGER_PRIORITY = [
     "text_zipf_fit",
     "text_keyword_rake",
     "lake_compaction_plan",
+    "stats_anova_oneway",
+    "events_markov_stationary",
+    "topk_heavy_hitters_mg",
+    "events_survival_km",
+    "geo_dbscan_core",
+    "stream_heavy_hitters",
+    "stats_proportion_ztest",
+    "dq_referential_integrity",
+    "text_burstiness",
 ]
 
 

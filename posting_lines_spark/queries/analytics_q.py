@@ -1403,3 +1403,307 @@ ORDER BY category
 def feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_woe_sql())
+
+
+# --- one-way ANOVA (k-group F test) ---
+# The k-group generalization of stats_welch_ttest: does mean(value)
+# differ across ALL five event types? Per-group decimal-exact (n, Σx,
+# Σx²) — the same sufficient-statistics discipline as Welch (values are
+# 2-dp so x² is 4-dp: the decimal route is EXACT) — then the group-
+# level sums are decimal-routed AGAIN (5 doubles summed order-free) and
+# SSB/SSW/F are one shared-text double chain → bit-identical across
+# engines. One map-side-combinable aggregate, k rows of state, 1-row
+# output.
+
+
+def _anova_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {dsum_expr("value")} AS sx,
+         {dsum_expr("value * value")} AS sxx
+  FROM events
+  GROUP BY event_type
+),
+g AS (
+  SELECT n, sx, sxx,
+         sxx - (sx * sx) / CAST(n AS DOUBLE) AS ssw_i,
+         (sx * sx) / CAST(n AS DOUBLE) AS sq_i
+  FROM stats
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS k,
+         {dsum_expr("sx")} AS sxt,
+         {dsum_expr("ssw_i")} AS ssw,
+         {dsum_expr("sq_i")} AS sq
+  FROM g
+)
+SELECT nt, k,
+       sq - (sxt * sxt) / CAST(nt AS DOUBLE) AS ssb,
+       ssw,
+       (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))
+         / (CAST(k AS DOUBLE) - 1.0e0)
+         * (sq - (sxt * sxt) / CAST(nt AS DOUBLE)) / ssw AS f_stat
+FROM agg
+"""
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=_anova_sql(),
+    description="one-way ANOVA F across all five event types: decimal-"
+    "exact per-group (n, Σx, Σx²), group-level sums decimal-routed "
+    "again, then one shared-text SSB/SSW/F double chain — bit-identical "
+    "across engines; one map-side-combinable aggregate, k rows of "
+    "state; the k-group sibling of stats_welch_ttest",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_anova_sql())
+
+
+# --- Markov stationary distribution (fixed-point power iteration) ---
+# Where event_transitions reports the one-step matrix, this iterates it
+# to the chain's long-run occupancy — the "where do user journeys
+# spend their time" readout. Determinism across engines: the state
+# vector lives in INTEGER micro-units (π·10⁶ as BIGINT); each step is
+# π'_j = Σ_u round(π_u · p_uj) — the double product is engine-identical
+# (p_uj is one correctly-rounded division of exact integers), round()
+# on a double is engine-identical, and the BIGINT sum is exact and
+# order-free. MARKOV_ITERS unrolled CTE layers over the 25-cell matrix
+# (the same unrolled-recurrence oracle pattern as graph_pagerank);
+# mass drifts from 10⁶ only by the per-step rounding (≤ k/2 units).
+# Scale: the matrix is event-type-bounded (k²), iteration cost is
+# O(k²·iters) regardless of data volume; the only data-shaped work is
+# the one lag-window pass building the bigram counts. The unrolled plan
+# shows ~5 exchanges per step (PLANS.md) — every one carries ≤ k² rows
+# (25 here), so the step cost is scheduling latency, not shuffle IO;
+# at a larger state space you'd broadcast pmat and fold driver-free.
+
+MARKOV_ITERS = 8
+
+
+def _markov_sql(us: str) -> str:
+    steps = []
+    for i in range(1, MARKOV_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT p.next_type AS state,
+         CAST(sum(CAST(round(CAST(r.v AS DOUBLE) * p.p) AS BIGINT)) AS BIGINT) AS v
+  FROM r{i - 1} r JOIN pmat p ON p.prev_type = r.state
+  GROUP BY p.next_type
+)""")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY {us}, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+pmat AS (
+  SELECT prev_type, next_type,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+  FROM t
+),
+states AS (SELECT DISTINCT prev_type AS state FROM pmat),
+nstates AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+r0 AS (
+  SELECT state, CAST(1000000 / k AS BIGINT) AS v
+  FROM states CROSS JOIN nstates
+),
+{",".join(steps)}
+SELECT state AS event_type,
+       v AS pi_micro,
+       CAST(v AS DOUBLE) / 1.0e6 AS pi
+FROM r{MARKOV_ITERS}
+ORDER BY state
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_sql("epoch_us(ts)"),
+    description=f"Markov stationary distribution by {MARKOV_ITERS} "
+    "unrolled fixed-point power-iteration steps over the event-type "
+    "transition matrix: state vector in BIGINT micro-units, each step "
+    "round(π·p) summed exactly — engine-identical with zero float-sum "
+    "order sensitivity; matrix is type-bounded (k²), the only data-"
+    "shaped work is the lag-window bigram count",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_markov_sql("unix_micros(ts)"))
+
+
+# --- Kaplan-Meier survival estimator (time to first purchase) ---
+# The missing censoring-aware analytics primitive: per signed-up user,
+# duration = days from first signup to first purchase ON OR AFTER it;
+# users who never purchase are right-CENSORED at their last observed
+# day — exactly what naive "average days to convert" silently throws
+# away. Risk table over distinct durations (at-risk n_t via a
+# DESCENDING running count), then the product-limit estimator in LOG
+# space: ln S(t) = Σ_{s≤t} [ln(n_s−d_s) − ln(n_s)] — both args EXACT
+# INTEGERS through the deterministic kernel, and the cumulative sum is
+# an ORDERED running window (sequential accumulation in frame order on
+# both engines → engine-identical doubles). Log-survival is the
+# standard reporting form and keeps the whole chain in the IEEE-exact
+# kernel set (no exp anywhere — the same discipline as
+# curation_quality_logistic). Steps with n = d (everyone at risk
+# converts) would end S at exactly 0 (ln → −∞); they are excluded like
+# every KM implementation's plotting cutoff.
+# Scale: per-user rollup shuffles once on user_id; the risk table is
+# CALENDAR-bounded (≤ distinct duration days), so its windows carry
+# bounded state like the EWMA/Holt family.
+
+
+def _km_sql(epoch_us: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    layers, last = dln_int_cte_layers([("nd", "ks"), ("n", "kn")], "steps", "kml")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {day} AS day FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN day END) AS s_day,
+         max(day) AS last_day
+  FROM ev GROUP BY user_id
+),
+purch AS (
+  SELECT e.user_id, min(e.day) AS p_day
+  FROM ev e JOIN per_user u ON u.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.day >= u.s_day
+  GROUP BY e.user_id
+),
+obs AS (
+  SELECT u.user_id,
+         CASE WHEN p.p_day IS NOT NULL THEN p.p_day - u.s_day
+              ELSE u.last_day - u.s_day END AS t,
+         CASE WHEN p.p_day IS NOT NULL THEN 1 ELSE 0 END AS ev_flag
+  FROM per_user u LEFT JOIN purch p ON p.user_id = u.user_id
+  WHERE u.s_day IS NOT NULL
+),
+risk AS (
+  SELECT t,
+         CAST(sum(ev_flag) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS m
+  FROM obs GROUP BY t
+),
+atrisk AS (
+  SELECT t, d,
+         CAST(sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+  FROM risk
+),
+steps AS (
+  SELECT t, d, n, n - d AS nd FROM atrisk WHERE d > 0 AND n > d
+),
+{layers}
+SELECT t AS duration_days, n AS n_at_risk, d AS d_events,
+       sum(ks_ln - kn_ln) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         AS ln_survival
+FROM {last}
+ORDER BY duration_days
+"""
+
+
+@register(
+    "events_survival_km",
+    oracle=_km_sql("epoch_us(ts)"),
+    description="Kaplan-Meier product-limit estimator for days-to-first-"
+    "purchase with right-censoring at last observed day: at-risk counts "
+    "via a descending running window over the CALENDAR-bounded risk "
+    "table, ln S(t) as an ordered running sum of exact-integer kernel "
+    "lns — engine-identical log-survival with no exp/ln libm calls "
+    "anywhere; one user_id shuffle + calendar-bounded windows",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_km_sql("unix_micros(ts)"))
+
+
+# --- two-proportion z-test (A/B conversion) ---
+# The experimentation staple the stats family lacked: do clickers and
+# viewers convert at different rates? Conversion is WINDOWED — a
+# purchase within 7 days AFTER the user's FIRST exposure to the
+# variant event — because lifetime "ever purchased" saturates to 100%
+# on an active corpus and degenerates the pooled variance (observed:
+# p̂=1 → divide-by-zero; same failure class as Welch's degenerate
+# groups, guarded the same way with nullif + a degenerate flag).
+# Exposure/conversion counts are exact integers from one user-grain
+# aggregate + one windowed join back to events (co-shuffled on
+# user_id); the pooled-variance z is one fixed shared-text double
+# chain.
+
+_AB_A, _AB_B = "click", "view"
+_AB_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+def _prop_ztest_sql(us: str) -> str:
+    phat = "(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {us} AS us FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{_AB_A}' THEN us END) AS a_us,
+         min(CASE WHEN event_type = '{_AB_B}' THEN us END) AS b_us
+  FROM ev
+  GROUP BY user_id
+),
+conv AS (
+  SELECT u.user_id,
+         CASE WHEN u.a_us IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN u.b_us IS NOT NULL THEN 1 ELSE 0 END AS in_b,
+         max(CASE WHEN e.event_type = 'purchase' AND e.us >= u.a_us
+                   AND e.us < u.a_us + {_AB_WINDOW_US} THEN 1 ELSE 0 END) AS conv_a,
+         max(CASE WHEN e.event_type = 'purchase' AND e.us >= u.b_us
+                   AND e.us < u.b_us + {_AB_WINDOW_US} THEN 1 ELSE 0 END) AS conv_b
+  FROM per_user u LEFT JOIN ev e ON e.user_id = u.user_id
+  GROUP BY u.user_id, u.a_us, u.b_us
+),
+wide AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+         CAST(sum(in_a * conv_a) AS BIGINT) AS x1,
+         CAST(sum(in_b) AS BIGINT) AS n2,
+         CAST(sum(in_b * conv_b) AS BIGINT) AS x2
+  FROM conv
+)
+SELECT n1, x1, n2, x2,
+       CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+       CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       / nullif(sqrt({phat} * (1.0e0 - {phat})
+              * (1.0e0 / CAST(n1 AS DOUBLE) + 1.0e0 / CAST(n2 AS DOUBLE))), 0.0e0)
+         AS z_stat,
+       (n1 = 0 OR n2 = 0 OR x1 + x2 = 0 OR x1 + x2 = n1 + n2) AS degenerate
+FROM wide
+"""
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle=_prop_ztest_sql("epoch_us(ts)"),
+    description="two-proportion z-test on 7-day windowed conversion "
+    "(first click vs first view exposure -> purchase within the "
+    "window): exact-integer counts from one user-grain aggregate + one "
+    "user_id-co-shuffled windowed join, pooled-variance z as a fixed "
+    "shared-text double chain with Welch-style degenerate guards - "
+    "bit-identical across engines; the A/B readout next to "
+    "Welch/Mann-Whitney",
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_prop_ztest_sql("unix_micros(ts)"))

@@ -789,3 +789,60 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- referential-integrity audit (FK orphan counts) ---
+# The DQ constraint the dq_audit row checks don't cover: do the
+# foreign-key edges of the star schema actually resolve? For each
+# declared FK (lineitem→orders, lineitem→part, lineitem→supplier,
+# orders→customer, customer→nation, supplier→nation, nation→region),
+# count rows, distinct keys, and ORPHANS (left anti join on the
+# parent). At 100 TB each check is one semi-join — the small parents
+# broadcast; the two lineitem-fact checks against part/supplier
+# broadcast too (dimension-sized); lineitem→orders co-shuffles on the
+# key. All counts exact integers; zero orphans is the expected state
+# on the shipped generator, and the audit's value is that it FAILS
+# LOUDLY (a nonzero row) the day an ingest breaks an edge.
+
+_RI_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_TABLES = sorted({t for e in _RI_EDGES for t in (e[0], e[2])})
+
+
+def _ri_sql() -> str:
+    parts = []
+    for child, fk, parent, pk in _RI_EDGES:
+        parts.append(f"""
+SELECT '{child}.{fk}' AS fk_edge,
+       '{parent}.{pk}' AS parent_key,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT count(DISTINCT {fk}) FROM {child}) AS BIGINT) AS n_fk_values,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+               AND c.{fk} IS NOT NULL) AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM {child} WHERE {fk} IS NULL) AS BIGINT) AS n_null_fk
+""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=_ri_sql(),
+    description="referential-integrity audit over all 7 star-schema FK "
+    "edges: row/distinct/orphan/null counts per edge via anti-join-"
+    "shaped NOT EXISTS (broadcast for dimension parents, co-shuffled "
+    "for the fact→orders edge); exact integers, loud nonzero rows the "
+    "day an ingest breaks an edge",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in _RI_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ri_sql())

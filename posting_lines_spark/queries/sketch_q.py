@@ -500,3 +500,100 @@ def _kmv_unnest_duck() -> str:
 def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_kmv_sql(_kmv_unnest_spark(), md5_int_spark("shingle", salt="kmv")))
+
+
+# --- exact distributed heavy hitters via Misra-Gries candidates ---
+# The two-pass exact heavy-hitters algorithm every 100 TB frequency
+# report should use instead of a full groupBy: pass 1 runs a
+# Misra-Gries(k) summary PER PARTITION inside mapInPandas (bounded
+# state: at most k−1 counters per partition, merged per Arrow batch by
+# the standard batched decrement — subtract the k-th largest merged
+# count, drop ≤0). Pigeonhole guarantee: any key with GLOBAL count
+# > N/k exceeds N_P/k in ≥1 partition, so the union of per-partition
+# candidates is a SUPERSET of the true heavy hitters — never a miss.
+# Pass 2 semi-joins the stream onto the (tiny, broadcast) candidate
+# set and counts EXACTLY, keeping keys with n·k > N (integer-exact
+# threshold, no division). Result = exactly the keys a plain
+# GROUP BY ... HAVING would return — which is the oracle — but the
+# full shuffle carries ONLY candidate rows: at a 10⁹-key domain the
+# groupBy shuffles 10⁹ keys, this shuffles ≤ partitions·k candidates
+# plus their rows.
+#
+# Stream choice: the char-3-gram token stream of `documents` — its
+# frequency SHAPE is scale-free (Zipf, see text_zipf_fit), so "count >
+# N/200" names the same ~130 heavy grams at every SF; uniform TPC-H
+# keys would make any fixed N/k threshold vacuous as N grows. (The
+# gram DOMAIN here is alphabet-bounded; on real unicode/longer-gram
+# text the domain explodes while the frequency shape persists — which
+# is exactly when MG's bounded counters beat the full groupBy.)
+
+HH_K = 200  # heavy = count > N / HH_K
+
+
+def _mg_candidates(batches, k: int = HH_K):
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        bc = pdf["k"].value_counts()
+        for key, cnt in bc.items():  # iterates DISTINCT keys in the batch
+            counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) >= k:
+            s = pd.Series(counters)
+            m = s.nlargest(k).iloc[-1]  # k-th largest merged count
+            s = s - m
+            counters = s[s > 0].to_dict()
+    yield pd.DataFrame({"k": pd.Series(list(counters.keys()), dtype="object")})
+
+
+_HH_GRAMS_SPARK = """SELECT substr(text, CAST(i AS INT), 3) AS k
+FROM documents LATERAL VIEW explode(sequence(1, length(text) - 2)) t AS i
+WHERE length(text) >= 3"""
+
+HH_ORACLE = f"""
+WITH toks AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS k
+  FROM documents CROSS JOIN LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) t
+  WHERE length(text) >= 3
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT toks.k AS gram, CAST(count(*) AS BIGINT) AS n
+FROM toks CROSS JOIN tot
+GROUP BY toks.k, tot.n_total
+HAVING count(*) * {HH_K} > tot.n_total
+ORDER BY n DESC, gram
+"""
+
+
+@register(
+    "topk_heavy_hitters_mg",
+    oracle=HH_ORACLE,
+    description=f"exact distributed heavy hitters (count > N/{HH_K}) "
+    "over the Zipf-shaped char-3-gram stream: per-partition Misra-Gries "
+    "candidates in mapInPandas (≤ k−1 counters/partition, batched "
+    "decrement), pigeonhole superset guarantee, then an exact second "
+    "pass counting ONLY candidate rows with an integer-exact n·k > N "
+    "threshold — identical output to the full groupBy HAVING (the "
+    "oracle) while shuffling candidates instead of the key domain",
+)
+def topk_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    toks = spark.sql(_HH_GRAMS_SPARK)
+    cands = (
+        toks.mapInPandas(_mg_candidates, schema="k string")
+        .distinct()
+        .localCheckpoint(eager=False)  # unknown stats would allow a bad
+        # plan reversal; the candidate set is bounded (≤ partitions·k) and
+        # explicitly broadcast below
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands.select(F.col("k").alias("ck"))),
+                  toks.k == F.col("ck"), "left_semi")
+        .groupBy(F.col("k").alias("gram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * HH_K > F.col("n_total"))
+        .select("gram", "n")
+        .orderBy(F.desc("n"), "gram")
+    )

@@ -420,3 +420,179 @@ ORDER BY inside
 def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_pip_sql())
+
+
+# --- DBSCAN core-point labeling (grid-bucketed eps-neighbor counts) ---
+# The density phase of DBSCAN — which points have ≥ MINPTS neighbors
+# within EPS — is the expensive, shuffle-shaped part of the algorithm
+# (the later cluster-expansion is a connected-components pass the
+# engine already has, operators/graph.py). Same grid discipline as
+# geo_distance_join: cells of width EPS; the exact test compares
+# SQUARED distance to EPS² — mul/add only, no sqrt, so the predicate
+# is engine-identical on the kernel-projected x/y. The self-join uses
+# the plane-sweep HALVING: each point probes only its own cell plus 4
+# FORWARD neighbors ((1,0),(−1,1),(0,1),(1,1)), id-ordered inside the
+# own cell, so every unordered eps-pair is found EXACTLY ONCE (still a
+# proven superset: any point within EPS lies within ±1 cell, and each
+# adjacent-cell direction appears in exactly one of the two points'
+# forward probe sets) — half the candidate work of the naive 3×3
+# (measured at sf0.1: 36.5 s naive → see SCALE.md round-6 table);
+# per-point neighbor counts then come from exploding both endpoints of
+# the (far smaller) VERIFIED pair set. Output is the core/non-core
+# summary (2 rows) with decimal-exact mean neighbor counts; neighbor
+# multisets include the point itself (standard |N_eps(p)| ≥ minPts)
+# via the 1 + count form, and the left join keeps isolated points.
+#
+# Scale: candidate fanout is density-bounded — Σ_cell ~4.5·n_cell² —
+# never a cross join; skewed cells are the classic salting candidate.
+# Spark side self-joins ACROSS A STORAGE BOUNDARY (enrich_materialized)
+# so cx/cy are plain attributes, not inlined Albers kernels, in the
+# join key (the Janino 64KB lesson).
+
+DBSCAN_EPS_M = 5_000.0
+DBSCAN_MINPTS = 10
+
+# forward half-plane probes; (0,0) pairs are id-ordered instead
+_DBSCAN_FWD = [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+
+_DBSCAN_OFFSETS = " UNION ALL ".join(
+    f"SELECT {i} AS dx, {j} AS dy" for i, j in _DBSCAN_FWD
+)
+
+
+def _dbscan_core_sql() -> str:
+    eps2 = dlit(DBSCAN_EPS_M * DBSCAN_EPS_M)
+    cell = dlit(DBSCAN_EPS_M)
+    return f"""
+WITH seg AS ({enriched_sql()}),
+pts AS (
+  SELECT DISTINCT segment_id AS id, x1 AS x, y1 AS y,
+         CAST(floor(x1 / {cell}) AS BIGINT) AS cx,
+         CAST(floor(y1 / {cell}) AS BIGINT) AS cy
+  FROM seg
+),
+offsets AS ({_DBSCAN_OFFSETS}),
+probes AS (
+  SELECT id, x, y, dx, dy, cx + dx AS pcx, cy + dy AS pcy
+  FROM pts CROSS JOIN offsets
+),
+pairs AS (
+  SELECT a.id AS id_a, a.x AS xa, a.y AS ya,
+         b.id AS id_b, b.x AS xb, b.y AS yb
+  FROM probes a JOIN pts b ON b.cx = a.pcx AND b.cy = a.pcy
+  WHERE (a.dx <> 0 OR a.dy <> 0
+         OR (a.id, a.x, a.y) < (b.id, b.x, b.y))
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps2}
+),
+ends AS (
+  SELECT id_a AS id, xa AS x, ya AS y FROM pairs
+  UNION ALL
+  SELECT id_b AS id, xb AS x, yb AS y FROM pairs
+),
+neigh AS (
+  SELECT p.id, p.x, p.y, CAST(1 + count(e.id) AS BIGINT) AS n_neighbors
+  FROM pts p LEFT JOIN ends e ON e.id = p.id AND e.x = p.x AND e.y = p.y
+  GROUP BY p.id, p.x, p.y
+)
+SELECT n_neighbors >= {DBSCAN_MINPTS} AS is_core,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(n_neighbors) AS BIGINT) AS min_neighbors,
+       CAST(max(n_neighbors) AS BIGINT) AS max_neighbors,
+       {davg_expr("n_neighbors")} AS avg_neighbors
+FROM neigh
+GROUP BY 1
+ORDER BY is_core
+"""
+
+
+@register(
+    "geo_dbscan_core",
+    oracle=_dbscan_core_sql(),
+    description=f"DBSCAN core-point labeling (eps {DBSCAN_EPS_M / 1000:.0f} "
+    f"km, minPts {DBSCAN_MINPTS}): grid-bucketed 3×3 self-join (proven "
+    "eps-neighbor superset), squared-distance predicate (no sqrt — "
+    "engine-identical), core/non-core summary with decimal-exact mean "
+    "neighbor counts; the density phase of DBSCAN, cluster expansion "
+    "being a CC pass the engine already has",
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DISTINCT: the point SET — (segment_id, x1, y1) triples can repeat
+    # in the raw table (one exact-duplicate at sf0.1) and a duplicated
+    # point would double its own neighbor count
+    pts = (
+        enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"])
+        .selectExpr(
+            "segment_id AS id",
+            "x1 AS x",
+            "y1 AS y",
+            f"CAST(floor(x1 / {dlit(DBSCAN_EPS_M)}) AS BIGINT) AS cx",
+            f"CAST(floor(y1 / {dlit(DBSCAN_EPS_M)}) AS BIGINT) AS cy",
+        )
+        .distinct()
+    )
+    probes = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("dx"), F.lit(j).alias("dy"),
+                        (F.col("cx") + i).alias("pcx"), (F.col("cy") + j).alias("pcy"),
+                    )
+                    for i, j in _DBSCAN_FWD
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "x", "y", "p.dx", "p.dy", "p.pcx", "p.pcy")
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
+    )
+    eps2 = DBSCAN_EPS_M * DBSCAN_EPS_M
+    pairs = (
+        probes.join(b, ["pcx", "pcy"])
+        .filter(
+            (
+                (F.col("dx") != 0)
+                | (F.col("dy") != 0)
+                | (F.struct("id", "x", "y") < F.struct("id_b", "bx", "by"))
+            )
+            & (
+                (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+                + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+                <= F.lit(eps2)
+            )
+        )
+        .select("id", "x", "y", "id_b", "bx", "by")
+    )
+    # segment_id is NOT unique (multi-line segments share it); the point
+    # identity is the (id, x, y) triple — exact float copies, never
+    # arithmetic results, so the equality join/group keys are safe
+    ends = pairs.select("id", "x", "y").unionAll(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("bx").alias("x"), F.col("by").alias("y")
+        )
+    )
+    neigh = (
+        pts.select("id", "x", "y")
+        .join(
+            ends.groupBy("id", "x", "y").agg(F.count(F.lit(1)).alias("c")),
+            ["id", "x", "y"],
+            "left",
+        )
+        .select((F.lit(1) + F.coalesce("c", F.lit(0))).alias("n_neighbors"))
+    )
+    return (
+        neigh.groupBy(
+            (F.col("n_neighbors") >= DBSCAN_MINPTS).alias("is_core")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("n_neighbors").alias("min_neighbors"),
+            F.max("n_neighbors").alias("max_neighbors"),
+            F.expr(davg_expr("n_neighbors")).alias("avg_neighbors"),
+        )
+        .orderBy("is_core")
+    )

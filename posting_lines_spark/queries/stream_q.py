@@ -1355,3 +1355,131 @@ register(
     "purchase credits append to a parquet sink and the final ledger is "
     "one decimal-routed aggregate; oracle = the batch attribution SQL",
 )(stream_attribution_stateful)
+
+
+# --- streaming heavy hitters (mergeable Misra-Gries carry) ---
+# The time-axis twin of sketch_q.topk_heavy_hitters_mg: there MG(k)
+# summaries merge ACROSS PARTITIONS; here the SAME summary merges
+# ACROSS MICRO-BATCHES (MG is a mergeable summary — Agarwal et al.,
+# PODS'12: add counters, then subtract the k-th largest and drop ≤0;
+# total decrement stays ≤ N/k, so the carry is always a SUPERSET of
+# the true heavy hitters regardless of slicing). Per epoch the state
+# is ≤ k−1 (gram, weight) rows in plain parquet (overwrite →
+# retry-idempotent, auditable between epochs like the other
+# foreachBatch twins); after the drain, one exact counting pass over
+# ONLY the carried candidates with the integer-exact n·k > N threshold
+# yields exactly the batch GROUP BY HAVING — the oracle, unchanged.
+# The final output is order-INDEPENDENT (any slicing yields the same
+# exact result); only the intermediate candidate sets depend on order.
+# Scale: state is k-bounded at any stream length; the per-batch merge
+# touches ≤ k + batch-distinct keys; the sketch-sized k-th-largest
+# lookup is a bounded (≤ k rows) driver collect — the sanctioned
+# bounded-metadata pattern.
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from posting_lines_spark.queries.sketch_q import HH_K
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def write_slices(p: str) -> None:
+        import time
+
+        sliced = docs.selectExpr(
+            "doc_id", "text", "CAST(doc_id % 4 AS INT) AS slice"
+        )
+        seen: set[str] = set()
+        base = time.time()
+        for i in range(4):
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(p)
+            )
+            force_mtime_order(p, seen, i, base)
+
+    src = cached_fixture("hh_docs_src", sf_dir, write_slices, "pls_hh_src_")
+    state_root = scratch_dir("pls_hh_state_")
+    ckpt = scratch_dir("pls_hh_ckpt_")
+    schema = spark.read.parquet(src).schema
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return (
+            df.where("length(text) >= 3")
+            .selectExpr("text", "explode(sequence(1, length(text) - 2)) AS i")
+            .selectExpr("substr(text, CAST(i AS INT), 3) AS k")
+        )
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        prev = f"{state_root}/e{epoch_id - 1}"
+        if os.path.isdir(prev):
+            state = s.read.parquet(prev)
+        else:
+            state = s.createDataFrame([], "k string, w long")
+        bc = grams_of(batch_df).groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        merged = (
+            state.join(bc, "k", "full_outer")
+            .selectExpr("k", "coalesce(w, 0) + coalesce(c, 0) AS w")
+            .localCheckpoint(eager=True)  # sketch-sized; read 3× below
+        )
+        if merged.count() >= HH_K:
+            kth = (
+                merged.orderBy(F.desc("w"), "k")
+                .limit(HH_K)
+                .agg(F.min("w"))
+                .collect()[0][0]
+            )
+            merged = merged.selectExpr("k", f"w - {kth} AS w").filter("w > 0")
+        merged.write.mode("overwrite").parquet(f"{state_root}/e{epoch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = max(int(d[1:]) for d in os.listdir(state_root) if d.startswith("e"))
+    cands = spark.read.parquet(f"{state_root}/e{last}").select(
+        F.col("k").alias("ck")
+    )
+    toks = grams_of(spark.read.parquet(src))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cands), toks.k == F.col("ck"), "left_semi")
+        .groupBy(F.col("k").alias("gram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * HH_K > F.col("n_total"))
+        .select("gram", "n")
+        .orderBy(F.desc("n"), "gram")
+    )
+
+
+def _stream_hh_oracle() -> str:
+    from posting_lines_spark.queries.sketch_q import HH_ORACLE
+
+    return HH_ORACLE
+
+
+register(
+    "stream_heavy_hitters",
+    oracle=_stream_hh_oracle(),
+    description="streaming exact heavy hitters: a k-bounded Misra-Gries "
+    "carry merged across micro-batches (mergeable-summary decrement — "
+    "superset guarantee holds under ANY slicing), per-epoch parquet "
+    "state overwrite (retry-idempotent, auditable), then one exact "
+    "candidate-only counting pass with the integer n·k > N threshold — "
+    "output identical to the batch GROUP BY HAVING (the oracle, "
+    "unchanged)",
+)(stream_heavy_hitters)

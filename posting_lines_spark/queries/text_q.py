@@ -1203,3 +1203,60 @@ _RAKE_AGG_DUCK = "string_agg(m.tok, ' ' ORDER BY m.pos)"
 def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_rake_sql(_LM_TOKS_SPARK, _RAKE_AGG_SPARK))
+
+
+# --- token burstiness (Church-Gale / Katz clumping) ---
+# The corpus statistic that separates CONTENT words from FUNCTION
+# words even at equal frequency: content words clump (variance of the
+# per-doc count far above its mean — negative-binomial-ish), function
+# words spread Poisson-like (variance ≈ mean). Per whitespace token
+# over the top-BURST_TOP types: total count, document frequency, and
+# the variance-to-mean ratio (VMR) of per-doc counts INCLUDING zero
+# docs — Var = (Σc² − (Σc)²/D)/D over all D docs, computed from the
+# nonzero groups' exact-integer Σc/Σc² (zeros contribute nothing to
+# either), so the whole statistic is ratios of exact integers: one
+# division each → bit-identical across engines.
+# Scale: one (token, doc) aggregate, one token aggregate (both
+# map-side-combinable), a 1-row doc-count broadcast; output
+# vocabulary-bounded.
+
+BURST_TOP = 20
+
+
+def _burstiness_sql(toks: str) -> str:
+    return f"""
+WITH toks AS ({toks}),
+per_doc AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY tok, doc_id
+),
+d AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+per_tok AS (
+  SELECT tok,
+         CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM per_doc GROUP BY tok
+)
+SELECT tok, n_total, doc_freq,
+       (CAST(sum_c2 AS DOUBLE)
+        - CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) / CAST(d.n_docs AS DOUBLE))
+       / CAST(n_total AS DOUBLE) AS vmr
+FROM per_tok CROSS JOIN d
+ORDER BY n_total DESC, tok
+LIMIT {BURST_TOP}
+"""
+
+
+@register(
+    "text_burstiness",
+    oracle=_burstiness_sql(_LM_TOKS_DUCK),
+    description=f"token burstiness (variance-to-mean ratio of per-doc "
+    "counts, zero-docs included via the exact-integer Σc/Σc² identity): "
+    "separates clumping content words from Poisson-spread function "
+    f"words at equal frequency; top {BURST_TOP} by count; two map-side-"
+    "combinable aggregates + a 1-row doc-count broadcast",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_burstiness_sql(_LM_TOKS_SPARK))
