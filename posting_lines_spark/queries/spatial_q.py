@@ -551,8 +551,15 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
     )
     eps2 = DBSCAN_EPS_M * DBSCAN_EPS_M
+    # Both join sides are DATA-SHAPED (points and their 5x probe
+    # explode) — the SNM rule applies: they must never reach a broadcast
+    # decision (at sf1 the post-DISTINCT size estimate slipped under the
+    # 64MB threshold and the ~4.6M-row build side OOM'd the driver —
+    # observed live, round 6). SHUFFLE_HASH pins a cell-keyed shuffled
+    # hash join: no sort over the fanout stream, no driver broadcast,
+    # AQE still handles skewed cells.
     pairs = (
-        probes.join(b, ["pcx", "pcy"])
+        probes.join(b.hint("shuffle_hash"), ["pcx", "pcy"])
         .filter(
             (
                 (F.col("dx") != 0)
