@@ -1707,3 +1707,243 @@ FROM wide
 def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_prop_ztest_sql("unix_micros(ts)"))
+
+
+# --- Spearman rank correlation (tie-corrected, via average ranks) ---
+# Monotone-association sibling of the Pearson r in stats_regression:
+# per user, x = click count and y = purchase count; Spearman rho is
+# Pearson on the AVERAGE ranks of x and y. All rank math stays in
+# EXACT integers by carrying 2·rank: per distinct value with count c,
+# 2·avg_rank = 2·cum_before + c + 1 (a BIGINT), and Pearson is
+# scale-invariant, so rho computed on the doubled ranks IS rho on the
+# ranks. The five Pearson sufficient statistics (n, Σrx, Σry, Σrx²,
+# Σry², Σrx·ry) are DECIMAL(38,0)-exact (products reach ~4e18 per row
+# at 1e9 users — decimal, not BIGINT, carries the sum), and the final
+# rho is one fixed shared-text double chain — bit-identical across
+# engines.
+#
+# Scale: one user-grain aggregate (co-shuffled on user_id), two
+# value-grouped rank tables whose size is bounded by the DISTINCT
+# count-values (≪ users; broadcast back), and a 1-row reduce. The
+# global cumulative counts use the range-partitioned two-pass prefix
+# sums (operators/ranking.global_running_sums) on the Spark side — no
+# single-partition window touches user-shaped data.
+
+_SP_X, _SP_Y = "click", "purchase"
+
+
+def _spearman_final_sql(src: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    return f"""
+SELECT n,
+       (({n} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt(({n} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * ({n} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         AS spearman_rho
+FROM {src}
+"""
+
+
+SPEARMAN_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = '{_SP_X}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = '{_SP_Y}' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+gx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c,
+         sum(count(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS run_c
+  FROM u GROUP BY x
+),
+rx AS (SELECT x, 2 * (run_c - c) + c + 1 AS r2x FROM gx),
+gy AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS c,
+         sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS run_c
+  FROM u GROUP BY y
+),
+ry AS (SELECT y, 2 * (run_c - c) + c + 1 AS r2y FROM gy),
+j AS (
+  SELECT rx.r2x, ry.r2y
+  FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(r2x AS DECIMAL(38,0))) AS STRING) AS sx,
+         CAST(sum(CAST(r2y AS DECIMAL(38,0))) AS STRING) AS sy,
+         CAST(sum(CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(18,0))) AS STRING) AS sxx,
+         CAST(sum(CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(18,0))) AS STRING) AS syy,
+         CAST(sum(CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(18,0))) AS STRING) AS sxy
+  FROM j
+)
+{_spearman_final_sql("agg")}
+"""
+
+
+@register(
+    "stats_spearman_corr",
+    oracle=SPEARMAN_ORACLE,
+    description="tie-corrected Spearman rank correlation between "
+    "per-user click and purchase counts: average ranks carried as "
+    "exact-integer doubled ranks (2·cum_before + c + 1) from "
+    "value-grouped counts + two-pass global prefix sums, Pearson "
+    "sufficient statistics in DECIMAL(38,0), final rho one shared-text "
+    "double chain — bit-identical across engines; rank tables bounded "
+    "by distinct count-values, no single-partition window",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == _SP_X, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == _SP_Y, 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    u.localCheckpoint(eager=False).createOrReplaceTempView("pls_sp_u")
+    u = spark.table("pls_sp_u")
+
+    def rank2(col: str) -> DataFrame:
+        g = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        run = global_running_sums(g, [col], ["c"])
+        return run.select(
+            F.col(col),
+            (2 * (F.col("run_c") - F.col("c")) + F.col("c") + 1).alias(f"r2{col}"),
+        )
+
+    j = (
+        u.join(F.broadcast(rank2("x")), "x")
+        .join(F.broadcast(rank2("y")), "y")
+        .select("r2x", "r2y")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2x").cast("decimal(38,0)")).cast("string").alias("sx"),
+        F.sum(F.col("r2y").cast("decimal(38,0)")).cast("string").alias("sy"),
+        F.sum(
+            F.col("r2x").cast("decimal(38,0)") * F.col("r2x").cast("decimal(18,0)")
+        ).cast("string").alias("sxx"),
+        F.sum(
+            F.col("r2y").cast("decimal(38,0)") * F.col("r2y").cast("decimal(18,0)")
+        ).cast("string").alias("syy"),
+        F.sum(
+            F.col("r2x").cast("decimal(38,0)") * F.col("r2y").cast("decimal(18,0)")
+        ).cast("string").alias("sxy"),
+    )
+    agg.createOrReplaceTempView("pls_sp_agg")
+    return spark.sql(_spearman_final_sql("pls_sp_agg"))
+
+
+# --- Kruskal-Wallis H (k-group rank test, tie-corrected) ---
+# The k-group generalization of stats_mann_whitney, and the
+# nonparametric sibling of stats_anova_oneway over the same five
+# event-type groups: does the VALUE distribution differ across types,
+# without the normality assumption? Same exact-integer rank machinery
+# as Mann-Whitney: per distinct value with per-group counts c_g and
+# t = Σc_g, doubled average rank r2 = 2·cum_before + t + 1; the five
+# doubled rank sums R2_g = Σ c_g·r2 and the tie sum Σ(t³−t) are
+# BIGINT-exact; then with R_g = R2_g/2,
+#   H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)]
+# is one fixed shared-text double chain — bit-identical across engines.
+#
+# Scale: one (value) aggregate with map-side combine (state bounded by
+# distinct values), the global cumulative count via the two-pass
+# range-partitioned prefix sums, then a k-row reduce. No
+# single-partition window.
+
+_KW_GROUPS = ("view", "click", "purchase", "error", "signup")
+
+
+def _kw_final_sql(src: str) -> str:
+    nd = "CAST(nt AS DOUBLE)"
+    rterm = " + ".join(
+        f"(CAST(r2_{g} AS DOUBLE) / 2.0e0) * (CAST(r2_{g} AS DOUBLE) / 2.0e0)"
+        f" / CAST(n_{g} AS DOUBLE)"
+        for g in _KW_GROUPS
+    )
+    return f"""
+SELECT nt, tie_sum,
+       (12.0e0 / ({nd} * ({nd} + 1.0e0)) * ({rterm}) - 3.0e0 * ({nd} + 1.0e0))
+       / (1.0e0 - CAST(tie_sum AS DOUBLE) / ({nd} * {nd} * {nd} - {nd}))
+         AS h_stat
+FROM {src}
+"""
+
+
+def _kw_oracle_sql() -> str:
+    cg = ",\n         ".join(
+        f"CAST(sum(CASE WHEN event_type = '{g}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{g}"
+        for g in _KW_GROUPS
+    )
+    t = " + ".join(f"c_{g}" for g in _KW_GROUPS)
+    sums = ",\n         ".join(
+        f"CAST(sum(c_{g}) AS BIGINT) AS n_{g},\n         "
+        f"CAST(sum(c_{g} * (2 * (run_t - t) + t + 1)) AS BIGINT) AS r2_{g}"
+        for g in _KW_GROUPS
+    )
+    return f"""
+WITH pts AS (
+  SELECT value AS x,
+         {cg}
+  FROM events
+  GROUP BY value
+),
+run AS (
+  SELECT *, {t} AS t,
+         sum({t}) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS run_t
+  FROM pts
+),
+agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS nt,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum,
+         {sums}
+  FROM run
+)
+{_kw_final_sql("agg")}
+"""
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle=_kw_oracle_sql(),
+    description="tie-corrected Kruskal-Wallis H across all five event "
+    "types: exact-integer doubled rank sums per group from one "
+    "(value)-grouped aggregate + two-pass global prefix sums, tie sum "
+    "Σ(t³−t) BIGINT-exact, H one shared-text double chain — "
+    "bit-identical across engines; the k-group sibling of "
+    "stats_mann_whitney next to stats_anova_oneway",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.groupBy(F.col("value").alias("x")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{g}")
+            for g in _KW_GROUPS
+        ]
+    )
+    t = sum(F.col(f"c_{g}") for g in _KW_GROUPS)
+    run = global_running_sums(pts.withColumn("t", t.cast("long")), ["x"], ["t"])
+    aggs = [
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    ]
+    for g in _KW_GROUPS:
+        aggs.append(F.sum(f"c_{g}").cast("long").alias(f"n_{g}"))
+        aggs.append(
+            F.sum(
+                F.col(f"c_{g}")
+                * (2 * (F.col("run_t") - F.col("t")) + F.col("t") + 1)
+            ).cast("long").alias(f"r2_{g}")
+        )
+    agg = run.agg(*aggs)
+    agg.createOrReplaceTempView("pls_kw_agg")
+    return spark.sql(_kw_final_sql("pls_kw_agg"))

@@ -738,3 +738,413 @@ ORDER BY n.event_type, n.lag
 def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_acf_sql("unix_micros(ts)"))
+
+
+# --- Theil-Sen robust trend (median of pairwise slopes) ---
+# The outlier-robust sibling of the OLS line in stats_regression: per
+# event type, slope = median over all i<j of (v_j − v_i)/(j − i) on the
+# day-ordered decimal-routed daily means, then intercept = median of
+# (v_i − slope·i). One contaminated day moves OLS arbitrarily but
+# shifts a median by at most one order statistic — the estimator a
+# drift monitor wants. Each slope is ONE double division of
+# engine-exact inputs; median interpolates (a+b)/2 identically on both
+# engines (both sort the same doubles), and the intercept residuals
+# reuse the shared-text slope value — bit-identical across engines.
+#
+# Scale: the pair join is per-type and CALENDAR-bounded (n days →
+# n(n−1)/2 pairs, ~435 at n=30 — independent of row volume; the daily
+# aggregate underneath has map-side combine). The per-type window in
+# the index step is calendar-bounded state, the sanctioned exception
+# to the no-single-partition-window rule.
+
+
+def _theilsen_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.v - a.v) / (CAST(b.i AS DOUBLE) - CAST(a.i AS DOUBLE)) AS s
+  FROM idx a
+  JOIN idx b ON b.event_type = a.event_type AND b.i > a.i
+),
+sl AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         median(s) AS slope
+  FROM slopes
+  GROUP BY event_type
+),
+ic AS (
+  SELECT x.event_type,
+         median(x.v - sl.slope * CAST(x.i AS DOUBLE)) AS intercept
+  FROM idx x JOIN sl ON sl.event_type = x.event_type
+  GROUP BY x.event_type
+)
+SELECT sl.event_type, sl.n_pairs, sl.slope, ic.intercept
+FROM sl JOIN ic ON ic.event_type = sl.event_type
+ORDER BY sl.event_type
+"""
+
+
+@register(
+    "timeseries_theilsen_slope",
+    oracle=_theilsen_sql("epoch_us(ts)"),
+    description="Theil-Sen robust trend per event type: median of all "
+    "pairwise slopes over the day-ordered decimal-routed daily means, "
+    "intercept = median residual at the shared-text slope — each slope "
+    "one double division of engine-exact inputs, medians interpolate "
+    "identically — bit-identical across engines; the pair join is "
+    "calendar-bounded (n(n−1)/2 pairs per type, independent of row "
+    "volume); the outlier-robust sibling of stats_regression",
+)
+def timeseries_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_theilsen_sql("unix_micros(ts)"))
+
+
+# --- Hampel filter (rolling-median/MAD outlier detection) ---
+# The robust twin of anomaly_zscore on the time axis: per event type,
+# each day's value is compared against the median of its ±3-day
+# neighborhood, scaled by the neighborhood MAD (median absolute
+# deviation, ×1.4826 ≈ σ under normality); a day is flagged when
+# |v − med| > 3·1.4826·MAD. Flag by direct comparison — no division,
+# so an all-equal window (MAD = 0) degrades to "any deviation flags"
+# rather than a NaN. Both neighborhood medians come from the same
+# calendar-bounded index self-join (rolling median isn't a portable
+# window aggregate; the join IS the frame), and medians/abs/products
+# are engine-identical doubles — bit-identical across engines.
+#
+# Scale: daily aggregate with map-side combine, then two per-type
+# joins over calendar-bounded series (≤ 7 neighbors per day) — cost
+# independent of event volume.
+
+HAMPEL_HALF_WIN = 3
+HAMPEL_NSIGMA = "3.0e0"
+HAMPEL_MAD_K = "1.4826e0"
+
+
+def _hampel_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    h = HAMPEL_HALF_WIN
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, day, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+med AS (
+  SELECT a.event_type, a.day, a.i, a.v,
+         median(b.v) AS med,
+         CAST(count(*) AS BIGINT) AS n_win
+  FROM idx a
+  JOIN idx b ON b.event_type = a.event_type
+            AND b.i >= a.i - {h} AND b.i <= a.i + {h}
+  GROUP BY a.event_type, a.day, a.i, a.v
+),
+mad AS (
+  SELECT m.event_type, m.day, m.v, m.med, m.n_win,
+         median(abs(b.v - m.med)) AS mad
+  FROM med m
+  JOIN idx b ON b.event_type = m.event_type
+            AND b.i >= m.i - {h} AND b.i <= m.i + {h}
+  GROUP BY m.event_type, m.day, m.v, m.med, m.n_win
+)
+SELECT event_type, day, v, med, mad, n_win
+FROM mad
+WHERE abs(v - med) > {HAMPEL_NSIGMA} * {HAMPEL_MAD_K} * mad
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_hampel_outliers",
+    oracle=_hampel_sql("epoch_us(ts)"),
+    description=f"Hampel rolling-median/MAD outlier filter per event "
+    f"type (±{HAMPEL_HALF_WIN}-day neighborhood, 3·1.4826·MAD "
+    "threshold) over decimal-routed daily means: neighborhood median "
+    "and MAD from calendar-bounded index self-joins, flag by direct "
+    "comparison (no division — MAD=0 degrades gracefully) — "
+    "bit-identical across engines; cost independent of event volume; "
+    "the robust time-axis twin of anomaly_zscore",
+)
+def timeseries_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hampel_sql("unix_micros(ts)"))
+
+
+# --- Holt-Winters additive triple exponential smoothing (m=7) ---
+# Completes the smoother ladder (EWMA → Holt → Holt-Winters): per event
+# type, level + trend + WEEKLY additive seasonality over the
+# day-ordered decimal-routed daily means,
+#   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+#   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+#   s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+# with the standard simple seeding: l_m = mean(y₁..y_m) as a literal
+# 7-term sum (fixed order, identical text both engines), b_m =
+# (mean(y_{m+1}..y_{2m}) − l_m)/m, s_i = y_i − l_m. The Spark side
+# folds a (l, b, seasonal-ring) struct through aggregate(); the DuckDB
+# oracle must not (the round-5 list_reduce in-place-mutation bug —
+# multi-field struct accumulators are unsafe there) and steps the
+# IDENTICAL recurrence text through a recursive CTE carrying the ring
+# as a LIST column. l_t recomputes inside b_t and s_t exactly as on
+# the Spark side (same IEEE ops → same doubles). Forecast_next =
+# l + b + s_{t+1−m}.
+#
+# Scale: same as Holt — one (type, day) aggregate with map-side
+# combine; fold state is (2 + m) doubles bounded by the SEASON length,
+# never data volume; 5 output rows.
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.4, 0.2, 0.3
+HW_PERIOD = 7
+
+
+def _hw_texts(idx):
+    """Recurrence texts shared by both engines; `idx(arr, k)` renders
+    1-based array indexing in the target dialect."""
+    a, one_a = f"{HW_ALPHA!r}e0", f"{1 - HW_ALPHA!r}e0"
+    bt, one_bt = f"{HW_BETA!r}e0", f"{1 - HW_BETA!r}e0"
+    g, one_g = f"{HW_GAMMA!r}e0", f"{1 - HW_GAMMA!r}e0"
+    m = HW_PERIOD
+    l0 = "(" + " + ".join(idx("vs", k) for k in range(1, m + 1)) + f") / {float(m)!r}e0"
+    l1 = (
+        "(" + " + ".join(idx("vs", k) for k in range(m + 1, 2 * m + 1))
+        + f") / {float(m)!r}e0"
+    )
+    b0 = f"(({l1}) - ({l0})) / {float(m)!r}e0"
+    return a, one_a, bt, one_bt, g, one_g, l0, b0
+
+
+def _hw_spark_fold() -> str:
+    a, one_a, bt, one_bt, g, one_g, l0, b0 = _hw_texts(
+        lambda arr, k: f"element_at({arr}, {k})"
+    )
+    m = HW_PERIOD
+    seed_s = (
+        "transform(slice(vs, 1, "
+        f"{m}), y -> CAST(y - ({l0}) AS DOUBLE))"
+    )
+    new_l = f"{a} * (x - element_at(acc.s, 1)) + {one_a} * (acc.l + acc.b)"
+    new_s = f"{g} * (x - ({new_l})) + {one_g} * element_at(acc.s, 1)"
+    return (
+        f"aggregate(slice(vs, {2 * m + 1}, size(vs) - {2 * m}), "
+        f"named_struct('l', CAST({l0} AS DOUBLE), 'b', CAST({b0} AS DOUBLE), "
+        f"'s', {seed_s}), "
+        f"(acc, x) -> named_struct("
+        f"'l', CAST({new_l} AS DOUBLE), "
+        f"'b', CAST({bt} * (({new_l}) - acc.l) + {one_bt} * acc.b AS DOUBLE), "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), array(CAST({new_s} AS DOUBLE)))))"
+    )
+
+
+def _hw_sql_spark() -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = "CAST(floor(unix_micros(ts) / 86400000000.0e0) AS BIGINT)"
+    fold = _hw_spark_fold()
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         transform(array_sort(collect_list(struct(day, v))), s -> s.v) AS vs
+  FROM daily
+  GROUP BY event_type
+  HAVING count(*) >= {2 * HW_PERIOD}
+),
+folded AS (
+  SELECT event_type, n_days, {fold} AS st
+  FROM series
+)
+SELECT event_type, n_days,
+       st.l AS level, st.b AS trend,
+       st.l + st.b + element_at(st.s, 1) AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
+def _hw_oracle_sql() -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    a, one_a, bt, one_bt, g, one_g, l0, b0 = _hw_texts(
+        lambda arr, k: f"{arr}[{k}]"
+    )
+    m = HW_PERIOD
+    day = "CAST(floor(epoch_us(ts) / 86400000000.0e0) AS BIGINT)"
+    seed_s = (
+        "list_transform(vs[1:" + str(m) + "], y -> CAST(y - (" + l0 + ") AS DOUBLE))"
+    )
+    new_l = f"{a} * (vs[i + 1] - s[1]) + {one_a} * (l + b)"
+    new_s = f"{g} * (vs[i + 1] - ({new_l})) + {one_g} * s[1]"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list(v ORDER BY day) AS vs
+  FROM daily
+  GROUP BY event_type
+  HAVING count(*) >= {2 * m}
+),
+steps AS (
+  SELECT event_type, n_days, vs,
+         CAST({2 * m} AS BIGINT) AS i,
+         CAST({l0} AS DOUBLE) AS l,
+         CAST({b0} AS DOUBLE) AS b,
+         {seed_s} AS s
+  FROM series
+  UNION ALL
+  SELECT event_type, n_days, vs, i + 1,
+         CAST({new_l} AS DOUBLE),
+         CAST({bt} * (({new_l}) - l) + {one_bt} * b AS DOUBLE),
+         list_concat(s[2:{m}], [CAST({new_s} AS DOUBLE)])
+  FROM steps
+  WHERE i < n_days
+)
+SELECT event_type, n_days, l AS level, b AS trend,
+       l + b + s[1] AS forecast_next
+FROM steps
+WHERE i = n_days
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_holt_winters",
+    oracle=_hw_oracle_sql(),
+    description=f"Holt-Winters additive triple exponential smoothing "
+    f"(α={HW_ALPHA}, β={HW_BETA}, γ={HW_GAMMA}, weekly m={HW_PERIOD}) "
+    "per event type: level+trend+seasonal-ring recurrence folded over "
+    "the day-ordered decimal-routed daily means with literal-sum "
+    "seeding; identical recurrence text on both engines (Spark struct "
+    "fold vs recursive CTE — the list_reduce multi-field bug makes the "
+    "fold unsafe on DuckDB) → engine-exact doubles; fold state bounded "
+    "by the season length; completes the EWMA → Holt ladder",
+)
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hw_sql_spark())
+
+
+# --- SAX symbolic discretization (z-normalize → PAA → alphabet) ---
+# The compression step that turns a numeric daily series into a short
+# symbol string for motif/anomaly mining at corpus scale (Lin et al.'s
+# Symbolic Aggregate approXimation): per event type, z-normalize the
+# day-ordered decimal-routed daily means with the series' own
+# population mean/std (decimal-exact sufficient statistics, one shared
+# double chain), average into SAX_W equal-occupancy PAA segments
+# (segment of index i = floor((i−1)·w/n) — the standard frame
+# assignment, exact integers), and map each segment mean to one of 5
+# symbols at the Gaussian quintile breakpoints (±0.8416, ±0.2533 —
+# literal constants). Segment means are decimal-routed (order-free);
+# breakpoint comparisons on engine-identical doubles — the symbol
+# string is bit-identical across engines.
+#
+# Scale: daily aggregate with map-side combine; everything after is
+# calendar-bounded per-type state; output 5 rows of ≤ SAX_W chars.
+
+SAX_W = 6
+_SAX_BREAKS = ("-0.8416212335729142e0", "-0.2533471031357997e0",
+               "0.2533471031357997e0", "0.8416212335729142e0")
+_SAX_ALPHABET = ("a", "b", "c", "d", "e")
+
+
+def _sax_symbol_case(col: str) -> str:
+    cases = []
+    for k, brk in enumerate(_SAX_BREAKS):
+        cases.append(f"WHEN {col} < {brk} THEN '{_SAX_ALPHABET[k]}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{_SAX_ALPHABET[-1]}' END"
+
+
+def _sax_sql(epoch_us: str, string_agg: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr, dsum_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {dsum_expr("v")} AS sx, {dsum_expr("v * v")} AS sxx
+  FROM idx GROUP BY event_type
+),
+z AS (
+  SELECT x.event_type, s.n,
+         (x.v - s.sx / CAST(s.n AS DOUBLE))
+           / sqrt(s.sxx / CAST(s.n AS DOUBLE)
+                  - (s.sx / CAST(s.n AS DOUBLE)) * (s.sx / CAST(s.n AS DOUBLE))) AS zv,
+         CAST(floor(CAST((x.i - 1) * {SAX_W} AS DOUBLE) / CAST(s.n AS DOUBLE)) AS BIGINT) AS seg
+  FROM idx x JOIN stats s ON s.event_type = x.event_type
+),
+paa AS (
+  SELECT event_type, n, seg, {davg_expr("zv")} AS segmean
+  FROM z
+  GROUP BY event_type, n, seg
+),
+sym AS (
+  SELECT event_type, n, seg, segmean,
+         {_sax_symbol_case("segmean")} AS sym
+  FROM paa
+)
+SELECT event_type, n AS n_days, {string_agg} AS sax
+FROM sym
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_sax_symbols",
+    oracle=_sax_sql("epoch_us(ts)", "string_agg(sym, '' ORDER BY seg)"),
+    description=f"SAX symbolic discretization per event type "
+    f"(z-normalize → {SAX_W}-segment PAA → 5-letter Gaussian-breakpoint "
+    "alphabet) over the day-ordered decimal-routed daily means: "
+    "decimal-exact moments, shared-text z chain, decimal-routed "
+    "segment means, literal breakpoints — the symbol string is "
+    "bit-identical across engines; calendar-bounded per-type state; "
+    "the series→string compressor for motif mining at corpus scale",
+)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _sax_sql(
+            "unix_micros(ts)",
+            "array_join(transform(array_sort(collect_list(struct(seg, sym))),"
+            " s -> s.sym), '')",
+        )
+    )
