@@ -1947,3 +1947,129 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = run.agg(*aggs)
     agg.createOrReplaceTempView("pls_kw_agg")
     return spark.sql(_kw_final_sql("pls_kw_agg"))
+
+
+# --- peak concurrency (interval overlap counting) ---
+# "How many sessions were live at once, per day?" — the capacity
+# question sessionization alone doesn't answer, and the classic
+# interval-overlap sweep: sessionize per user (30-min gap, the same
+# rule as window_sessionize), take each session's [start, end] span
+# (closed — a one-event session still counts at its instant), emit
+# +starts/−ends, and sweep a running balance over time. Ends at
+# timestamp t subtract AFTER starts at t (closed-interval semantics),
+# so the per-timestamp peak candidate is
+#   run_starts(≤t) − (run_ends(≤t) − ends(t))
+# — exact integers throughout. Per day, report the max balance and
+# session count. Bit-identical across engines (no floats anywhere).
+#
+# Scale: sessionization windows are per-user partitions (user-bounded
+# state); boundary events collapse to one row per distinct timestamp,
+# and the global cumulative counts use the range-partitioned two-pass
+# prefix sums (operators/ranking.global_running_sums) — no
+# single-partition window over data-shaped input.
+
+CONCUR_GAP_US = 1_800_000_000
+
+
+def _concurrency_final_sql(src: str) -> str:
+    return f"""
+SELECT CAST(floor(CAST(t AS DOUBLE) / 86400000000.0e0) AS BIGINT) AS day,
+       CAST(max(run_plus - (run_minus - minus)) AS BIGINT) AS peak_concurrency,
+       CAST(sum(plus) AS BIGINT) AS sessions_started
+FROM {src}
+GROUP BY 1
+ORDER BY day
+"""
+
+
+def _concurrency_oracle_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              > {CONCUR_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ev
+),
+spans AS (
+  SELECT user_id, session_no,
+         CAST(min(t) AS BIGINT) AS t_start, CAST(max(t) AS BIGINT) AS t_end
+  FROM sess GROUP BY user_id, session_no
+),
+bounds AS (
+  SELECT t, CAST(sum(plus) AS BIGINT) AS plus, CAST(sum(minus) AS BIGINT) AS minus
+  FROM (
+    SELECT t_start AS t, 1 AS plus, 0 AS minus FROM spans
+    UNION ALL
+    SELECT t_end AS t, 0 AS plus, 1 AS minus FROM spans
+  )
+  GROUP BY t
+),
+run AS (
+  SELECT t, plus, minus,
+         sum(plus) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run_plus,
+         sum(minus) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run_minus
+  FROM bounds
+)
+{_concurrency_final_sql("run")}
+"""
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=_concurrency_oracle_sql(),
+    description="peak concurrent sessions per day (interval-overlap "
+    "sweep): 30-min-gap sessionization, closed [start,end] spans, "
+    "+start/−end boundary rows collapsed per distinct timestamp, "
+    "running balance via two-pass global prefix sums with ends "
+    "subtracting after starts at equal t — exact integers throughout, "
+    "bit-identical across engines; the capacity readout on top of "
+    "window_sessionize",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    sess = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > CONCUR_GAP_US), 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            W.partitionBy("user_id").orderBy("t").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    spans = sess.groupBy("user_id", "session_no").agg(
+        F.min("t").cast("long").alias("t_start"),
+        F.max("t").cast("long").alias("t_end"),
+    )
+    bounds = (
+        spans.select(F.col("t_start").alias("t"), F.lit(1).alias("plus"),
+                     F.lit(0).alias("minus"))
+        .unionAll(
+            spans.select(F.col("t_end").alias("t"), F.lit(0).alias("plus"),
+                         F.lit(1).alias("minus"))
+        )
+        .groupBy("t")
+        .agg(F.sum("plus").cast("long").alias("plus"),
+             F.sum("minus").cast("long").alias("minus"))
+    )
+    run = global_running_sums(bounds, ["t"], ["plus", "minus"])
+    run.createOrReplaceTempView("pls_concur_run")
+    return spark.sql(_concurrency_final_sql("pls_concur_run"))

@@ -1117,3 +1117,73 @@ def curation_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "list_distinct", "array_distinct"
         )
     )
+
+
+# --- l-diversity audit (the sequel to k-anonymity) ---
+# k-anonymity alone is defeated by a HOMOGENEOUS class: if all rows
+# sharing a QI tuple also share the sensitive value, class size
+# protects nothing (Machanavajjhala et al. 2007). Distinct
+# l-diversity: every QI equivalence class must contain ≥ l distinct
+# sensitive values. QIs here: (nation, account-balance band) —
+# deliberately one attribute COARSER than the k-anonymity QI so the
+# two audits disagree where they should — sensitive attribute: market
+# segment; l = 3. Output per nation: class counts, classes below l,
+# rows in those classes, and the worst (min distinct) class — the
+# actionable generalization worklist. Exact integers throughout.
+#
+# Scale: one hash-aggregate on (QI, sensitive) with map-side combine,
+# one on QI, one rollup to nation — all cardinality-bounded state.
+
+L_DIVERSITY = 3
+
+L_DIV_ORACLE = f"""
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1.0e3) AS BIGINT) AS bal_band,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n_sensitive < {L_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_undiverse_classes,
+       CAST(sum(CASE WHEN n_sensitive < {L_DIVERSITY} THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(min(n_sensitive) AS BIGINT) AS min_diversity
+FROM cls
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=L_DIV_ORACLE,
+    description=f"distinct l-diversity audit (l={L_DIVERSITY}) over QI "
+    "(nation, balance band) with market segment sensitive: per-nation "
+    "classes below l, rows exposed by homogeneous classes, worst-class "
+    "diversity — the homogeneity attack k-anonymity misses; two "
+    "chained cardinality-bounded hash-aggregates, exact integers",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1.0e3)).alias("bal_band"),
+    ).agg(
+        F.countDistinct("c_mktsegment").cast("long").alias("n_sensitive"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    low = F.col("n_sensitive") < L_DIVERSITY
+    return (
+        cls.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(low, 1).otherwise(0)).alias("n_undiverse_classes"),
+            F.sum(F.when(low, F.col("class_size")).otherwise(0)).alias("rows_at_risk"),
+            F.min("n_sensitive").alias("min_diversity"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1260,3 +1260,79 @@ LIMIT {BURST_TOP}
 def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_burstiness_sql(_LM_TOKS_SPARK))
+
+
+# --- readability scoring (Flesch reading ease, corpus QA) ---
+# The curation signal next to text_quality that length ratios can't
+# give: is the prose STRUCTURALLY simple or dense? Flesch reading
+# ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+# with the standard cheap proxies — sentences = runs of [.!?]
+# (floored at 1), syllables = vowel-group runs [aeiouy]+ in the
+# lowered text (the classic heuristic; exact hyphenation is a
+# dictionary problem, not an engine one). All three counts are exact
+# integers from the same regex on both engines; the score is one
+# shared-text double chain and the per-source mean is decimal-routed
+# — bit-identical across engines.
+#
+# Scale: pure map-side expression math per document (no UDF, no
+# shuffle before the tiny per-source aggregate) — the same shape as
+# text_quality, safe at any corpus size.
+
+READ_EASY_THRESHOLD = "60.0e0"
+
+
+def _readability_sql(n_re: str, n_re_lower: str, words: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    score = (
+        "206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) "
+        "- 84.6e0 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    )
+    return f"""
+WITH feats AS (
+  SELECT source,
+         CAST({words} AS BIGINT) AS n_words,
+         CAST(greatest({n_re}, 1) AS BIGINT) AS n_sents,
+         CAST({n_re_lower} AS BIGINT) AS n_syll
+  FROM documents
+),
+scored AS (
+  SELECT source, n_words, n_sents, n_syll, {score} AS score
+  FROM feats WHERE n_words > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {davg_expr("CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)")} AS avg_words_per_sentence,
+       {davg_expr("score")} AS avg_flesch,
+       CAST(sum(CASE WHEN score >= {READ_EASY_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_easy
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_readability",
+    oracle=_readability_sql(
+        "len(regexp_extract_all(text, '[.!?]+'))",
+        "len(regexp_extract_all(lower(text), '[aeiouy]+'))",
+        "len(string_split(text, ' '))",
+    ),
+    description="Flesch reading-ease per source: exact-integer word / "
+    "sentence-run / vowel-group-run counts from the same regexes on "
+    "both engines, score one shared-text double chain, per-source "
+    "mean decimal-routed — bit-identical across engines; pure "
+    "map-side expression math, no shuffle before the per-source "
+    "aggregate; the structural-simplicity curation signal next to "
+    "text_quality",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _readability_sql(
+            "size(regexp_extract_all(text, '[.!?]+', 0))",
+            "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))",
+            "size(split(text, ' '))",
+        )
+    )

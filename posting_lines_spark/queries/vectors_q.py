@@ -900,3 +900,128 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
         )
     )
+
+
+# --- MIPS via norm augmentation (asymmetric transform) ---
+# Recommender / retrieval scoring ranks by INNER PRODUCT, not cosine —
+# and inner product admits no direct LSH (it is not a metric: a vector
+# can out-score the query's own self-match). The standard reduction
+# (Bachrach et al. 2014; Shrivastava-Li 2014): with M = max ‖x‖ over
+# the corpus, augment corpus vectors x̂ = [x; √(M²−‖x‖²)] (all lifted
+# to norm exactly M) and queries q̂ = [q; 0]; then cos(q̂, x̂) =
+# (q·x)/(‖q‖·M) is MONOTONE in q·x, so the engine's existing
+# hyperplane-LSH cosine machinery answers MIPS: bucket the AUGMENTED
+# vectors on 65-dim planes, candidate equi-join per bucket, exact
+# rerank by the raw 64-dim dot product. Determinism: ‖x‖² and M² are
+# the shared left-fold dot kernel (engine-identical), the lift
+# √(M²−‖x‖²) is one shared double chain (exactly 0 for the max-norm
+# vector), plane weights are the md5 scheme over dims 1..65.
+#
+# Scale: the corpus-side norm max is a 1-row aggregate (map-side
+# combinable); the bucket equi-join replaces the n×q cross product
+# exactly as sim_topk_ivf does — the augmentation adds one scan-level
+# column, no extra shuffle.
+
+MIPS_ORACLE = f"""
+WITH nsq AS (
+  SELECT vec_id, embedding, {dot_duck('embedding', 'embedding')} AS nsq
+  FROM embeddings
+),
+m2 AS (SELECT max(nsq) AS m2 FROM nsq),
+aug AS (
+  SELECT n.vec_id,
+         list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_concat(list_transform(n.embedding, x -> CAST(x AS DOUBLE)),
+                     [CAST(sqrt(m2.m2 - n.nsq) AS DOUBLE)]) AS va
+  FROM nsq n CROSS JOIN m2
+),
+planes AS (
+  SELECT p AS plane_idx,
+         list_transform(range(1, {DIMS + 2}), d -> {plane_weight_duck('p', 'd')}) AS w
+  FROM range(0, {NUM_PLANES}) t(p)
+),
+eb AS (
+  SELECT a.vec_id, a.v,
+         sum(CASE WHEN {dot_duck('a.va', 'pl.w')} > 0 THEN 1 ELSE 0 END
+             * CAST(pow(2, pl.plane_idx) AS BIGINT)) AS bucket
+  FROM aug a CROSS JOIN planes pl
+  GROUP BY a.vec_id, a.v
+),
+qb AS (
+  SELECT a.vec_id AS query_id, a.v AS qv,
+         sum(CASE WHEN {dot_duck('qa', 'pl.w')} > 0 THEN 1 ELSE 0 END
+             * CAST(pow(2, pl.plane_idx) AS BIGINT)) AS bucket
+  FROM (SELECT vec_id, v, list_concat(v, [CAST(0.0 AS DOUBLE)]) AS qa
+        FROM aug WHERE vec_id IN ({_QIDS})) a
+  CROSS JOIN planes pl
+  GROUP BY a.vec_id, a.v
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {dot_duck('eb.v', 'qb.qv')} AS dot
+  FROM eb JOIN qb USING (bucket)
+  WHERE eb.vec_id != qb.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_mips_norm_augment",
+    oracle=MIPS_ORACLE,
+    description="maximum-inner-product top-k via the norm-augmentation "
+    "reduction (x̂=[x;√(M²−‖x‖²)], q̂=[q;0] makes augmented cosine "
+    "monotone in q·x): 65-dim hyperplane LSH buckets over the lifted "
+    "vectors, bucket equi-join candidates, exact raw-dot rerank — "
+    "the MIPS path a recommender scorer needs, on the engine's "
+    "existing cosine-ANN machinery; 1-row norm-max broadcast, no "
+    "extra shuffle over sim_topk_ivf",
+)
+def sim_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nsq = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(sim.dot_spark("embedding", "embedding")).alias("nsq"),
+    )
+    m2 = nsq.agg(F.max("nsq").alias("m2"))
+    aug = nsq.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        "v",
+        F.expr("concat(v, array(CAST(sqrt(m2 - nsq) AS DOUBLE)))").alias("va"),
+    )
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS + 1)
+    eb = sim.bucketize(aug, planes, id_col="vec_id", vec_col="va").join(
+        aug.select("vec_id", "v"), "vec_id"
+    )
+    q = aug.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.expr("concat(v, array(CAST(0.0 AS DOUBLE)))").alias("qa"),
+    )
+    qb = sim.bucketize(q, planes, id_col="query_id", vec_col="qa").join(
+        q.select("query_id", "qv"), "query_id"
+    )
+    scored = (
+        eb.select("vec_id", "v", "bucket")
+        .join(F.broadcast(qb.select("query_id", "qv", "bucket")), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(sim.dot_spark("v", "qv")).alias("dot"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= K)
+        .orderBy("query_id", "rank")
+    )
