@@ -48,6 +48,18 @@ _LEDGER_PRIORITY = [
     "stats_proportion_ztest",
     "dq_referential_integrity",
     "text_burstiness",
+    "stats_spearman_corr",
+    "stats_kruskal_wallis",
+    "timeseries_theilsen_slope",
+    "timeseries_hampel_outliers",
+    "timeseries_holt_winters",
+    "timeseries_sax_symbols",
+    "sim_mips_norm_augment",
+    "text_readability",
+    "events_peak_concurrency",
+    "privacy_l_diversity",
+    "privacy_dp_release",
+    "stats_permutation_test",
 ]
 
 

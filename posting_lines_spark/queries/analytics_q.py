@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from posting_lines_spark.functions.hashing import md5_int_duck, md5_int_spark
 from posting_lines_spark.queries import register
 from posting_lines_spark.sources import load_table
 
@@ -2073,3 +2074,102 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = global_running_sums(bounds, ["t"], ["plus", "minus"])
     run.createOrReplaceTempView("pls_concur_run")
     return spark.sql(_concurrency_final_sql("pls_concur_run"))
+
+
+# --- randomization (permutation) test for the two-sample mean gap ---
+# Resampling inference at engine scale: is the purchase-vs-click mean
+# gap explained by chance? B=64 deterministic label randomizations
+# (md5 parity keyed by event_id × replicate — an exchangeability test
+# with binomial group sizes, the hash-parallelizable variant of the
+# classic permutation test), each replicate's mean gap from
+# decimal-routed conditional sums, two-sided p = (1 + #{|gap_b| ≥
+# |gap_obs|}) / (B + 1). Everything before the final chain is exact
+# (decimal sums, integer counts); the gap/compare chain is shared
+# text — bit-identical across engines. A replicate with an empty side
+# (P(2·2^−n) at group sizes in the thousands) counts as extreme —
+# conservative, never a divide-by-zero. The distribution-free
+# companion to stats_welch_ttest / stats_mann_whitney.
+#
+# Scale: the B-fold replicate fanout is MAP-SIDE (rows × B feeding a
+# (b)-grouped aggregate with map-side combine — shuffle state is B
+# rows of sufficient statistics, never data-shaped); the observed gap
+# is one more tiny aggregate. B is the constant a 100 TB run tunes.
+
+PERM_B = 64
+_PERM_GA, _PERM_GB = "purchase", "click"
+
+
+def _perm_test_sql(h_bit: str, range_b: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    gap_obs = "(o.sa / CAST(o.na AS DOUBLE) - o.sb / CAST(o.nb AS DOUBLE))"
+    gap_rep = "(r.sa / CAST(r.na AS DOUBLE) - r.sb / CAST(r.nb AS DOUBLE))"
+    extreme = (
+        f"CASE WHEN r.na = 0 OR r.nb = 0 THEN 1 "
+        f"WHEN abs({gap_rep}) >= abs({gap_obs}) THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, value FROM events
+  WHERE event_type IN ('{_PERM_GA}', '{_PERM_GB}')
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN event_type = '{_PERM_GA}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = '{_PERM_GB}' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         {dsum_expr(f"CASE WHEN event_type = '{_PERM_GA}' THEN value ELSE NULL END")} AS sa,
+         {dsum_expr(f"CASE WHEN event_type = '{_PERM_GB}' THEN value ELSE NULL END")} AS sb
+  FROM events
+  WHERE event_type IN ('{_PERM_GA}', '{_PERM_GB}')
+),
+long AS (
+  SELECT p.value, r.b, CAST(({h_bit}) % 2 AS BIGINT) AS bit
+  FROM pts p CROSS JOIN {range_b} r
+),
+reps AS (
+  SELECT b,
+         CAST(sum(bit) AS BIGINT) AS na,
+         CAST(sum(1 - bit) AS BIGINT) AS nb,
+         {dsum_expr("CASE WHEN bit = 1 THEN value ELSE NULL END")} AS sa,
+         {dsum_expr("CASE WHEN bit = 0 THEN value ELSE NULL END")} AS sb
+  FROM long
+  GROUP BY b
+)
+SELECT o.na, o.nb,
+       {gap_obs} AS gap_obs,
+       CAST({PERM_B} AS BIGINT) AS b_total,
+       CAST(sum({extreme}) AS BIGINT) AS n_extreme,
+       (1.0e0 + CAST(sum({extreme}) AS DOUBLE)) / ({float(PERM_B)!r}e0 + 1.0e0)
+         AS p_value
+FROM reps r CROSS JOIN obs o
+GROUP BY o.na, o.nb, o.sa, o.sb
+"""
+
+
+@register(
+    "stats_permutation_test",
+    oracle=_perm_test_sql(
+        md5_int_duck(
+            "concat(CAST(p.event_id AS VARCHAR), '_', CAST(r.b AS VARCHAR))",
+            salt="perm",
+        ),
+        f"(SELECT r AS b FROM range(0, {PERM_B}) t(r))",
+    ),
+    description=f"two-sided randomization test (B={PERM_B} md5-keyed "
+    "label randomizations) for the purchase-vs-click mean gap: "
+    "replicate gaps from decimal-routed conditional sums over a "
+    "map-side B-fold fanout (shuffle state = B sufficient-statistic "
+    "rows, never data-shaped), p = (1+extreme)/(B+1), empty-side "
+    "replicates counted extreme — bit-identical across engines; the "
+    "distribution-free companion to Welch/Mann-Whitney",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _perm_test_sql(
+            md5_int_spark(
+                "concat(CAST(p.event_id AS STRING), '_', CAST(r.b AS STRING))",
+                salt="perm",
+            ),
+            f"(SELECT explode(sequence(0, {PERM_B - 1})) AS b)",
+        )
+    )

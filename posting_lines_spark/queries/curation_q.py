@@ -1187,3 +1187,69 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- differential privacy: Laplace-noised count release ---
+# The third rung of the privacy ladder (k-anonymity → l-diversity →
+# DP): release per-source document counts under ε-DP with the Laplace
+# mechanism (sensitivity 1 for a count), noise drawn by inverse-CDF
+#   x = −(1/ε)·sgn(u)·ln(1 − 2|u|),  u ~ U(−½, ½).
+# Engine determinism is the interesting part: u comes from the md5
+# scheme (k = h mod 1999 − 999, u = k/2000, so 1 − 2|u| =
+# (1000 − |k|)/1000 with |k| ≤ 999) — which makes BOTH ln arguments
+# EXACT INTEGERS, so ln routes through the deterministic integer-ln
+# kernel (functions/dmath.py) and the released values are
+# bit-identical across engines. n_true is returned here to make the
+# parity check pin the mechanism end-to-end; a production release
+# ships only the noised column.
+#
+# Scale: one cardinality-bounded hash-aggregate + per-row kernel math.
+# Seeded-hash noise also makes the release IDEMPOTENT across retries —
+# a re-run releases the identical value instead of spending privacy
+# budget twice (noise is keyed by the release label, here the source).
+
+DP_EPSILON = 0.5  # 1/eps = 2.0
+
+
+def _dp_release_sql(h: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    layers, last = dln_int_cte_layers(
+        [("1000 - abs(k)", "dk"), ("1000", "dc")], "w0", "dpl"
+    )
+    inv_eps = f"{1.0 / DP_EPSILON!r}e0"
+    return f"""
+WITH base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY source
+),
+w0 AS (
+  SELECT source, n_true,
+         CAST(({h}) % 1999 AS BIGINT) - 999 AS k
+  FROM base
+),
+{layers}
+SELECT source, n_true,
+       CAST(n_true AS DOUBLE)
+         + {inv_eps} * CAST(sign(k) AS DOUBLE) * (dc_ln - dk_ln)
+         AS released_count,
+       {DP_EPSILON!r}e0 AS epsilon
+FROM {last}
+ORDER BY source
+"""
+
+
+@register(
+    "privacy_dp_release",
+    oracle=_dp_release_sql(md5_int_duck("source", salt="dplap")),
+    description=f"ε-differentially-private count release (Laplace "
+    f"mechanism, ε={DP_EPSILON}, sensitivity 1) of per-source document "
+    "counts: inverse-CDF noise from md5-uniform u with BOTH ln "
+    "arguments exact integers through the deterministic integer-ln "
+    "kernel — released values bit-identical across engines and "
+    "idempotent across retries (seeded by release label, no budget "
+    "double-spend); one cardinality-bounded aggregate",
+)
+def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_dp_release_sql(md5_int_spark("source", salt="dplap")))
