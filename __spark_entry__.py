@@ -60,6 +60,17 @@ _LEDGER_PRIORITY = [
     "privacy_l_diversity",
     "privacy_dp_release",
     "stats_permutation_test",
+    "stats_levene_bf",
+    "stats_jarque_bera",
+    "stats_kendall_tau",
+    "graph_hits",
+    "text_naive_bayes_lang",
+    "timeseries_dtw",
+    "privacy_t_closeness",
+    "curation_importance_resample",
+    "anomaly_esd_rounds",
+    "text_textrank_keywords",
+    "embedding_pca_power",
 ]
 
 

@@ -234,6 +234,84 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """HITS hubs & authorities over (src, dst) edges (unweighted — pass a
+    pre-thresholded/distinct edge set), fixed iteration count, FIXED-POINT
+    INTEGER arithmetic with L1 normalization each half-step so any engine
+    at any parallelism computes bit-identical scores (same rationale as
+    `pagerank` above: integer +, *, div are exact and associative).
+
+    Per iteration (authorities from hubs, then hubs from NEW authorities):
+      a_raw[v] = SUM_{u->v} h[u];  a[v] = (a_raw * SCALE) div SUM_v a_raw
+      h_raw[u] = SUM_{u->v} a[v];  h[u] = (h_raw * SCALE) div SUM_u h_raw
+    The normalizing division is exact 128-bit integer floor division:
+    Spark DECIMAL(38,0) `div` == DuckDB HUGEINT `//` (probed round 6: the
+    DuckDB DECIMAL `//` routes through DOUBLE and misrounds the quotient
+    by 1 ulp; HUGEINT `//` does not). L1 (sum) normalization replaces the
+    classical L2 — there is no sqrt in integer arithmetic, and the
+    normalization choice rescales but never reranks (documented
+    deviation, Kleinberg 1999 §3 notes any norm works). Exactness bound:
+    a_raw*SCALE <= n*SCALE^2 must fit int128 → n <= 1e38/SCALE^2 = 1e14
+    nodes at the default SCALE=1e12; raw sums fit BIGINT to n <= 9.2e6
+    in-degree (lower SCALE for denser graphs).
+
+    Scale: each half-step is one join + one aggregate on an edge-endpoint
+    key (co-partitioned under AQE); the edge set is loop-invariant and
+    checkpointed once; normalization totals are 1-row aggregates crossed
+    back onto the score table (broadcast), never driver collects; each
+    round's superseded blocks are freed by the CheckpointCycler."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * {scale})"
+                    f" div CAST(tot AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias(col),
+            )
+        )
+
+    # Two cyclers, one per evolving table: a shared cycler would free
+    # round-N authorities when the SAME round's hub step() lands, leaving
+    # the final returned `a` lineage-cut AND block-free (unreadable).
+    cyc_a, cyc_h = CheckpointCycler(spark), CheckpointCycler(spark)
+    h = nodes.select("node", F.lit(scale).alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            h.join(e, h["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        a = cyc_a.step(_normalize(a_raw, "a"))
+        h_raw = (
+            a.join(e, a["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        h = cyc_h.step(_normalize(h_raw, "h"))
+    return a.join(h, "node").select("node", "a", "h")
+
+
 def dedup_groups(components: DataFrame) -> DataFrame:
     """Survivor/drop decision per component: keep min id, count members."""
     return (

@@ -2173,3 +2173,346 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(SELECT explode(sequence(0, {PERM_B - 1})) AS b)",
         )
     )
+
+
+# --- Levene / Brown-Forsythe variance-homogeneity test ---
+# The gatekeeper for the ANOVA above it: one-way ANOVA assumes equal
+# group variances, and Brown-Forsythe's W is the robust way to check
+# (classic Levene centers on the mean; centering on the MEDIAN keeps the
+# test honest under skew, per Brown & Forsythe 1974). W is the ANOVA F
+# statistic computed on z_gi = |x_gi - median_g|:
+#   W = ((N-k)/(k-1)) * SUM_g n_g (zbar_g - zbar)^2 / SUM_g SUM_i (z_gi - zbar_g)^2.
+# Parity: medians interpolate (a+b)/2 identically on both engines (both
+# sort the same doubles — the Theil-Sen precedent); z and z*z are
+# EXACTLY representable at <=6 decimals (2-dp values, 3-dp medians), so
+# the default scale-6 decimal route is an exact cast on both engines —
+# scale 3 would sit BELOW the data's intrinsic 4-decimal resolution and
+# hit exact half-way ties on ~10% of rows, where Spark (shortest-repr
+# HALF_UP) and DuckDB (binary-expansion nearest) systematically diverge
+# (measured +0.5/group at sf0.1; see queries/parity.py). The 5-row
+# second-level sums are full-entropy doubles over FIVE rows — scale 3
+# keeps their half-ulp hazard ~1e-3 even at sf10 magnitudes while
+# keeping the quantization ~1e-9 relative at sf0.001 (scale 0 cost
+# 2e-5 relative there, caught by the replay test). The assembled W is
+# one shared-text double chain — bit-identical across engines.
+#
+# Scale: per-group median via a (event_type) aggregate (group count is
+# small and fixed — single-reducer median per group is k-bounded, not
+# data-bounded... and Spark's median() is an ObjectHashAggregate with
+# per-group state; with k=5 groups the state is 5 value buffers, the
+# sanctioned pattern for fixed-cardinality groups only), one broadcast
+# join of the k medians back onto the fact table, then one map-side-
+# combinable (event_type) aggregate. No data-shaped shuffle beyond the
+# one grouped pass.
+
+
+def _levene_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    zbar_g = "g.sz / CAST(g.n AS DOUBLE)"
+    zbar = "t.szt / CAST(t.nt AS DOUBLE)"
+    return f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, abs(e.value - m.med) AS z
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+grp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {dsum_expr("z")} AS sz,
+         {dsum_expr("z * z")} AS szz
+  FROM z GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+         {dsum_expr("sz", 3)} AS szt  -- full-entropy 5-row sum: scale 3
+  FROM grp
+),
+parts AS (
+  SELECT
+    {dsum_expr(f"CAST(g.n AS DOUBLE) * ({zbar_g} - {zbar}) * ({zbar_g} - {zbar})", 3)} AS num,
+    {dsum_expr(f"g.szz - g.sz * g.sz / CAST(g.n AS DOUBLE)", 3)} AS den
+  FROM grp g CROSS JOIN tot t
+)
+SELECT t.nt, t.k,
+       (CAST(t.nt - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE)) * p.num / p.den
+         AS w_stat
+FROM parts p CROSS JOIN tot t
+"""
+
+
+@register(
+    "stats_levene_bf",
+    oracle=_levene_sql(),
+    description="Brown-Forsythe (median-centered Levene) variance-"
+    "homogeneity W across the five event types — the assumption check "
+    "for stats_anova_oneway: per-group medians broadcast back onto the "
+    "fact table, absolute deviations decimal-routed at scale 3, the "
+    "k-row recombination decimal-routed at scale 0, W one shared-text "
+    "double chain — bit-identical across engines; one data-shaped "
+    "grouped pass total",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_levene_sql())
+
+
+# --- Jarque-Bera normality test (quantized-moment route) ---
+# Skewness/kurtosis-based normality screen per event type:
+#   JB = n/6 * (S^2 + (K-3)^2/4),  S = m3/m2^1.5,  K = m4/m2^2.
+# Raw double power sums can NEVER be made engine-stable at this
+# magnitude (v^4 ~ 1e23 puts the decimal-cast half-ulp hazard at ~1e3
+# expected disagreements per sf0.1 — see queries/parity.py), so the
+# engine-exact route QUANTIZES FIRST: y = round(value*1e3) as BIGINT
+# (round-half-away-from-zero on both engines, exact), then all four
+# power sums are INTEGER-EXACT in DECIMAL — y <= ~5.6e5 at DECIMAL(19,0),
+# y^2 <= 3.2e11 exact in BIGINT then DECIMAL(19,0) — 19 digits, not 18,
+# because DuckDB executes DECIMAL(<=18) multiplies in int64 storage and
+# overflows at ~1e18 (probed); 19 forces int128 on DuckDB while Spark
+# widens 19*19 to DECIMAL(38,0) — squares/cross products are exact
+# DECIMAL(38,0) on both: exact
+# and associative at any partition order, through 1e8 rows with 1e15
+# headroom. Skew and kurtosis are SCALE-INVARIANT, so the 1e3 quantum
+# cancels — no rescaling anywhere — and the result is the exact JB of
+# the quantized values (quantization displaces value by <=5e-4 relative
+# ~1e2 magnitudes; documented, deterministic, identical on both
+# engines). Central-moment assembly + JB is one shared-text double
+# chain over STRING-cast exact sums (the >2^53-safe decimal->double
+# route), with sqrt(m2)*m2 instead of pow(m2,1.5) (sqrt is IEEE
+# correctly-rounded on both; pow is not guaranteed).
+#
+# Scale: ONE map-side-combinable (event_type) aggregate over the fact
+# table — 4 decimal sums + a count per group, nothing else.
+
+
+def _jb_sql() -> str:
+    y = "CAST(round(value * 1.0e3) AS BIGINT)"
+    ssum = "CAST(CAST(sum({x}) AS STRING) AS DOUBLE)"
+    m1 = "(s1 / nd)"
+    m2 = f"(s2 / nd - {m1} * {m1})"
+    m3 = f"(s3 / nd - 3.0e0 * {m1} * s2 / nd + 2.0e0 * {m1} * {m1} * {m1})"
+    m4 = (
+        f"(s4 / nd - 4.0e0 * {m1} * s3 / nd"
+        f" + 6.0e0 * {m1} * {m1} * s2 / nd"
+        f" - 3.0e0 * {m1} * {m1} * {m1} * {m1})"
+    )
+    return f"""
+WITH q AS (
+  SELECT event_type, {y} AS yq FROM events
+),
+p AS (
+  SELECT event_type, CAST(yq AS DECIMAL(19,0)) AS y1,
+         CAST(yq * yq AS DECIMAL(19,0)) AS y2
+  FROM q
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {ssum.format(x="y1")} AS s1,
+         {ssum.format(x="y2")} AS s2,
+         {ssum.format(x="y1 * y2")} AS s3,
+         {ssum.format(x="y2 * y2")} AS s4
+  FROM p GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4
+  FROM s
+),
+c AS (
+  SELECT event_type, n, nd,
+         {m2} AS m2, {m3} AS m3, {m4} AS m4
+  FROM m
+)
+SELECT event_type, n,
+       m3 / (sqrt(m2) * m2) AS skewness,
+       m4 / (m2 * m2) - 3.0e0 AS ex_kurtosis,
+       nd / 6.0e0 * ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2))
+         + (m4 / (m2 * m2) - 3.0e0) * (m4 / (m2 * m2) - 3.0e0) / 4.0e0)
+         AS jb_stat
+FROM c
+ORDER BY event_type
+"""
+
+
+@register(
+    "stats_jarque_bera",
+    oracle=_jb_sql(),
+    description="Jarque-Bera normality screen (skewness + excess "
+    "kurtosis) per event type via INTEGER-EXACT quantized power sums — "
+    "round(value*1e3) BIGINT, four decimal power sums exact at any "
+    "partition order through 1e8 rows, string-cast >2^53-safe "
+    "decimal->double, sqrt(m2)*m2 not pow — bit-identical across "
+    "engines; one map-side-combinable grouped pass",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_jb_sql())
+
+
+# --- Kendall tau-b rank correlation (daily trend monotonicity) ---
+# The concordance twin of stats_spearman_corr: per event type, tau-b
+# between day index and the day's decimal-routed mean value. With the
+# index strictly increasing, every i<j pair is concordant iff v_j>v_i,
+# discordant iff v_j<v_i, tied iff equal (exact double equality of
+# engine-exact inputs):
+#   tau_b = (C - D) / sqrt((n0 - t_v) * n0),   n0 = n(n-1)/2
+# (no index ties, so the second correction term is exactly n0). Counts
+# are BIGINT-exact; one sqrt + one division of integer-derived doubles
+# — bit-identical across engines.
+#
+# Scale: the pair join is per-type and CALENDAR-bounded (~30 days ->
+# ~435 pairs/type regardless of row volume); the daily aggregate
+# underneath has map-side combine. Same scale shape as Theil-Sen.
+
+
+def _kendall_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) AS BIGINT) AS tv
+  FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i > a.i
+  GROUP BY a.event_type
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM idx GROUP BY event_type
+)
+SELECT nn.event_type, nn.n_days, p.c AS concordant, p.d AS discordant,
+       CAST(p.c - p.d AS DOUBLE)
+       / sqrt((CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0
+               - CAST(p.tv AS DOUBLE))
+              * (CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0))
+         AS tau_b
+FROM nn JOIN pairs p ON p.event_type = nn.event_type
+ORDER BY nn.event_type
+"""
+
+
+@register(
+    "stats_kendall_tau",
+    oracle=_kendall_sql("epoch_us(ts)"),
+    description="Kendall tau-b between day index and decimal-routed "
+    "daily mean per event type: BIGINT-exact concordant/discordant/tie "
+    "counts over the calendar-bounded pair join (~435 pairs/type "
+    "independent of row volume), one sqrt + one division — bit-identical "
+    "across engines; the concordance twin of stats_spearman_corr",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kendall_sql("unix_micros(ts)"))
+
+
+# --- generalized ESD outlier rounds (iterative max-deviation removal) ---
+# The iterative upgrade of anomaly_zscore: a single z-pass misses masked
+# outliers (two extremes inflate the sd and hide each other), so
+# generalized ESD (Rosner 1983) removes the single most extreme point,
+# RECOMPUTES mean/sd on the remainder, and repeats — ESD_ROUNDS=3 rounds
+# here, emitting per round and event type the removed point and its
+#   R_r = max_i |x_i − x̄| / s
+# over the surviving set. Means/sds come from decimal-routed sums of
+# value and value² (2-dp data: the scale-6 casts are EXACT on both
+# engines); each round's argmax is found with two aggregates — a
+# map-side-combinable per-type max(R), then min(event_id) among rows
+# attaining it (exact double equality of engine-identical R values) —
+# never a data-shaped single-partition window. Bit-identical across
+# engines.
+#
+# Scale: per round, two grouped aggregates + one anti-join on the
+# removed (type, id) pair — 3 rounds = a fixed pipeline of
+# map-side-combinable passes; removal state is ROUNDS-bounded, not
+# data-bounded. The oracle materializes each round's survivor set
+# (DuckDB inlines CTEs; round chains compound references).
+
+ESD_ROUNDS = 3
+
+
+def _esd_sql(mat: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    mean = "s.sz / CAST(s.n AS DOUBLE)"
+    sd = (
+        f"sqrt((s.szz - s.sz * s.sz / CAST(s.n AS DOUBLE))"
+        f" / CAST(s.n - 1 AS DOUBLE))"
+    )
+    parts = [
+        "b1 AS (SELECT event_type, event_id, value FROM events)",
+    ]
+    finals = []
+    for r in range(1, ESD_ROUNDS + 1):
+        parts.append(
+            f"""s{r} AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {dsum_expr("value")} AS sz, {dsum_expr("value * value")} AS szz
+  FROM b{r} GROUP BY event_type
+)"""
+        )
+        parts.append(
+            f"""d{r} AS {mat}(
+  SELECT b.event_type, b.event_id,
+         abs(b.value - {mean}) / {sd} AS r
+  FROM b{r} b JOIN s{r} s ON s.event_type = b.event_type
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT event_type, max(r) AS mr FROM d{r} GROUP BY event_type
+)"""
+        )
+        parts.append(
+            f"""p{r} AS {mat}(
+  SELECT d.event_type, CAST(min(d.event_id) AS BIGINT) AS event_id,
+         max(d.r) AS r_stat
+  FROM d{r} d JOIN m{r} m ON m.event_type = d.event_type AND d.r = m.mr
+  GROUP BY d.event_type
+)"""
+        )
+        finals.append(
+            f"SELECT CAST({r} AS INT) AS round, event_type, event_id, r_stat FROM p{r}"
+        )
+        if r < ESD_ROUNDS:
+            parts.append(
+                f"""b{r + 1} AS {mat}(
+  SELECT b.event_type, b.event_id, b.value
+  FROM b{r} b LEFT JOIN p{r} p
+    ON p.event_type = b.event_type AND p.event_id = b.event_id
+  WHERE p.event_id IS NULL
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY event_type, round"
+    )
+
+
+@register(
+    "anomaly_esd_rounds",
+    oracle=_esd_sql("MATERIALIZED "),
+    description=f"generalized ESD ({ESD_ROUNDS} rounds): iteratively "
+    "remove the most extreme |x−mean|/sd point per event type and "
+    "recompute — the masked-outlier fix for anomaly_zscore; decimal-"
+    "exact sufficient statistics each round, argmax via two map-side-"
+    "combinable aggregates (no data-shaped window), deterministic "
+    "min-event_id tie-break — bit-identical across engines",
+)
+def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_esd_sql(""))

@@ -1253,3 +1253,177 @@ ORDER BY source
 def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_dp_release_sql(md5_int_spark("source", salt="dplap")))
+
+
+# --- t-closeness audit (completing the k/l/t privacy triad) ---
+# l-diversity is defeated by SKEW: a class with 3 distinct sensitive
+# values at 98/1/1 leaks almost as much as a homogeneous one. t-closeness
+# (Li et al. 2007) bounds the DISTANCE between each class's sensitive
+# distribution and the global one; for a categorical sensitive attribute
+# the distance is total variation, and it has an exact-integer form:
+#   t(class) = ½ Σ_s |c_s/n − g_s/N| = Σ_s |c_s·N − g_s·n| / (2·n·N).
+# Same QI as privacy_l_diversity ((nation, balance band), market segment
+# sensitive) so the triad audits one schema. ABSENT segments matter
+# (|0 − g_s·n| contributes), so classes are crossed with the full
+# segment list before the left join. Numerators are BIGINT-exact
+# (c·N ≤ N² ≈ 2e14 at sf10); one final division per class — the t
+# values and violation counts are bit-identical across engines.
+#
+# Scale: one (QI, segment) hash-aggregate with map-side combine, a
+# cardinality-bounded grid (classes × 5 segments), one rollup to
+# nation. No data-shaped shuffle beyond the first aggregate.
+
+T_CLOSENESS = 0.35
+
+
+def _t_closeness_sql() -> str:
+    return f"""
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1.0e3) AS BIGINT) AS bal_band,
+         c_mktsegment, CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+cl AS (
+  SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS n
+  FROM cls GROUP BY 1, 2
+),
+seg AS (
+  SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS g FROM cls GROUP BY 1
+),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM seg),
+grid AS (
+  SELECT cl.c_nationkey, cl.bal_band, cl.n, s.c_mktsegment, s.g, t.nn,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM cl CROSS JOIN seg s CROSS JOIN tot t
+  LEFT JOIN cls c ON c.c_nationkey = cl.c_nationkey
+   AND c.bal_band = cl.bal_band AND c.c_mktsegment = s.c_mktsegment
+),
+tval AS (
+  SELECT c_nationkey, bal_band, n,
+         CAST(sum(abs(c * nn - g * n)) AS DOUBLE)
+           / (2.0e0 * CAST(n AS DOUBLE) * CAST(max(nn) AS DOUBLE)) AS t
+  FROM grid GROUP BY c_nationkey, bal_band, n
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       max(t) AS max_t,
+       CAST(sum(CASE WHEN t > {T_CLOSENESS!r}e0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(CASE WHEN t > {T_CLOSENESS!r}e0 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_exposed
+FROM tval GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=_t_closeness_sql(),
+    description=f"t-closeness audit (t={T_CLOSENESS}, total-variation "
+    "distance) over the same QI/sensitive schema as the k-anonymity and "
+    "l-diversity rungs: exact-integer |c·N − g·n| numerators including "
+    "absent segments, one division per class — bit-identical across "
+    "engines; skew leakage that l-diversity's distinct-count misses; "
+    "cardinality-bounded aggregates throughout",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_t_closeness_sql())
+
+
+# --- DSIR-style importance resampling (hashed n-gram features) ---
+# Data Selection via Importance Resampling (Xie et al. 2023): score each
+# document by how much more likely its hashed unigram features are under
+# a TARGET distribution (here: the English sub-corpus) than under the
+# SOURCE (the full corpus), then keep the top-N — the scalable way to
+# tilt a 100 TB crawl toward a target domain without training a model.
+#   w(d) = (1/n_d) Σ_tok [ln p_T(b(tok)) − ln p_S(b(tok))],
+#   p(b) = (cnt_b + 1)/(tot + B)   (add-1 over B hash buckets)
+# Feature hashing (md5 mod B=64) bounds model state at B rows per side
+# regardless of vocabulary. Every ln argument is an exact integer →
+# deterministic integer-ln kernel; per-doc sums decimal-routed at scale
+# 3; top-N by (w DESC, doc_id) on engine-identical doubles.
+#
+# Scale: bucket tables are B-bounded (broadcast); scoring is one
+# (bucket)-keyed join of doc-bucket counts + one per-doc aggregate +
+# a global top-N (TakeOrdered, never a full sort).
+
+DSIR_BUCKETS = 64
+DSIR_TOP_N = 100
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_sql(tok_cte: str, h: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    layers, last = dln_int_cte_layers(
+        [("ct + 1", "lt"), ("cs + 1", "ls")], "bk", "dsr"
+    )
+    layers2, last2 = dln_int_cte_layers(
+        [(f"tt + {DSIR_BUCKETS}", "ltt"), (f"ts + {DSIR_BUCKETS}", "lts")],
+        "btot", "dsc",
+    )
+    return f"""
+WITH tok AS ({tok_cte}),
+db AS (
+  SELECT doc_id, lang, CAST(({h}) % {DSIR_BUCKETS} AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2, 3
+),
+bk AS (
+  SELECT b,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(cnt) AS BIGINT) AS cs
+  FROM db GROUP BY b
+),
+{layers},
+btot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cs) AS BIGINT) AS ts
+  FROM bk
+),
+{layers2},
+ds AS (
+  SELECT d.doc_id, d.lang, CAST(sum(d.cnt) AS BIGINT) AS n_tok,
+         {dsum_expr("CAST(d.cnt AS DOUBLE) * (k.lt_ln - k.ls_ln)", 3)} AS s
+  FROM db d JOIN {last} k ON k.b = d.b
+  GROUP BY d.doc_id, d.lang
+),
+w AS (
+  SELECT ds.doc_id, ds.lang, ds.n_tok,
+         (ds.s - CAST(ds.n_tok AS DOUBLE) * (c.ltt_ln - c.lts_ln))
+           / CAST(ds.n_tok AS DOUBLE) AS w
+  FROM ds CROSS JOIN {last2} c
+)
+SELECT doc_id, lang, n_tok, w
+FROM w
+ORDER BY w DESC, doc_id
+LIMIT {DSIR_TOP_N}
+"""
+
+
+@register(
+    "curation_importance_resample",
+    oracle=_dsir_sql(
+        "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents",
+        md5_int_duck("tok", salt="dsir"),
+    ),
+    description=f"DSIR-style importance resampling toward the "
+    f"'{DSIR_TARGET_LANG}' sub-corpus: hashed unigram features "
+    f"(md5 mod {DSIR_BUCKETS} buckets bound model state regardless of "
+    "vocabulary), add-1 log-ratio weights with every ln argument an "
+    "exact integer through the deterministic kernel, per-doc sums "
+    f"decimal-routed, top-{DSIR_TOP_N} by (weight, doc_id) — "
+    "bit-identical across engines; B-bounded broadcastable model, one "
+    "bucket join + TakeOrdered top-N",
+)
+def curation_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _dsir_sql(
+            "SELECT doc_id, lang, explode(split(text, ' ')) AS tok"
+            " FROM documents",
+            md5_int_spark("tok", salt="dsir"),
+        )
+    )

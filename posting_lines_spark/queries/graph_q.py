@@ -132,19 +132,25 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY 1, 2"""
 
 
-def _pagerank_oracle() -> str:
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = PR_ITERS, scale: int = _PR_SCALE
+) -> str:
+    """Unrolled fixed-point-integer PageRank recurrence as chained CTEs —
+    the shared oracle builder for every PageRank-family query (trade
+    graph, TextRank word graph). `edges_sql` must yield (src, dst, w);
+    a nested WITH inside the parens is fine on DuckDB."""
     parts = [
-        f"edges AS ({_PR_EDGES})",
+        f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "out_w AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
         "p AS (SELECT count(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM p) AS rank FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM p) AS rank FROM nodes)",
     ]
-    for k in range(1, PR_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(
             f"""r{k} AS (
   SELECT nd.node,
-         (15 * {_PR_SCALE}) // (100 * (SELECT n FROM p))
+         (15 * {scale}) // (100 * (SELECT n FROM p))
          + (85 * coalesce(c.s, 0)) // 100 AS rank
   FROM nodes nd LEFT JOIN (
     SELECT e.dst AS node,
@@ -157,13 +163,13 @@ def _pagerank_oracle() -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{PR_ITERS} ORDER BY node"
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{iters} ORDER BY node"
     )
 
 
 @register(
     "graph_pagerank",
-    oracle=_pagerank_oracle(),
+    oracle=pagerank_oracle_sql(_PR_EDGES),
     description="weighted PageRank over the customer-nation → supplier-nation "
     "trade graph, fixed 6 iterations in FIXED-POINT INTEGER arithmetic "
     "(engine-exact: no float summation-order divergence); each round is one "
@@ -716,3 +722,97 @@ LINKPRED_ORACLE = "WITH " + _linkpred_core("lineitem")
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql("WITH " + _linkpred_core("lineitem"))
+
+
+# --- HITS hubs & authorities over the nation trade graph ---
+# The directional complement of PageRank above: on the customer-nation →
+# supplier-nation trade edges, a good HUB is a nation whose customers
+# buy from authoritative supplier nations, a good AUTHORITY is one whose
+# suppliers serve hub-ish customer nations. Same engine-exactness story
+# as graph_pagerank: fixed iteration count in fixed-point integer
+# arithmetic (operators/graph.py::hits — L1-normalized half-steps whose
+# normalizing division is exact int128 floor division: Spark
+# DECIMAL(38,0) `div` ≡ DuckDB HUGEINT `//`; the DuckDB DECIMAL `//`
+# routes through DOUBLE and misrounds, probed this round). The oracle
+# unrolls the identical integer recurrence as chained CTEs.
+
+HITS_ITERS = 5
+_HITS_SCALE = 1_000_000_000_000
+
+_HITS_EDGES = """SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       CAST(s.s_nationkey AS BIGINT) AS dst
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey"""
+
+
+def _hits_oracle() -> str:
+    # Each CTE is referenced exactly ONCE by its successor (the L1 total
+    # rides along as a window sum) — a twice-referenced CTE would double
+    # the inlined plan per iteration (DuckDB inlines CTEs; the first cut
+    # of this oracle hit "too many open files" from 2^10 parquet scans).
+    def norm(raw_cte: str, out_col: str) -> str:
+        return f"""
+  SELECT nd.node,
+         CAST((CAST(coalesce(c.raw, 0) AS HUGEINT) * {_HITS_SCALE})
+              // CAST(c2.tot AS HUGEINT) AS BIGINT) AS {out_col}
+  FROM nodes nd
+  LEFT JOIN {raw_cte} c ON c.node = nd.node
+  CROSS JOIN (SELECT max(tot) AS tot FROM {raw_cte}) c2"""
+
+    parts = [
+        f"edges AS ({_HITS_EDGES})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw,
+         CAST(sum(sum(h.h)) OVER () AS BIGINT) AS tot
+  FROM h{k - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+)"""
+        )
+        parts.append(f"a{k} AS ({norm(f'ar{k}', 'a')})")
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw,
+         CAST(sum(sum(a.a)) OVER () AS BIGINT) AS tot
+  FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+)"""
+        )
+        parts.append(f"h{k} AS ({norm(f'hr{k}', 'h')})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.node, a.a AS authority_fp, h.h AS hub_fp
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node
+ORDER BY a.node"""
+    )
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    description="HITS hubs & authorities over the customer-nation → "
+    "supplier-nation trade graph, fixed 5 iterations in fixed-point "
+    "integer arithmetic with L1-normalized half-steps (engine-exact: "
+    "int128 floor division, Spark DECIMAL div ≡ DuckDB HUGEINT //); "
+    "each half-step one join + one aggregate on a co-partitioned edge "
+    "key, edges loop-invariant and checkpointed once, superseded rounds "
+    "freed by the CheckpointCycler; oracle = the identical integer "
+    "recurrence unrolled as chained CTEs",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    res = graph.hits(spark.sql(_HITS_EDGES), iters=HITS_ITERS)
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("a").cast("long").alias("authority_fp"),
+        F.col("h").cast("long").alias("hub_fp"),
+    ).orderBy("node")

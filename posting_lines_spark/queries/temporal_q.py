@@ -1148,3 +1148,121 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.sym), '')",
         )
     )
+
+
+# --- dynamic time warping distance (daily series vs 'click' reference) ---
+# The alignment-tolerant series distance the Euclidean/SAX family can't
+# express: DTW(a, b) = min-cost monotone alignment, the classic DP
+#   dp[i][j] = |a_i − b_j| + min(dp[i−1][j], dp[i][j−1], dp[i−1][j−1])
+# over each event type's day-ordered decimal-routed daily means against
+# the 'click' series. Both engines step the IDENTICAL recurrence in the
+# IDENTICAL cell order (row-major), each cell one abs-diff add + a
+# 3-way min of engine-exact doubles — bit-identical, no float-sum
+# reordering anywhere. The execution shapes differ by design:
+#   Spark — one whole-stage-codegen expression: an outer aggregate()
+#   fold over a's elements whose state is the previous DP ROW, with an
+#   inner aggregate() over column indices building the new row
+#   left-to-right (no UDF, no driver loop);
+#   DuckDB oracle — a single-row-per-type recursive CTE walking cells
+#   row-major with a sliding WINDOW of the last m+2 dp values as LIST
+#   state (dp[i−1][j−1], dp[i−1][j], dp[i][j−1] sit at fixed window
+#   positions 1, 2, m+2; a leading dummy keeps the window length
+#   constant from the seed row).
+# The ∞ sentinel is 1.0e18: one cost add keeps it far from overflow and
+# min() discards it on every feasible path.
+#
+# Scale: the DP is CALENDAR² -bounded (~30×30 cells/type regardless of
+# row volume) — the sanctioned shape for per-group sequence algorithms;
+# the daily aggregate underneath has map-side combine. For data-shaped
+# series (per-user sequences), the same fold runs per group under a
+# (user)-keyed aggregate; cells must stay bounded (banding) — noted in
+# SCALE.md.
+
+DTW_REF_TYPE = "click"
+_DTW_INF = "CAST(1.0e18 AS DOUBLE)"
+
+
+def _dtw_series_sql(epoch_us: str, series_agg: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+ser AS (
+  SELECT event_type, {series_agg} AS a, CAST(count(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+ref AS (SELECT a AS b, n AS m FROM ser WHERE event_type = '{DTW_REF_TYPE}'),
+pair AS (
+  SELECT s.event_type, s.a, s.n, r.b, r.m FROM ser s CROSS JOIN ref r
+)"""
+
+
+def _dtw_spark_sql() -> str:
+    series = (
+        "transform(array_sort(collect_list(struct(day, v))), s -> s.v)"
+    )
+    inf = _DTW_INF
+    return f"""
+WITH {_dtw_series_sql("unix_micros(ts)", series)}
+SELECT event_type, n AS n_days, m AS m_days,
+       element_at(
+         aggregate(
+           a,
+           concat(array(CAST(0.0e0 AS DOUBLE)), transform(b, x -> {inf})),
+           (prev, av) -> aggregate(
+             sequence(1L, m),
+             array({inf}),
+             (nr, j) -> concat(nr, array(
+               abs(av - element_at(b, CAST(j AS INT)))
+               + least(element_at(prev, CAST(j AS INT) + 1),
+                       element_at(nr, CAST(j AS INT)),
+                       element_at(prev, CAST(j AS INT)))))
+           )
+         ),
+         CAST(m AS INT) + 1
+       ) AS dtw
+FROM pair ORDER BY event_type
+"""
+
+
+def _dtw_oracle_sql() -> str:
+    inf = _DTW_INF
+    return f"""
+WITH RECURSIVE {_dtw_series_sql("epoch_us(ts)", "list(v ORDER BY day)")},
+dp AS (
+  SELECT event_type, a, n, b, m, CAST(m + 1 AS BIGINT) AS p,
+         [{inf}, CAST(0.0e0 AS DOUBLE)]
+           || list_transform(b, x -> {inf}) AS w
+  FROM pair
+  UNION ALL
+  SELECT event_type, a, n, b, m, p + 1 AS p,
+         w[2:] || [CASE WHEN p % (m + 1) = 0 THEN {inf}
+                   ELSE abs(a[p // (m + 1)] - b[p % (m + 1)])
+                        + least(w[1], w[2], w[m + 2]) END] AS w
+  FROM dp WHERE p < (n + 1) * (m + 1)
+)
+SELECT event_type, n AS n_days, m AS m_days, w[m + 2] AS dtw
+FROM dp WHERE p = (n + 1) * (m + 1)
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_dtw",
+    oracle=_dtw_oracle_sql(),
+    description="dynamic time warping distance of each event type's "
+    "day-ordered decimal-routed daily series against the 'click' "
+    "reference: both engines step the identical row-major DP recurrence "
+    "(Spark — nested aggregate() fold, whole-stage codegen, no UDF; "
+    "oracle — sliding-window recursive CTE with LIST state), each cell "
+    "one abs-add + 3-way min of engine-exact doubles — bit-identical; "
+    "calendar²-bounded cells per type",
+)
+def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dtw_spark_sql())

@@ -1336,3 +1336,227 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(split(text, ' '))",
         )
     )
+
+
+# --- multinomial naive Bayes language classifier (train + confusion) ---
+# The generative sibling of curation_quality_logistic and the model-based
+# upgrade of text_lang_id's n-gram heuristic: train multinomial NB with
+# add-1 smoothing on (lang, token) counts, then classify every document
+# and report the 5×5 confusion matrix — the self-consistency audit a
+# labeling pipeline runs before trusting a cheap classifier at scale.
+#   score_c(d) = ln(nd_c) − ln(N) + Σ_t cnt_dt·ln(cnt_tc + 1)
+#                − n_d·ln(tot_c + V)
+# Every ln argument is an EXACT INTEGER (counts, totals, vocab size), so
+# all logs route through the deterministic integer-ln kernel
+# (functions/dmath.py) and scores are engine-exact; the per-doc token
+# sums are decimal-routed at scale 3; argmax ties break alphabetically
+# via an ordered CASE cascade over exact-equal doubles. Output is
+# integer counts — bit-identical across engines.
+#
+# Scale: training is two hash-aggregates ((doc,lang,token) then (token)
+# pivoted over the FIXED 5-class set — never a per-class shuffle);
+# scoring is one (token)-keyed join of doc-token counts against the
+# vocabulary-bounded model table (broadcastable: |V| ≪ corpus) + one
+# per-doc aggregate. Class constants are a 5-row table crossed back.
+
+NB_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _nb_sql(tok_cte: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    ln1, last1 = dln_int_cte_layers(
+        [(f"c_{g} + 1", f"l{g}") for g in NB_LANGS], "ct", "nbt"
+    )
+    ln2, last2 = dln_int_cte_layers(
+        [("tot + v", "lt"), ("nd", "lp"), ("ntot", "ln")], "clsv", "nbc"
+    )
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN lang = '{g}' THEN lt_ln END) AS lt_{g},\n         "
+        f"max(CASE WHEN lang = '{g}' THEN lp_ln - ln_ln END) AS pr_{g}"
+        for g in NB_LANGS
+    )
+    csums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN lang = '{g}' THEN cnt ELSE 0 END) AS BIGINT) AS c_{g}"
+        for g in NB_LANGS
+    )
+    ssums = ",\n         ".join(
+        dsum_expr(f"CAST(d.cnt AS DOUBLE) * t.l{g}_ln", 3) + f" AS s_{g}"
+        for g in NB_LANGS
+    )
+    scores = ",\n         ".join(
+        f"cs.pr_{g} + ds.s_{g} - CAST(ds.n_tok AS DOUBLE) * cs.lt_{g} AS sc_{g}"
+        for g in NB_LANGS
+    )
+    cascade = []
+    for i, g in enumerate(NB_LANGS[:-1]):
+        rest = ", ".join(f"sc_{h}" for h in NB_LANGS[i + 1 :])
+        fn = "greatest(" + rest + ")" if "," in rest else rest
+        cascade.append(f"WHEN sc_{g} >= {fn} THEN '{g}'")
+    cascade_sql = "\n              ".join(cascade)
+    return f"""
+WITH tok AS ({tok_cte}),
+dt AS (
+  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, lang, token
+),
+ct AS (
+  SELECT token,
+         {csums}
+  FROM dt GROUP BY token
+),
+{ln1},
+cls AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM dt GROUP BY lang
+),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ct),
+clsv AS (
+  SELECT c.lang, c.tot, c.nd, vb.v,
+         CAST(sum(c.nd) OVER () AS BIGINT) AS ntot
+  FROM cls c CROSS JOIN vocab vb
+),
+{ln2},
+consts AS (
+  SELECT {pivots}
+  FROM {last2}
+),
+docscore AS (
+  SELECT d.doc_id, d.lang AS true_lang, CAST(sum(d.cnt) AS BIGINT) AS n_tok,
+         {ssums}
+  FROM dt d JOIN {last1} t ON t.token = d.token
+  GROUP BY d.doc_id, d.lang
+),
+scored AS (
+  SELECT ds.doc_id, ds.true_lang,
+         {scores}
+  FROM docscore ds CROSS JOIN consts cs
+),
+pred AS (
+  SELECT doc_id, true_lang,
+         CASE {cascade_sql}
+              ELSE '{NB_LANGS[-1]}' END AS pred_lang
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@register(
+    "text_naive_bayes_lang",
+    oracle=_nb_sql(
+        "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token"
+        " FROM documents"
+    ),
+    description="multinomial naive Bayes language classifier with add-1 "
+    "smoothing, trained and evaluated on the corpus (5×5 confusion "
+    "matrix): every ln argument an exact integer through the "
+    "deterministic integer-ln kernel, per-doc sums decimal-routed, "
+    "alphabetical argmax tie-break — bit-identical across engines; "
+    "training two hash-aggregates pivoted over the fixed class set, "
+    "scoring one vocabulary-bounded (broadcastable) model join",
+)
+def text_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _nb_sql(
+            "SELECT doc_id, lang, explode(split(text, ' ')) AS token"
+            " FROM documents"
+        )
+    )
+
+
+# --- TextRank keyword extraction (PageRank on the word graph) ---
+# Mihalcea & Tarau 2004: build an undirected co-occurrence graph over
+# adjacent tokens (window 1), run PageRank, read the top-ranked words as
+# corpus keywords — the graph-centrality alternative to RAKE's
+# degree/frequency heuristic (text_keyword_rake) that rewards words
+# BRIDGING many contexts, not just frequent ones. Reuses the fixed-point
+# integer PageRank operator (operators/graph.py::pagerank — engine-exact
+# at any parallelism) on word nodes; undirectedness = both edge
+# directions with the pair count as weight. The oracle unrolls the
+# identical integer recurrence via graph_q.pagerank_oracle_sql.
+#
+# Scale: adjacency pairs come from a per-doc window (doc-length-bounded
+# state, the PMI precedent); the word graph is VOCABULARY-bounded —
+# each PageRank round is one join + one aggregate on a vocab-sized
+# table, broadcastable at any corpus size. Top-K is TakeOrdered.
+
+TEXTRANK_ITERS = 6
+TEXTRANK_TOP_K = 20
+
+_TEXTRANK_EDGES_DUCK = """WITH raw AS (
+  SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+adj AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM raw
+),
+und AS (
+  SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT w2, w1 FROM adj WHERE w2 IS NOT NULL
+)
+SELECT w1 AS src, w2 AS dst, CAST(count(*) AS BIGINT) AS w
+FROM und GROUP BY 1, 2"""
+
+_TEXTRANK_EDGES_SPARK = """WITH raw AS (
+  SELECT doc_id, pos, tok FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) v AS pos, tok
+),
+adj AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM raw
+),
+und AS (
+  SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT w2, w1 FROM adj WHERE w2 IS NOT NULL
+)
+SELECT w1 AS src, w2 AS dst, CAST(count(*) AS BIGINT) AS w
+FROM und GROUP BY 1, 2"""
+
+
+def _textrank_oracle() -> str:
+    from posting_lines_spark.queries.graph_q import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        f"({_TEXTRANK_EDGES_DUCK})", iters=TEXTRANK_ITERS
+    )
+    return f"""
+SELECT node AS word, rank_fp FROM ({inner})
+ORDER BY rank_fp DESC, word
+LIMIT {TEXTRANK_TOP_K}"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    description=f"TextRank corpus keywords: fixed-point integer PageRank "
+    f"({TEXTRANK_ITERS} iterations, engine-exact) over the undirected "
+    "adjacent-token co-occurrence graph, top-"
+    f"{TEXTRANK_TOP_K} by (rank, word); vocabulary-bounded graph "
+    "(broadcastable), doc-length-bounded adjacency window, TakeOrdered "
+    "top-K; the centrality upgrade of RAKE",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators import graph
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pr = graph.pagerank(spark.sql(_TEXTRANK_EDGES_SPARK), iters=TEXTRANK_ITERS)
+    return (
+        pr.select(
+            F.col("node").alias("word"), F.col("rank").cast("long").alias("rank_fp")
+        )
+        .orderBy(F.desc("rank_fp"), "word")
+        .limit(TEXTRANK_TOP_K)
+    )

@@ -1025,3 +1025,180 @@ def sim_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= K)
         .orderBy("query_id", "rank")
     )
+
+
+# --- top principal component via fixed-point power iteration ---
+# The missing primitive under the IVF/PQ family: PCA's leading
+# eigenvector (for whitening, projection ordering, OPQ-style rotations).
+# Mean-centered second-moment matrix in EXACT INTEGERS — quantize
+# e_q = round(e·1e4), then n²·Cov = n·S2 − S1·S1ᵀ entry-wise (same
+# eigenvectors as Cov; no rational arithmetic anywhere) — followed by
+# PCA_ITERS rounds of power iteration in fixed-point integer arithmetic:
+#   y = M'·v;   v' = sign(y) · (|y|·VSCALE div max|y|)     (L∞ norm)
+# where M' = sign(M)·(|M| div g), g = max|M| div 1e6 + 1 bounds the
+# matvec at 64·1e6·VSCALE ≈ 6.4e16 < 2⁶³, and the normalizing division
+# is exact int128 floor division (Spark DECIMAL(38,0) div ≡ DuckDB
+# HUGEINT //; both truncate toward zero on negatives — probed). The
+# sign of the returned vector is canonicalized positive at the smallest
+# nonzero dimension. Bit-identical across engines at any parallelism.
+#
+# Scale: the Spark moment build is ONE posexplode (64× fanout) + one
+# 64-column map-side-combinable aggregate — partial state is 64×65
+# integers per partition, the shuffle carries partials, never data.
+# Everything after is DIM²-bounded (4096-row matrix, 64-row vector;
+# broadcast joins, CheckpointCycler-bounded iteration blocks). Integer
+# exactness holds to n ≈ 2e5 vectors at this quantization (n·S2 ≤
+# ~1.4e18); beyond that, route the matrix build through DECIMAL(38,0).
+# The oracle builds the same matrix by self-join and unrolls the same
+# recurrence (MATERIALIZED — 8 references would inline the build 8×).
+
+PCA_ITERS = 8
+PCA_QUANT = "1.0e4"
+PCA_MDIV = 1_000_000
+PCA_VSCALE = 1_000_000_000
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {PCA_QUANT}) AS BIGINT)) AS eq
+  FROM embeddings
+)""",
+        f"ex AS MATERIALIZED (SELECT vec_id, unnest(range(0, {DIMS})) AS i, unnest(eq) AS e FROM q)",
+        "s1 AS (SELECT i, CAST(sum(e) AS BIGINT) AS s1 FROM ex GROUP BY i)",
+        """s2 AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.e * b.e) AS BIGINT) AS s2
+  FROM ex a JOIN ex b ON b.vec_id = a.vec_id GROUP BY 1, 2
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)",
+        """m AS (
+  SELECT s2.i, s2.j, nn.n * s2.s2 - sa.s1 * sb.s1 AS m
+  FROM s2 JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j CROSS JOIN nn
+)""",
+        f"mg AS (SELECT i, j, m, (max(abs(m)) OVER () // {PCA_MDIV}) + 1 AS g FROM m)",
+        "mp AS MATERIALIZED (SELECT i, j, CAST(sign(m) AS BIGINT) * (abs(m) // g) AS mp FROM mg)",
+        f"v0 AS (SELECT unnest(range(0, {DIMS})) AS j, CAST({PCA_VSCALE} AS BIGINT) AS v)",
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"""y{k} AS (
+  SELECT i, y, max(abs(y)) OVER () AS mx FROM (
+    SELECT mp.i, CAST(sum(mp.mp * v.v) AS BIGINT) AS y
+    FROM mp JOIN v{k - 1} v ON v.j = mp.j GROUP BY mp.i
+  )
+)"""
+        )
+        mat = " MATERIALIZED" if k == PCA_ITERS else ""
+        parts.append(
+            f"""v{k} AS{mat} (
+  SELECT i AS j,
+         CAST(sign(y) AS BIGINT)
+         * CAST((CAST(abs(y) AS HUGEINT) * {PCA_VSCALE})
+                // CAST(mx AS HUGEINT) AS BIGINT) AS v
+  FROM y{k}
+)"""
+        )
+    last = f"v{PCA_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sgn AS (
+  SELECT CAST(sign(v) AS BIGINT) AS s FROM {last}
+  WHERE v <> 0 ORDER BY j LIMIT 1
+)
+SELECT CAST({last}.j AS INT) AS dim, {last}.v * sgn.s AS v_fp
+FROM {last} CROSS JOIN sgn ORDER BY dim"""
+    )
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    description=f"leading principal component of the embedding table via "
+    f"{PCA_ITERS} fixed-point integer power iterations on the exact "
+    "integer mean-centered moment matrix n·S2 − S1·S1ᵀ (quantized 1e4): "
+    "L∞-normalized matvecs with int128-exact division, sign "
+    "canonicalized at the smallest nonzero dim — bit-identical across "
+    "engines; ONE 64-fanout explode + a 64-column map-side-combinable "
+    "aggregate builds the matrix, everything after is DIM²-bounded",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.graph import CheckpointCycler
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    q = spark.sql(
+        "SELECT vec_id, transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {PCA_QUANT}) AS BIGINT)) AS eq "
+        "FROM embeddings"
+    )
+    ex = q.select(F.posexplode("eq").alias("i", "eqi"), "eq")
+    srow = ex.groupBy("i").agg(
+        F.sum("eqi").cast("long").alias("s1i"),
+        *[
+            F.sum(F.col("eqi") * F.element_at("eq", j + 1))
+            .cast("long")
+            .alias(f"s2_{j}")
+            for j in range(DIMS)
+        ],
+    )
+    stack = (
+        f"stack({DIMS}, "
+        + ", ".join(f"{j}, s2_{j}" for j in range(DIMS))
+        + ") AS (j, s2)"
+    )
+    s2 = srow.select("i", "s1i", F.expr(stack))
+    s1 = srow.select(F.col("i").alias("j"), F.col("s1i").alias("s1j"))
+    cnt = q.agg(F.count("*").cast("long").alias("n"))
+    m = (
+        s2.join(F.broadcast(s1), "j")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i", "j",
+            (F.col("n") * F.col("s2") - F.col("s1i") * F.col("s1j")).alias("m"),
+        )
+    )
+    g = m.agg(F.expr(f"CAST(max(abs(m)) div {PCA_MDIV} AS BIGINT) + 1L").alias("g"))
+    mp = (
+        m.crossJoin(F.broadcast(g))
+        .select(
+            "i", "j",
+            F.expr("CAST(sign(m) AS BIGINT) * (abs(m) div g)").alias("mp"),
+        )
+        .localCheckpoint(eager=True)  # loop-invariant
+    )
+    v = spark.range(DIMS).select(
+        F.col("id").cast("int").alias("j"), F.lit(PCA_VSCALE).cast("long").alias("v")
+    )
+    cyc = CheckpointCycler(spark)
+    for _ in range(PCA_ITERS):
+        y = (
+            mp.join(v, mp["j"] == v["j"])
+            .groupBy("i")
+            .agg(F.sum(F.col("mp") * F.col("v")).cast("long").alias("y"))
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).cast("long").alias("mx"))
+        v = cyc.step(
+            y.crossJoin(F.broadcast(mx)).select(
+                F.col("i").alias("j"),
+                F.expr(
+                    "CAST(sign(y) AS BIGINT) * CAST((CAST(abs(y) AS DECIMAL(38,0))"
+                    f" * {PCA_VSCALE}) div CAST(mx AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+    sgn = (
+        v.where(F.col("v") != 0)
+        .orderBy("j")
+        .limit(1)
+        .select(F.expr("CAST(sign(v) AS BIGINT)").alias("s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            (F.col("v") * F.col("s")).cast("long").alias("v_fp"),
+        )
+        .orderBy("dim")
+    )
