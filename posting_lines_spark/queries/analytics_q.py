@@ -2514,5 +2514,56 @@ def _esd_sql(mat: str) -> str:
     "min-event_id tie-break — bit-identical across engines",
 )
 def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_esd_sql(""))
+    # The shared CTE text re-derives each round's survivor set from the
+    # previous round's CHAIN; Spark has no CTE materialization, so the
+    # single-SQL form recomputed the chain combinatorially (63 exchanges
+    # in the plan audit). Here each round's survivor set is the base scan
+    # minus the ACCUMULATED picks (a ROUNDS-bounded broadcast anti-join,
+    # ≤ 5·r rows, eagerly checkpointed) — identical arithmetic text per
+    # round, so values still match the chained oracle bit-for-bit, but
+    # lineage depth stays constant and nothing data-shaped is ever
+    # checkpointed (the 100 TB shape).
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    mean = "sz / CAST(n AS DOUBLE)"
+    sd = "sqrt((szz - sz * sz / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    picks: list[DataFrame] = []
+    outs: list[DataFrame] = []
+    for r in range(1, ESD_ROUNDS + 1):
+        b = base
+        for pk in picks:
+            b = b.join(
+                F.broadcast(pk), ["event_type", "event_id"], "left_anti"
+            )
+        st = b.groupBy("event_type").agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+            F.expr(dsum_expr("value")).alias("sz"),
+            F.expr(dsum_expr("value * value")).alias("szz"),
+        )
+        d = b.join(F.broadcast(st), "event_type").select(
+            "event_type", "event_id",
+            F.expr(f"abs(value - {mean}) / {sd}").alias("r"),
+        )
+        m = d.groupBy("event_type").agg(F.max("r").alias("mr"))
+        pk = (
+            d.join(F.broadcast(m), "event_type")
+            .where(F.col("r") == F.col("mr"))
+            .groupBy("event_type")
+            .agg(
+                F.min("event_id").cast("long").alias("event_id"),
+                F.max("r").alias("r_stat"),
+            )
+            .localCheckpoint(eager=True)  # ROUNDS-bounded: <= 5 rows
+        )
+        picks.append(pk.select("event_type", "event_id"))
+        outs.append(pk.select(
+            F.lit(r).cast("int").alias("round"),
+            "event_type", "event_id", "r_stat",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "round")
