@@ -71,6 +71,9 @@ _LEDGER_PRIORITY = [
     "anomaly_esd_rounds",
     "text_textrank_keywords",
     "embedding_pca_power",
+    "search_query_likelihood",
+    "stats_cramers_v",
+    "timeseries_motif_discovery",
 ]
 
 

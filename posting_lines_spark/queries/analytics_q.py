@@ -2567,3 +2567,46 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("event_type", "round")
+
+
+# --- Cramér's V effect size (the magnitude chi-square doesn't give) ---
+# χ² grows with n, so a huge table makes trivial associations
+# "significant"; Cramér's V = sqrt(χ² / (n·min(r−1, c−1))) ∈ [0,1] is
+# the sample-size-free effect size a 100 TB audit actually wants.
+# Same contingency machinery and ordered-fold parity as
+# stats_chi2_independence (integer counts, IEEE expected values,
+# cell-ordered fold), plus one sqrt of engine-identical doubles; r/c
+# come from exact marginal counts and min() is least() on integers.
+
+_CRAMERS_SQL = CHI2_SQL.replace(
+    """SELECT CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_cells,
+       (SELECT count(*) FROM rows_m) * (SELECT count(*) FROM cols_m)
+         - (SELECT count(*) FROM rows_m) - (SELECT count(*) FROM cols_m) + 1 AS dof,
+       (SELECT {FOLD} FROM t2) AS chi2""",
+    """SELECT CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_cells,
+       (SELECT n FROM tot) AS n,
+       (SELECT {FOLD} FROM t2) AS chi2,
+       sqrt((SELECT {FOLD} FROM t2)
+            / (CAST((SELECT n FROM tot) AS DOUBLE)
+               * CAST(least((SELECT count(*) FROM rows_m) - 1,
+                            (SELECT count(*) FROM cols_m) - 1) AS DOUBLE)))
+         AS cramers_v""",
+)
+
+
+def _cramers_sql(fold: str) -> str:
+    return _CRAMERS_SQL.replace("{FOLD}", fold)
+
+
+@register(
+    "stats_cramers_v",
+    oracle=_cramers_sql(_CHI2_FOLD_DUCK),
+    description="Cramér's V effect size on the returnflag × linestatus "
+    "contingency table — the sample-size-free magnitude the raw χ² "
+    "can't give at scale; same integer-count/ordered-fold parity as "
+    "stats_chi2_independence plus one sqrt; only the first aggregate "
+    "touches data",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_cramers_sql(_CHI2_FOLD_SPARK))

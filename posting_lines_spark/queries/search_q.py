@@ -421,3 +421,120 @@ def search_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
         )
     )
+
+# --- query-likelihood retrieval (Dirichlet smoothing) ---
+# The language-modeling third member of the ranking ladder (BM25 →
+# TF-IDF cosine → QL): score(q,d) = Σ_t ln P(t|θ_d) with Dirichlet
+# smoothing P(t|θ_d) = (tf_td + μ·P(t|C)) / (dl_d + μ) (Zhai & Lafferty
+# 2001). Unlike BM25's log-free rational idf, QL NEEDS the log — so
+# every ln argument is arranged to be an EXACT INTEGER and routed
+# through the deterministic integer-ln kernel:
+#   ln P(t|θ_d) = ln(tf·C + μ·ctf_t) − ln(C·(dl+μ))
+# (C = collection token count, ctf = collection term frequency, μ
+# integer; numerator and denominator scaled by C to clear the rational
+# P(t|C)). The smoothing decomposition keeps the computation SPARSE —
+# unmatched terms enter only through the background
+#   Σ_t ln(μ·ctf_t) − |q|·ln(C·(dl+μ)),
+# which depends on the DOC only via dl — so the shuffled stream stays
+# |query terms| × matching docs (the BM25 discipline), with the sparse
+# correction ln(tf·C+μ·ctf) − ln(μ·ctf) added per MATCHED term via
+# fixed-order conditional MAX columns (never a double SUM over a
+# group). Bit-identical across engines; top-K is TakeOrdered.
+#
+# Scale: two aggregates over the token stream (dl needs the full
+# stream; tf/ctf filter on the IN-list first), the |q|-row ctf/bg
+# tables broadcast, one per-doc kernel ln. Magnitude bound:
+# tf·C + μ·ctf ≤ (tf_max + μ)·C ≪ 2⁶³ through ~10⁹-token collections
+# per partition-exact BIGINT; route through DECIMAL beyond.
+
+QL_MU = 2000
+
+
+def _ql_sql(tok_explode: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    nq = len(QUERY_TERMS)
+    ln_bg, last_bg = dln_int_cte_layers([(f"{QL_MU} * ctf", "bg")], "ctf", "qlb")
+    ln_nm, last_nm = dln_int_cte_layers([("num", "nm")], "tfx", "qln")
+    ln_dn, last_dn = dln_int_cte_layers([(f"cc * (dl + {QL_MU})", "dn")], "dl2", "qld")
+    bg_cols = ", ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN bg_ln END), 0.0e0) AS bg_{t}"
+        for t in QUERY_TERMS
+    )
+    bg_sum = " + ".join(f"bg_{t}" for t in QUERY_TERMS)
+    corr_cols = ", ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN corr END), 0.0e0) AS c_{t}, "
+        f"coalesce(max(CASE WHEN term = '{t}' THEN 1 ELSE 0 END), 0) AS m_{t}"
+        for t in QUERY_TERMS
+    )
+    corr_sum = " + ".join(f"c_{t}" for t in QUERY_TERMS)
+    match_sum = " + ".join(f"m_{t}" for t in QUERY_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM ({tok_explode}) GROUP BY doc_id
+),
+corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS cc FROM dl),
+ctf AS (
+  SELECT tok AS term, CAST(count(*) AS BIGINT) AS ctf
+  FROM ({tok_explode}) WHERE tok IN ({terms})
+  GROUP BY tok
+),
+{ln_bg},
+bgp AS (SELECT {bg_cols} FROM {last_bg}),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ({tok_explode}) WHERE tok IN ({terms})
+  GROUP BY doc_id, tok
+),
+tfx AS (
+  SELECT tf.doc_id, tf.term, b.bg_ln,
+         tf.tf * corpus.cc + {QL_MU} * b.ctf AS num
+  FROM tf JOIN {last_bg} b ON b.term = tf.term CROSS JOIN corpus
+),
+{ln_nm},
+corr0 AS (SELECT doc_id, term, nm_ln - bg_ln AS corr FROM {last_nm}),
+corr AS (
+  SELECT doc_id, {corr_cols} FROM corr0 GROUP BY doc_id
+),
+dl2 AS (
+  SELECT dl.doc_id, dl.dl, corpus.cc FROM dl CROSS JOIN corpus
+),
+{ln_dn},
+scored AS (
+  SELECT d.doc_id, d.dl,
+         ({bg_sum}) - {nq}.0e0 * d.dn_ln
+           + coalesce(c.csum, 0.0e0) AS score,
+         CAST(coalesce(c.nmatch, 0) AS INT) AS n_matched
+  FROM {last_dn} d
+  CROSS JOIN bgp
+  LEFT JOIN (
+    SELECT doc_id, {corr_sum} AS csum, {match_sum} AS nmatch FROM corr
+  ) c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, dl, n_matched, score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "search_query_likelihood",
+    oracle=_ql_sql(
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    ),
+    description=f"query-likelihood retrieval with Dirichlet smoothing "
+    f"(μ={QL_MU}) over the fixed {len(QUERY_TERMS)}-term query: every ln "
+    "argument an exact integer through the deterministic kernel via the "
+    "sparse background/correction decomposition (shuffle = matched "
+    "postings only), fixed-order conditional-MAX term combination, "
+    "TakeOrdered top-K — bit-identical across engines; the LM member of "
+    "the BM25/TF-IDF ranking ladder",
+)
+def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _ql_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
+    )

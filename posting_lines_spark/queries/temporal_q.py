@@ -1266,3 +1266,138 @@ ORDER BY event_type
 def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_dtw_spark_sql())
+
+
+# --- motif discovery (closest non-overlapping z-normalized window pair) ---
+# The matrix-profile primitive (Yeh et al. 2016) at calendar scale: per
+# event type, over the day-ordered decimal-routed daily means, find the
+# pair of NON-OVERLAPPING length-MOTIF_W windows minimizing z-normalized
+# Euclidean distance — the "repeated shape" (motif) a monitoring
+# pipeline keys on. Each window is z-normalized by its OWN population
+# mean/sd; windows with sd=0 (flat) are excluded deterministically.
+# Parity: window sums are LEFT FOLDS seeded 0.0 in index order on both
+# engines (the dot_duck idiom), the distance fold likewise — every
+# double op identical — and the argmin tie-breaks by the packed integer
+# i·1000+j on exact-equal distances. Bit-identical across engines.
+#
+# Scale: windows and pairs are CALENDAR-bounded (~24 windows, ~150
+# pairs per type at n≈30 regardless of row volume); the daily aggregate
+# has map-side combine. For data-shaped per-entity series the same
+# shape runs under an entity-keyed aggregate with banded pairs.
+
+MOTIF_W = 7
+
+
+def _motif_sql(epoch_us: str, series_agg: str, wins_cte: str, zdist: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    w = MOTIF_W
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+ser AS (
+  SELECT event_type, {series_agg} AS a, CAST(count(*) AS BIGINT) AS n
+  FROM daily GROUP BY event_type
+),
+{wins_cte},
+ws AS (
+  SELECT event_type, i, w, sx / {w}.0e0 AS m,
+         sqrt(sxx / {w}.0e0 - (sx / {w}.0e0) * (sx / {w}.0e0)) AS s
+  FROM wsum
+),
+pd AS (
+  SELECT a.event_type, a.i AS ia, b.i AS ib, {zdist} AS dist
+  FROM ws a JOIN ws b
+    ON b.event_type = a.event_type AND b.i >= a.i + {w}
+  WHERE a.s > 0.0e0 AND b.s > 0.0e0
+),
+mn AS (SELECT event_type, min(dist) AS md FROM pd GROUP BY event_type),
+pick AS (
+  SELECT p.event_type, CAST(min(p.ia * 1000 + p.ib) AS BIGINT) AS pk,
+         min(p.dist) AS dist
+  FROM pd p JOIN mn m ON m.event_type = p.event_type AND p.dist = m.md
+  GROUP BY p.event_type
+)
+SELECT event_type,
+       CAST((pk - pk % 1000) / 1000.0e0 AS INT) AS i,
+       CAST(pk % 1000 AS INT) AS j,
+       dist
+FROM pick ORDER BY event_type
+"""
+
+
+_MOTIF_WINS_SPARK = f"""wins0 AS (
+  SELECT event_type, n, a, i FROM ser
+  LATERAL VIEW explode(sequence(1, CAST(n - {MOTIF_W} + 1 AS INT))) t AS i
+  WHERE n >= {MOTIF_W}
+),
+wins1 AS (
+  SELECT event_type, i, slice(a, CAST(i AS INT), {MOTIF_W}) AS w FROM wins0
+),
+wsum AS (
+  SELECT event_type, i, w,
+         aggregate(w, CAST(0.0e0 AS DOUBLE), (acc, x) -> acc + x) AS sx,
+         aggregate(w, CAST(0.0e0 AS DOUBLE), (acc, x) -> acc + x * x) AS sxx
+  FROM wins1
+)"""
+
+_MOTIF_WINS_DUCK = f"""wins0 AS (
+  SELECT event_type, a, unnest(range(1, CAST(n - {MOTIF_W} + 2 AS BIGINT))) AS i
+  FROM ser WHERE n >= {MOTIF_W}
+),
+wins1 AS (
+  SELECT event_type, i, list_slice(a, i, i + {MOTIF_W} - 1) AS w FROM wins0
+),
+wsum AS (
+  SELECT event_type, i, w,
+         list_reduce(list_prepend(CAST(0.0e0 AS DOUBLE), w),
+                     (acc, x) -> acc + x) AS sx,
+         list_reduce(list_prepend(CAST(0.0e0 AS DOUBLE),
+                     list_transform(w, x -> x * x)),
+                     (acc, x) -> acc + x) AS sxx
+  FROM wins1
+)"""
+
+_MOTIF_ZDIST_SPARK = (
+    "aggregate(zip_with(a.w, b.w, (x, y) ->"
+    " ((x - a.m) / a.s - (y - b.m) / b.s)"
+    " * ((x - a.m) / a.s - (y - b.m) / b.s)),"
+    " CAST(0.0e0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_MOTIF_ZDIST_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0e0 AS DOUBLE),"
+    " list_transform(list_zip(a.w, b.w), p ->"
+    " ((p[1] - a.m) / a.s - (p[2] - b.m) / b.s)"
+    " * ((p[1] - a.m) / a.s - (p[2] - b.m) / b.s))),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "timeseries_motif_discovery",
+    oracle=_motif_sql(
+        "epoch_us(ts)", "list(v ORDER BY day)", _MOTIF_WINS_DUCK, _MOTIF_ZDIST_DUCK
+    ),
+    description=f"motif discovery per event type: closest non-"
+    f"overlapping z-normalized length-{MOTIF_W} window pair over the "
+    "day-ordered decimal-routed daily means (the matrix-profile "
+    "primitive at calendar scale): seeded left-fold window sums and "
+    "distance folds in identical index order on both engines, packed-"
+    "integer argmin tie-break — bit-identical; calendar-bounded windows "
+    "and pairs",
+)
+def timeseries_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _motif_sql(
+            "unix_micros(ts)",
+            "transform(array_sort(collect_list(struct(day, v))), s -> s.v)",
+            _MOTIF_WINS_SPARK,
+            _MOTIF_ZDIST_SPARK,
+        )
+    )

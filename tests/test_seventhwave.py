@@ -480,3 +480,104 @@ def test_pca_power_matches_integer_replay(spark):
     expected = [x * s for x in v]
     rows = load_all()["embedding_pca_power"].fn(spark, SF0001).collect()
     assert [(r.dim, r.v_fp) for r in rows] == list(enumerate(expected))
+
+
+# --- query likelihood (Dirichlet) ---
+
+
+def test_query_likelihood_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.search_q import QL_MU, QUERY_TERMS, TOP_K
+
+    docs = _docs()
+    dl = {d["doc_id"]: len(d["text"].split(" ")) for d in docs}
+    cc = sum(dl.values())
+    ctf = Counter()
+    tf: dict[tuple[int, str], int] = Counter()
+    for d in docs:
+        for t in d["text"].split(" "):
+            if t in QUERY_TERMS:
+                ctf[t] += 1
+                tf[(d["doc_id"], t)] += 1
+    scores = {}
+    nmatch = {}
+    for i, n in dl.items():
+        s = 0.0
+        m = 0
+        for t in QUERY_TERMS:
+            tfd = tf.get((i, t), 0)
+            if tfd:
+                m += 1
+            s += math.log((tfd * cc + QL_MU * ctf[t]) / (cc * (n + QL_MU)))
+        scores[i] = s
+        nmatch[i] = m
+    expected = sorted(scores, key=lambda i: (-scores[i], i))[:TOP_K]
+    rows = load_all()["search_query_likelihood"].fn(spark, SF0001).collect()
+    assert [r.doc_id for r in rows] == expected
+    for r in rows:
+        assert r.n_matched == nmatch[r.doc_id]
+        assert r.dl == dl[r.doc_id]
+        assert math.isclose(r.score, scores[r.doc_id], rel_tol=1e-9)
+
+
+# --- Cramér's V ---
+
+
+def test_cramers_v_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    li = pq.read_table(
+        f"{SF0001}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    ).to_pylist()
+    cells = Counter((r["l_returnflag"], r["l_linestatus"]) for r in li)
+    rt = Counter()
+    ct = Counter()
+    for (f_, s_), o in cells.items():
+        rt[f_] += o
+        ct[s_] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rt[f_] * ct[s_] / n) ** 2 / (rt[f_] * ct[s_] / n)
+        for (f_, s_), o in cells.items()
+    )
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    row = load_all()["stats_cramers_v"].fn(spark, SF0001).collect()[0]
+    assert row.n_cells == len(cells) and row.n == n
+    assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
+    assert math.isclose(row.cramers_v, v, rel_tol=1e-9)
+
+
+# --- motif discovery ---
+
+
+def test_motif_discovery_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import MOTIF_W
+
+    series = _daily_means(_events())
+    rows = load_all()["timeseries_motif_discovery"].fn(spark, SF0001).collect()
+    assert {r.event_type for r in rows} == set(series)
+    for row in rows:
+        a = series[row.event_type]
+        n = len(a)
+        wins = {}
+        for i in range(1, n - MOTIF_W + 2):
+            w = a[i - 1 : i - 1 + MOTIF_W]
+            m = sum(w) / MOTIF_W
+            sd = math.sqrt(sum(x * x for x in w) / MOTIF_W - m * m)
+            if sd > 0:
+                wins[i] = (w, m, sd)
+        best = None
+        for i, (wa, ma, sa) in wins.items():
+            for j, (wb, mb, sb) in wins.items():
+                if j < i + MOTIF_W:
+                    continue
+                d = sum(
+                    ((x - ma) / sa - (y - mb) / sb) ** 2 for x, y in zip(wa, wb)
+                )
+                key = (d, i, j)
+                if best is None or key < best:
+                    best = key
+        d, i, j = best
+        assert (row.i, row.j) == (i, j)
+        assert math.isclose(row.dist, d, rel_tol=1e-9)
