@@ -2237,7 +2237,8 @@ parts AS (
   FROM grp g CROSS JOIN tot t
 )
 SELECT t.nt, t.k,
-       (CAST(t.nt - t.k AS DOUBLE) / CAST(t.k - 1 AS DOUBLE)) * p.num / p.den
+       (CAST(t.nt - t.k AS DOUBLE) / CAST(nullif(t.k - 1, 0) AS DOUBLE))
+         * p.num / nullif(p.den, 0.0e0)
          AS w_stat
 FROM parts p CROSS JOIN tot t
 """
@@ -2325,10 +2326,12 @@ c AS (
   FROM m
 )
 SELECT event_type, n,
-       m3 / (sqrt(m2) * m2) AS skewness,
-       m4 / (m2 * m2) - 3.0e0 AS ex_kurtosis,
-       nd / 6.0e0 * ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2))
-         + (m4 / (m2 * m2) - 3.0e0) * (m4 / (m2 * m2) - 3.0e0) / 4.0e0)
+       m3 / nullif(sqrt(m2) * m2, 0.0e0) AS skewness,
+       m4 / nullif(m2 * m2, 0.0e0) - 3.0e0 AS ex_kurtosis,
+       nd / 6.0e0 * ((m3 / nullif(sqrt(m2) * m2, 0.0e0))
+           * (m3 / nullif(sqrt(m2) * m2, 0.0e0))
+         + (m4 / nullif(m2 * m2, 0.0e0) - 3.0e0)
+           * (m4 / nullif(m2 * m2, 0.0e0) - 3.0e0) / 4.0e0)
          AS jb_stat
 FROM c
 ORDER BY event_type
@@ -2395,9 +2398,9 @@ nn AS (
 )
 SELECT nn.event_type, nn.n_days, p.c AS concordant, p.d AS discordant,
        CAST(p.c - p.d AS DOUBLE)
-       / sqrt((CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0
+       / nullif(sqrt((CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0
                - CAST(p.tv AS DOUBLE))
-              * (CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0))
+              * (CAST(nn.n_days * (nn.n_days - 1) AS DOUBLE) / 2.0e0)), 0.0e0)
          AS tau_b
 FROM nn JOIN pairs p ON p.event_type = nn.event_type
 ORDER BY nn.event_type
@@ -2447,8 +2450,8 @@ def _esd_sql(mat: str) -> str:
 
     mean = "s.sz / CAST(s.n AS DOUBLE)"
     sd = (
-        f"sqrt((s.szz - s.sz * s.sz / CAST(s.n AS DOUBLE))"
-        f" / CAST(s.n - 1 AS DOUBLE))"
+        f"nullif(sqrt((s.szz - s.sz * s.sz / CAST(s.n AS DOUBLE))"
+        f" / CAST(nullif(s.n - 1, 0) AS DOUBLE)), 0.0e0)"
     )
     parts = [
         "b1 AS (SELECT event_type, event_id, value FROM events)",
@@ -2529,7 +2532,10 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id", "value"
     )
     mean = "sz / CAST(n AS DOUBLE)"
-    sd = "sqrt((szz - sz * sz / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    sd = (
+        "nullif(sqrt((szz - sz * sz / CAST(n AS DOUBLE))"
+        " / CAST(nullif(n - 1, 0) AS DOUBLE)), 0.0e0)"
+    )
     picks: list[DataFrame] = []
     outs: list[DataFrame] = []
     for r in range(1, ESD_ROUNDS + 1):

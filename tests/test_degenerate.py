@@ -171,3 +171,80 @@ class TestDeterministicLn:
         for (dn, dv), (sn, sv) in zip(duck, sp):
             assert dn == sn and dv == sv, (dn, dv, sv)
             assert dv == dln_int_py(dn), (dn, dv, dln_int_py(dn))
+
+
+# --- seventh-wave guards (round-6): Levene / JB / Kendall / ESD ---
+# The seeded testdata never produces a zero-variance or single-row
+# group, so the nullif guards in the seventh-wave stats queries are
+# unreachable by the oracle harness; these fixtures reach them and
+# assert BOTH engines return the same NULLs (the Welch/moments
+# precedent from rounds 3-4).
+
+
+@pytest.fixture(scope="module")
+def degenerate_wave7(spark):
+    """Groups: 'const' (zero variance, >1 row), 'single' (one row —
+    n−1 = 0), plus a healthy 'ok' group so k−1 > 0."""
+    rows = []
+    eid = 0
+    for i in range(6):
+        rows.append(("const", eid, T0 + timedelta(days=i), 7.5))
+        eid += 1
+    rows.append(("single", eid, T0, 3.25))
+    eid += 1
+    for i in range(6):
+        rows.append(("ok", eid, T0 + timedelta(days=i), float(i * i + 1)))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_type", "event_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("events")
+    yield pdf
+    spark.catalog.dropTempView("events")
+
+
+def test_jarque_bera_zero_variance_null_on_both_engines(spark, degenerate_wave7):
+    from posting_lines_spark.queries.analytics_q import _jb_sql
+
+    got = _rows(spark.sql(_jb_sql()))
+    want = _duck(degenerate_wave7, _jb_sql())
+    assert got == want
+    by = {r[0]: r for r in got}
+    # zero variance and single-row: skew/kurt/jb NULL — not NaN/Inf
+    for g in ("const", "single"):
+        assert by[g][2] is None and by[g][3] is None and by[g][4] is None
+    assert by["ok"][2] is not None
+
+
+def test_levene_single_group_and_zero_deviation(spark, degenerate_wave7):
+    from posting_lines_spark.queries.analytics_q import _levene_sql
+
+    got = _rows(spark.sql(_levene_sql()))
+    want = _duck(degenerate_wave7, _levene_sql())
+    assert got == want  # same W (or same NULL) on both engines
+
+
+def test_kendall_single_day_group_absent_or_null_on_both(spark, degenerate_wave7):
+    from posting_lines_spark.queries.analytics_q import _kendall_sql
+
+    got = _rows(spark.sql(_kendall_sql("unix_micros(ts)")))
+    want = _duck(degenerate_wave7, _kendall_sql("epoch_us(ts)"))
+    assert got == want
+    # 'single' has one day -> no pairs row -> absent from the inner join
+    assert "single" not in {r[0] for r in got}
+    # 'const' has 6 days all tied -> n0 == tv -> tau NULL on both
+    const = next(r for r in got if r[0] == "const")
+    assert const[4] is None
+
+
+def test_esd_degenerate_groups_same_picks_on_both(spark, degenerate_wave7):
+    from posting_lines_spark.queries.analytics_q import _esd_sql
+
+    got = _rows(spark.sql(_esd_sql("")))
+    want = _duck(degenerate_wave7, _esd_sql("MATERIALIZED "))
+    assert sorted(got, key=str) == sorted([tuple(r) for r in want], key=str)
+    # zero-variance/single groups yield NULL r -> no pick row for them
+    types_with_picks = {r[1] for r in got}
+    assert "const" not in types_with_picks
+    assert "single" not in types_with_picks
+    assert "ok" in types_with_picks
