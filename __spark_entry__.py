@@ -74,6 +74,8 @@ _LEDGER_PRIORITY = [
     "search_query_likelihood",
     "stats_cramers_v",
     "timeseries_motif_discovery",
+    "stream_watermark_late_audit",
+    "stream_sessions_stateful",
 ]
 
 

@@ -123,3 +123,61 @@ def global_running_sums(
             (F.sum(F.coalesce(F.col(c), F.lit(0))).over(w) + off).cast("bigint"),
         )
     return out.drop("_pid")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    max_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running MAX of `max_cols` in `order_cols` order
+    without a single-partition window — the watermark/high-water-mark
+    shape, same two-pass range-partition trick as global_running_sums:
+    a per-partition window max plus per-partition exclusive PREFIX
+    MAXIMA collected once (bounded by the partition count). The offset
+    for the first partition is NULL and `greatest` skips NULLs, so no
+    sentinel minimum is needed. `order_cols` must be a total order;
+    max columns must be integral (BIGINT). NULL values never become the
+    max (greatest skips them); an all-NULL prefix yields NULL, matching
+    a single-partition window max. Adds `runmax_<col>` per max col."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # same sampled boundaries for both jobs
+    )
+    totals = rp.groupBy("_pid").agg(
+        *[F.max(F.col(c)).cast("bigint").alias(c) for c in max_cols]
+    ).collect()
+    by_pid = {r._pid: r for r in totals}
+    offsets: dict[str, dict[int, int | None]] = {c: {} for c in max_cols}
+    acc: dict[str, int | None] = dict.fromkeys(max_cols)
+    for pid in sorted(by_pid):
+        for c in max_cols:
+            offsets[c][pid] = acc[c]
+            v = by_pid[pid][c]
+            if v is not None and (acc[c] is None or v > acc[c]):
+                acc[c] = v
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = rp
+    for c in max_cols:
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(v)
+                    for pid, o in sorted(offsets[c].items())
+                    for v in (pid, o)
+                ]
+            ),
+            F.col("_pid"),
+        )
+        out = out.withColumn(
+            f"runmax_{c}",
+            F.greatest(F.max(F.col(c)).over(w), off).cast("bigint"),
+        )
+    return out.drop("_pid")

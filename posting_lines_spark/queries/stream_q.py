@@ -1483,3 +1483,199 @@ register(
     "output identical to the batch GROUP BY HAVING (the oracle, "
     "unchanged)",
 )(stream_heavy_hitters)
+
+
+# --- watermark late-data audit (batch replay of streaming semantics) ---
+# Before a streaming job picks `withWatermark(delay)`, the question is
+# empirical: at THIS delay, how many events would arrive behind the
+# watermark and be dropped from stateful aggregations? This audit
+# replays the stream's arrival order (event_id — the synthetic monotone
+# arrival key, the same convention the incremental/CDC family uses) and
+# computes, per event type, how many events are late against the
+# running high-water-mark minus WM_DELAY_US, and the worst lateness.
+# Spark computes the global running max WITHOUT a single-partition
+# window via operators/ranking.global_running_max (two-pass range
+# partition — the prefix-sum machinery's max sibling, new this round);
+# the oracle uses a plain global window (the oracle needn't scale).
+# Inclusive-vs-exclusive prefix max cannot differ here: only the event
+# that RAISES the max sees a different watermark, and that event is
+# never late under either convention. Exact integers throughout; one
+# final division per group.
+#
+# Scale: repartitionByRange on arrival key + per-partition window + a
+# partition-count-bounded offset collect, then one map-side-combinable
+# (event_type) aggregate.
+
+WM_DELAY_US = 3_600_000_000  # 1 h allowed lateness
+
+
+def _wm_audit_final(src: str) -> str:
+    late = f"ts_us < runmax_ts_us - {WM_DELAY_US}"
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN {late} THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN {late}
+                THEN runmax_ts_us - {WM_DELAY_US} - ts_us END) AS BIGINT)
+         AS max_lateness_us,
+       CAST(sum(CASE WHEN {late} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS late_frac
+FROM {src}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _wm_audit_oracle() -> str:
+    return f"""
+WITH arr AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+wm AS (
+  SELECT event_type, event_id, ts_us,
+         CAST(max(ts_us) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS runmax_ts_us
+  FROM arr
+)
+{_wm_audit_final("wm")}
+"""
+
+
+def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_max
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr("unix_micros(ts)").alias("ts_us")
+    )
+    r = global_running_max(e, ["event_id"], ["ts_us"])
+    r.createOrReplaceTempView("pls_wm_audit")
+    return spark.sql(_wm_audit_final("pls_wm_audit"))
+
+
+register(
+    "stream_watermark_late_audit",
+    oracle=_wm_audit_oracle(),
+    description=f"watermark late-data audit (delay="
+    f"{WM_DELAY_US // 1_000_000} s): per event type, events that would "
+    "arrive behind the running high-water-mark minus the delay and be "
+    "dropped by a stateful streaming aggregation, plus worst lateness — "
+    "the empirical input to choosing withWatermark; global running max "
+    "via the two-pass range-partitioned operator (no single-partition "
+    "window), exact integers, one division per group",
+)(stream_watermark_late_audit)
+
+
+# --- stateful session windows (applyInPandasWithState + event-time timeout) ---
+# The engine-managed twin of window_sessionize, and the first operator
+# in the engine to use EVENT-TIME TIMERS: per-user session state lives
+# in the state store, sessions closed by an in-batch gap are emitted in
+# that batch, and the OPEN TAIL is closed by a GroupStateTimeout.
+# EventTimeTimeout timer at last_ts + 30 min — the real session-window
+# semantics a streaming engine provides, not a batch re-sort. Bounded
+# replay: the 4 day-bucketed slices (time-disjoint, so per-user event
+# order holds across batches and a boundary session carries through
+# state) are followed by TWO far-future flush sentinels — the first
+# advances the watermark past every real session's timer, the second
+# triggers the timer batch (timers fire on the trigger AFTER the
+# watermark moves). A timer that would land at-or-behind the watermark
+# is clamped to wm+1 (Spark rejects stale timers). Oracle = the batch
+# gap-rule session SQL; the emitted set equals it exactly because
+# slices are time-disjoint (no cross-batch late data by construction —
+# stream_watermark_late_audit is the query that measures when that
+# assumption breaks).
+
+def _sess_write_slices(events: DataFrame):
+    def write(p: str) -> None:
+        import time
+
+        stats = events.selectExpr(
+            "CAST(floor(min(unix_micros(ts)) / 86400000000.0e0) AS BIGINT) AS d",
+            "CAST(max(unix_micros(ts)) AS BIGINT) AS mx",
+        ).collect()[0]
+        day0, maxus = stats.d, stats.mx
+        sliced = events.selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value",
+            f"CAST(least(floor((floor(unix_micros(ts) / 86400000000.0e0) - {day0})"
+            " / 8), 3) AS INT) AS slice",
+        )
+        seen: set[str] = set()
+        base = time.time()
+        for i in range(4):
+            (
+                sliced.filter(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(p)
+            )
+            force_mtime_order(p, seen, i, base)
+        # flush sentinels: advance the watermark, then fire the timers
+        spark = events.sparkSession
+        for i, off in enumerate((10 * 86400_000_000, 11 * 86400_000_000)):
+            spark.sql(
+                f"SELECT CAST(-1 AS BIGINT) AS event_id,"
+                f" timestamp_micros({maxus + off}) AS ts,"
+                f" CAST(-1 AS BIGINT) AS user_id,"
+                f" 'flush' AS event_type, CAST(0.0 AS DOUBLE) AS value"
+            ).coalesce(1).write.mode("append").parquet(p)
+            force_mtime_order(p, seen, 4 + i, base)
+
+    return write
+
+
+SESS_ORACLE = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, user_id)
+                   IS NULL
+              OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, user_id)
+                   > {1_800_000_000}
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+),
+s AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id, CAST(min(t) AS BIGINT) AS s_start_us,
+       CAST(max(t) AS BIGINT) AS s_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, s_start_us
+"""
+
+
+def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.streaming.stateful import sessionize_stateful
+
+    events = load_table(spark, sf_dir, "events")
+    src = cached_fixture(
+        "sess_events_src", sf_dir, _sess_write_slices(events), "pls_sess_src_"
+    )
+    out = scratch_dir("pls_sessst_out_")
+    ckpt = scratch_dir("pls_sessst_ckpt_")
+    sessionize_stateful(spark, src, out, ckpt)
+    return (
+        spark.read.schema(
+            "user_id long, s_start_us long, s_end_us long, n_events long"
+        )
+        .parquet(out)
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id", "s_start_us")
+    )
+
+
+register(
+    "stream_sessions_stateful",
+    oracle=SESS_ORACLE,
+    description="session windows with ENGINE-MANAGED state and EVENT-"
+    "TIME TIMERS (applyInPandasWithState + EventTimeTimeout): per-user "
+    "open-session carry in the state store, in-batch gap closures "
+    "emitted immediately, open tails closed by a timer at last_ts+gap "
+    "fired by the watermark (two flush sentinels advance + fire at "
+    "stream end; stale timers clamped to wm+1); emitted set equals the "
+    "batch gap-rule sessionization (the oracle) because slices are "
+    "time-disjoint",
+)(stream_sessions_stateful)

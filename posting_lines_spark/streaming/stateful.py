@@ -72,3 +72,98 @@ def running_user_stats(
         .filter("__rn = 1")
         .drop("__rn")
     )
+
+
+# --- session windows with event-time timeout ---
+
+SESSION_GAP_US = 1_800_000_000  # 30 min — same rule as window_sessionize
+SESSION_GAP_MS = SESSION_GAP_US // 1000
+
+
+def _session_update(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session tracker: fold the batch's events (sorted by event
+    time — deterministic regardless of file row order) into the open
+    session carried in state; emit sessions CLOSED by an in-batch gap
+    immediately, and leave the open tail in state with an event-time
+    timer at last_ts + gap. When the watermark passes the timer, the
+    timeout branch emits the final session exactly once and clears
+    state."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        s0, s1, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "s_start_us": [s0], "s_end_us": [s1],
+             "n_events": [n]}
+        )
+        return
+    cur = tuple(state.get) if state.exists else None
+    ts_all: list[int] = []
+    for pdf in pdfs:
+        ts_all.extend(int(t) for t in pdf["ts_us"])
+    ts_all.sort()
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_all:
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] > SESSION_GAP_US:
+            closed.append(cur)
+            cur = (t, t, 1)
+        else:
+            cur = (cur[0], t, cur[2] + 1)
+    state.update(cur)
+    # a session whose gap already elapsed must still fire via timer —
+    # but a timer at-or-behind the watermark is rejected, so clamp to
+    # wm+1 (it then fires on the next trigger)
+    state.setTimeoutTimestamp(
+        max(cur[1] // 1000 + SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1)
+    )
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "s_start_us": [c[0] for c in closed],
+                "s_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_stateful(
+    spark: SparkSession, src: str, out: str, ckpt: str
+):
+    """Drive the session-window stateful stream over the sliced parquet
+    source dir `src` (last two slices must be the far-future flush
+    sentinels that advance the watermark and fire the remaining
+    timers). Appends closed sessions to parquet `out`. Returns the
+    query progress list."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(src).schema
+    sessions = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts_us", F.expr("unix_micros(ts)"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType="user_id long, s_start_us long, s_end_us long,"
+            " n_events long",
+            stateStructType="s0 long, s1 long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [p for p in q.recentProgress]

@@ -581,3 +581,112 @@ def test_motif_discovery_matches_python(spark):
         d, i, j = best
         assert (row.i, row.j) == (i, j)
         assert math.isclose(row.dist, d, rel_tol=1e-9)
+
+
+# --- watermark late-data audit ---
+
+
+def test_watermark_audit_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.stream_q import WM_DELAY_US
+
+    rows = sorted(_events(), key=lambda r: r["event_id"])
+    runmax = None
+    stats = defaultdict(lambda: [0, 0, None])  # n, late, max_lateness
+    for r in rows:
+        t = int(r["ts"].timestamp() * 1e6)
+        runmax = t if runmax is None or t > runmax else runmax
+        e = stats[r["event_type"]]
+        e[0] += 1
+        if t < runmax - WM_DELAY_US:
+            e[1] += 1
+            lat = runmax - WM_DELAY_US - t
+            e[2] = lat if e[2] is None or lat > e[2] else e[2]
+    got = load_all()["stream_watermark_late_audit"].fn(spark, SF0001).collect()
+    for row in got:
+        n, late, mx = stats[row.event_type]
+        assert (row.n_events, row.n_late, row.max_lateness_us) == (n, late, mx)
+        assert math.isclose(row.late_frac, late / n, rel_tol=1e-12)
+    assert {r.event_type for r in got} == set(stats)
+
+
+# --- stateful session windows (event-time timers) ---
+
+
+def test_stateful_sessions_match_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.streaming.stateful import SESSION_GAP_US
+
+    by_user = defaultdict(list)
+    for r in _events():
+        by_user[r["user_id"]].append(int(r["ts"].timestamp() * 1e6))
+    expected = []
+    for u, ts in by_user.items():
+        ts.sort()
+        cur = None
+        for t in ts:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > SESSION_GAP_US:
+                expected.append((u, *cur))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        expected.append((u, *cur))
+    got = [
+        (r.user_id, r.s_start_us, r.s_end_us, r.n_events)
+        for r in load_all()["stream_sessions_stateful"].fn(spark, SF0001).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_stateful_sessions_cross_batch_carry_and_timer(spark, tmp_path):
+    """Directly pins the two state paths the corpus replay can't force
+    at sf0.001: (1) a session SPANNING a batch boundary must be merged
+    through the state-store carry, (2) an open tail must be closed by
+    the EVENT-TIME TIMER fired by the sentinel batches."""
+    import time
+
+    from posting_lines_spark.fixtures import force_mtime_order
+    from posting_lines_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1_700_000_000_000_000  # µs
+    MIN = 60_000_000
+    # slice 1: u1 two events ending at t0; u2 lone event (timer-only)
+    # slice 2: u1 event 10 min after t0 -> SAME session, carried in state
+    slices = [
+        [(1, t0 - 5 * MIN), (1, t0), (2, t0 - 40 * MIN)],
+        [(1, t0 + 10 * MIN)],
+    ]
+    seen: set = set()
+    base = time.time()
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, ts_us long"
+        ).selectExpr(
+            "CAST(user_id AS BIGINT) AS event_id",
+            "timestamp_micros(ts_us) AS ts",
+            "user_id", "'e' AS event_type", "CAST(0.0 AS DOUBLE) AS value",
+        ).coalesce(1).write.mode("append").parquet(src)
+        force_mtime_order(src, seen, i, base)
+    for i, off in enumerate((10 * 86_400_000_000, 11 * 86_400_000_000)):
+        spark.sql(
+            f"SELECT CAST(-1 AS BIGINT) AS event_id,"
+            f" timestamp_micros({t0 + off}) AS ts,"
+            f" CAST(-1 AS BIGINT) AS user_id,"
+            f" 'flush' AS event_type, CAST(0.0 AS DOUBLE) AS value"
+        ).coalesce(1).write.mode("append").parquet(src)
+        force_mtime_order(src, seen, 2 + i, base)
+    sessionize_stateful(spark, src, out, ckpt)
+    got = sorted(
+        (r.user_id, r.s_start_us, r.s_end_us, r.n_events)
+        for r in spark.read.parquet(out).where("user_id >= 0").collect()
+    )
+    assert got == [
+        (1, t0 - 5 * MIN, t0 + 10 * MIN, 3),  # merged ACROSS the batch boundary
+        (2, t0 - 40 * MIN, t0 - 40 * MIN, 1),  # closed by the event-time timer
+    ]
