@@ -76,6 +76,9 @@ _LEDGER_PRIORITY = [
     "timeseries_motif_discovery",
     "stream_watermark_late_audit",
     "stream_sessions_stateful",
+    "stats_mutual_information",
+    "curation_semdedup",
+    "graph_random_walks",
 ]
 
 

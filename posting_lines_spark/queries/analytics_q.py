@@ -2616,3 +2616,110 @@ def _cramers_sql(fold: str) -> str:
 def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_cramers_sql(_CHI2_FOLD_SPARK))
+
+
+# --- mutual information + entropies (the information-theoretic rung) ---
+# Completes the association ladder χ² → Cramér's V → MI: how many NATS
+# does knowing l_returnflag give about l_linestatus? MI needs logs, so
+# every ln argument is an exact integer through the deterministic
+# kernel:
+#   MI = Σ_xy (c_xy/N)·[ln(c_xy·N) − ln(r_x·c_y)]
+#   H(X) = ln(N) − (Σ_x r_x·ln r_x)/N     (likewise H(Y))
+# (c·N ≤ N² ≈ 3.6e15 at sf10 — BIGINT-exact). The cell/marginal sums of
+# double terms use the cell-ordered fold idiom (chi2 precedent), never
+# a group SUM over doubles; NMI = MI/min(H) with a nullif guard for a
+# degenerate single-value marginal. Bit-identical across engines.
+#
+# Scale: one count aggregate sees data; everything downstream is
+# |cells| + |marginals| rows with kernel math.
+
+
+def _mi_sql(fold_cells: str, fold_x: str, fold_y: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    ln_c, last_c = dln_int_cte_layers(
+        [("o * nn", "num"), ("rt * ct", "den")], "cellsx", "mic"
+    )
+    ln_x, last_x = dln_int_cte_layers([("rt", "lr")], "rows_m2", "mix")
+    ln_y, last_y = dln_int_cte_layers([("ct", "lc")], "cols_m2", "miy")
+    ln_n, last_n = dln_int_cte_layers([("n", "ln_")], "tot", "min_")
+    return f"""
+WITH cells AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(count(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+rows_m AS (SELECT flag, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY flag),
+cols_m AS (SELECT status, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY status),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+{ln_n},
+cellsx AS (
+  SELECT c.flag, c.status, c.o, r.rt, m.ct, t.n AS nn
+  FROM cells c
+  JOIN rows_m r ON r.flag = c.flag
+  JOIN cols_m m ON m.status = c.status
+  CROSS JOIN tot t
+),
+{ln_c},
+miterms AS (
+  SELECT flag, status,
+         (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE)) * (num_ln - den_ln) AS term
+  FROM {last_c}
+),
+rows_m2 AS (SELECT flag, rt FROM rows_m),
+{ln_x},
+xterms AS (SELECT flag, CAST(rt AS DOUBLE) * lr_ln AS term FROM {last_x}),
+cols_m2 AS (SELECT status, ct FROM cols_m),
+{ln_y},
+yterms AS (SELECT status, CAST(ct AS DOUBLE) * lc_ln AS term FROM {last_y}),
+agg AS (
+  SELECT
+    (SELECT {fold_cells} FROM miterms) AS mi,
+    (SELECT ln__ln FROM {last_n}) AS ln_n,
+    (SELECT CAST(n AS DOUBLE) FROM tot) AS nd,
+    (SELECT {fold_x} FROM xterms) AS sx,
+    (SELECT {fold_y} FROM yterms) AS sy
+)
+SELECT mi AS mi_nats,
+       ln_n - sx / nd AS h_x,
+       ln_n - sy / nd AS h_y,
+       mi / nullif(least(ln_n - sx / nd, ln_n - sy / nd), 0.0e0) AS nmi
+FROM agg
+"""
+
+
+_MI_FOLD_SPARK_CELLS = (
+    "aggregate(transform(array_sort(collect_list(struct(flag, status, term))), "
+    "s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_MI_FOLD_DUCK_CELLS = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(term ORDER BY flag, status)), (acc, v) -> acc + v)"
+)
+_MI_FOLD_SPARK_X = (
+    "aggregate(transform(array_sort(collect_list(struct(flag, term))), "
+    "s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_MI_FOLD_DUCK_X = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(term ORDER BY flag)), (acc, v) -> acc + v)"
+)
+_MI_FOLD_SPARK_Y = _MI_FOLD_SPARK_X.replace("flag", "status")
+_MI_FOLD_DUCK_Y = _MI_FOLD_DUCK_X.replace("flag", "status")
+
+
+@register(
+    "stats_mutual_information",
+    oracle=_mi_sql(_MI_FOLD_DUCK_CELLS, _MI_FOLD_DUCK_X, _MI_FOLD_DUCK_Y),
+    description="mutual information, marginal entropies and NMI on the "
+    "returnflag × linestatus table — the information-theoretic rung "
+    "after χ²/Cramér's V (the feature-selection staple): every ln "
+    "argument an exact integer through the deterministic kernel, "
+    "cell-ordered folds for all double sums, nullif-guarded NMI — "
+    "bit-identical across engines; one aggregate sees data",
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _mi_sql(_MI_FOLD_SPARK_CELLS, _MI_FOLD_SPARK_X, _MI_FOLD_SPARK_Y)
+    )

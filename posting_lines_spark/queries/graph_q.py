@@ -816,3 +816,120 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("authority_fp"),
         F.col("h").cast("long").alias("hub_fp"),
     ).orderBy("node")
+
+
+# --- deterministic random walks (node2vec corpus statistics) ---
+# The sampling primitive under graph embeddings (DeepWalk/node2vec):
+# from every node, RW_WALKERS walkers take RW_STEPS uniform steps, and
+# the visit counts are the corpus frequencies an embedding trainer
+# consumes. "Random" is md5-DETERMINISTIC — the step choice is
+# h(cur, step, walker) mod outdeg ranked against the dst-ordered
+# adjacency — so both engines (and any retry) walk identical paths:
+# reproducible sampling is a feature at 100 TB, not a compromise (same
+# rationale as the md5-seeded samplers and the DP release). Walkers at
+# a node with no out-edges stop (the inner join drops them) — the
+# standard early-termination convention, identical on both engines.
+#
+# Scale: the adjacency (with per-node rank and degree) is built once;
+# each step is one equi-join of the walker table against it — walker
+# rows = nodes × RW_WALKERS regardless of edge count, and the
+# adjacency is broadcastable for any graph whose RANKED edge list fits
+# (nation graph: 25 nodes). Unrolled fixed-K chain, single-reference
+# CTEs + oracle materialization against inlining blowup.
+
+RW_WALKERS = 8
+RW_STEPS = 4
+
+
+def _rw_sql(h_step, walkers_src: str, mat: str) -> str:
+    parts = [
+        f"edges AS ({_HITS_EDGES})",
+        """adj AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1
+           AS rnk
+  FROM edges
+)""",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY src)",
+        f"""w0 AS (
+  SELECT n.node AS cur, wk.w
+  FROM (SELECT DISTINCT src AS node FROM adj) n
+  CROSS JOIN ({walkers_src}) wk
+)""",
+    ]
+    for s_ in range(1, RW_STEPS + 1):
+        parts.append(
+            f"""w{s_} AS {mat}(
+  SELECT a.dst AS cur, w.w
+  FROM w{s_ - 1} w
+  JOIN deg g ON g.src = w.cur
+  JOIN adj a ON a.src = w.cur
+   AND a.rnk = ({h_step("w.cur", s_, "w.w")}) % g.d
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT cur, {s_} AS step FROM w{s_}" for s_ in range(1, RW_STEPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+allv AS ({union})
+SELECT cur AS node, CAST(count(*) AS BIGINT) AS n_visits,
+       CAST(count(DISTINCT step) AS BIGINT) AS n_steps_seen
+FROM allv GROUP BY cur ORDER BY node"""
+    )
+
+
+def _rw_h(md5_fn):
+    def h(cur: str, step: int, w: str) -> str:
+        return md5_fn(
+            f"concat(CAST({cur} AS STRING), '_', '{step}', '_',"
+            f" CAST({w} AS STRING))",
+            salt="rwalk",
+        )
+
+    return h
+
+
+def _rw_h_duck(cur: str, step: int, w: str) -> str:
+    from posting_lines_spark.functions.hashing import md5_int_duck
+
+    return md5_int_duck(
+        f"concat(CAST({cur} AS VARCHAR), '_', '{step}', '_',"
+        f" CAST({w} AS VARCHAR))",
+        salt="rwalk",
+    )
+
+
+def _rw_oracle() -> str:
+    return _rw_sql(
+        _rw_h_duck,
+        f"SELECT unnest(range(0, {RW_WALKERS})) AS w",
+        "MATERIALIZED ",
+    )
+
+
+@register(
+    "graph_random_walks",
+    oracle=_rw_oracle(),
+    description=f"deterministic random walks ({RW_WALKERS} walkers/node "
+    f"× {RW_STEPS} steps) over the nation trade graph — the "
+    "DeepWalk/node2vec sampling primitive with md5-reproducible step "
+    "choices (h(cur,step,walker) mod outdeg against the dst-ranked "
+    "adjacency): identical paths on both engines and across retries; "
+    "per-step equi-joins against a broadcastable ranked adjacency, "
+    "walker rows = nodes × walkers regardless of edge count",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.functions.hashing import md5_int_spark
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        _rw_sql(
+            _rw_h(md5_int_spark),
+            f"SELECT explode(sequence(0, {RW_WALKERS - 1})) AS w",
+            "",
+        )
+    )

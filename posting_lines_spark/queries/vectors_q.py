@@ -1202,3 +1202,80 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- SemDeDup: cluster-then-dedup semantic pruning ---
+# Abbas et al. 2023: exact/MinHash dedup misses SEMANTIC duplicates
+# (same content, different words); all-pairs cosine over a corpus is
+# quadratic. SemDeDup's compromise — cluster embeddings (k-means,
+# reusing the deterministic trained-centroid chain from sim_kmeans_ivf),
+# then compare pairs only WITHIN a cluster and drop any vector whose
+# cosine with a lower-id cluster-mate exceeds θ. Per cluster: member
+# count, drops, survivors — the corpus-pruning decision table.
+# Parity: the k-means chain is decimal-routed (bit-identical
+# assignments), cosines fold in index order seeded 0.0 on both engines
+# (the dot_duck idiom), θ-comparisons on engine-identical doubles, and
+# the drop rule (ANY lower-id mate ≥ θ) is order-free. Bit-identical.
+#
+# Scale: the pair join is per-cluster (the entire point — n²/K per
+# cluster instead of n²), keyed on cluster_id with AQE skew handling;
+# at 100 TB raise K so clusters stay bounded and band the within-
+# cluster pairs by an LSH bucket as sim_topk_ivf does.
+
+# The synthetic embeddings contain no true near-duplicates (measured
+# max pairwise cosine 0.513 at sf0.01), so θ sits at the ~99.9th
+# percentile of the pair-cosine distribution to exercise a NONZERO
+# prune decision; production θ is ~0.95+.
+SEMDEDUP_THETA = "0.35e0"
+
+
+def _semdedup_sql(long_explode: str, h_vec: str, cosine_fn) -> str:
+    return f"""
+{_km_chain(long_explode, h_vec)},
+mem AS (
+  SELECT a.vec_id, a.cluster_id, e.embedding
+  FROM (SELECT DISTINCT vec_id, cluster_id FROM a2) a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+drops AS (
+  SELECT DISTINCT y.cluster_id, y.vec_id
+  FROM mem x JOIN mem y
+    ON y.cluster_id = x.cluster_id AND y.vec_id > x.vec_id
+  WHERE {cosine_fn('x.embedding', 'y.embedding')} >= {SEMDEDUP_THETA}
+)
+SELECT m.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM mem m
+LEFT JOIN drops d ON d.cluster_id = m.cluster_id AND d.vec_id = m.vec_id
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
+@register(
+    "curation_semdedup",
+    oracle=_semdedup_sql(
+        _KM_LONG_DUCK,
+        md5_int_duck("CAST(vec_id AS VARCHAR)", salt="kmeans"),
+        cosine_duck,
+    ),
+    description=f"SemDeDup semantic pruning: deterministic k-means "
+    f"({KM_K} cells, the sim_kmeans_ivf chain) then within-cluster "
+    f"cosine ≥ {SEMDEDUP_THETA.rstrip('e0')} drop-lower-id rule — "
+    "per-cluster members/drops/survivors; the pair join is per-cluster "
+    "(n²/K, the paper's point), order-free drop rule, index-ordered "
+    "cosine folds — bit-identical across engines",
+)
+def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.similarity import cosine_spark
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _semdedup_sql(
+            _KM_LONG_SPARK,
+            md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"),
+            lambda a, b: cosine_spark(a, b),
+        )
+    )

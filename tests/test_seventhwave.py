@@ -690,3 +690,98 @@ def test_stateful_sessions_cross_batch_carry_and_timer(spark, tmp_path):
         (1, t0 - 5 * MIN, t0 + 10 * MIN, 3),  # merged ACROSS the batch boundary
         (2, t0 - 40 * MIN, t0 - 40 * MIN, 1),  # closed by the event-time timer
     ]
+
+
+# --- mutual information ---
+
+
+def test_mutual_information_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    li = pq.read_table(
+        f"{SF0001}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    ).to_pylist()
+    cells = Counter((r["l_returnflag"], r["l_linestatus"]) for r in li)
+    rt, ct = Counter(), Counter()
+    for (f_, s_), o in cells.items():
+        rt[f_] += o
+        ct[s_] += o
+    n = sum(cells.values())
+    mi = sum(
+        o / n * (math.log(o * n) - math.log(rt[f_] * ct[s_]))
+        for (f_, s_), o in cells.items()
+    )
+    hx = math.log(n) - sum(r * math.log(r) for r in rt.values()) / n
+    hy = math.log(n) - sum(c * math.log(c) for c in ct.values()) / n
+    row = load_all()["stats_mutual_information"].fn(spark, SF0001).collect()[0]
+    assert math.isclose(row.mi_nats, mi, rel_tol=1e-9)
+    assert math.isclose(row.h_x, hx, rel_tol=1e-9)
+    assert math.isclose(row.h_y, hy, rel_tol=1e-9)
+    assert math.isclose(row.nmi, mi / min(hx, hy), rel_tol=1e-9)
+
+
+# --- SemDeDup invariants ---
+
+
+def test_semdedup_counts_consistent_and_nonzero(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.vectors_q import KM_K
+
+    rows = load_all()["curation_semdedup"].fn(spark, SF0001).collect()
+    assert 0 < len(rows) <= KM_K
+    n_emb = pq.read_table(f"{SF0001}/embeddings.parquet").num_rows
+    assert sum(r.n_members for r in rows) == n_emb
+    for r in rows:
+        assert r.n_kept == r.n_members - r.n_dropped
+        assert 0 <= r.n_dropped < r.n_members  # at least one survivor per cluster
+
+
+# --- deterministic random walks ---
+
+
+def test_random_walks_match_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import RW_STEPS, RW_WALKERS
+
+    li = pq.read_table(
+        f"{SF0001}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pylist()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in pq.read_table(
+            f"{SF0001}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).to_pylist()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in pq.read_table(
+            f"{SF0001}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pylist()
+    }
+    supp = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in pq.read_table(
+            f"{SF0001}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pylist()
+    }
+    edges = sorted(
+        {(cust[orders[r["l_orderkey"]]], supp[r["l_suppkey"]]) for r in li}
+    )
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)  # sorted by dst via the sorted edge set
+    visits = Counter()
+    for start in sorted(adj):
+        for w in range(RW_WALKERS):
+            cur = start
+            for step in range(1, RW_STEPS + 1):
+                if cur not in adj:
+                    break
+                nbrs = adj[cur]
+                cur = nbrs[_md5_int(f"{cur}_{step}_{w}", "rwalk") % len(nbrs)]
+                visits[cur] += 1
+    got = {
+        r.node: r.n_visits
+        for r in load_all()["graph_random_walks"].fn(spark, SF0001).collect()
+    }
+    assert got == dict(visits)
