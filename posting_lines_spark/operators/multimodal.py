@@ -145,3 +145,43 @@ def patchify(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(per_batch, schema=PATCH_SCHEMA)
+
+
+PHASH_BITS = 48  # fits BIGINT with headroom; 4 bands × 12 bits
+
+
+def phash48(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the binary payload via Arrow-batched
+    mapInPandas: sample PHASH_BITS byte positions spread evenly across
+    the payload (pos_k = k·(n−1) // (BITS−1)), set bit k iff the sampled
+    byte exceeds the SAMPLE mean (integer-exact: b·BITS > Σ samples),
+    pack little-endian into a BIGINT. On real images the same hash runs
+    over the decoded 8×8 luma raster — the decode step is the stubbed
+    part (see extract_features), the hashing/banding plumbing here is
+    the real path. Deterministic byte math — the SQL oracle replays it
+    exactly (ASCII corpus ⇒ ascii(substr(...)) equals the payload
+    byte)."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        bits = PHASH_BITS
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            hashes = []
+            for b in pdf["payload"]:
+                n = len(b)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                pos = [k * (n - 1) // (bits - 1) for k in range(bits)]
+                smp = [b[p] for p in pos]
+                s = sum(smp)
+                h = 0
+                for k, v in enumerate(smp):
+                    if v * bits > s:
+                        h |= 1 << k
+                hashes.append(h)
+            out["phash"] = hashes
+            out["phash"] = out["phash"].astype("int64")
+            yield out
+
+    return df.mapInPandas(per_batch, schema="doc_id long, phash long")

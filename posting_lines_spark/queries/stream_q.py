@@ -1679,3 +1679,106 @@ register(
     "batch gap-rule sessionization (the oracle) because slices are "
     "time-disjoint",
 )(stream_sessions_stateful)
+
+
+# --- multimodal near-dup via perceptual hash + hamming banding ---
+# The image-dedup component of a multimodal pipeline: perceptual
+# average-hash over the binary payload (operators/multimodal.phash48 —
+# Arrow-batched mapInPandas, the real plumbing; on actual images the
+# same hash runs over the decoded 8×8 luma raster, and THAT decode is
+# the honestly-stubbed step), then Hamming near-dup pairs via
+# BAND-BUCKET equi-joins: 4 bands × 12 bits, so any pair with Hamming
+# distance ≤ 3 shares at least one untouched band (pigeonhole — exact
+# recall at the threshold, the SimHash discipline), and candidate
+# verification uses bit_count(xor). Never an all-pairs join. The
+# oracle replays the byte-level hash in pure SQL (ASCII corpus ⇒
+# ascii(substr()) equals the payload byte; integer-exact bit rule
+# b·BITS > Σ samples) and the same banding.
+#
+# Scale: hashing is one Arrow pass; candidates = Σ_band (bucket
+# choose 2), bounded by banding exactly like dedup_simhash; the pair
+# verify is a 1-word XOR.
+
+PHASH_HAM_T = 3
+
+
+def _phash_pairs_sql(ph_src: str, band_expr, bitcount: str) -> str:
+    from posting_lines_spark.operators.multimodal import PHASH_BITS  # noqa: F401
+
+    bands = ",\n    ".join(
+        f"SELECT doc_id, phash, {b} AS band, {band_expr(b)} AS bkey FROM ph"
+        for b in range(4)
+    )
+    return f"""
+WITH ph AS ({ph_src}),
+bb AS (
+  {" UNION ALL ".join(f"SELECT doc_id, phash, {b} AS band, " + band_expr(b) + " AS bkey FROM ph" for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bb a JOIN bb b
+    ON b.band = a.band AND b.bkey = a.bkey AND b.doc_id > a.doc_id
+)
+SELECT id_a, id_b, CAST({bitcount} AS INT) AS hamming
+FROM cand
+WHERE {bitcount} <= {PHASH_HAM_T}
+ORDER BY id_a, id_b
+"""
+
+
+def _phash_oracle() -> str:
+    from posting_lines_spark.operators.multimodal import PHASH_BITS
+
+    bits = PHASH_BITS
+    ph_src = f"""
+  WITH bytes AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, text,
+           unnest(range(0, {bits})) AS k
+    FROM documents
+  ),
+  smp AS (
+    SELECT doc_id, k,
+           ascii(substr(text,
+             CAST((k * (n - 1)) // {bits - 1} AS BIGINT) + 1, 1)) AS b
+    FROM bytes WHERE n > 0
+  ),
+  tot AS (
+    SELECT doc_id, CAST(sum(b) AS BIGINT) AS s FROM smp GROUP BY doc_id
+  )
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.b * {bits} > t.s
+                  THEN CAST(1 AS BIGINT) << s.k ELSE 0 END) AS BIGINT) AS phash
+  FROM smp s JOIN tot t ON t.doc_id = s.doc_id
+  GROUP BY s.doc_id
+"""
+    return _phash_pairs_sql(
+        ph_src,
+        lambda b: f"(phash >> {12 * b}) & 4095",
+        "bit_count(xor(ph_a, ph_b))",
+    )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ph = multimodal.phash48(multimodal.attach_payload(d))
+    ph.createOrReplaceTempView("pls_phash")
+    return spark.sql(
+        _phash_pairs_sql(
+            "SELECT doc_id, phash FROM pls_phash",
+            lambda b: f"shiftright(phash, {12 * b}) & 4095",
+            "bit_count(ph_a ^ ph_b)",
+        )
+    )
+
+
+register(
+    "multimodal_phash_dedup",
+    oracle=_phash_oracle(),
+    description=f"multimodal near-dup via perceptual average-hash "
+    f"(48-bit, Arrow-batched mapInPandas over the binary payload; real "
+    "image decode honestly stubbed) + Hamming banding: 4×12-bit band "
+    f"equi-joins give exact recall at Hamming ≤ {PHASH_HAM_T} "
+    "(pigeonhole), bit_count(xor) verify, never all-pairs; oracle "
+    "replays the byte-level hash in pure SQL",
+)(multimodal_phash_dedup)
