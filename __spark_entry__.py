@@ -30,6 +30,11 @@ SF0001 = "/root/testdata/sf0.001"
 # queries pass the stricter local exact-compare gate (tools/check_oracle.py,
 # sf0.01) — re-verified each round.
 _LEDGER_PRIORITY = [
+    # -- round-7 head: the one query with no driver row after r1-r6 (r6
+    # verdict: registered in the final snapshot commit, missed the draw)
+    # plus its non-vacuous synthetic twin registered this round --
+    "multimodal_phash_dedup",
+    "multimodal_phash_dedup_synth",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

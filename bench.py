@@ -50,6 +50,25 @@ def main() -> None:
     # half our own parallelism — such a run measures the host, not the
     # engine, and the artifact of record should say so itself.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_entry = os.getloadavg()
+
+    # Contention guard (round-6 lesson: r4 AND r6 both shipped artifacts
+    # taken under external load >12 — uniformly inflated, useless for
+    # trends). If the host is busy at entry (1-min load > cpus/4), wait
+    # it out in 30 s steps up to a bounded cooldown, then proceed either
+    # way; BOTH readings are recorded so the artifact shows whether the
+    # guard fired and what it achieved.
+    threshold = cpus / 4
+    cooldown_sec = 0
+    max_cooldown = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "300"))
+    while os.getloadavg()[0] > threshold and cooldown_sec < max_cooldown:
+        print(
+            f"# host busy (load {os.getloadavg()[0]:.1f} > {threshold:.0f}); "
+            f"cooling down 30s ({cooldown_sec}/{max_cooldown}s)",
+            flush=True,
+        )
+        time.sleep(30)
+        cooldown_sec += 30
     load_before = os.getloadavg()
 
     spark = get_spark(app="bench")
@@ -96,7 +115,7 @@ def main() -> None:
     # load_before is what OTHER processes were doing when we started
     # (our own Spark work legitimately drives load_after up to ~cpus);
     # a high 1-min load at entry means the timings are contended.
-    contended = load_before[0] > cpus / 2
+    contended = load_before[0] > threshold
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -105,16 +124,19 @@ def main() -> None:
         "errors": errors,
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_entry": [round(x, 2) for x in load_entry],
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        "cooldown_sec": cooldown_sec,
         "cpus": cpus,
         "contended": contended,
     }
     if contended:
         print(
             f"# WARNING: pre-existing host load {load_before[0]:.1f} > "
-            f"{cpus / 2:.0f} — timings measure host contention, not the "
-            "engine; rerun idle for a trend-comparable number",
+            f"{threshold:.0f} after {cooldown_sec}s cooldown — timings "
+            "measure host contention, not the engine; rerun idle for a "
+            "trend-comparable number",
             flush=True,
         )
     print(json.dumps(out))

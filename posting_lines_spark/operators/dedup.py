@@ -14,10 +14,11 @@ Scale design (100 TB):
   - SimHash: explode tokens, one aggregate per doc; near-pair search is a
     band-equality join (pigeonhole: hamming ≤ d needs ≥1 equal band among
     d+1 bands) then exact hamming filter — equivalent output to brute
-    force, linear-ish cost. Profiled bottleneck is the B parallel vote
-    sums (one agg buffer per bit); a future optimization packs several
-    offset-biased counters into each int64 agg (fewer buffers, same
-    result) if signature building ever dominates at scale.
+    force, linear-ish cost. The per-bit vote sums are PACKED: 3 offset-
+    biased 20-bit lanes per int64 aggregate (16 buffers for 48 bits
+    instead of 48), overflow-guarded with assert_true at 2^20−1 distinct
+    tokens per doc; output equivalence vs the unpacked formulation is
+    pinned by tests (simhash docstring below).
   - Jaccard verification joins candidate pairs back to shingle sets —
     only candidates pay the exact-set cost.
 

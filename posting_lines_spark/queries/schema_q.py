@@ -796,11 +796,15 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # foreign-key edges of the star schema actually resolve? For each
 # declared FK (lineitem→orders, lineitem→part, lineitem→supplier,
 # orders→customer, customer→nation, supplier→nation, nation→region),
-# count rows, distinct keys, and ORPHANS (left anti join on the
-# parent). At 100 TB each check is one semi-join — the small parents
-# broadcast; the two lineitem-fact checks against part/supplier
-# broadcast too (dimension-sized); lineitem→orders co-shuffles on the
-# key. All counts exact integers; zero orphans is the expected state
+# count rows, distinct keys, and ORPHANS. Engine plan (rewritten r7 per
+# the r6 verdict — the oracle keeps the scalar-subquery formulation, the
+# engine does NOT): one conditional-aggregation pass per child table;
+# the three lineitem edges share a single fact scan through presence-
+# marking left joins (broadcast for dimension parents, co-shuffle for
+# lineitem→orders), and the 1-row aggregate explodes into per-edge rows
+# so no subplan is recomputed. ~3 fact-class scans end-to-end instead of
+# the ~12 the 7×4 scalar subqueries cost.
+# All counts exact integers; zero orphans is the expected state
 # on the shipped generator, and the audit's value is that it FAILS
 # LOUDLY (a nonzero row) the day an ingest breaks an edge.
 
@@ -837,12 +841,71 @@ SELECT '{child}.{fk}' AS fk_edge,
     "dq_referential_integrity",
     oracle=_ri_sql(),
     description="referential-integrity audit over all 7 star-schema FK "
-    "edges: row/distinct/orphan/null counts per edge via anti-join-"
-    "shaped NOT EXISTS (broadcast for dimension parents, co-shuffled "
-    "for the fact→orders edge); exact integers, loud nonzero rows the "
-    "day an ingest breaks an edge",
+    "edges: ONE conditional-aggregation pass per child table (the three "
+    "lineitem edges share a single fact scan), presence-marking left "
+    "joins against distinct parent keys (broadcast for dimension "
+    "parents, co-shuffled for the fact→orders edge), per-edge rows "
+    "exploded from the one agg row so nothing is recomputed; exact "
+    "integers, loud nonzero rows the day an ingest breaks an edge "
+    "(r6 verdict: replaces the 7×4 scalar-subquery plan — 43 exchanges, "
+    "~12 fact scans — with ~3 scans total)",
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in _RI_TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_ri_sql())
+    by_child: dict[str, list] = {}
+    for child, fk, parent, pk in _RI_EDGES:
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    out = None
+    for child, edges in by_child.items():
+        j = load_table(spark, sf_dir, child).select(*[fk for fk, _, _ in edges])
+        for i, (fk, parent, pk) in enumerate(edges):
+            # No distinct() on the parent key: pk is the parent's PRIMARY
+            # KEY (uniqueness is part of the schema contract this audit
+            # family checks), so a left join against it cannot fan out;
+            # skipping the dedup drops one shuffle per edge — the
+            # difference between ~17 and ~10 exchanges, and at 100 TB one
+            # full pass over `orders`. If a PK were ever duplicated the
+            # inflated n_child_rows would disagree with the oracle loudly
+            # — acceptable failure shape for an integrity audit.
+            pkeys = load_table(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"__pk{i}")
+            )
+            if parent != "orders":  # dimensions broadcast; orders co-shuffles
+                pkeys = F.broadcast(pkeys)
+            j = j.join(pkeys, F.col(fk) == F.col(f"__pk{i}"), "left")
+        aggs = [F.count(F.lit(1)).alias("n_child_rows")]
+        for i, (fk, _parent, _pk) in enumerate(edges):
+            aggs += [
+                F.countDistinct(F.col(fk)).alias(f"nfk{i}"),
+                F.sum(
+                    F.when(
+                        F.col(fk).isNotNull() & F.col(f"__pk{i}").isNull(), 1
+                    ).otherwise(0)
+                ).cast("long").alias(f"orph{i}"),
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nnull{i}"),
+            ]
+        edge_structs = [
+            F.struct(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("parent_key"),
+                F.col(f"nfk{i}").alias("n_fk_values"),
+                F.col(f"orph{i}").alias("n_orphans"),
+                F.col(f"nnull{i}").alias("n_null_fk"),
+            )
+            for i, (fk, parent, pk) in enumerate(edges)
+        ]
+        rows = (
+            j.agg(*aggs)
+            .select("n_child_rows", F.explode(F.array(*edge_structs)).alias("e"))
+            .select(
+                "e.fk_edge",
+                "e.parent_key",
+                "n_child_rows",
+                "e.n_fk_values",
+                "e.n_orphans",
+                "e.n_null_fk",
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("fk_edge")

@@ -1727,7 +1727,7 @@ ORDER BY id_a, id_b
 """
 
 
-def _phash_oracle() -> str:
+def _phash_oracle(docs_src: str = "SELECT doc_id, text FROM documents") -> str:
     from posting_lines_spark.operators.multimodal import PHASH_BITS
 
     bits = PHASH_BITS
@@ -1735,7 +1735,7 @@ def _phash_oracle() -> str:
   WITH bytes AS (
     SELECT doc_id, octet_length(encode(text)) AS n, text,
            unnest(range(0, {bits})) AS k
-    FROM documents
+    FROM ({docs_src}) docs
   ),
   smp AS (
     SELECT doc_id, k,
@@ -1760,7 +1760,11 @@ def _phash_oracle() -> str:
 
 
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # Zero-length payloads carry no signal and would all collide at
+    # phash=0; the oracle's `WHERE n > 0` drops them, so the engine side
+    # must drop them too (r6 ADVICE: two empty docs would otherwise pair
+    # at hamming 0 on this side only).
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ph = multimodal.phash48(multimodal.attach_payload(d))
     ph.createOrReplaceTempView("pls_phash")
     return spark.sql(
@@ -1782,3 +1786,72 @@ register(
     "(pigeonhole), bit_count(xor) verify, never all-pairs; oracle "
     "replays the byte-level hash in pure SQL",
 )(multimodal_phash_dedup)
+
+
+# Non-vacuous twin: the shipped documents corpus contains no phash
+# near-dup pairs at the correctness SF (sf0.01 → 0 rows on both engines,
+# r6 verdict "vacuous parity"), so this variant builds a deterministic
+# near-dup corpus IN-QUERY: the first 48 sufficiently-long docs, plus a
+# byte-identical copy of each (guaranteed hamming-0 pair) and a
+# last-byte-xor-1 perturbed copy of each (hamming small-but-nonzero for
+# most docs — whatever it is, both engines replay the identical byte
+# math). Expected pair set is provably NON-EMPTY: every (doc, +10M copy)
+# pair survives at hamming 0. Same banding/verify as the parent query.
+_PHASH_SYNTH_N = 48
+_PHASH_SYNTH_SRC = f"""
+WITH synth_base AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 8
+  ORDER BY doc_id LIMIT {_PHASH_SYNTH_N}
+)
+SELECT doc_id, text FROM synth_base
+UNION ALL
+SELECT doc_id + 10000000, text FROM synth_base
+UNION ALL
+SELECT doc_id + 20000000,
+       substr(text, 1, length(text) - 1)
+         || chr(xor(ascii(substr(text, length(text), 1)), 1))
+FROM synth_base
+"""
+
+
+def multimodal_phash_dedup_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .orderBy("doc_id")
+        .limit(_PHASH_SYNTH_N)
+        .select("doc_id", "text")
+    )
+    exact = base.select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"), "text"
+    )
+    pert = base.select(
+        (F.col("doc_id") + F.lit(20000000)).alias("doc_id"),
+        F.expr(
+            "concat(substring(text, 1, length(text) - 1), "
+            "chr(ascii(substring(text, length(text), 1)) ^ 1))"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(pert)
+    ph = multimodal.phash48(multimodal.attach_payload(corpus))
+    ph.createOrReplaceTempView("pls_phash_synth")
+    return spark.sql(
+        _phash_pairs_sql(
+            "SELECT doc_id, phash FROM pls_phash_synth",
+            lambda b: f"shiftright(phash, {12 * b}) & 4095",
+            "bit_count(ph_a ^ ph_b)",
+        )
+    )
+
+
+register(
+    "multimodal_phash_dedup_synth",
+    oracle=_phash_oracle(_PHASH_SYNTH_SRC),
+    description="NON-VACUOUS twin of multimodal_phash_dedup (r6 verdict: "
+    "the shipped corpus yields 0 pairs at the correctness SF): builds a "
+    "deterministic near-dup corpus in-query (48 base docs + byte-"
+    "identical copies + last-byte-xor-perturbed copies), so the expected "
+    "pair set is provably non-empty at sf0.01; same Arrow-batched "
+    "phash48 + 4×12-bit Hamming banding, exact recall at T≤3",
+)(multimodal_phash_dedup_synth)
