@@ -35,6 +35,16 @@ _LEDGER_PRIORITY = [
     # plus its non-vacuous synthetic twin registered this round --
     "multimodal_phash_dedup",
     "multimodal_phash_dedup_synth",
+    # -- round-7 second wave (no ledger rows can exist yet) --
+    "ml_auc_roc",
+    "ml_threshold_sweep",
+    "ml_calibration_bins",
+    "stats_effect_sizes",
+    "stats_trend_cochran_armitage",
+    "timeseries_kalman_level",
+    "geo_stay_points",
+    "sketch_ams_f2",
+    "dedup_minhash_estimate_audit",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

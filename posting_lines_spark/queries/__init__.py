@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_q,
         dedup_q,
         extra_q,
+        ml_q,
         geo_q,
         graph_q,
         lake_q,

@@ -2723,3 +2723,128 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _mi_sql(_MI_FOLD_SPARK_CELLS, _MI_FOLD_SPARK_X, _MI_FOLD_SPARK_Y)
     )
+
+
+# --- standardized effect sizes (Cohen's d / Hedges' g / Glass's Δ) ---
+# The statistics ladder reports z-stats (stats_welch_ttest,
+# stats_mann_whitney); at 100 TB every difference is "significant", so
+# the decision-relevant number is the EFFECT SIZE. Between the same two
+# groups as the Welch test (purchase vs click values): pooled-SD
+# Cohen's d, its small-sample-corrected Hedges' g (the exact
+# multiplicative correction 1 − 3/(4n − 9)), and control-SD Glass's Δ.
+# Moments route through DECIMAL (values are 2-dp → squares 4-dp, both
+# sums exact and order-free); the remaining chain is fixed-text IEEE
+# ops (sub/mul/div/sqrt all correctly rounded) → bit-identical.
+# Scale: ONE conditional-aggregate pass (map-side combine, 1-row
+# state); no shuffle beyond the 4-buffer aggregate.
+
+_EFF_A, _EFF_B = "purchase", "click"
+
+
+def _effect_sizes_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    def grp(g: str, expr: str) -> str:
+        return f"CASE WHEN event_type = '{g}' THEN {expr} ELSE NULL END"
+
+    n1, n2 = "CAST(n1 AS DOUBLE)", "CAST(n2 AS DOUBLE)"
+    m = "((s{i} / n{i}d))"
+    var = "((ss{i} - s{i} * s{i} / n{i}d) / (n{i}d - 1.0e0))"
+    v1 = var.format(i=1).replace("n1d", n1)
+    v2 = var.format(i=2).replace("n2d", n2)
+    m1 = m.format(i=1).replace("n1d", n1)
+    m2 = m.format(i=2).replace("n2d", n2)
+    sp = (f"sqrt((({n1} - 1.0e0) * {v1} + ({n2} - 1.0e0) * {v2})"
+          f" / ({n1} + {n2} - 2.0e0))")
+    d = f"(({m1} - {m2}) / {sp})"
+    return f"""
+WITH agg AS (
+  SELECT CAST(count({grp(_EFF_A, '1')}) AS BIGINT) AS n1,
+         CAST(count({grp(_EFF_B, '1')}) AS BIGINT) AS n2,
+         {dsum_expr(grp(_EFF_A, 'value'))} AS s1,
+         {dsum_expr(grp(_EFF_B, 'value'))} AS s2,
+         {dsum_expr(grp(_EFF_A, 'value * value'))} AS ss1,
+         {dsum_expr(grp(_EFF_B, 'value * value'))} AS ss2
+  FROM events
+  WHERE event_type IN ('{_EFF_A}', '{_EFF_B}')
+)
+SELECT n1, n2,
+       {m1} - {m2} AS mean_diff,
+       {d} AS cohens_d,
+       {d} * (1.0e0 - 3.0e0 / (4.0e0 * ({n1} + {n2}) - 9.0e0)) AS hedges_g,
+       ({m1} - {m2}) / sqrt({v2}) AS glass_delta
+FROM agg
+"""
+
+
+@register(
+    "stats_effect_sizes",
+    oracle=_effect_sizes_sql(),
+    description="standardized effect sizes between two event groups: "
+    "pooled-SD Cohen's d, small-sample-corrected Hedges' g "
+    "(1 − 3/(4n−9)), control-SD Glass's Δ — decimal-routed exact "
+    "moments (2-dp values ⇒ 4-dp squares, exact sums), then one "
+    "fixed-text IEEE chain shared by both engines; a single "
+    "conditional-aggregate pass with map-side combine",
+)
+def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_effect_sizes_sql())
+
+
+# --- Cochran-Armitage trend test (ordered groups × binary outcome) ---
+# The dose-response rung the χ² independence test can't see: χ² treats
+# o_orderpriority as nominal; Cochran-Armitage tests for a MONOTONE
+# trend in the 'F' (fulfilled) rate across the ordered priorities with
+# scores w = 1..5. Everything up to the final quotient is exact
+# BIGINT arithmetic on category counts:
+#   num = N·T − Y·S1, where T = Σ w·y_k, S1 = Σ w·n_k
+#   z = num / sqrt( Y·(N−Y)·(N·S2 − S1²) / N )   (S2 = Σ w²·n_k)
+# (the variance product can exceed int64 at sf10 — each exact integer
+# factor is cast to DOUBLE first; correctly-rounded mul/div/sqrt of
+# identical operands → bit-identical z on both engines).
+# Scale: one 5-category aggregate (map-side combine), then scalar math.
+
+
+def _cochran_armitage_sql() -> str:
+    w = "CAST(substr(o_orderpriority, 1, 1) AS BIGINT)"
+    dbl = "CAST({x} AS DOUBLE)"
+    n, y = dbl.format(x="n_all"), dbl.format(x="y_all")
+    s1, s2, t = dbl.format(x="s1"), dbl.format(x="s2"), dbl.format(x="t")
+    return f"""
+WITH per_k AS (
+  SELECT {w} AS w,
+         CAST(count(*) AS BIGINT) AS n_k,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS y_k
+  FROM orders
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n_k) AS BIGINT) AS n_all,
+         CAST(sum(y_k) AS BIGINT) AS y_all,
+         CAST(sum(w * n_k) AS BIGINT) AS s1,
+         CAST(sum(w * w * n_k) AS BIGINT) AS s2,
+         CAST(sum(w * y_k) AS BIGINT) AS t
+  FROM per_k
+)
+SELECT n_all, y_all, s1, s2, t,
+       ({n} * {t} - {y} * {s1})
+       / sqrt({y} * ({n} - {y}) * ({n} * {s2} - {s1} * {s1}) / {n})
+         AS z_trend
+FROM agg
+"""
+
+
+@register(
+    "stats_trend_cochran_armitage",
+    oracle=_cochran_armitage_sql(),
+    description="Cochran-Armitage trend test: monotone dose-response of "
+    "the fulfilled rate across ordered order priorities (scores 1..5) — "
+    "the ordinal rung above nominal χ²; all sufficient statistics exact "
+    "BIGINTs from one 5-category aggregate, final z one fixed-text "
+    "IEEE chain (int64-overflow-safe: factors cast to DOUBLE before "
+    "the variance product)",
+)
+def stats_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_cochran_armitage_sql())

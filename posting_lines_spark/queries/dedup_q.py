@@ -85,7 +85,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH near-dup ---
 
-def _minhash_oracle() -> str:
+def _minhash_cte_body() -> str:
+    """Shared WITH-body of the MinHash oracles (signatures → bands →
+    candidate pairs → shingle intersection → set sizes); final SELECTs
+    differ per query (threshold filter vs estimate audit)."""
     from posting_lines_spark.functions.hashing import cw_mix_sql, md5_limb_duck
 
     limbs = [f"l{i}" for i in range(4)]
@@ -123,7 +126,12 @@ inter AS (
   JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
   GROUP BY p.id_a, p.id_b
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+{_minhash_cte_body()}
 SELECT i.id_a, i.id_b, i.n_common,
        i.n_common / (za.n_sh + zb.n_sh - i.n_common) AS jaccard
 FROM inter i
@@ -769,3 +777,98 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _snm_sql(NEAR_BASE_SPARK, _snm_shingles_spark(), ranked_src="snm_ranked")
     )
+
+
+# --- MinHash estimator quality audit (est vs exact Jaccard per pair) ---
+# "Measure, don't guess" applied to the dedup sketch itself: for every
+# LSH candidate pair, the MinHash ESTIMATE (matching signature
+# components / H) next to the EXACT Jaccard from shingle sets, with the
+# per-pair error. This is the query an operator runs before trusting
+# NUM_HASHES/BANDS settings on a new corpus — the measured analogue of
+# the 1/sqrt(H) error bound. est is an exact multiple of 1/12 (H a
+# divisor of 64 would be exactly representable; 1/12 is not, but both
+# engines compute the same division of the same integers), exact is the
+# same integer ratio as dedup_minhash_lsh; abs_err subtracts identical
+# doubles → bit-identical rows.
+#
+# Scale: candidate-bounded (the banding controls pair count); the
+# signature rejoin is two broadcast-or-shuffle equi-joins on doc_id;
+# component matching is NUM_HASHES integer comparisons per candidate.
+
+
+def _estimate_audit_match() -> str:
+    return " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES)
+    )
+
+
+def _estimate_audit_oracle() -> str:
+    return f"""
+{_minhash_cte_body()},
+matches AS (
+  SELECT i.id_a, i.id_b, i.n_common,
+         CAST({_estimate_audit_match()} AS BIGINT) AS n_match
+  FROM inter i
+  JOIN sig a ON a.doc_id = i.id_a
+  JOIN sig b ON b.doc_id = i.id_b
+)
+SELECT m.id_a, m.id_b,
+       m.n_common / (za.n_sh + zb.n_sh - m.n_common) AS jaccard_exact,
+       CAST(m.n_match AS DOUBLE) / {NUM_HASHES}.0e0 AS jaccard_est,
+       abs(CAST(m.n_match AS DOUBLE) / {NUM_HASHES}.0e0
+           - m.n_common / (za.n_sh + zb.n_sh - m.n_common)) AS abs_err
+FROM matches m
+JOIN sizes za ON za.doc_id = m.id_a
+JOIN sizes zb ON zb.doc_id = m.id_b
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=_estimate_audit_oracle(),
+    description="MinHash estimator quality audit: per LSH-candidate "
+    "pair, the signature estimate (matching components / H) vs the "
+    "exact shingle Jaccard with per-pair |error| — the measured check "
+    "of the 1/sqrt(H) bound an operator runs before trusting H/bands "
+    "on a new corpus; candidate-bounded cost, two signature rejoins",
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = (
+        spark.sql(NEAR_BASE_SPARK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    ).localCheckpoint(eager=False)
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
+    # threshold 0.0: audit EVERY candidate with a non-empty intersection
+    # (inner-join semantics on both engines drop zero-common pairs)
+    verified = dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.0)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(NUM_HASHES)],
+    )
+    match = " + ".join(
+        f"CASE WHEN a_mh{j} = b_mh{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES)
+    )
+    est = f"CAST({match} AS DOUBLE) / {NUM_HASHES}.0e0"
+    out = (
+        verified.join(a, "id_a")
+        .join(b, "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "jaccard AS jaccard_exact",
+            f"{est} AS jaccard_est",
+            f"abs({est} - jaccard) AS abs_err",
+        )
+    )
+    return out.localCheckpoint(eager=False).orderBy("id_a", "id_b")

@@ -597,3 +597,64 @@ def topk_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", "n")
         .orderBy(F.desc("n"), "gram")
     )
+
+
+# --- AMS (tug-of-war) second-moment sketch ---
+# F₂ = Σ_k f(k)² — the self-join size / skew functional. The AMS
+# estimator: for each of E=16 estimators, Z_e = Σ_k s_e(k)·f(k) with
+# 4-wise-ish signs s_e ∈ {±1}; E[Z²] = F₂. All 16 signs come from ONE
+# md5 digest per key (bits 0..15 of the 60-bit limb — one hash, not 16),
+# so the whole sketch is 16 integer accumulators in a single aggregate
+# pass: mergeable, streaming-compatible, constant state. Z and Z² are
+# exact BIGINTs (|Z| ≤ Σf = rowcount; Z² ≤ 3.6e15 at sf10 — in-range),
+# the mean of 16 Z² is one final division, and the oracle replays the
+# identical digest bits. exact_f2 alongside gives the measured relative
+# error — the "measure, don't guess" audit for the sketch itself.
+#
+# Scale: per-key aggregate (map-side combine, key-domain-bounded), then
+# a 16-buffer reduce to ONE row. No window, no join, no fanout.
+
+AMS_E = 16
+
+
+def _ams_sql(h_key: str) -> str:
+    zs = ",\n         ".join(
+        f"CAST(sum((((h >> {e}) & 1) * 2 - 1) * f) AS BIGINT) AS z{e}"
+        for e in range(AMS_E)
+    )
+    sq = " + ".join(f"z{e} * z{e}" for e in range(AMS_E))
+    return f"""
+WITH per_key AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+  FROM lineitem
+  GROUP BY l_partkey
+),
+signed AS (
+  SELECT f, {h_key} AS h FROM per_key
+),
+zrow AS (
+  SELECT {zs},
+         CAST(sum(f * f) AS BIGINT) AS exact_f2,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM signed
+)
+SELECT n_keys, exact_f2,
+       CAST(({sq}) AS DOUBLE) / {AMS_E}.0e0 AS est_f2,
+       (CAST(({sq}) AS DOUBLE) / {AMS_E}.0e0 - CAST(exact_f2 AS DOUBLE))
+         / CAST(exact_f2 AS DOUBLE) AS rel_err
+FROM zrow
+"""
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=_ams_sql(md5_int_duck("CAST(k AS VARCHAR)", salt="ams")),
+    description="AMS tug-of-war sketch for F₂ (self-join size / skew "
+    "functional): 16 ±1-signed accumulators from ONE md5 digest per "
+    "key (bits 0..15), exact BIGINT Z and Z², mean-of-16 estimate plus "
+    "measured relative error vs exact F₂ — mergeable constant-state "
+    "sketch in a single per-key aggregate pass",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ams_sql(md5_int_spark("CAST(k AS STRING)", salt="ams")))

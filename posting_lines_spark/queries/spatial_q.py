@@ -603,3 +603,81 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_core")
     )
+
+
+# --- stay-point detection (Li et al. 2008, grid-quantized variant) ---
+# The trajectory-mining primitive the reference's AIS domain calls for
+# next: where does a vessel STOP? A stay point is a maximal run of
+# consecutive fixes (per vessel, time-ordered) inside one spatial cell,
+# kept when it spans ≥ STAY_MIN_FIXES fixes. Cells quantize the fix
+# position (here derived deterministically from the events table: the
+# 2-dp value and event_id act as the synthetic position source, exactly
+# integer on both engines), so run membership is an INTEGER comparison
+# — no float tolerance anywhere. Run detection is gaps-and-islands:
+# moved = cell != lag(cell), island = running sum of moved.
+#
+# Scale (100 TB): both windows partition BY VESSEL (user_id) — no
+# global window, no single-partition shuffle; the per-island aggregate
+# map-side combines. This is the reference's own partitioning insight
+# (per-mmsi processing, sql_to_line.py:186) carried to the window world.
+
+STAY_MIN_FIXES = 3
+
+
+def _stay_points_sql(epoch_us: str) -> str:
+    # synthetic but deterministic "position", chosen so runs actually
+    # OCCUR (the phash lesson — a vacuous 0-row parity proves nothing):
+    # the latitude band is the value's 50-unit bucket (10 bands, sticky
+    # enough that ~1k runs of ≥3 exist at sf0.01), the longitude band is
+    # the vessel's fixed home band. Both exact integers on both engines.
+    clat = "CAST(floor(CAST(round(value * 100e0) AS BIGINT) / 5000.0e0) AS BIGINT)"
+    clon = "user_id % 50"
+    return f"""
+WITH fixes AS (
+  SELECT user_id, event_id, {epoch_us} AS us,
+         {clat} AS clat, {clon} AS clon
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us, clat, clon,
+         CASE WHEN lag(clat) OVER w IS NULL THEN 1
+              WHEN lag(clat) OVER w = clat AND lag(clon) OVER w = clon THEN 0
+              ELSE 1 END AS moved
+  FROM fixes
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+islands AS (
+  SELECT user_id, us, clat, clon,
+         sum(moved) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+stays AS (
+  SELECT user_id, island,
+         min(clat) AS clat, min(clon) AS clon,
+         CAST(count(*) AS BIGINT) AS n_fixes,
+         min(us) AS start_us, max(us) AS end_us
+  FROM islands
+  GROUP BY user_id, island
+)
+SELECT user_id, clat, clon, n_fixes,
+       start_us, end_us, end_us - start_us AS dwell_us
+FROM stays
+WHERE n_fixes >= {STAY_MIN_FIXES}
+ORDER BY user_id, start_us
+"""
+
+
+@register(
+    "geo_stay_points",
+    oracle=_stay_points_sql("epoch_us(ts)"),
+    description="stay-point detection over per-vessel trajectories "
+    "(grid-quantized Li et al. 2008): gaps-and-islands over integer "
+    "cell ids — moved flag via lag(), island via running sum, per-"
+    "island dwell aggregate filtered to ≥ 3 fixes; every window "
+    "partitions by vessel (no global window), run membership is exact "
+    "integer comparison (no float tolerance)",
+)
+def geo_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_stay_points_sql("unix_micros(ts)"))

@@ -1401,3 +1401,135 @@ def timeseries_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             _MOTIF_ZDIST_SPARK,
         )
     )
+
+
+# --- Kalman local-level filter (random walk + observation noise) ---
+# The probabilistic sibling of timeseries_holt: the local-level model
+# y_t = l_t + ε (var R), l_t = l_{t-1} + η (var Q) filtered exactly:
+#   K_t = (P_{t-1} + Q) / (P_{t-1} + Q + R)
+#   l_t = l_{t-1} + K_t · (y_t − l_{t-1})
+#   P_t = (1 − K_t) · (P_{t-1} + Q)
+# folded over the day-ordered decimal-routed daily means, seeded
+# (l₁ = y₁, P₁ = P0). The steady-state gain it converges to is the EWMA
+# α the ewma/holt queries assume — this query DERIVES the smoothing
+# constant the others take as given. Spark folds the (l, p) struct with
+# aggregate(); the oracle must not (DuckDB 1.0 list_reduce mutates
+# multi-field struct accumulators in place — the timeseries_holt
+# lesson) and steps the IDENTICAL recurrence text through a recursive
+# CTE. The gain subexpression recomputes inside each field (same IEEE
+# ops → same doubles on both engines).
+#
+# Scale: identical to holt/ewma — one (type, day) aggregate with
+# map-side combine, then a per-type fold whose state is bounded by the
+# CALENDAR, not data volume; 5 output rows.
+
+KALMAN_Q = 0.04  # state-transition variance
+KALMAN_R = 1.0   # observation variance
+KALMAN_P0 = 1.0  # prior variance at the seed
+
+
+def _kalman_sql(epoch_us: str, collect_series: str, fold: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    q, r = f"{KALMAN_Q!r}e0", f"{KALMAN_R!r}e0"
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    gain_next = f"((st.p + {q}) / (st.p + {q} + {r}))"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         {collect_series} AS vs
+  FROM daily
+  GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_days, {fold} AS st
+  FROM series
+)
+SELECT event_type, n_days,
+       st.l AS level, st.p AS p_var,
+       {gain_next} AS gain_next,
+       st.l AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
+def _kalman_gain(prev_p: str) -> str:
+    q, r = f"{KALMAN_Q!r}e0", f"{KALMAN_R!r}e0"
+    return f"(({prev_p} + {q}) / ({prev_p} + {q} + {r}))"
+
+
+_KALMAN_FOLD_SPARK = (
+    "aggregate(slice(vs, 2, size(vs) - 1), "
+    f"named_struct('l', element_at(vs, 1), 'p', CAST({KALMAN_P0!r}e0 AS DOUBLE)), "
+    f"(acc, x) -> named_struct("
+    f"'l', CAST(acc.l + {_kalman_gain('acc.p')} * (x - acc.l) AS DOUBLE), "
+    f"'p', CAST((1.0e0 - {_kalman_gain('acc.p')}) * (acc.p + {KALMAN_Q!r}e0) AS DOUBLE)))"
+)
+
+
+def _kalman_oracle_sql() -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = "CAST(floor(epoch_us(ts) / 86400000000.0e0) AS BIGINT)"
+    q = f"{KALMAN_Q!r}e0"
+    gain = _kalman_gain("p")
+    # recursive-CTE restatement of the identical recurrence text (the
+    # DuckDB list_reduce struct-mutation bug — see timeseries_holt)
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+series AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         {_HOLT_SERIES_DUCK} AS vs
+  FROM daily
+  GROUP BY event_type
+),
+steps AS (
+  SELECT event_type, n_days, vs,
+         CAST(1 AS BIGINT) AS i,
+         CAST(vs[1] AS DOUBLE) AS l,
+         CAST({KALMAN_P0!r}e0 AS DOUBLE) AS p
+  FROM series
+  UNION ALL
+  SELECT event_type, n_days, vs, i + 1,
+         CAST(l + {gain} * (vs[i + 1] - l) AS DOUBLE),
+         CAST((1.0e0 - {gain}) * (p + {q}) AS DOUBLE)
+  FROM steps
+  WHERE i < n_days
+)
+SELECT event_type, n_days, l AS level, p AS p_var,
+       ((p + {q}) / (p + {q} + {KALMAN_R!r}e0)) AS gain_next,
+       l AS forecast_next
+FROM steps
+WHERE i = n_days
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_kalman_level",
+    oracle=_kalman_oracle_sql(),
+    description=f"Kalman local-level filter (Q={KALMAN_Q}, R={KALMAN_R}) "
+    "per event type: gain/level/variance recurrence folded over the "
+    "day-ordered decimal-routed daily means with a struct accumulator; "
+    "oracle steps the identical recurrence through a recursive CTE "
+    "(list_reduce struct-mutation bug, the timeseries_holt lesson); "
+    "derives the steady-state gain the EWMA family assumes; fold state "
+    "bounded by the calendar",
+)
+def timeseries_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _kalman_sql("unix_micros(ts)", _HOLT_SERIES_SPARK, _KALMAN_FOLD_SPARK)
+    )

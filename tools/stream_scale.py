@@ -58,6 +58,20 @@ elif name == "stream_attribution_stateful":
     _credits, progress = _attr_stateful_run(spark, sf_dir)
     out["wall_stateful_rerun_s"] = round(time.time() - t0, 2)
     batches = [p for p in progress if p.get("stateOperators") and p["numInputRows"] > 0]
+elif name == "stream_sessions_stateful":
+    from posting_lines_spark.fixtures import cached_fixture, scratch_dir
+    from posting_lines_spark.queries.stream_q import _sess_write_slices
+    from posting_lines_spark.streaming.stateful import sessionize_stateful
+    src = cached_fixture(
+        "sess_events_src", sf_dir, _sess_write_slices(e), "pls_sess_src_"
+    )
+    t0 = time.time()
+    progress = sessionize_stateful(
+        spark, src, scratch_dir("pls_sessst_out_"), scratch_dir("pls_sessst_ckpt_")
+    )
+    out["wall_stateful_rerun_s"] = round(time.time() - t0, 2)
+    batches = [p for p in progress if p.get("stateOperators") and p["numInputRows"] > 0]
+if name in ("stream_attribution_stateful", "stream_sessions_stateful"):
     out["per_batch"] = [
         {{
             "input_rows": p["numInputRows"],
