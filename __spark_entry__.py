@@ -45,6 +45,16 @@ _LEDGER_PRIORITY = [
     "geo_stay_points",
     "sketch_ams_f2",
     "dedup_minhash_estimate_audit",
+    # -- round-7 third wave (no ledger rows can exist yet) --
+    "ml_log_loss",
+    "ml_brier_score",
+    "ml_lift_gains",
+    "ml_mrr",
+    "ml_ndcg_at_k",
+    "stats_cohens_kappa",
+    "stats_distribution_distance",
+    "timeseries_cross_correlation",
+    "graph_personalized_pagerank",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

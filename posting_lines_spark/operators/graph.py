@@ -174,6 +174,7 @@ def pagerank(
     iters: int = 6,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, weight) edges, fixed iteration
     count, FIXED-POINT INTEGER arithmetic throughout so any engine at any
@@ -193,7 +194,17 @@ def pagerank(
     same key every round (a co-partitioned pair under AQE), and the edge
     set is loop-invariant — checkpoint only the evolving rank table.
     `n` is read back as ONE driver scalar (like connected_components'
-    convergence checksum), not a per-row collect."""
+    convergence checksum), not a per-row collect.
+
+    `seeds` (one column of node ids) switches the walk to PERSONALIZED
+    PageRank: the teleport mass lands only on the |S| seed nodes
+    ((15·SCALE) div (100·|S|) each; ranks start at SCALE div |S| on
+    seeds, 0 elsewhere) — the topic/trust-rank recipe. Seeds are
+    deduped and intersected with the node set (an off-graph seed
+    carries no mass on either engine); |S| is one driver scalar like
+    `n`. The per-node teleport column rides the same loop-invariant
+    node table, so the iteration cost is identical to the uniform
+    walk."""
     spark = edges.sparkSession
     use_reliable = spark.sparkContext.getCheckpointDir() is not None
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w"))
@@ -204,11 +215,37 @@ def pagerank(
     )
     nodes = nodes.checkpoint(eager=True) if use_reliable else nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if seeds is not None:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+            .distinct()
+            .join(nodes, "node")
+        )
+        k = sd.count()
+        nodes_t = nodes.join(
+            sd.withColumn("_seed", F.lit(1)), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_seed").isNotNull(), F.lit((15 * PR_SCALE) // (100 * k)))
+            .otherwise(F.lit(0))
+            .alias("tp"),
+            F.when(F.col("_seed").isNotNull(), F.lit(PR_SCALE // k))
+            .otherwise(F.lit(0))
+            .alias("r0"),
+        )
+    else:
+        nodes_t = nodes.select(
+            "node",
+            F.lit((15 * PR_SCALE) // (100 * n)).alias("tp"),
+            F.lit(PR_SCALE // n).alias("r0"),
+        )
+    nodes_t = (
+        nodes_t.checkpoint(eager=True) if use_reliable else nodes_t.localCheckpoint(eager=True)
+    )
     out_w = e.groupBy("src").agg(F.sum("w").alias("outw"))
     ew = e.join(out_w, "src")  # loop-invariant: (src, dst, w, outw)
     ew = ew.checkpoint(eager=True) if use_reliable else ew.localCheckpoint(eager=True)
-    teleport = (15 * PR_SCALE) // (100 * n)
-    ranks = nodes.select("node", F.lit(PR_SCALE // n).alias("rank"))
+    ranks = nodes_t.select("node", F.col("r0").alias("rank"))
     for it in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
             F.col("dst").alias("node"),
@@ -218,11 +255,11 @@ def pagerank(
             ).alias("c"),
         )
         ranks = (
-            nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
+            nodes_t.join(contrib.groupBy("node").agg(F.sum("c").alias("s")), "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    F.col("tp")
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).alias("rank"),
             )

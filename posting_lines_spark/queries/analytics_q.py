@@ -2848,3 +2848,142 @@ FROM agg
 def stats_trend_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_cochran_armitage_sql())
+
+
+# --- Cohen's kappa (inter-rater agreement) ---
+# The label-quality primitive of every annotation pipeline: chance-
+# corrected agreement between two deterministic raters over 3 classes
+# (rater A buckets the cents score, rater B buckets the event type).
+# κ = (pₒ − pₑ)/(1 − pₑ) = (N·Σd − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ) —
+# every operand an exact integer from one k×k contingency aggregate
+# (k = 3, map-side combined); the marginal products are accumulated in
+# DECIMAL(38,0) and cast through VARCHAR (parity final-cast rule), so
+# the statistic survives N² beyond int64. One division at the end.
+
+
+def _kappa_sql() -> str:
+    d38 = "DECIMAL(38,0)"
+    return f"""
+WITH lab AS (
+  SELECT CASE WHEN CAST(round(value * 100e0) AS BIGINT) < 10000 THEN 0
+              WHEN CAST(round(value * 100e0) AS BIGINT) < 25000 THEN 1
+              ELSE 2 END AS ra,
+         CASE WHEN event_type IN ('view', 'click') THEN 0
+              WHEN event_type IN ('signup', 'error') THEN 1
+              ELSE 2 END AS rb
+  FROM events
+),
+cells AS (
+  SELECT ra, rb, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY ra, rb
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+),
+rm AS (SELECT ra AS k, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY ra),
+cm AS (SELECT rb AS k, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY rb),
+pe AS (
+  SELECT CAST(CAST(sum(CAST(rm.rc AS {d38}) * CAST(cm.cc AS {d38})) AS STRING)
+              AS DOUBLE) AS src
+  FROM rm JOIN cm ON cm.k = rm.k
+)
+SELECT t.n, t.agree,
+       CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+       p.src / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS pe,
+       (CAST(t.agree AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src)
+         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src) AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=_kappa_sql(),
+    description="Cohen's kappa between two deterministic 3-class raters "
+    "(score buckets vs event-type buckets): one k×k contingency "
+    "aggregate (map-side combine, 9 cells), marginal products in "
+    "DECIMAL(38,0) through the VARCHAR final cast, one division — the "
+    "annotation-quality primitive",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kappa_sql())
+
+
+# --- distribution distances (TV / Hellinger / Jensen-Shannon) ---
+# The drift-audit triple next to profile_psi_drift: split the events
+# stream into two cohorts (event_id parity — deterministic, balanced)
+# and measure the distance between their event-type distributions.
+#   TV  = ½·Σᵢ|aᵢ/A − bᵢ/B|        — numerator Σ|aᵢB − bᵢA| is an exact
+#         DECIMAL(38,0); one division by 2AB.
+#   H   = √(1 − Σᵢ √((aᵢ/A)(bᵢ/B)))  — per-term sqrt of one fixed-text
+#         double chain (IEEE sqrt is correctly rounded on both engines).
+#   JS  = ½Σᵢ pᵢ·ln(2aᵢB/(aᵢB+bᵢA)) + ½Σᵢ qᵢ·ln(2bᵢA/(aᵢB+bᵢA)) — every
+#         log argument an INTEGER through the deterministic ln kernel
+#         (arguments ≤ 2·A·B; the kernel is exact to 2^52 — beyond
+#         ~10^7 rows per cohort, factor the counts first).
+# Cross-type sums are decimal-routed (k-bounded: one row per type).
+# Scale: ONE conditional aggregate keyed by event_type (map-side
+# combine), kernel math over k rows, a 1-row reduce.
+
+
+def _dist_distance_sql() -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    d38 = "DECIMAL(38,0)"
+    layers, last = dln_int_cte_layers(
+        [("arg_pa", "la"), ("arg_pb", "lb"), ("arg_m", "lm")], "j0", "jl"
+    )
+    return f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM events
+  GROUP BY event_type
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb FROM per),
+j0 AS (
+  SELECT p.a, p.b, t.ta, t.tb,
+         greatest(CAST(1 AS BIGINT), 2 * p.a * t.tb) AS arg_pa,
+         greatest(CAST(1 AS BIGINT), 2 * p.b * t.ta) AS arg_pb,
+         greatest(CAST(1 AS BIGINT), p.a * t.tb + p.b * t.ta) AS arg_m
+  FROM per p CROSS JOIN tot t
+),
+{layers},
+terms AS (
+  SELECT ta, tb,
+         CAST(abs(CAST(a AS {d38}) * tb - CAST(b AS {d38}) * ta) AS {d38}) AS tvnum,
+         CASE WHEN a = 0 THEN 0e0
+              ELSE (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) * (la_ln - lm_ln)
+         END AS jsa,
+         CASE WHEN b = 0 THEN 0e0
+              ELSE (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) * (lb_ln - lm_ln)
+         END AS jsb,
+         sqrt((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+              * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) AS hterm
+  FROM {last}
+)
+SELECT ta AS n_a, tb AS n_b,
+       CAST(CAST(sum(tvnum) AS STRING) AS DOUBLE)
+         / (2.0e0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tv_distance,
+       sqrt(greatest(0e0, 1.0e0 - {dsum_expr("hterm", 12)})) AS hellinger,
+       ({dsum_expr("jsa", 12)} + {dsum_expr("jsb", 12)}) / 2.0e0 AS js_nats
+FROM terms
+GROUP BY ta, tb
+"""
+
+
+@register(
+    "stats_distribution_distance",
+    oracle=_dist_distance_sql(),
+    description="drift-audit distance triple (total variation / "
+    "Hellinger / Jensen-Shannon) between the event-type distributions "
+    "of two deterministic cohorts: one conditional aggregate keyed by "
+    "type, TV numerator exact DECIMAL, JS logs over INTEGER arguments "
+    "via the deterministic ln kernel, k-bounded decimal-routed sums",
+)
+def stats_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dist_distance_sql())

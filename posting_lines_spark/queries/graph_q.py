@@ -133,26 +133,54 @@ GROUP BY 1, 2"""
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, iters: int = PR_ITERS, scale: int = _PR_SCALE
+    edges_sql: str,
+    iters: int = PR_ITERS,
+    scale: int = _PR_SCALE,
+    seeds_sql: str | None = None,
 ) -> str:
     """Unrolled fixed-point-integer PageRank recurrence as chained CTEs —
     the shared oracle builder for every PageRank-family query (trade
-    graph, TextRank word graph). `edges_sql` must yield (src, dst, w);
-    a nested WITH inside the parens is fine on DuckDB."""
+    graph, TextRank word graph, personalized variant). `edges_sql` must
+    yield (src, dst, w); a nested WITH inside the parens is fine on
+    DuckDB. `seeds_sql` (one `node` column) mirrors the operator's
+    personalized mode: teleport mass and the initial rank land only on
+    the deduped on-graph seeds."""
     parts = [
         f"edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "out_w AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
-        "p AS (SELECT count(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, {scale} // (SELECT n FROM p) AS rank FROM nodes)",
     ]
+    if seeds_sql is None:
+        parts += [
+            "p AS (SELECT count(*) AS n FROM nodes)",
+            f"""nt AS (
+  SELECT node, (15 * {scale}) // (100 * (SELECT n FROM p)) AS tp,
+         {scale} // (SELECT n FROM p) AS rank0
+  FROM nodes
+)""",
+        ]
+    else:
+        parts += [
+            f"seeds0 AS ({seeds_sql})",
+            "seedsd AS (SELECT DISTINCT s.node FROM seeds0 s "
+            "JOIN nodes nn ON nn.node = s.node)",
+            "sk AS (SELECT count(*) AS k FROM seedsd)",
+            f"""nt AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN (15 * {scale}) // (100 * (SELECT k FROM sk)) ELSE 0 END AS tp,
+         CASE WHEN s.node IS NOT NULL
+              THEN {scale} // (SELECT k FROM sk) ELSE 0 END AS rank0
+  FROM nodes n LEFT JOIN seedsd s ON s.node = n.node
+)""",
+        ]
+    parts.append("r0 AS (SELECT node, rank0 AS rank FROM nt)")
     for k in range(1, iters + 1):
         parts.append(
             f"""r{k} AS (
   SELECT nd.node,
-         (15 * {scale}) // (100 * (SELECT n FROM p))
-         + (85 * coalesce(c.s, 0)) // 100 AS rank
-  FROM nodes nd LEFT JOIN (
+         nd.tp + (85 * coalesce(c.s, 0)) // 100 AS rank
+  FROM nt nd LEFT JOIN (
     SELECT e.dst AS node,
            sum((r.rank // o.outw) * e.w + ((r.rank % o.outw) * e.w) // o.outw) AS s
     FROM r{k - 1} r JOIN edges e ON e.src = r.node JOIN out_w o ON o.src = r.node
@@ -933,3 +961,41 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         )
     )
+
+
+# --- personalized PageRank (seeded teleport) ---
+# Topic-sensitive / TrustRank: the random surfer teleports only to the
+# ASIA-region nations, so ranks measure proximity to that seed set in
+# the trade-flow graph — the recommendation/influence primitive the
+# uniform walk can't express. Same fixed-point-integer recurrence and
+# iteration cost as graph_pagerank (operators/graph.py::pagerank,
+# seeds=...): the per-node teleport rides the loop-invariant node
+# table; |S| is one driver scalar. Oracle = the identical seeded
+# recurrence unrolled by the shared builder.
+
+_PPR_SEEDS = """SELECT CAST(n_nationkey AS BIGINT) AS node
+FROM nation
+WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=pagerank_oracle_sql(_PR_EDGES, seeds_sql=_PPR_SEEDS),
+    description="personalized PageRank over the trade graph with the "
+    "ASIA nations as the teleport set: fixed-point INTEGER recurrence "
+    "(engine-exact), per-node teleport column on the loop-invariant "
+    "node table, |S| one driver scalar — same two-shuffle iteration "
+    "cost as the uniform walk; oracle = the seeded recurrence unrolled",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    pr = graph.pagerank(
+        spark.sql(_PR_EDGES), iters=PR_ITERS, seeds=spark.sql(_PPR_SEEDS)
+    )
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("long").alias("rank_fp"),
+    ).orderBy("node")

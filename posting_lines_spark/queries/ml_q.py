@@ -218,3 +218,311 @@ ORDER BY bin
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_calibration_sql())
+
+# --- log loss (cross-entropy of the calibrated score) ---
+# LL = −(1/N)·Σ [y·ln(p̂) + (1−y)·ln(1−p̂)] with p̂ = s/C. Every log
+# argument is an INTEGER (s and C−s, clamped to [1, C−1]), so the
+# deterministic integer-ln kernel (functions/dmath.py) makes each
+# per-score term bit-identical across engines; ln(C) is one shared
+# literal from the kernel's Python mirror. Terms are summed over the
+# per-score aggregate (score-domain-bounded, ≤ 49k rows) through the
+# decimal route (parity.dsum, scale 6 — per-row rounding estimate
+# 49k·1e4·2.2e-16·1e6 ≈ 1e-4 ≪ 1), one final division by N.
+#
+# Scale: identical to ml_auc_roc's first stage — one map-side-combined
+# aggregate keyed by the score, then kernel math over the bounded
+# domain. No per-row log is ever evaluated.
+
+_LL_CLAMPED = (
+    f"SELECT greatest(CAST(1 AS BIGINT), least(CAST({_CAL_C - 1} AS BIGINT), s)) AS s, y "
+    f"FROM ({_SCORED}) sc"
+)
+
+
+def _log_loss_sql() -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers, dln_int_py
+    from posting_lines_spark.functions.geo import dlit
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    ln_c = dlit(dln_int_py(_CAL_C))
+    layers, last = dln_int_cte_layers([("s", "lp"), ("cc", "lq")], "ll0", "ll")
+    return f"""
+WITH per_s AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS np,
+         CAST(count(*) - sum(y) AS BIGINT) AS nn
+  FROM ({_LL_CLAMPED}) clamped
+  GROUP BY s
+),
+ll0 AS (SELECT s, np, nn, s AS s_arg, {_CAL_C} - s AS cc FROM per_s),
+{layers},
+terms AS (
+  SELECT np, nn,
+         (CAST(np AS DOUBLE) * ({ln_c} - lp_ln)
+          + CAST(nn AS DOUBLE) * ({ln_c} - lq_ln)) AS t
+  FROM {last}
+)
+SELECT CAST(sum(np) + sum(nn) AS BIGINT) AS n,
+       CAST(sum(np) AS BIGINT) AS n_pos,
+       {dsum_expr("t")} / CAST(sum(np) + sum(nn) AS DOUBLE) AS log_loss_nats
+FROM terms
+"""
+
+
+@register(
+    "ml_log_loss",
+    oracle=_log_loss_sql(),
+    description="log loss (cross-entropy) of the calibrated score "
+    "p̂ = s/C: per-distinct-score class counts (map-side combine, "
+    "score-domain-bounded), per-term lns over INTEGER arguments via the "
+    "deterministic ln kernel, decimal-routed term sum, one final "
+    "division — no per-row log is ever evaluated",
+)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_log_loss_sql())
+
+
+# --- Brier score + skill vs the climatology baseline ---
+# BS = (1/N)·Σ (p̂ − y)² = Σ (s − C·y)² / (N·C²) — the numerator is an
+# exact integer per row (|s − C·y| ≤ C), summed in DECIMAL(38,0) and
+# cast through VARCHAR (the parity.py final-cast rule). The reference
+# forecast is climatology p̄ = P/N with BS_ref = p̄(1−p̄); the skill
+# score BSS = 1 − BS/BS_ref divides ratios whose operands are identical
+# exact integers on both engines.
+
+
+def _brier_sql() -> str:
+    C = _CAL_C
+    dec = "DECIMAL(38,0)"
+    ssq = f"CAST(CAST(sum(CAST((s - {C} * y) * (s - {C} * y) AS {dec})) AS STRING) AS DOUBLE)"
+    return f"""
+WITH scored AS ({_SCORED}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         {ssq} AS ssq
+  FROM scored
+)
+SELECT n, n_pos,
+       ssq / (CAST(n AS DOUBLE) * {float(C) * C!r}e0) AS brier,
+       (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS brier_ref,
+       1.0e0 - (ssq / (CAST(n AS DOUBLE) * {float(C) * C!r}e0))
+         / ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+            * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))) AS brier_skill
+FROM agg
+"""
+
+
+@register(
+    "ml_brier_score",
+    oracle=_brier_sql(),
+    description="Brier score + skill vs climatology: Σ(s − C·y)² is an "
+    "exact per-row integer summed in DECIMAL(38,0) (order-free, cast "
+    "through VARCHAR per the parity final-cast rule); BS, the p̄(1−p̄) "
+    "reference, and BSS are divisions of identical exact operands — one "
+    "scan, one 1-row aggregate",
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_brier_sql())
+
+# --- cumulative gains / lift by score decile ---
+# The targeting-efficiency chart: sort rows by score descending, cut
+# into 10 population deciles, report the cumulative share of positives
+# captured (gains) and the capture rate vs random (lift). Ties share a
+# score group, so a group is assigned WHOLE to the decile of its first
+# row (start index run_n − n, deterministic on both engines); a group
+# spanning a boundary therefore credits its entire mass to the earlier
+# decile — documented tie semantics, identical everywhere.
+#
+# Scale: the per-score aggregate (map-side combine, score-domain-
+# bounded) feeds the range-partitioned two-pass prefix sums
+# (global_running_sums — no single-partition window); the decile
+# rollup and its cumulative window run on ≤ 10 rows. The decile index
+# floor(10·idx/N) is a double floor whose operands are exact integers
+# ≪ 2^53 — identical IEEE ops on both engines.
+
+_LIFT_PER_S = f"""
+SELECT s, CAST(sum(y) AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS n,
+       CAST(-s AS BIGINT) AS neg_s
+FROM ({_SCORED}) scored
+GROUP BY s
+"""
+
+
+def _lift_tail_sql(src: str) -> str:
+    """CTE fragments + final SELECT (no leading WITH — callers splice it
+    into their own WITH chain)."""
+    return f"""
+t AS (
+  SELECT CAST(max(run_n) AS BIGINT) AS n_all,
+         CAST(max(run_np) AS BIGINT) AS p_all
+  FROM {src}
+),
+b AS (
+  SELECT CAST(floor((10.0e0 * CAST(run_n - n AS DOUBLE))
+                    / CAST((SELECT n_all FROM t) AS DOUBLE)) AS BIGINT) AS decile,
+         np, n
+  FROM {src}
+),
+d AS (
+  SELECT decile, CAST(sum(np) AS BIGINT) AS pos_d, CAST(sum(n) AS BIGINT) AS rows_d
+  FROM b GROUP BY decile
+),
+c AS (
+  SELECT decile, pos_d, rows_d,
+         CAST(sum(pos_d) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_cum,
+         CAST(sum(rows_d) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rows_cum
+  FROM d
+)
+SELECT c.decile, c.rows_d, c.pos_d, c.rows_cum, c.pos_cum,
+       CAST(c.pos_cum AS DOUBLE) / CAST(t.p_all AS DOUBLE) AS gain,
+       (CAST(c.pos_cum AS DOUBLE) * CAST(t.n_all AS DOUBLE))
+         / (CAST(t.p_all AS DOUBLE) * CAST(c.rows_cum AS DOUBLE)) AS lift
+FROM c CROSS JOIN t
+ORDER BY c.decile
+"""
+
+
+LIFT_ORACLE = f"""
+WITH per_s AS ({_LIFT_PER_S}),
+run AS (
+  SELECT np, n,
+         sum(np) OVER (ORDER BY neg_s ROWS UNBOUNDED PRECEDING) AS run_np,
+         sum(n) OVER (ORDER BY neg_s ROWS UNBOUNDED PRECEDING) AS run_n
+  FROM per_s
+),
+{_lift_tail_sql("run")}
+"""
+
+
+@register(
+    "ml_lift_gains",
+    oracle=LIFT_ORACLE,
+    description="cumulative gains / lift by score decile: per-score "
+    "aggregate (score-domain-bounded) → range-partitioned two-pass "
+    "prefix sums → whole-group decile assignment by start index "
+    "(deterministic tie semantics) → 10-row cumulative rollup; gains "
+    "and lift are ratios of exact integer operands",
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_s = spark.sql(_LIFT_PER_S)
+    run = global_running_sums(per_s, ["neg_s"], ["np", "n"])
+    run.createOrReplaceTempView("pls_lift_run")
+    return spark.sql("WITH " + _lift_tail_sql("pls_lift_run"))
+
+# --- mean reciprocal rank (per-user ranking evaluation) ---
+# Each user's events are a ranked retrieval list (score descending,
+# event_id tiebreak — a total order, so row_number is deterministic);
+# the relevant item is a purchase. MRR = mean over users of 1/rank of
+# the first relevant item. Reported both over users WITH a relevant
+# item (mrr_hit, the retrieval convention) and over all users counting
+# misses as 0 (mrr_all). Reciprocals of small integers are exact IEEE
+# divisions; the cross-user mean is decimal-routed (parity.dsum,
+# scale 12 — rr ≤ 1, per-row rounding estimate ≪ 1).
+#
+# Scale: ONE window partitioned by user (user-bounded state, never a
+# global sort) + one per-user aggregate + one 1-row reduce.
+
+_RANKED = (
+    "SELECT user_id, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY CAST(round(value * 100e0) AS BIGINT) DESC, event_id) AS rnk "
+    "FROM events"
+)
+
+
+def _mrr_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    rr = "CASE WHEN fr IS NULL THEN NULL ELSE 1.0e0 / CAST(fr AS DOUBLE) END"
+    return f"""
+WITH r AS ({_RANKED}),
+fp AS (
+  SELECT user_id, CAST(min(CASE WHEN y = 1 THEN rnk END) AS BIGINT) AS fr
+  FROM r GROUP BY user_id
+),
+rr AS (SELECT fr, {rr} AS rr FROM fp)
+SELECT CAST(count(*) AS BIGINT) AS users_total,
+       CAST(count(fr) AS BIGINT) AS users_with_pos,
+       {dsum_expr("rr", 12)} / CAST(count(fr) AS DOUBLE) AS mrr_hit,
+       {dsum_expr("rr", 12)} / CAST(count(*) AS DOUBLE) AS mrr_all
+FROM rr
+"""
+
+
+@register(
+    "ml_mrr",
+    oracle=_mrr_sql(),
+    description="mean reciprocal rank of the first relevant item per "
+    "user: one user-partitioned window (deterministic total order), one "
+    "per-user aggregate, decimal-routed cross-user mean — reported over "
+    "hit users and over all users",
+)
+def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mrr_sql())
+
+
+# --- NDCG@10 (graded ranking quality, fixed-point discounts) ---
+# DCG@K = Σ_{r≤K} rel_r / log2(1+r). The discounts are HOST-computed
+# once and embedded as fixed-point BIGINT literals round(1e12/log2(1+r)),
+# so each user's DCG and ideal DCG are EXACT integer sums — no float
+# summation inside the aggregate at all; NDCG is one division of exact
+# operands and the cross-user mean is decimal-routed. Users with no
+# relevant item are excluded (the retrieval convention; their IDCG is
+# undefined). Ideal DCG uses min(K, positives) prefix-sum literals.
+#
+# Scale: same shape as ml_mrr — one user-partitioned window, one
+# per-user aggregate, one 1-row reduce.
+
+_NDCG_K = 10
+
+
+def _ndcg_sql() -> str:
+    import math
+
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    disc = [round(1e12 / math.log2(1 + r)) for r in range(1, _NDCG_K + 1)]
+    ideal = [sum(disc[:p]) for p in range(1, _NDCG_K + 1)]
+    d_case = ("CASE rnk " + " ".join(f"WHEN {r + 1} THEN {d}" for r, d in enumerate(disc))
+              + " ELSE 0 END")
+    i_case = ("CASE least(" + str(_NDCG_K) + ", pos) "
+              + " ".join(f"WHEN {p + 1} THEN {v}" for p, v in enumerate(ideal))
+              + " END")
+    return f"""
+WITH r AS ({_RANKED}),
+u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN rnk <= {_NDCG_K} AND y = 1 THEN {d_case} ELSE 0 END) AS BIGINT) AS dcg_fp,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM r GROUP BY user_id
+),
+e AS (
+  SELECT CAST(dcg_fp AS DOUBLE) / CAST({i_case} AS DOUBLE) AS ndcg
+  FROM u WHERE pos >= 1
+)
+SELECT CAST(count(*) AS BIGINT) AS users_evaluated,
+       {dsum_expr("ndcg", 12)} / CAST(count(*) AS DOUBLE) AS mean_ndcg_at_{_NDCG_K}
+FROM e
+"""
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=_ndcg_sql(),
+    description=f"NDCG@{_NDCG_K}: host-computed fixed-point BIGINT "
+    "discount literals make per-user DCG and ideal DCG EXACT integer "
+    "sums (no float summation in the aggregate); one user-partitioned "
+    "window + one per-user aggregate + decimal-routed mean over users "
+    "with a relevant item",
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ndcg_sql())

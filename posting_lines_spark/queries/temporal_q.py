@@ -1533,3 +1533,77 @@ def timeseries_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _kalman_sql("unix_micros(ts)", _HOLT_SERIES_SPARK, _KALMAN_FOLD_SPARK)
     )
+
+
+# --- lagged cross-correlation between two event-type series ---
+# The lead-lag diagnostic: Pearson correlation between the daily VIEW
+# count and the daily PURCHASE count shifted by lag ℓ ∈ [−7, +7] — a
+# positive-lag peak means views lead purchases by ℓ days (the marketing
+# attribution / demand-forecast primitive next to timeseries_autocorr,
+# which is its self-join special case). Daily counts are INTEGERS, so
+# every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+# BIGINT and the correlation is one fixed-text IEEE chain (products
+# stay ≪ 2^53 for daily counts below ~10⁷; switch the sums to DECIMAL
+# beyond that). Missing days simply do not pair — identical semantics
+# on both engines.
+#
+# Scale: one (day) conditional aggregate with map-side combine
+# (calendar-bounded output), then a 15-lag × calendar-bounded self-join
+# — cost independent of row volume beyond the first scan.
+
+XCORR_LAGS = 7
+
+
+def _xcorr_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    lags = " UNION ALL ".join(
+        f"SELECT {k} AS lag" for k in range(-XCORR_LAGS, XCORR_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+lags AS ({lags}),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, n AS n_days,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0e0) AS xcorr
+FROM agg
+ORDER BY lag
+"""
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle=_xcorr_sql("epoch_us(ts)"),
+    description=f"lagged cross-correlation (±{XCORR_LAGS} days) between "
+    "the daily view and purchase count series: one calendar-bounded "
+    "conditional aggregate, a 15-lag calendar-bounded self-join, every "
+    "sufficient statistic an exact BIGINT, final Pearson one fixed-text "
+    "IEEE chain — the lead-lag sibling of timeseries_autocorr",
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_xcorr_sql("unix_micros(ts)"))

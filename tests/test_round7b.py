@@ -1,0 +1,276 @@
+"""Round-7 second-wave replay tests: ranking/probabilistic model
+evaluation (log loss, Brier, lift/gains, MRR, NDCG), agreement and
+drift statistics (Cohen's kappa, TV/Hellinger/JS), lagged
+cross-correlation, and personalized PageRank.
+
+Each test is an INDEPENDENT pure-Python replay against the same
+parquet (the test_round7.py discipline) — not a re-run of the SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from datetime import datetime
+
+import pyarrow.parquet as pq
+
+from posting_lines_spark.functions.dmath import dln_int_py
+from tests.conftest import SF001
+
+_C = 50000
+
+
+def _events():
+    return pq.read_table(SF001 + "/events.parquet").to_pylist()
+
+
+def _scored():
+    return [
+        (round(r["value"] * 100), 1 if r["event_type"] == "purchase" else 0)
+        for r in _events()
+    ]
+
+
+def test_ml_log_loss_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    per_s: Counter = Counter()
+    for s, y in _scored():
+        s = max(1, min(_C - 1, s))
+        per_s[(s, y)] += 1
+    ln_c = dln_int_py(_C)
+    total = 0.0
+    n = 0
+    for (s, y), c in sorted(per_s.items()):
+        term = ln_c - dln_int_py(s) if y == 1 else ln_c - dln_int_py(_C - s)
+        total += c * term
+        n += c
+    want = total / n
+    got = load_all()["ml_log_loss"].fn(spark, SF001).collect()[0]
+    assert got["n"] == n
+    assert abs(got["log_loss_nats"] - want) < 1e-6
+    assert got["log_loss_nats"] > 0
+
+
+def test_ml_brier_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    sc = _scored()
+    n = len(sc)
+    p = sum(y for _, y in sc)
+    ssq = sum((s - _C * y) ** 2 for s, y in sc)
+    brier = float(ssq) / (float(n) * float(_C * _C))
+    ref = (p / n) * (1.0 - p / n)
+    got = load_all()["ml_brier_score"].fn(spark, SF001).collect()[0]
+    assert (got["n"], got["n_pos"]) == (n, p)
+    assert got["brier"] == brier
+    assert abs(got["brier_ref"] - ref) < 1e-15
+    assert abs(got["brier_skill"] - (1.0 - brier / ref)) < 1e-12
+
+
+def test_ml_lift_gains_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    per_s: dict[int, list[int]] = defaultdict(lambda: [0, 0])  # s -> [np, n]
+    for s, y in _scored():
+        per_s[s][0] += y
+        per_s[s][1] += 1
+    n_all = sum(v[1] for v in per_s.values())
+    p_all = sum(v[0] for v in per_s.values())
+    run_n = 0
+    dec: dict[int, list[int]] = defaultdict(lambda: [0, 0])  # decile -> [pos, rows]
+    for s in sorted(per_s, reverse=True):  # score descending
+        np_, nn_ = per_s[s]
+        d = int(math.floor((10.0 * float(run_n)) / float(n_all)))
+        dec[d][0] += np_
+        dec[d][1] += nn_
+        run_n += nn_
+    got = {r["decile"]: r for r in load_all()["ml_lift_gains"].fn(spark, SF001).collect()}
+    assert set(got) == set(dec)
+    pos_cum = rows_cum = 0
+    for d in sorted(dec):
+        pos_cum += dec[d][0]
+        rows_cum += dec[d][1]
+        r = got[d]
+        assert (r["pos_d"], r["rows_d"]) == tuple(dec[d])
+        assert (r["pos_cum"], r["rows_cum"]) == (pos_cum, rows_cum)
+        assert r["gain"] == float(pos_cum) / float(p_all)
+    # the last decile captures everything
+    last = got[max(got)]
+    assert last["pos_cum"] == p_all and last["rows_cum"] == n_all
+    assert last["gain"] == 1.0
+
+
+def _ranked_users():
+    by_user: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+    for r in _events():
+        s = round(r["value"] * 100)
+        y = 1 if r["event_type"] == "purchase" else 0
+        by_user[r["user_id"]].append((s, r["event_id"], y))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (-t[0], t[1]))
+        out[u] = evs
+    return out
+
+
+def test_ml_mrr_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    users = _ranked_users()
+    rrs = []
+    for evs in users.values():
+        fr = next((i + 1 for i, (_, _, y) in enumerate(evs) if y == 1), None)
+        if fr is not None:
+            rrs.append(1.0 / fr)
+    got = load_all()["ml_mrr"].fn(spark, SF001).collect()[0]
+    assert got["users_total"] == len(users)
+    assert got["users_with_pos"] == len(rrs)
+    assert abs(got["mrr_hit"] - sum(rrs) / len(rrs)) < 1e-9
+    assert abs(got["mrr_all"] - sum(rrs) / len(users)) < 1e-9
+
+
+def test_ml_ndcg_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    K = 10
+    disc = [round(1e12 / math.log2(1 + r)) for r in range(1, K + 1)]
+    ideal = [sum(disc[:p]) for p in range(1, K + 1)]
+    vals = []
+    for evs in _ranked_users().values():
+        pos = sum(y for _, _, y in evs)
+        if pos == 0:
+            continue
+        dcg = sum(disc[i] for i, (_, _, y) in enumerate(evs[:K]) if y == 1)
+        vals.append(float(dcg) / float(ideal[min(K, pos) - 1]))
+    got = load_all()["ml_ndcg_at_k"].fn(spark, SF001).collect()[0]
+    assert got["users_evaluated"] == len(vals)
+    assert abs(got["mean_ndcg_at_10"] - sum(vals) / len(vals)) < 1e-9
+    assert 0.0 < got["mean_ndcg_at_10"] <= 1.0
+
+
+def test_cohens_kappa_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    cells: Counter = Counter()
+    for r in _events():
+        s = round(r["value"] * 100)
+        ra = 0 if s < 10000 else (1 if s < 25000 else 2)
+        t = r["event_type"]
+        rb = 0 if t in ("view", "click") else (1 if t in ("signup", "error") else 2)
+        cells[(ra, rb)] += 1
+    n = sum(cells.values())
+    agree = sum(c for (a, b), c in cells.items() if a == b)
+    rm = Counter()
+    cm = Counter()
+    for (a, b), c in cells.items():
+        rm[a] += c
+        cm[b] += c
+    src = float(sum(rm[k] * cm[k] for k in rm))
+    got = load_all()["stats_cohens_kappa"].fn(spark, SF001).collect()[0]
+    assert (got["n"], got["agree"]) == (n, agree)
+    assert got["po"] == agree / n
+    assert got["pe"] == src / (float(n) * float(n))
+    want_kappa = (float(agree) * float(n) - src) / (float(n) * float(n) - src)
+    assert abs(got["kappa"] - want_kappa) < 1e-15
+    assert -1.0 <= got["kappa"] <= 1.0
+
+
+def test_distribution_distance_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    a: Counter = Counter()
+    b: Counter = Counter()
+    for r in _events():
+        (a if r["event_id"] % 2 == 0 else b)[r["event_type"]] += 1
+    types = sorted(set(a) | set(b))
+    ta, tb = sum(a.values()), sum(b.values())
+    tvnum = sum(abs(a[t] * tb - b[t] * ta) for t in types)
+    tv = float(tvnum) / (2.0 * float(ta) * float(tb))
+    hsum = sum(math.sqrt((a[t] / ta) * (b[t] / tb)) for t in types)
+    hell = math.sqrt(max(0.0, 1.0 - hsum))
+    js = 0.0
+    for t in types:
+        m = dln_int_py(max(1, a[t] * tb + b[t] * ta))
+        if a[t]:
+            js += (a[t] / ta) * (dln_int_py(2 * a[t] * tb) - m) / 2.0
+        if b[t]:
+            js += (b[t] / tb) * (dln_int_py(2 * b[t] * ta) - m) / 2.0
+    got = load_all()["stats_distribution_distance"].fn(spark, SF001).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (ta, tb)
+    assert got["tv_distance"] == tv
+    assert abs(got["hellinger"] - hell) < 1e-9
+    assert abs(got["js_nats"] - js) < 1e-9
+    # distance axioms: bounded, JS ≤ ln 2
+    assert 0.0 <= got["tv_distance"] <= 1.0
+    assert 0.0 <= got["js_nats"] <= math.log(2.0) + 1e-12
+
+
+def test_xcorr_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    epoch = datetime(1970, 1, 1)
+    daily: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in _events():
+        if r["event_type"] not in ("view", "purchase"):
+            continue
+        us = (r["ts"] - epoch).days * 86400000000 + (
+            (r["ts"] - epoch).seconds * 1000000 + (r["ts"] - epoch).microseconds
+        )
+        d = int(math.floor(us / 86400000000.0))
+        daily[d][0 if r["event_type"] == "view" else 1] += 1
+    got = {r["lag"]: r for r in load_all()["timeseries_cross_correlation"].fn(spark, SF001).collect()}
+    assert set(got) == set(range(-7, 8))
+    for lag in range(-7, 8):
+        pairs = [
+            (daily[d][0], daily[d + lag][1]) for d in sorted(daily) if d + lag in daily
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        den = math.sqrt(float(n) * float(sxx) - float(sx) * float(sx)) * math.sqrt(
+            float(n) * float(syy) - float(sy) * float(sy)
+        )
+        want = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+        r = got[lag]
+        assert r["n_days"] == n
+        assert abs(r["xcorr"] - want) < 1e-12
+        assert -1.0 <= r["xcorr"] <= 1.0
+
+
+def test_personalized_pagerank_matches_integer_replay(spark):
+    """Operator vs a pure-Python replay of the seeded fixed-point
+    recurrence on a hand graph (seed = node 1 only)."""
+    from posting_lines_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = [(1, 2, 1), (2, 3, 2), (3, 1, 1), (2, 1, 1), (4, 1, 3)]
+    seeds = [1]
+    iters = 3
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    outw = Counter()
+    for u, _, w in edges:
+        outw[u] += w
+    k = len(seeds)
+    tp = {v: (15 * PR_SCALE) // (100 * k) if v in seeds else 0 for v in nodes}
+    rank = {v: PR_SCALE // k if v in seeds else 0 for v in nodes}
+    for _ in range(iters):
+        inflow = Counter()
+        for u, v, w in edges:
+            r, o = rank[u], outw[u]
+            inflow[v] += (r // o) * w + ((r % o) * w) // o
+        rank = {v: tp[v] + (85 * inflow[v]) // 100 for v in nodes}
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e_df, iters=iters, seeds=s_df).collect()
+    }
+    assert got == rank
+    # seed holds the bulk of the mass; off-graph behavior: every node
+    # reachable from the seed carries rank, node 4 (no inflow) carries 0
+    assert got[1] == max(got.values())
+    assert got[4] == 0
