@@ -55,6 +55,10 @@ _LEDGER_PRIORITY = [
     "stats_distribution_distance",
     "timeseries_cross_correlation",
     "graph_personalized_pagerank",
+    "ml_ks_separation",
+    "stats_bootstrap_ci",
+    "sketch_bloom_fpr_audit",
+    "graph_harmonic_centrality",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

@@ -2987,3 +2987,102 @@ GROUP BY ta, tb
 def stats_distribution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_dist_distance_sql())
+
+
+# --- Poisson-bootstrap confidence interval for the mean ---
+# The distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams"; the resampling scheme behind Google's
+# Poisson bootstrap): classic resampling needs a global sample-with-
+# replacement — impossible to shard — but replicate b's multiplicity
+# for row i is ≈ Poisson(1), so each row independently emits a
+# DETERMINISTIC md5-derived Poisson(1) weight per replicate (truncated
+# at 5, tail mass ~6e-4/2 per row — identical truncation on both
+# engines). Metric: mean purchase value in cents (exact integers), so
+# each replicate mean is Σw·x / Σw — a ratio of exact BIGINTs. The CI
+# is read from the order statistics of the B=64 replicate means
+# (rank 2 / rank 63 ≈ the 2.5/97.5 percentiles); the final window runs
+# over exactly B rows.
+#
+# Scale: the same map-side B-fanout as stats_permutation_test — the
+# shuffle carries B sufficient-statistic rows at ANY data volume; the
+# B knob is the budget dial.
+
+BOOT_B = 64
+_BOOT_U_MOD = 1 << 26  # md5 → uniform u with 26 exact double bits
+
+
+def _boot_cuts() -> str:
+    import math as _m
+
+    from posting_lines_spark.functions.geo import dlit
+
+    acc, cuts = 0.0, []
+    for k in range(5):
+        acc += _m.exp(-1.0) / _m.factorial(k)
+        cuts.append(acc)
+    cases = " ".join(
+        f"WHEN u < {dlit(c)} THEN {k}" for k, c in enumerate(cuts)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+def _bootstrap_sql(h_expr: str, range_b: str) -> str:
+    lo_rank, hi_rank = 2, BOOT_B - 1  # ~2.5% / ~97.5% order statistics
+    return f"""
+WITH pts AS (
+  SELECT event_id, CAST(round(value * 100e0) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM pts
+),
+long AS (
+  SELECT p.x, r.b,
+         CAST(({h_expr}) % {_BOOT_U_MOD} AS DOUBLE) / {float(_BOOT_U_MOD)!r}e0 AS u
+  FROM pts p CROSS JOIN {range_b} r
+),
+w AS (SELECT x, b, {_boot_cuts()} AS w FROM long),
+reps AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS nb, CAST(sum(w * x) AS BIGINT) AS sb
+  FROM w GROUP BY b
+),
+means AS (
+  SELECT b, CAST(sb AS DOUBLE) / CAST(nb AS BIGINT) AS mean_b,
+         row_number() OVER (ORDER BY CAST(sb AS DOUBLE) / CAST(nb AS BIGINT), b) AS rk
+  FROM reps
+)
+SELECT t.n, CAST({BOOT_B} AS BIGINT) AS b_total,
+       CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_cents,
+       max(CASE WHEN m.rk = {lo_rank} THEN m.mean_b END) AS ci_lo_cents,
+       max(CASE WHEN m.rk = {hi_rank} THEN m.mean_b END) AS ci_hi_cents
+FROM means m CROSS JOIN tot t
+GROUP BY t.n, t.sx
+"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=_bootstrap_sql(
+        md5_int_duck(
+            "concat(CAST(p.event_id AS VARCHAR), '_', CAST(r.b AS VARCHAR))",
+            salt="boot",
+        ),
+        f"(SELECT r AS b FROM range(0, {BOOT_B}) t(r))",
+    ),
+    description=f"Poisson-bootstrap CI for the mean purchase value "
+    f"(B={BOOT_B} md5-keyed deterministic Poisson(1) weights, truncated "
+    "at 5): map-side B-fanout, shuffle state = B exact-integer "
+    "sufficient-statistic rows at any SF, CI from the rank-2/rank-63 "
+    "order statistics of the replicate means — the shardable bootstrap",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _bootstrap_sql(
+            md5_int_spark(
+                "concat(CAST(p.event_id AS STRING), '_', CAST(r.b AS STRING))",
+                salt="boot",
+            ),
+            f"(SELECT explode(sequence(0, {BOOT_B - 1})) AS b)",
+        )
+    )

@@ -999,3 +999,129 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str):
         F.col("node").cast("long").alias("node"),
         F.col("rank").cast("long").alias("rank_fp"),
     ).orderBy("node")
+
+
+# --- harmonic centrality (out-reach) over the trade graph ---
+# The distance-based centrality the PageRank family can't see (rank
+# measures inflow mass, not reach): h(v) = Σ_{u reachable, u≠v}
+# 1/d(v,u), the disconnected-safe replacement for closeness (Boldi &
+# Vigna, "Axioms for Centrality"). Distances are bounded at 6 hops
+# (the dense 25-node trade graph's diameter is ~2; documented cap).
+# EXACTNESS: every d ∈ 1..6 divides 60, so h·60 = Σ n_d·(60/d) is an
+# exact BIGINT (h_fp) — no float summation at all; the reported double
+# is one final division.
+#
+# Spark side = the distributed frontier iteration (per round one
+# equi-join + one left-anti on node keys, the graph_khop_reach shape);
+# oracle = an independent recursive-CTE min-distance closure. At scale
+# the frontier join shuffles on the node key every round with a
+# loop-invariant edge table — the BFS analogue of the PageRank loop.
+
+HC_MAX_D = 6
+
+
+def _harmonic_oracle() -> str:
+    w60 = " ".join(f"WHEN {d} THEN {60 // d}" for d in range(1, HC_MAX_D + 1))
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({_PR_EDGES}) edges WHERE src <> dst
+),
+nodes AS (
+  -- explicit DISTINCT over UNION ALL: DuckDB's chained UNION inside a
+  -- WITH RECURSIVE block does not dedup across branches (the
+  -- TRIANGLES_ORACLE lesson)
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+paths AS (
+  -- deduping UNION, not UNION ALL: the trade graph is DENSE (~25²
+  -- edges), so path enumeration is 24^d — the recursion must carry
+  -- distinct (v,u,d) states (≤ n²·{HC_MAX_D} rows), not paths
+  SELECT src AS v, dst AS u, 1 AS d FROM e
+  UNION
+  SELECT p.v, e.dst AS u, p.d + 1
+  FROM paths p JOIN e ON e.src = p.u
+  WHERE p.d < {HC_MAX_D} AND e.dst <> p.v
+),
+sp AS (SELECT v, u, min(d) AS dist FROM paths GROUP BY v, u),
+hv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(CASE dist {w60} END) AS BIGINT) AS h_fp
+  FROM sp GROUP BY v
+)
+SELECT n.node, coalesce(h.n_reached, 0) AS n_reached,
+       coalesce(h.h_fp, 0) AS h_fp,
+       CAST(coalesce(h.h_fp, 0) AS DOUBLE) / 60.0e0 AS harmonic
+FROM nodes n LEFT JOIN hv h ON h.v = n.node
+ORDER BY n.node
+"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    description="harmonic (out-reach) centrality over the trade graph: "
+    "distributed BFS frontier iteration (per round one equi-join + one "
+    "left-anti on node keys, loop-invariant edges), distances capped at "
+    "6 hops; h·60 = Σ n_d·(60/d) is an EXACT BIGINT — no float "
+    "summation; oracle = independent recursive-CTE min-distance closure",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    e = (
+        spark.sql(_PR_EDGES)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reached = e.select(F.col("src").alias("v"), F.col("dst").alias("u")).withColumn(
+        "dist", F.lit(1)
+    )
+    frontier = reached.select("v", "u")
+    for k in range(2, HC_MAX_D + 1):
+        # eager checkpoints per round — the iterative-operator convention
+        # (pagerank/HITS): the BFS recursion must not re-derive earlier
+        # rounds (audited: lazy cuts here unrolled to a 355-exchange plan)
+        expanded = (
+            frontier.withColumnRenamed("u", "mid")
+            .join(
+                F.broadcast(e.select(F.col("src").alias("mid"), F.col("dst").alias("u"))),
+                "mid",
+            )
+            .select("v", "u")
+            .filter(F.col("v") != F.col("u"))
+            .distinct()
+        )
+        frontier = expanded.join(
+            reached.select("v", "u"), ["v", "u"], "left_anti"
+        ).localCheckpoint(eager=True)
+        reached = reached.unionAll(
+            frontier.withColumn("dist", F.lit(k))
+        ).localCheckpoint(eager=True)
+    w60 = " ".join(f"WHEN {d} THEN {60 // d}" for d in range(1, HC_MAX_D + 1))
+    hv = reached.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.expr(f"CAST(sum(CASE dist {w60} END) AS BIGINT)").alias("h_fp"),
+    )
+    return (
+        nodes.join(hv, nodes["node"] == hv["v"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_reached"), F.lit(0).cast("long")).alias("n_reached"),
+            F.coalesce(F.col("h_fp"), F.lit(0).cast("long")).alias("h_fp"),
+            (F.coalesce(F.col("h_fp"), F.lit(0).cast("long")).cast("double") / F.lit(60.0)).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy("node")
+    )

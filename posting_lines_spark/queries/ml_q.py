@@ -526,3 +526,70 @@ FROM e
 def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ndcg_sql())
+
+# --- KS separation of the score (the credit-scoring "KS statistic") ---
+# KS = max over thresholds of |F_pos(s) − F_neg(s)| — how well a single
+# cutoff can separate the classes; the distribution-level companion to
+# AUC (both consume the same per-score aggregate). Prefix sums of both
+# class counts ride ONE two-pass global_running_sums call; the per-row
+# gap |run_np/P − run_nn/N| divides exact integers, so the max and its
+# argmin-score tiebreak order identically on both engines.
+#
+# Scale: same as ml_auc_roc — one score-keyed aggregate, two-pass
+# prefix sums, then a score-domain-bounded sort for the 1-row answer.
+
+
+def _ks_sep_tail_sql(src: str) -> str:
+    # t joins in ONCE via a 1-row broadcast cross join — scalar
+    # subqueries would re-derive `src` per reference in the plan audit
+    gap = (
+        "abs(CAST(run_np AS DOUBLE) / CAST(t.p_all AS DOUBLE)"
+        " - CAST(run_nn AS DOUBLE) / CAST(t.n_all AS DOUBLE))"
+    )
+    return f"""
+t AS (
+  SELECT CAST(max(run_np) AS BIGINT) AS p_all,
+         CAST(max(run_nn) AS BIGINT) AS n_all
+  FROM {src}
+),
+gaps AS (
+  SELECT r.s, t.p_all, t.n_all, {gap} AS d
+  FROM {src} r CROSS JOIN t
+)
+SELECT p_all AS n_pos, n_all AS n_neg,
+       d AS ks_stat, s AS ks_at_score
+FROM gaps
+ORDER BY d DESC, s ASC
+LIMIT 1
+"""
+
+
+KS_SEP_ORACLE = f"""
+WITH per_s AS ({_PER_S}),
+run AS (
+  SELECT s,
+         sum(np) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_np,
+         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_nn
+  FROM per_s
+),
+{_ks_sep_tail_sql("run")}
+"""
+
+
+@register(
+    "ml_ks_separation",
+    oracle=KS_SEP_ORACLE,
+    description="KS separation statistic of the score: per-score class "
+    "counts (score-domain-bounded), BOTH class prefix sums through one "
+    "two-pass global_running_sums call, per-row gap from exact integer "
+    "operands, deterministic (gap DESC, score ASC) argmax — the single-"
+    "cutoff separability companion to ml_auc_roc",
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_s = spark.sql(_PER_S)
+    run = global_running_sums(per_s, ["s"], ["np", "nn"])
+    run.createOrReplaceTempView("pls_ks_run")
+    return spark.sql("WITH " + _ks_sep_tail_sql("pls_ks_run"))

@@ -658,3 +658,111 @@ FROM zrow
 def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_ams_sql(md5_int_spark("CAST(k AS STRING)", salt="ams")))
+
+
+# --- bloom-filter false-positive-rate audit ---
+# "Measure, don't guess" for the bloom semi-join itself (the
+# dedup_minhash_estimate_audit / sketch_ams_f2 discipline): build the
+# k=2, M=65536 bitset over the BUILDING customer keys with the SAME
+# operator the semi-join uses (bloom_bitset/bloom_probe), probe the
+# provably-disjoint complement (every customer has exactly one
+# segment), and report the measured false-positive rate next to the
+# load-based prediction (bits_set/M)² — the number an operator checks
+# before trusting a bloom reduction on a new key domain. Everything is
+# md5-deterministic; the bitset is the sanctioned 8 KiB driver
+# metadata; popcount of the collected words is driver arithmetic.
+#
+# Oracle: an INDEPENDENT full SQL replication of the bitset build and
+# probe (bit_or word aggregate + shift/mask tests) — not a semantic
+# shortcut, so a hash drift in either engine's md5/bit path would
+# surface as a mismatch.
+
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_fpr_oracle() -> str:
+    M = BLOOM_M
+    h = [
+        md5_int_duck("CAST(c_custkey AS VARCHAR)", salt="bloom", slot=s)
+        for s in (0, 1)
+    ]
+    return f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+),
+pos AS (
+  SELECT ({h[0]}) % {M} AS pos FROM members
+  UNION ALL
+  SELECT ({h[1]}) % {M} FROM members
+),
+wb AS (
+  -- HUGEINT lane: DuckDB range-checks signed BIGINT shifts (1<<63
+  -- errors); the 128-bit lane holds the same 64 bit positions and the
+  -- compared OUTPUTS (popcounts, bit tests) are integer-identical
+  SELECT pos // 64 AS w,
+         bit_or(CAST(1 AS HUGEINT) << CAST(pos % 64 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+bs AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM wb),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM members),
+probes AS (
+  SELECT ({h[0]}) % {M} AS h0, ({h[1]}) % {M} AS h1
+  FROM customer WHERE c_mktsegment <> '{_BLOOM_SEG}'
+),
+ph AS (
+  SELECT coalesce(w0.bits, 0) AS b0, p.h0, coalesce(w1.bits, 0) AS b1, p.h1
+  FROM probes p
+  LEFT JOIN wb w0 ON w0.w = p.h0 // 64
+  LEFT JOIN wb w1 ON w1.w = p.h1 // 64
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(CASE WHEN ((b0 >> CAST(h0 % 64 AS INT)) & 1) = 1
+                        AND ((b1 >> CAST(h1 % 64 AS INT)) & 1) = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+  FROM ph
+)
+SELECT nm.n_members, a.n_probes, bs.bits_set,
+       CAST({M} AS BIGINT) AS m_bits, a.false_pos,
+       CAST(a.false_pos AS DOUBLE) / CAST(a.n_probes AS DOUBLE) AS observed_fpr,
+       (CAST(bs.bits_set AS DOUBLE) / {float(M)!r}e0)
+         * (CAST(bs.bits_set AS DOUBLE) / {float(M)!r}e0) AS load_fpr
+FROM agg a CROSS JOIN bs CROSS JOIN nm
+"""
+
+
+@register(
+    "sketch_bloom_fpr_audit",
+    oracle=_bloom_fpr_oracle(),
+    description="bloom false-positive-rate audit: the k=2/M=65536 "
+    "operator bitset built over one customer segment, probed with the "
+    "provably-disjoint complement; measured FPR reported next to the "
+    "load-based (bits_set/M)² prediction — oracle is an independent "
+    "full SQL replication of the bitset and probe, not a shortcut",
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_mktsegment") == _BLOOM_SEG).select("c_custkey").distinct()
+    arr = bloom_bitset(members, "c_custkey")
+    bits_set = sum((w & ((1 << 64) - 1)).bit_count() for w in arr)
+    probes = c.filter(F.col("c_mktsegment") != _BLOOM_SEG)
+    probed = bloom_probe(probes, "c_custkey", arr)
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("__bloom_hit"), 1).otherwise(0)).cast("long").alias("false_pos"),
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return agg.crossJoin(nm).select(
+        "n_members",
+        "n_probes",
+        F.lit(bits_set).cast("long").alias("bits_set"),
+        F.lit(BLOOM_M).cast("long").alias("m_bits"),
+        "false_pos",
+        (F.col("false_pos").cast("double") / F.col("n_probes").cast("double")).alias(
+            "observed_fpr"
+        ),
+        F.expr(
+            f"(CAST({bits_set} AS DOUBLE) / {float(BLOOM_M)!r}e0)"
+            f" * (CAST({bits_set} AS DOUBLE) / {float(BLOOM_M)!r}e0)"
+        ).alias("load_fpr"),
+    )

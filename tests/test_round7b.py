@@ -274,3 +274,152 @@ def test_personalized_pagerank_matches_integer_replay(spark):
     # reachable from the seed carries rank, node 4 (no inflow) carries 0
     assert got[1] == max(got.values())
     assert got[4] == 0
+
+
+def test_ml_ks_separation_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    per_s: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for s, y in _scored():
+        per_s[s][y] += 1  # [nn, np] indexed by y
+    P = sum(v[1] for v in per_s.values())
+    N = sum(v[0] for v in per_s.values())
+    run_np = run_nn = 0
+    best = (-1.0, None)
+    for s in sorted(per_s):
+        run_nn += per_s[s][0]
+        run_np += per_s[s][1]
+        d = abs(run_np / P - run_nn / N)
+        if d > best[0]:
+            best = (d, s)
+    got = load_all()["ml_ks_separation"].fn(spark, SF001).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (P, N)
+    assert got["ks_stat"] == best[0]
+    assert got["ks_at_score"] == best[1]
+    assert 0.0 <= got["ks_stat"] <= 1.0
+
+
+def test_bootstrap_ci_matches_python(spark):
+    import hashlib
+
+    from posting_lines_spark.queries import load_all
+
+    cuts = []
+    acc = 0.0
+    for k in range(5):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cuts.append(acc)
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[0:15], 16)
+
+    pts = [
+        (r["event_id"], round(r["value"] * 100))
+        for r in _events()
+        if r["event_type"] == "purchase"
+    ]
+    B, MOD = 64, 1 << 26
+    means = []
+    for b in range(B):
+        nb = sb = 0
+        for eid, x in pts:
+            u = (md5_60(f"boot|{eid}_{b}") % MOD) / float(MOD)
+            w = next((k for k, c in enumerate(cuts) if u < c), 5)
+            nb += w
+            sb += w * x
+        means.append((float(sb) / nb, b))
+    means.sort()
+    got = load_all()["stats_bootstrap_ci"].fn(spark, SF001).collect()[0]
+    n = len(pts)
+    assert got["n"] == n and got["b_total"] == B
+    assert got["mean_cents"] == float(sum(x for _, x in pts)) / float(n)
+    assert got["ci_lo_cents"] == means[1][0]   # rank 2
+    assert got["ci_hi_cents"] == means[62][0]  # rank 63
+    assert got["ci_lo_cents"] <= got["mean_cents"] <= got["ci_hi_cents"]
+
+
+def test_bloom_fpr_audit_matches_python(spark):
+    import hashlib
+
+    from posting_lines_spark.queries import load_all
+
+    M = 1 << 16
+    rows = pq.read_table(SF001 + "/customer.parquet").to_pylist()
+
+    def pos2(key: str) -> tuple[int, int]:
+        return tuple(
+            int(hashlib.md5(f"bloom|{key}".encode()).hexdigest()[1 + s * 15 - 1 : 15 + s * 15], 16) % M
+            for s in (0, 1)
+        )
+
+    bits: set[int] = set()
+    n_members = 0
+    for r in rows:
+        if r["c_mktsegment"] == "BUILDING":
+            n_members += 1
+            bits.update(pos2(str(r["c_custkey"])))
+    fp = n_probes = 0
+    for r in rows:
+        if r["c_mktsegment"] != "BUILDING":
+            n_probes += 1
+            h0, h1 = pos2(str(r["c_custkey"]))
+            if h0 in bits and h1 in bits:
+                fp += 1
+    got = load_all()["sketch_bloom_fpr_audit"].fn(spark, SF001).collect()[0]
+    assert got["n_members"] == n_members
+    assert got["n_probes"] == n_probes
+    assert got["bits_set"] == len(bits)
+    assert got["false_pos"] == fp
+    assert got["observed_fpr"] == fp / n_probes
+    # measured FPR should be in the ballpark of the load prediction
+    load = (len(bits) / M) ** 2
+    assert abs(got["load_fpr"] - load) < 1e-12
+
+
+def test_harmonic_centrality_matches_python(spark):
+    """BFS replay on the edge list the query itself derives (read via
+    DuckDB, walked with a plain dict BFS)."""
+    import duckdb
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import _PR_EDGES, HC_MAX_D
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF001}/{t}.parquet')"
+        )
+    edges = con.execute(
+        f"SELECT DISTINCT src, dst FROM ({_PR_EDGES}) e WHERE src <> dst"
+    ).fetchall()
+    con.close()
+    adj: dict[int, list[int]] = defaultdict(list)
+    nodes = set()
+    for s, d, *_ in [(*e, None) for e in edges]:
+        adj[s].append(d)
+        nodes.update((s, d))
+    want = {}
+    for v in nodes:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier and d < HC_MAX_D:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        reached = {u: dd for u, dd in dist.items() if u != v}
+        h_fp = sum(60 // dd for dd in reached.values())
+        want[v] = (len(reached), h_fp)
+    got = {
+        r["node"]: (r["n_reached"], r["h_fp"], r["harmonic"])
+        for r in load_all()["graph_harmonic_centrality"].fn(spark, SF001).collect()
+    }
+    assert set(got) == nodes
+    for v in nodes:
+        assert got[v][:2] == want[v], v
+        assert got[v][2] == want[v][1] / 60.0
