@@ -59,6 +59,8 @@ _LEDGER_PRIORITY = [
     "stats_bootstrap_ci",
     "sketch_bloom_fpr_audit",
     "graph_harmonic_centrality",
+    "text_langid_agreement",
+    "timeseries_mann_kendall",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

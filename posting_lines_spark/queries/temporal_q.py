@@ -1607,3 +1607,85 @@ ORDER BY lag
 def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_xcorr_sql("unix_micros(ts)"))
+
+
+# --- Mann-Kendall trend test (significance for Theil-Sen) ---
+# timeseries_theilsen_slope gives the robust slope; Mann-Kendall gives
+# its SIGNIFICANCE: S = Σ_{i<j} sign(v_j − v_i) over the day-ordered
+# decimal-routed daily means, with the tie-corrected variance
+#   18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+# (t = size of each tied-value group) and the continuity-corrected
+#   z = (S∓1)/√Var(S).
+# S, n, and the 18-scaled variance are EXACT BIGINTs (ties are exact
+# equality of decimal-exact values — identical grouping on both
+# engines); z is one fixed-text IEEE chain. The Kendall-tau machinery
+# applied to TIME (stats_kendall_tau ranks two metrics against each
+# other; this tests one series against its own order).
+#
+# Scale: the pair join is per-type and CALENDAR-bounded (n(n−1)/2 at
+# n≈30 — constant as data scales); the tie groups are a (type, value)
+# aggregate over n rows.
+
+
+def _mann_kendall_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, v,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM idx a
+  JOIN idx b ON b.event_type = a.event_type AND b.i > a.i
+  GROUP BY a.event_type
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (
+    SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+    FROM idx GROUP BY event_type, v
+  ) g
+  WHERE t > 1
+  GROUP BY event_type
+)
+SELECT s.event_type, nn.n AS n_days, s.s_stat,
+       nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(t.tie18, 0) AS var18,
+       CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+            WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+            ELSE 0e0 END
+         / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                     - coalesce(t.tie18, 0) AS DOUBLE) / 18.0e0) AS z_mk
+FROM s
+JOIN nn ON nn.event_type = s.event_type
+LEFT JOIN ties t ON t.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "timeseries_mann_kendall",
+    oracle=_mann_kendall_sql("epoch_us(ts)"),
+    description="Mann-Kendall trend test over the day-ordered decimal-"
+    "routed daily means — the significance companion to "
+    "timeseries_theilsen_slope: S and the tie-corrected 18-scaled "
+    "variance are exact BIGINTs, continuity-corrected z one fixed-text "
+    "IEEE chain; the pair join is calendar-bounded (constant in rows)",
+)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mann_kendall_sql("unix_micros(ts)"))

@@ -1362,7 +1362,10 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_LANGS = ("de", "en", "es", "fr", "zh")
 
 
-def _nb_sql(tok_cte: str) -> str:
+def _nb_pred_ctes(tok_cte: str) -> str:
+    """The NB pipeline as CTE fragments (no leading WITH) ending in
+    `pred` (doc_id, true_lang, pred_lang) — shared by the confusion
+    matrix query and the rater-agreement audit."""
     from posting_lines_spark.functions.dmath import dln_int_cte_layers
     from posting_lines_spark.queries.parity import dsum_expr
 
@@ -1396,7 +1399,7 @@ def _nb_sql(tok_cte: str) -> str:
         cascade.append(f"WHEN sc_{g} >= {fn} THEN '{g}'")
     cascade_sql = "\n              ".join(cascade)
     return f"""
-WITH tok AS ({tok_cte}),
+tok AS ({tok_cte}),
 dt AS (
   SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS cnt
   FROM tok GROUP BY doc_id, lang, token
@@ -1439,7 +1442,12 @@ pred AS (
          CASE {cascade_sql}
               ELSE '{NB_LANGS[-1]}' END AS pred_lang
   FROM scored
-)
+)"""
+
+
+def _nb_sql(tok_cte: str) -> str:
+    return f"""
+WITH {_nb_pred_ctes(tok_cte)}
 SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred
 GROUP BY true_lang, pred_lang
@@ -1559,4 +1567,74 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_fp"), "word")
         .limit(TEXTRANK_TOP_K)
+    )
+
+
+# --- classifier agreement audit (kappa between the two lang-ids) ---
+# A labeling pipeline that runs a cheap heuristic (text_lang_id's
+# marker argmax) next to a trained model (text_naive_bayes_lang) wants
+# CHANCE-CORRECTED agreement between them before routing disagreements
+# to review — raw overlap is inflated by the majority class. Cohen's κ
+# over the two PREDICTIONS (not the gold label — this measures rater
+# consistency, the stats_cohens_kappa machinery applied to model
+# governance). All operands exact integers from the joined 5×5 table;
+# marginal products in DECIMAL(38,0); one division.
+#
+# Scale: the NB side reuses the shared vocabulary-bounded pipeline
+# (_nb_pred_ctes); the heuristic is a per-row CASE; the join is
+# doc_id-keyed; the κ recombination is 25 cells.
+
+
+def _langid_agreement_sql(tok_cte: str, score_of) -> str:
+    d38 = "DECIMAL(38,0)"
+    return f"""
+WITH {_nb_pred_ctes(tok_cte)},
+heur AS (SELECT doc_id, {_argmax(score_of)} AS h_lang FROM documents),
+cells AS (
+  SELECT p.pred_lang AS ra, h.h_lang AS rb, CAST(count(*) AS BIGINT) AS c
+  FROM pred p JOIN heur h ON h.doc_id = p.doc_id
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+),
+rm AS (SELECT ra AS k, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY ra),
+cm AS (SELECT rb AS k, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY rb),
+pe AS (
+  SELECT CAST(CAST(sum(CAST(rm.rc AS {d38}) * CAST(cm.cc AS {d38})) AS STRING)
+              AS DOUBLE) AS src
+  FROM rm JOIN cm ON cm.k = rm.k
+)
+SELECT t.n, t.agree,
+       CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+       p.src / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS pe,
+       (CAST(t.agree AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src)
+         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src) AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+
+
+@register(
+    "text_langid_agreement",
+    oracle=_langid_agreement_sql(
+        "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token"
+        " FROM documents",
+        _score_duck,
+    ),
+    description="Cohen's κ between the marker-heuristic and naive-Bayes "
+    "language predictions (rater agreement, not accuracy — the model-"
+    "governance audit that routes disagreements to review): NB side "
+    "reuses the shared vocabulary-bounded pipeline, heuristic is a "
+    "per-row CASE, κ from exact integers over the joined 5×5 table",
+)
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _langid_agreement_sql(
+            "SELECT doc_id, lang, explode(split(text, ' ')) AS token"
+            " FROM documents",
+            _score_spark,
+        )
     )

@@ -423,3 +423,114 @@ def test_harmonic_centrality_matches_python(spark):
     for v in nodes:
         assert got[v][:2] == want[v], v
         assert got[v][2] == want[v][1] / 60.0
+
+
+def test_mann_kendall_matches_python(spark):
+    from fractions import Fraction
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    rows = pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+    acc: dict[tuple[str, int], list] = defaultdict(lambda: [Fraction(0), 0])
+    for r in rows:
+        day = math.floor((r["ts"].timestamp() * 1e6) / 86400000000.0)
+        key = (r["event_type"], day)
+        acc[key][0] += Fraction(round(r["value"] * 100), 100)
+        acc[key][1] += 1
+    series: dict[str, list] = defaultdict(list)
+    for (et, day), (s, n) in acc.items():
+        series[et].append((day, float(s) / n))
+    got = {
+        r["event_type"]: r
+        for r in load_all()["timeseries_mann_kendall"].fn(spark, SF0001).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        vs = [v for _, v in sorted(pts)]
+        n = len(vs)
+        s_stat = sum(
+            (1 if vs[j] > vs[i] else -1 if vs[j] < vs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vs).values()
+            if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        num = float(s_stat - 1) if s_stat > 0 else float(s_stat + 1) if s_stat < 0 else 0.0
+        want_z = num / math.sqrt(var18 / 18.0) if s_stat != 0 else 0.0
+        r = got[et]
+        assert (r["n_days"], r["s_stat"], r["var18"]) == (n, s_stat, var18)
+        assert r["z_mk"] == want_z
+
+
+def test_langid_agreement_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import MARKERS, NB_LANGS
+    from tests.conftest import SF0001
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet").to_pylist()
+
+    # NB predictions (the test_seventhwave replay, per doc)
+    cnt: dict[str, Counter] = {g: Counter() for g in NB_LANGS}
+    nd = Counter()
+    for d in docs:
+        nd[d["lang"]] += 1
+        cnt[d["lang"]].update(d["text"].split(" "))
+    vocab = set()
+    for c in cnt.values():
+        vocab |= set(c)
+    v, ntot = len(vocab), sum(nd.values())
+    tot = {g: sum(cnt[g].values()) for g in NB_LANGS}
+    q3 = Decimal("0.001")
+
+    def nb_pred(text: str) -> str:
+        toks = Counter(text.split(" "))
+        n_tok = sum(toks.values())
+        scores = {}
+        for g in NB_LANGS:
+            s = float(
+                sum(
+                    Decimal(repr(c * math.log(cnt[g][t] + 1))).quantize(
+                        q3, rounding=ROUND_HALF_UP
+                    )
+                    for t, c in toks.items()
+                )
+            )
+            scores[g] = (
+                math.log(nd[g]) - math.log(ntot) + s - n_tok * math.log(tot[g] + v)
+            )
+        for g in NB_LANGS:
+            if scores[g] >= max(sc for h, sc in scores.items() if h != g):
+                return g
+        return NB_LANGS[-1]
+
+    def heur_pred(text: str) -> str:
+        toks = text.split(" ")
+        score = {g: sum(1 for t in toks if t in MARKERS[g]) for g in MARKERS}
+        langs = list(MARKERS)
+        for i, g in enumerate(langs[:-1]):
+            if all(score[g] >= score[h] for h in langs[i + 1 :]):
+                return g
+        return langs[-1]
+
+    cells = Counter()
+    for d in docs:
+        cells[(nb_pred(d["text"]), heur_pred(d["text"]))] += 1
+    n = sum(cells.values())
+    agree = sum(c for (a, b), c in cells.items() if a == b)
+    rm, cm = Counter(), Counter()
+    for (a, b), c in cells.items():
+        rm[a] += c
+        cm[b] += c
+    src = float(sum(rm[k] * cm[k] for k in rm if k in cm))
+    got = load_all()["text_langid_agreement"].fn(spark, SF0001).collect()[0]
+    assert (got["n"], got["agree"]) == (n, agree)
+    assert got["po"] == agree / n
+    want_kappa = (float(agree) * float(n) - src) / (float(n) * float(n) - src)
+    assert abs(got["kappa"] - want_kappa) < 1e-12
