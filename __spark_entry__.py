@@ -61,6 +61,7 @@ _LEDGER_PRIORITY = [
     "graph_harmonic_centrality",
     "text_langid_agreement",
     "timeseries_mann_kendall",
+    "text_bpe_merge_rounds",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

@@ -1023,7 +1023,11 @@ HC_MAX_D = 6
 def _harmonic_oracle() -> str:
     w60 = " ".join(f"WHEN {d} THEN {60 // d}" for d in range(1, HC_MAX_D + 1))
     return f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB inlines this
+  -- 4-way-join CTE into the recursive member and re-evaluates the full
+  -- fact-table join on EVERY recursion step — measured as a 70 GB temp
+  -- spill at sf1 (vs 1.1 s materialized)
   SELECT DISTINCT src, dst FROM ({_PR_EDGES}) edges WHERE src <> dst
 ),
 nodes AS (

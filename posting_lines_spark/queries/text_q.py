@@ -1638,3 +1638,154 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             _score_spark,
         )
     )
+
+
+# --- BPE merge rounds (the actual tokenizer-training loop) ---
+# text_bpe_pair_counts scores ONE round's merge candidates; this runs
+# the LOOP: 3 unrolled rounds of (count adjacent symbol pairs over the
+# distinct-word table → pick the argmax pair under the deterministic
+# (count DESC, pair ASC) order → apply the merge corpus-wide), i.e.
+# Sennrich et al.'s algorithm 1, re-expressed relationally.
+#
+# Symbol sequences are sentinel-delimited strings ('|h|e|l|l|o|'): a
+# pair (x, y) is the SUBSTRING '|x|y|' and its merge is one plain
+# (non-regex) replace('|x|y|' → '|xy|'). Because the match consumes the
+# trailing sentinel that would start the next overlapping match,
+# left-to-right non-overlapping replace() — identical semantics in
+# Spark and DuckDB — IS the greedy BPE merge convention ('|a|a|a|' →
+# '|aa|a|'), and the sentinels make multi-char symbols unambiguous
+# ('|ab|c|' can never match pair 'b|c'). Words containing the sentinel
+# are excluded up front (a deterministic guard on both engines).
+#
+# Scale: each round is one positional explode over DISTINCT words
+# (bounded by distinct-word character mass, not corpus tokens), one
+# pair aggregate (map-side combinable), a 1-row argmax, and a map-side
+# replace crossed with that 1-row merge table. ROUNDS is the unrolled
+# budget knob, exactly like the PageRank/ESD iteration constants.
+
+BPE_ROUNDS = 3
+
+
+def _bpe_rounds_sql(chars_fn, posexplode_fn) -> str:
+    parts = [
+        f"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT {{tok}} AS word FROM documents) toks
+  WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+  GROUP BY word
+),
+seq1 AS (SELECT word, freq, '|' || {chars_fn("word")} AS seq FROM w0)"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""syms{k} AS (
+  SELECT word, freq, pos, sym FROM ({posexplode_fn(f"seq{k}")}) x WHERE sym <> ''
+),
+cnt{k} AS (
+  SELECT a.sym || '|' || b.sym AS pair,
+         CAST(sum(a.freq) AS BIGINT) AS n_occ
+  FROM syms{k} a JOIN syms{k} b
+    ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY 1
+),
+top{k} AS (SELECT pair, n_occ FROM cnt{k} ORDER BY n_occ DESC, pair ASC LIMIT 1),
+seq{k + 1} AS (
+  SELECT s.word, s.freq,
+         replace(s.seq, '|' || t.pair || '|',
+                 '|' || replace(t.pair, '|', '') || '|') AS seq
+  FROM seq{k} s CROSS JOIN top{k} t
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, pair, n_occ FROM top{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(round AS INT) AS round, pair AS merged_pair, n_occ"
+        f"\nFROM ({unions}) m ORDER BY round"
+    )
+
+
+def _bpe_duck_sql() -> str:
+    return _bpe_rounds_sql(
+        lambda w: f"regexp_replace({w}, '(.)', '\\1|', 'g')",
+        lambda s: (
+            "SELECT word, freq, CAST(t.i - 1 AS BIGINT) AS pos, l[t.i] AS sym "
+            f"FROM (SELECT word, freq, string_split(seq, '|') AS l FROM {s}) ls, "
+            "unnest(generate_series(1, len(l))) AS t(i)"
+        ),
+    ).replace("{tok}", "unnest(string_split(text, ' '))")
+
+
+@register(
+    "text_bpe_merge_rounds",
+    oracle=_bpe_duck_sql(),
+    description=f"BPE tokenizer training, {BPE_ROUNDS} unrolled merge "
+    "rounds (Sennrich alg. 1): sentinel-delimited symbol strings make "
+    "each merge ONE plain non-regex replace whose left-to-right non-"
+    "overlapping semantics IS the greedy BPE convention; per round one "
+    "distinct-word positional explode + pair aggregate + 1-row argmax "
+    "(count DESC, pair ASC) + map-side merge apply",
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side = the loop a distributed engine actually runs: the
+    # sequence table is checkpointed between rounds (the unrolled-CTE
+    # form recomputes round k−1 inside every round k — the ESD
+    # recomputation lesson; measured 62s → ~15s at sf0.01), and each
+    # round's argmax is ONE driver scalar (the pagerank-n / bloom-bitset
+    # metadata budget). The oracle stays the unrolled chain — an
+    # independent execution shape agreeing on the result.
+    from pyspark.sql import Window as W
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    seq = spark.sql(
+        """
+SELECT word, freq, '|' || regexp_replace(word, '(.)', '$1|') AS seq
+FROM (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
+  WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+  GROUP BY word
+) w0
+"""
+    ).localCheckpoint(eager=False)
+    merges = []
+    for k in range(1, BPE_ROUNDS + 1):
+        syms = (
+            seq.select(
+                "word",
+                "freq",
+                F.posexplode(F.split("seq", "\\|")).alias("pos", "sym"),
+            )
+            .filter(F.col("sym") != "")
+            .withColumn(
+                "nxt", F.lead("sym").over(W.partitionBy("word").orderBy("pos"))
+            )
+            .filter(F.col("nxt").isNotNull())
+        )
+        top = (
+            syms.groupBy(
+                F.concat(F.col("sym"), F.lit("|"), F.col("nxt")).alias("pair")
+            )
+            .agg(F.sum("freq").cast("long").alias("n_occ"))
+            .orderBy(F.col("n_occ").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((k, top["pair"], top["n_occ"]))
+        seq = seq.select(
+            "word",
+            "freq",
+            # F.replace with literal args: pairs can contain quote chars,
+            # so no SQL-string interpolation
+            F.replace(
+                F.col("seq"),
+                F.lit("|" + top["pair"] + "|"),
+                F.lit("|" + top["pair"].replace("|", "") + "|"),
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "round int, merged_pair string, n_occ long"
+    ).orderBy("round")

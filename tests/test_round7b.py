@@ -534,3 +534,50 @@ def test_langid_agreement_matches_python(spark):
     assert got["po"] == agree / n
     want_kappa = (float(agree) * float(n) - src) / (float(n) * float(n) - src)
     assert abs(got["kappa"] - want_kappa) < 1e-12
+
+
+def test_bpe_merge_rounds_matches_python(spark):
+    """Pure-Python BPE trainer (Sennrich alg. 1 on distinct words with
+    frequencies, greedy left-to-right non-overlapping merge) vs the
+    engine's 3 unrolled rounds."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import BPE_ROUNDS
+    from tests.conftest import SF0001
+
+    docs = pq.read_table(f"{SF0001}/documents.parquet").to_pylist()
+    freq: Counter = Counter()
+    for d in docs:
+        for w in d["text"].split(" "):
+            if len(w) >= 2 and "|" not in w:
+                freq[w] += 1
+    seqs = {w: tuple(w) for w in freq}  # word -> symbol tuple
+    want = []
+    for k in range(1, BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (pa, pb), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}")
+        )
+        want.append((k, f"{pa}|{pb}", n))
+        merged = pa + pb
+        new_seqs = {}
+        for w, syms in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(merged)
+                    i += 2  # greedy non-overlapping, left to right
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    got = [
+        (r["round"], r["merged_pair"], r["n_occ"])
+        for r in load_all()["text_bpe_merge_rounds"].fn(spark, SF0001).collect()
+    ]
+    assert got == want
