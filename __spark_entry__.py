@@ -62,6 +62,7 @@ _LEDGER_PRIORITY = [
     "text_langid_agreement",
     "timeseries_mann_kendall",
     "text_bpe_merge_rounds",
+    "ml_confusion_at_threshold",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

@@ -593,3 +593,56 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = global_running_sums(per_s, ["s"], ["np", "nn"])
     run.createOrReplaceTempView("pls_ks_run")
     return spark.sql("WITH " + _ks_sep_tail_sql("pls_ks_run"))
+
+# --- confusion summary at the serving threshold (MCC & friends) ---
+# ml_threshold_sweep reports precision/recall/F1 along the cutoff grid;
+# this is the one-row decision summary at the declared serving
+# threshold (C/2 cents): accuracy, balanced accuracy, Youden's J, and
+# Matthews correlation — the metrics that stay honest under class
+# imbalance. All four confusion cells are exact BIGINTs from the same
+# score-domain-bounded aggregate; MCC's products are evaluated in a
+# fixed DOUBLE chain (exact below 2^53 per factor — beyond ~10^7 rows
+# per cell route the products through DECIMAL like stats_cohens_kappa).
+
+_CONF_T = _CAL_C // 2
+
+
+def _confusion_sql() -> str:
+    d = "DOUBLE"
+    tpr = f"CAST(tp AS {d}) / CAST(nullif(tp + fn, 0) AS {d})"
+    tnr = f"CAST(tn AS {d}) / CAST(nullif(tn + fp, 0) AS {d})"
+    mcc_num = f"CAST(tp AS {d}) * CAST(tn AS {d}) - CAST(fp AS {d}) * CAST(fn AS {d})"
+    mcc_den = (
+        f"sqrt(CAST(tp + fp AS {d})) * sqrt(CAST(tp + fn AS {d}))"
+        f" * sqrt(CAST(tn + fp AS {d})) * sqrt(CAST(tn + fn AS {d}))"
+    )
+    return f"""
+WITH per_s AS ({_PER_S}),
+conf AS (
+  SELECT CAST(sum(CASE WHEN s >= {_CONF_T} THEN np ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= {_CONF_T} THEN nn ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s < {_CONF_T} THEN np ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN s < {_CONF_T} THEN nn ELSE 0 END) AS BIGINT) AS tn
+  FROM per_s
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp + tn AS {d}) / CAST(tp + fp + fn + tn AS {d}) AS accuracy,
+       ({tpr} + {tnr}) / 2.0e0 AS balanced_accuracy,
+       {tpr} + {tnr} - 1.0e0 AS youden_j,
+       ({mcc_num}) / nullif({mcc_den}, 0e0) AS mcc
+FROM conf
+"""
+
+
+@register(
+    "ml_confusion_at_threshold",
+    oracle=_confusion_sql(),
+    description=f"one-row confusion summary at the serving threshold "
+    f"({_CONF_T} cents): accuracy, balanced accuracy, Youden's J, and "
+    "Matthews correlation from four exact BIGINT cells out of the "
+    "score-domain-bounded aggregate; MCC denominator as a product of "
+    "four sqrts (each factor exact below 2^53)",
+)
+def ml_confusion_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_confusion_sql())

@@ -581,3 +581,26 @@ def test_bpe_merge_rounds_matches_python(spark):
         for r in load_all()["text_bpe_merge_rounds"].fn(spark, SF0001).collect()
     ]
     assert got == want
+
+
+def test_confusion_at_threshold_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    T = 25000
+    tp = fp = fn = tn = 0
+    for s, y in _scored():
+        if s >= T:
+            tp, fp = tp + y, fp + (1 - y)
+        else:
+            fn, tn = fn + y, tn + (1 - y)
+    got = load_all()["ml_confusion_at_threshold"].fn(spark, SF001).collect()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["accuracy"] == (tp + tn) / (tp + fp + fn + tn)
+    tpr, tnr = tp / (tp + fn), tn / (tn + fp)
+    assert abs(got["balanced_accuracy"] - (tpr + tnr) / 2) < 1e-15
+    assert abs(got["youden_j"] - (tpr + tnr - 1)) < 1e-15
+    mcc = (float(tp) * tn - float(fp) * fn) / (
+        math.sqrt(tp + fp) * math.sqrt(tp + fn) * math.sqrt(tn + fp) * math.sqrt(tn + fn)
+    )
+    assert abs(got["mcc"] - mcc) < 1e-15
+    assert -1.0 <= got["mcc"] <= 1.0
