@@ -58,7 +58,11 @@ GROUP BY s
 
 
 def _auc_final_sql(src: str) -> str:
-    pn = "(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+    # nullif guards: a one-class corpus has P·N = 0 — Spark's ANSI mode
+    # ERRORS on double division by zero while DuckDB returns NULL, so
+    # the guard is an engine-parity requirement, not just cosmetics
+    # (tests/test_degenerate.py::test_ml_zero_positive_corpus)
+    pn = "nullif(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0e0)"
     return f"""
 SELECT n_pos, n_neg, num2,
        CAST(num2 AS DOUBLE) / (2.0e0 * {pn}) AS auc,
@@ -146,7 +150,8 @@ SELECT c.thr,
        tot.n_all - c.fp AS tn,
        CAST(c.tp AS DOUBLE) / nullif(CAST(c.tp + c.fp AS DOUBLE), 0.0e0)
          AS precision_at_t,
-       CAST(c.tp AS DOUBLE) / CAST(tot.p_all AS DOUBLE) AS recall_at_t,
+       CAST(c.tp AS DOUBLE) / nullif(CAST(tot.p_all AS DOUBLE), 0.0e0)
+         AS recall_at_t,
        2.0e0 * CAST(c.tp AS DOUBLE)
          / nullif(CAST(c.tp + c.fp AS DOUBLE) + CAST(tot.p_all AS DOUBLE), 0.0e0)
          AS f1_at_t
@@ -304,12 +309,14 @@ agg AS (
   FROM scored
 )
 SELECT n, n_pos,
-       ssq / (CAST(n AS DOUBLE) * {float(C) * C!r}e0) AS brier,
-       (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-         * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS brier_ref,
-       1.0e0 - (ssq / (CAST(n AS DOUBLE) * {float(C) * C!r}e0))
-         / ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-            * (1.0e0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))) AS brier_skill
+       ssq / nullif(CAST(n AS DOUBLE) * {float(C) * C!r}e0, 0.0e0) AS brier,
+       (CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0e0))
+         * (1.0e0 - CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0e0))
+         AS brier_ref,
+       1.0e0 - (ssq / nullif(CAST(n AS DOUBLE) * {float(C) * C!r}e0, 0.0e0))
+         / nullif((CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0e0))
+            * (1.0e0 - CAST(n_pos AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0e0)),
+            0.0e0) AS brier_skill
 FROM agg
 """
 
@@ -377,9 +384,11 @@ c AS (
   FROM d
 )
 SELECT c.decile, c.rows_d, c.pos_d, c.rows_cum, c.pos_cum,
-       CAST(c.pos_cum AS DOUBLE) / CAST(t.p_all AS DOUBLE) AS gain,
+       CAST(c.pos_cum AS DOUBLE) / nullif(CAST(t.p_all AS DOUBLE), 0.0e0)
+         AS gain,
        (CAST(c.pos_cum AS DOUBLE) * CAST(t.n_all AS DOUBLE))
-         / (CAST(t.p_all AS DOUBLE) * CAST(c.rows_cum AS DOUBLE)) AS lift
+         / nullif(CAST(t.p_all AS DOUBLE) * CAST(c.rows_cum AS DOUBLE), 0.0e0)
+         AS lift
 FROM c CROSS JOIN t
 ORDER BY c.decile
 """
@@ -543,8 +552,8 @@ def _ks_sep_tail_sql(src: str) -> str:
     # t joins in ONCE via a 1-row broadcast cross join — scalar
     # subqueries would re-derive `src` per reference in the plan audit
     gap = (
-        "abs(CAST(run_np AS DOUBLE) / CAST(t.p_all AS DOUBLE)"
-        " - CAST(run_nn AS DOUBLE) / CAST(t.n_all AS DOUBLE))"
+        "abs(CAST(run_np AS DOUBLE) / nullif(CAST(t.p_all AS DOUBLE), 0.0e0)"
+        " - CAST(run_nn AS DOUBLE) / nullif(CAST(t.n_all AS DOUBLE), 0.0e0))"
     )
     return f"""
 t AS (

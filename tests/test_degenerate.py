@@ -248,3 +248,67 @@ def test_esd_degenerate_groups_same_picks_on_both(spark, degenerate_wave7):
     assert "const" not in types_with_picks
     assert "single" not in types_with_picks
     assert "ok" in types_with_picks
+
+
+@pytest.fixture(scope="module")
+def zero_positive_events(spark):
+    """A corpus with NO purchase events: every ml_* divisor involving
+    the positive count (P, P·N, gains' p_all, Brier's p̄(1−p̄)) is zero.
+    Spark's ANSI mode ERRORS on double division by zero while DuckDB
+    returns NULL — the nullif guards in queries/ml_q.py are an
+    engine-parity requirement these rows reach (round-7 probe: auc /
+    brier / ks / lift all diverged before the guards)."""
+    rows = []
+    for i, (u, t, v) in enumerate(
+        [
+            (1, "view", 1.0),
+            (1, "click", 2.0),
+            (2, "view", 3.0),
+            (2, "click", 4.0),
+            (3, "view", 5.0),
+            (3, "error", 6.0),
+        ]
+    ):
+        rows.append((i, T0 + timedelta(minutes=i), u, t, v))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("events")
+    yield pdf
+    spark.catalog.dropTempView("events")
+
+
+def test_ml_zero_positive_corpus_null_on_both_engines(spark, zero_positive_events):
+    from posting_lines_spark.queries.ml_q import (
+        AUC_ORACLE,
+        KS_SEP_ORACLE,
+        LIFT_ORACLE,
+        _brier_sql,
+        _confusion_sql,
+        _log_loss_sql,
+        _mrr_sql,
+        _ndcg_sql,
+        _sweep_sql,
+    )
+
+    for sql in (
+        AUC_ORACLE,
+        _brier_sql(),
+        _mrr_sql(),
+        _ndcg_sql(),
+        KS_SEP_ORACLE,
+        LIFT_ORACLE,
+        _log_loss_sql(),
+        _confusion_sql(),
+        _sweep_sql(),
+    ):
+        got = _rows(spark.sql(sql))
+        want = _duck(zero_positive_events, sql)
+        assert got == want, sql[:120]
+    # spot-check the guarded NULLs: AUC and KS are undefined with P = 0
+    auc = _rows(spark.sql(AUC_ORACLE))[0]
+    assert auc[0] == 0 and auc[3] is None and auc[4] is None
+    ks = _rows(spark.sql(KS_SEP_ORACLE))[0]
+    assert ks[0] == 0 and ks[2] is None
