@@ -63,6 +63,7 @@ _LEDGER_PRIORITY = [
     "timeseries_mann_kendall",
     "text_bpe_merge_rounds",
     "ml_confusion_at_threshold",
+    "ml_isotonic_calibration",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

@@ -655,3 +655,64 @@ FROM conf
 def ml_confusion_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_confusion_sql())
+
+# --- isotonic calibration of the reliability curve (relational PAV) ---
+# ml_calibration_bins shows the raw reliability curve; serving wants the
+# MONOTONE recalibration map — classically fitted with the sequential
+# pool-adjacent-violators algorithm. PAV's L2 solution has the minimax
+# closed form (Barlow et al. 1972):
+#   iso_i = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+# which is FULLY RELATIONAL over the bin domain: interval averages via a
+# (j ≤ m ≤ k) triple join of the 10-row bin table (≤ B³ = 1000 tuples —
+# bin-bounded, independent of data volume), then a grouped min and a
+# grouped max. Each interval average divides exact BIGINTs, so both
+# engines compare identical doubles and the fit is bit-identical — no
+# sequential pooling loop anywhere.
+
+
+def _isotonic_sql() -> str:
+    C = _CAL_C
+    return f"""
+WITH scored AS ({_SCORED}),
+bins AS (
+  SELECT CAST(floor(CAST(s AS DOUBLE) / {C // 10}.0e0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_bin,
+         CAST(sum(y) AS BIGINT) AS sum_y
+  FROM scored
+  GROUP BY 1
+),
+iv AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(sum(m.sum_y) AS DOUBLE) / CAST(sum(m.n_bin) AS DOUBLE) AS a
+  FROM bins j
+  JOIN bins k ON k.bin >= j.bin
+  JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin
+),
+mins AS (
+  SELECT i.bin, iv.jb, min(iv.a) AS mn
+  FROM bins i
+  JOIN iv ON iv.jb <= i.bin AND iv.kb >= i.bin
+  GROUP BY i.bin, iv.jb
+),
+fit AS (SELECT bin, max(mn) AS iso FROM mins GROUP BY bin)
+SELECT b.bin, b.n_bin,
+       CAST(b.sum_y AS DOUBLE) / CAST(b.n_bin AS DOUBLE) AS raw_accuracy,
+       f.iso AS isotonic_accuracy
+FROM bins b JOIN fit f ON f.bin = b.bin
+ORDER BY b.bin
+"""
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=_isotonic_sql(),
+    description="isotonic (PAV) recalibration of the 10-bin reliability "
+    "curve via the minimax closed form max_j min_k avg(y[j..k]) — a "
+    "bin-bounded triple join (≤ 1000 tuples at any data volume) instead "
+    "of the sequential pooling loop; interval averages divide exact "
+    "BIGINTs so the fit is bit-identical across engines",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_isotonic_sql())

@@ -604,3 +604,48 @@ def test_confusion_at_threshold_matches_python(spark):
     )
     assert abs(got["mcc"] - mcc) < 1e-15
     assert -1.0 <= got["mcc"] <= 1.0
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    """The minimax closed form in the query vs an INDEPENDENT
+    sequential stack-based pool-adjacent-violators implementation."""
+    from posting_lines_spark.queries import load_all
+
+    bins: dict[int, list[int]] = defaultdict(lambda: [0, 0])  # bin -> [n, sum_y]
+    for s, y in _scored():
+        b = int(math.floor(s / 5000.0))
+        bins[b][0] += 1
+        bins[b][1] += y
+    order = sorted(bins)
+    stack: list[list[int]] = []  # blocks of [sum_n, sum_y, n_bins]
+    for b in order:
+        n, sy = bins[b]
+        stack.append([n, sy, 1])
+        while len(stack) > 1 and (
+            stack[-1][1] * stack[-2][0] < stack[-2][1] * stack[-1][0]
+        ):  # mean(top) < mean(prev): integer cross-multiply, no float
+            n2, y2, c2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += y2
+            stack[-1][2] += c2
+        # merged means are non-decreasing now
+    want = {}
+    i = 0
+    for blk in stack:
+        mean = float(blk[1]) / float(blk[0])
+        for _ in range(blk[2]):
+            want[order[i]] = mean
+            i += 1
+    got = {
+        r["bin"]: r
+        for r in load_all()["ml_isotonic_calibration"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(order)
+    prev = -1.0
+    for b in order:
+        r = got[b]
+        assert (r["n_bin"]) == bins[b][0]
+        assert r["raw_accuracy"] == bins[b][1] / bins[b][0]
+        assert abs(r["isotonic_accuracy"] - want[b]) < 1e-12, b
+        assert r["isotonic_accuracy"] >= prev - 1e-15  # monotone fit
+        prev = r["isotonic_accuracy"]
