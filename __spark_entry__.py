@@ -64,6 +64,7 @@ _LEDGER_PRIORITY = [
     "text_bpe_merge_rounds",
     "ml_confusion_at_threshold",
     "ml_isotonic_calibration",
+    "events_markov_absorbing",
     "timeseries_holt",
     # -- round-6 additions registered below this line --
     "stats_mann_whitney",

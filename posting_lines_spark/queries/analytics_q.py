@@ -3086,3 +3086,163 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(SELECT explode(sequence(0, {BOOT_B - 1})) AS b)",
         )
     )
+
+
+# --- absorbing-chain conversion analysis (expected steps to purchase) ---
+# events_markov_stationary asks "where does the walk settle"; the
+# conversion question is "how LONG until purchase, starting from each
+# state" — the absorbing-chain formulation with 'purchase' absorbing.
+# Rather than inverting the fundamental matrix (I−Q)⁻¹, both engines
+# run the K-step truncated recurrences in fixed-point BIGINT micro-
+# units (the events_markov_stationary discipline):
+#   steps_k(i) = 1e6 + Σ_j round(q_ij · steps_{k-1}(j))   (j transient)
+#   absorb_k(i) = r_i_micro + Σ_j round(q_ij · absorb_{k-1}(j))
+# — "expected steps spent within a K-step horizon" and "probability of
+# purchasing within K steps", both well-defined quantities in their own
+# right (truncation ~ρ^K is documented, not hidden) and engine-exact.
+# The matrix is type-bounded (k² ≤ 25 cells); the only data-shaped work
+# is the same lag-window bigram count.
+
+ABSORB_ITERS = 24
+_ABS_TARGET = "purchase"
+
+
+def _absorbing_sql(us: str, mat: str = "") -> str:
+    """`mat='MATERIALIZED '` (the DuckDB oracle): without it DuckDB's
+    optimizer work on the 24-deep nested chain grows superlinearly —
+    measured 0.4 s at 8 steps, 8.4 s at 16, timeout at 24; materializing
+    each tiny per-step state linearizes it (the harmonic-centrality
+    MATERIALIZED lesson, applied to depth instead of width)."""
+    steps = []
+    for i in range(1, ABSORB_ITERS + 1):
+        steps.append(f"""
+s{i} AS {mat}(
+  -- ONE reference to s{i-1}: a second (separate qs/qa subquery) form
+  -- doubles the unrolled plan per step — 2^{ABSORB_ITERS} expansion
+  -- (the single-reference-CTE discipline from graph_random_walks)
+  SELECT q0.state,
+         CAST(1000000 + coalesce(x.vt, 0) AS BIGINT) AS t,
+         CAST(q0.r_micro + coalesce(x.va, 0) AS BIGINT) AS a
+  FROM q0
+  LEFT JOIN (
+    SELECT q.prev_type AS state,
+           CAST(sum(CAST(round(CAST(s.t AS DOUBLE) * q.p) AS BIGINT)) AS BIGINT) AS vt,
+           CAST(sum(CAST(round(CAST(s.a AS DOUBLE) * q.p) AS BIGINT)) AS BIGINT) AS va
+    FROM s{i - 1} s JOIN qmat q ON q.next_type = s.state
+    GROUP BY q.prev_type
+  ) x ON x.state = q0.state
+)""")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY {us}, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+trans AS (
+  SELECT prev_type, next_type,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+  FROM t WHERE prev_type <> '{_ABS_TARGET}'
+),
+qmat AS (SELECT * FROM trans WHERE next_type <> '{_ABS_TARGET}'),
+q0 AS (
+  SELECT st.prev_type AS state,
+         CAST(coalesce(round(1.0e6 * max(CASE WHEN tr.next_type = '{_ABS_TARGET}'
+                                              THEN tr.p END)), 0) AS BIGINT)
+           AS r_micro,
+         CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS a
+  FROM (SELECT DISTINCT prev_type FROM trans) st
+  LEFT JOIN trans tr ON tr.prev_type = st.prev_type
+  GROUP BY st.prev_type
+),
+s0 AS (SELECT state, t, a FROM q0),
+{",".join(steps)}
+SELECT state AS event_type,
+       t AS steps_micro, a AS absorb_micro,
+       CAST(t AS DOUBLE) / 1.0e6 AS expected_steps_h{ABSORB_ITERS},
+       CAST(a AS DOUBLE) / 1.0e6 AS p_purchase_h{ABSORB_ITERS}
+FROM s{ABSORB_ITERS}
+ORDER BY state
+"""
+
+
+@register(
+    "events_markov_absorbing",
+    oracle=_absorbing_sql("epoch_us(ts)", mat="MATERIALIZED "),
+    description=f"absorbing-chain conversion analysis ('{_ABS_TARGET}' "
+    f"absorbing): {ABSORB_ITERS} unrolled fixed-point BIGINT recurrence "
+    "steps give expected steps spent and purchase probability within "
+    "the horizon — engine-exact (round(v·p) summed exactly, zero "
+    "float-sum order sensitivity), matrix type-bounded, the only "
+    "data-shaped work the lag-window bigram count",
+)
+def events_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side: the bigram/transition derivation is the distributed
+    # pass; the 24-step recurrence runs on the COLLECTED ≤ k² transition
+    # matrix (type-bounded driver metadata — the bloom-bitset budget),
+    # with Spark's round semantics replicated exactly via
+    # Decimal(repr(x)) HALF_UP (the tests' _dsum3 discipline). The
+    # unrolled-SQL form on Spark plans a 24-deep nested chain whose
+    # optimizer cost (like DuckDB's, see _absorbing_sql) grows
+    # superlinearly — the matrix is metadata, so the loop belongs on
+    # the driver.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    trans = spark.sql(
+        f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY unix_micros(ts), event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM t WHERE prev_type <> '{_ABS_TARGET}'
+"""
+    ).collect()
+
+    def half_up(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    states = sorted({r["prev_type"] for r in trans})
+    q = {(r["prev_type"], r["next_type"]): r["p"] for r in trans
+         if r["next_type"] != _ABS_TARGET}
+    r_micro = {
+        s: half_up(1.0e6 * next((r["p"] for r in trans
+                                 if r["prev_type"] == s
+                                 and r["next_type"] == _ABS_TARGET), 0.0))
+        for s in states
+    }
+    t_v = dict.fromkeys(states, 0)
+    a_v = dict.fromkeys(states, 0)
+    for _ in range(ABSORB_ITERS):
+        t_v = {
+            i: 1_000_000
+            + sum(half_up(float(t_v[j]) * q[(i, j)]) for j in states if (i, j) in q)
+            for i in states
+        }
+        a_v = {
+            i: r_micro[i]
+            + sum(half_up(float(a_v[j]) * q[(i, j)]) for j in states if (i, j) in q)
+            for i in states
+        }
+    rows = [(s, t_v[s], a_v[s], t_v[s] / 1.0e6, a_v[s] / 1.0e6) for s in states]
+    return spark.createDataFrame(
+        rows,
+        f"event_type string, steps_micro long, absorb_micro long, "
+        f"expected_steps_h{ABSORB_ITERS} double, p_purchase_h{ABSORB_ITERS} double",
+    ).orderBy("event_type")

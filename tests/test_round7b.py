@@ -649,3 +649,60 @@ def test_isotonic_calibration_matches_sequential_pav(spark):
         assert abs(r["isotonic_accuracy"] - want[b]) < 1e-12, b
         assert r["isotonic_accuracy"] >= prev - 1e-15  # monotone fit
         prev = r["isotonic_accuracy"]
+
+
+def test_markov_absorbing_matches_python(spark):
+    """Independent replay from raw parquet: bigram transition matrix,
+    then the 24-step fixed-point recurrence with Spark-round semantics
+    (Decimal shortest-repr HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import ABSORB_ITERS
+
+    def half_up(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    by_user: dict[int, list[tuple]] = defaultdict(list)
+    for r in _events():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    tot = Counter()
+    for (a, _), c in counts.items():
+        tot[a] += c
+    states = sorted(a for a in tot if a != "purchase")
+    q = {
+        (a, b): c / tot[a]
+        for (a, b), c in counts.items()
+        if a != "purchase" and b != "purchase"
+    }
+    r_micro = {
+        s: half_up(1.0e6 * (counts.get((s, "purchase"), 0) / tot[s])) for s in states
+    }
+    t_v = dict.fromkeys(states, 0)
+    a_v = dict.fromkeys(states, 0)
+    for _ in range(ABSORB_ITERS):
+        t_v = {
+            i: 1_000_000
+            + sum(half_up(float(t_v[j]) * q[(i, j)]) for j in states if (i, j) in q)
+            for i in states
+        }
+        a_v = {
+            i: r_micro[i]
+            + sum(half_up(float(a_v[j]) * q[(i, j)]) for j in states if (i, j) in q)
+            for i in states
+        }
+    got = {
+        r["event_type"]: r
+        for r in load_all()["events_markov_absorbing"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(states)
+    for s in states:
+        r = got[s]
+        assert (r["steps_micro"], r["absorb_micro"]) == (t_v[s], a_v[s]), s
+        assert 0.0 < r[f"p_purchase_h{ABSORB_ITERS}"] <= 1.0
+        assert 1.0 <= r[f"expected_steps_h{ABSORB_ITERS}"] <= float(ABSORB_ITERS)
