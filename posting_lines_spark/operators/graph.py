@@ -222,6 +222,16 @@ def pagerank(
             .join(nodes, "node")
         )
         k = sd.count()
+        if k == 0:
+            # The teleport split divides PR_SCALE across the on-graph
+            # seeds; an empty (or fully off-graph) seed set has no
+            # defined personalization vector. Fail loudly rather than
+            # ZeroDivisionError deep in the driver arithmetic; the
+            # oracle SQL's `// (SELECT k FROM sk)` errors the same way.
+            raise ValueError(
+                "pagerank(seeds=...): no seed node is present in the "
+                "graph (deduped on-graph seed count is 0)"
+            )
         nodes_t = nodes.join(
             sd.withColumn("_seed", F.lit(1)), "node", "left"
         ).select(

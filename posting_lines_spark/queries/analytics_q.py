@@ -2892,7 +2892,8 @@ SELECT t.n, t.agree,
        CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
        p.src / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS pe,
        (CAST(t.agree AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src)
-         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src) AS kappa
+         / nullif(CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src,
+                  0.0e0) AS kappa
 FROM tot t CROSS JOIN pe p
 """
 
@@ -2956,18 +2957,21 @@ terms AS (
   SELECT ta, tb,
          CAST(abs(CAST(a AS {d38}) * tb - CAST(b AS {d38}) * ta) AS {d38}) AS tvnum,
          CASE WHEN a = 0 THEN 0e0
-              ELSE (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)) * (la_ln - lm_ln)
+              ELSE (CAST(a AS DOUBLE) / nullif(CAST(ta AS DOUBLE), 0e0))
+                   * (la_ln - lm_ln)
          END AS jsa,
          CASE WHEN b = 0 THEN 0e0
-              ELSE (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) * (lb_ln - lm_ln)
+              ELSE (CAST(b AS DOUBLE) / nullif(CAST(tb AS DOUBLE), 0e0))
+                   * (lb_ln - lm_ln)
          END AS jsb,
-         sqrt((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
-              * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) AS hterm
+         sqrt((CAST(a AS DOUBLE) / nullif(CAST(ta AS DOUBLE), 0e0))
+              * (CAST(b AS DOUBLE) / nullif(CAST(tb AS DOUBLE), 0e0))) AS hterm
   FROM {last}
 )
 SELECT ta AS n_a, tb AS n_b,
        CAST(CAST(sum(tvnum) AS STRING) AS DOUBLE)
-         / (2.0e0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tv_distance,
+         / nullif(2.0e0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE),
+                  0e0) AS tv_distance,
        sqrt(greatest(0e0, 1.0e0 - {dsum_expr("hterm", 12)})) AS hellinger,
        ({dsum_expr("jsa", 12)} + {dsum_expr("jsb", 12)}) / 2.0e0 AS js_nats
 FROM terms

@@ -1668,8 +1668,9 @@ SELECT s.event_type, nn.n AS n_days, s.s_stat,
        CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
             WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
             ELSE 0e0 END
-         / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
-                     - coalesce(t.tie18, 0) AS DOUBLE) / 18.0e0) AS z_mk
+         / nullif(sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                            - coalesce(t.tie18, 0) AS DOUBLE) / 18.0e0),
+                  0e0) AS z_mk
 FROM s
 JOIN nn ON nn.event_type = s.event_type
 LEFT JOIN ties t ON t.event_type = s.event_type

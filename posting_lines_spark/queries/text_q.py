@@ -1611,7 +1611,8 @@ SELECT t.n, t.agree,
        CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
        p.src / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS pe,
        (CAST(t.agree AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src)
-         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src) AS kappa
+         / nullif(CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) - p.src,
+                  0.0e0) AS kappa
 FROM tot t CROSS JOIN pe p
 """
 
@@ -1647,15 +1648,22 @@ def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (count DESC, pair ASC) order → apply the merge corpus-wide), i.e.
 # Sennrich et al.'s algorithm 1, re-expressed relationally.
 #
-# Symbol sequences are sentinel-delimited strings ('|h|e|l|l|o|'): a
-# pair (x, y) is the SUBSTRING '|x|y|' and its merge is one plain
-# (non-regex) replace('|x|y|' → '|xy|'). Because the match consumes the
-# trailing sentinel that would start the next overlapping match,
-# left-to-right non-overlapping replace() — identical semantics in
-# Spark and DuckDB — IS the greedy BPE merge convention ('|a|a|a|' →
-# '|aa|a|'), and the sentinels make multi-char symbols unambiguous
-# ('|ab|c|' can never match pair 'b|c'). Words containing the sentinel
-# are excluded up front (a deterministic guard on both engines).
+# Symbol sequences wrap EVERY symbol in its own sentinels
+# ('|h||e||l||l||o|'): a pair (x, y) is the substring '|x||y|' and its
+# merge is one plain (non-regex) replace('|x||y|' → '|xy|'). Because
+# each symbol carries its own delimiters, consuming a match never eats
+# the delimiter the next match needs, so left-to-right non-overlapping
+# replace() — identical semantics in Spark and DuckDB — IS greedy BPE:
+# '|a||b||a||b|' → '|ab||ab|' (both merges land, unlike the earlier
+# single-sentinel form '|a|b|a|b|' where the consumed shared '|' let
+# only one apply — the round-7 ADVICE finding), and overlapping
+# self-pairs still merge leftmost-first ('|a||a||a|' → '|aa||a|').
+# '||' occurs exactly at symbol boundaries (symbols are non-empty and
+# sentinel-free: words containing '|' are excluded up front, merged
+# symbols are concatenations), so every pattern match IS an adjacent
+# symbol pair and multi-char symbols stay unambiguous ('|ab||c|' can
+# never match pair (b, c)). Pair counting flattens '||' → '|' first so
+# the positional-explode adjacency join keeps its pos+1 form.
 #
 # Scale: each round is one positional explode over DISTINCT words
 # (bounded by distinct-word character mass, not corpus tokens), one
@@ -1674,12 +1682,15 @@ def _bpe_rounds_sql(chars_fn, posexplode_fn) -> str:
   WHERE length(word) >= 2 AND word NOT LIKE '%|%'
   GROUP BY word
 ),
-seq1 AS (SELECT word, freq, '|' || {chars_fn("word")} AS seq FROM w0)"""
+seq1 AS (SELECT word, freq, {chars_fn("word")} AS seq FROM w0)"""
     ]
     for k in range(1, BPE_ROUNDS + 1):
         parts.append(
-            f"""syms{k} AS (
-  SELECT word, freq, pos, sym FROM ({posexplode_fn(f"seq{k}")}) x WHERE sym <> ''
+            f"""flat{k} AS (
+  SELECT word, freq, replace(seq, '||', '|') AS seq FROM seq{k}
+),
+syms{k} AS (
+  SELECT word, freq, pos, sym FROM ({posexplode_fn(f"flat{k}")}) x WHERE sym <> ''
 ),
 cnt{k} AS (
   SELECT a.sym || '|' || b.sym AS pair,
@@ -1691,7 +1702,7 @@ cnt{k} AS (
 top{k} AS (SELECT pair, n_occ FROM cnt{k} ORDER BY n_occ DESC, pair ASC LIMIT 1),
 seq{k + 1} AS (
   SELECT s.word, s.freq,
-         replace(s.seq, '|' || t.pair || '|',
+         replace(s.seq, '|' || replace(t.pair, '|', '||') || '|',
                  '|' || replace(t.pair, '|', '') || '|') AS seq
   FROM seq{k} s CROSS JOIN top{k} t
 )"""
@@ -1710,7 +1721,7 @@ seq{k + 1} AS (
 
 def _bpe_duck_sql() -> str:
     return _bpe_rounds_sql(
-        lambda w: f"regexp_replace({w}, '(.)', '\\1|', 'g')",
+        lambda w: f"regexp_replace({w}, '(.)', '|\\1|', 'g')",
         lambda s: (
             "SELECT word, freq, CAST(t.i - 1 AS BIGINT) AS pos, l[t.i] AS sym "
             f"FROM (SELECT word, freq, string_split(seq, '|') AS l FROM {s}) ls, "
@@ -1730,26 +1741,34 @@ def _bpe_duck_sql() -> str:
     "(count DESC, pair ASC) + map-side merge apply",
 )
 def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark side = the loop a distributed engine actually runs: the
-    # sequence table is checkpointed between rounds (the unrolled-CTE
-    # form recomputes round k−1 inside every round k — the ESD
-    # recomputation lesson; measured 62s → ~15s at sf0.01), and each
-    # round's argmax is ONE driver scalar (the pagerank-n / bloom-bitset
-    # metadata budget). The oracle stays the unrolled chain — an
-    # independent execution shape agreeing on the result.
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    w0 = spark.sql(
+        """
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
+WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+GROUP BY word
+"""
+    )
+    return _bpe_train(spark, w0)
+
+
+def _bpe_train(spark: SparkSession, w0: DataFrame) -> DataFrame:
+    """Run BPE_ROUNDS greedy merge rounds over a (word, freq) table.
+
+    The loop a distributed engine actually runs: the sequence table is
+    checkpointed between rounds (the unrolled-CTE form recomputes round
+    k−1 inside every round k — the ESD recomputation lesson; measured
+    62s → ~15s at sf0.01), and each round's argmax is ONE driver scalar
+    (the pagerank-n / bloom-bitset metadata budget). The oracle stays
+    the unrolled chain — an independent execution shape agreeing on the
+    result."""
     from pyspark.sql import Window as W
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    seq = spark.sql(
-        """
-SELECT word, freq, '|' || regexp_replace(word, '(.)', '$1|') AS seq
-FROM (
-  SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
-  WHERE length(word) >= 2 AND word NOT LIKE '%|%'
-  GROUP BY word
-) w0
-"""
+    seq = w0.select(
+        "word",
+        "freq",
+        F.regexp_replace("word", "(.)", "|$1|").alias("seq"),
     ).localCheckpoint(eager=False)
     merges = []
     for k in range(1, BPE_ROUNDS + 1):
@@ -1757,7 +1776,12 @@ FROM (
             seq.select(
                 "word",
                 "freq",
-                F.posexplode(F.split("seq", "\\|")).alias("pos", "sym"),
+                # '||' → '|' so positions are gap-free again; lead()
+                # would tolerate gaps, but keeping the flattened form
+                # mirrors the oracle's pos+1 adjacency join exactly
+                F.posexplode(
+                    F.split(F.replace("seq", F.lit("||"), F.lit("|")), "\\|")
+                ).alias("pos", "sym"),
             )
             .filter(F.col("sym") != "")
             .withColumn(
@@ -1779,10 +1803,12 @@ FROM (
             "word",
             "freq",
             # F.replace with literal args: pairs can contain quote chars,
-            # so no SQL-string interpolation
+            # so no SQL-string interpolation. Per-symbol sentinels make
+            # this single non-overlapping replace exactly greedy BPE
+            # (see the block comment above _bpe_rounds_sql).
             F.replace(
                 F.col("seq"),
-                F.lit("|" + top["pair"] + "|"),
+                F.lit("|" + top["pair"].replace("|", "||") + "|"),
                 F.lit("|" + top["pair"].replace("|", "") + "|"),
             ).alias("seq"),
         ).localCheckpoint(eager=False)
