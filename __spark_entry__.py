@@ -30,6 +30,9 @@ SF0001 = "/root/testdata/sf0.001"
 # queries pass the stricter local exact-compare gate (tools/check_oracle.py,
 # sf0.01) — re-verified each round.
 _LEDGER_PRIORITY = [
+    # -- round-8 waves (no ledger rows can exist yet) --
+    "ml_pr_auc",
+    "ml_brier_decomposition",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

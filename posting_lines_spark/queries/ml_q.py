@@ -716,3 +716,171 @@ ORDER BY b.bin
 def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_isotonic_sql())
+
+
+# --- precision-recall AUC (average precision) ---
+# The ranking metric that matters under class imbalance (Davis & Goadrich
+# 2006): AP = Σ_s (np_s / P) · precision(s) over distinct score
+# thresholds s, i.e. the step-interpolated area under the PR curve
+# (sklearn's average_precision convention). From the SAME per-score
+# aggregate as ml_auc_roc: TP(s) = P − np_below, FP(s) = N − nn_below
+# via the range-partitioned exclusive prefix sums, so each term
+#   t_s = np_s · TP_s / (TP_s + FP_s)
+# is ONE IEEE division of identical exact BIGINTs on both engines;
+# the term sum is decimal-routed (score-domain-bounded rows) and the
+# final ÷P is one more shared-text division.
+#
+# Scale (100 TB): one (score) aggregate with map-side combine (state ≤
+# the score domain), the two-pass prefix-sum shape, a term-table bounded
+# by DISTINCT scores (≤ 49k rows at any data volume), one 1-row reduce.
+
+
+def _pr_auc_final_sql(src: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(sum(n_pos) AS DOUBLE)
+         / nullif(CAST(sum(n_pos) + sum(n_neg) AS DOUBLE), 0.0e0)
+         AS baseline_precision,
+       {dsum_expr("t")} / nullif(CAST(sum(n_pos) AS DOUBLE), 0.0e0)
+         AS average_precision
+FROM {src}
+"""
+
+
+def _pr_auc_terms_sql(run_src: str) -> str:
+    # run_src: (s, np, nn, run_np, run_nn) with INCLUSIVE running sums;
+    # exclusive below-counts are run − self, identical on both engines.
+    return f"""
+  SELECT np AS n_pos, nn AS n_neg,
+         CASE WHEN np = 0 THEN 0e0
+              ELSE CAST(np AS DOUBLE)
+                   * (CAST(tot_np - (run_np - np) AS DOUBLE)
+                      / CAST((tot_np - (run_np - np))
+                             + (tot_nn - (run_nn - nn)) AS DOUBLE))
+         END AS t
+  FROM {run_src}
+"""
+
+
+PR_AUC_ORACLE = f"""
+WITH per_s AS ({_PER_S}),
+run AS (
+  SELECT s, np, nn,
+         sum(np) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_np,
+         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_nn,
+         sum(np) OVER () AS tot_np,
+         sum(nn) OVER () AS tot_nn
+  FROM per_s
+),
+terms AS (
+{_pr_auc_terms_sql("run")}
+)
+{_pr_auc_final_sql("terms")}
+"""
+
+
+@register(
+    "ml_pr_auc",
+    oracle=PR_AUC_ORACLE,
+    description="precision-recall AUC as step-interpolated average "
+    "precision: per-distinct-score class counts (map-side combine), "
+    "TP/FP at each threshold from range-partitioned two-pass prefix "
+    "sums (no single-partition window), each term one IEEE division of "
+    "exact BIGINTs, decimal-routed term sum over the score-domain-"
+    "bounded table, final ÷P — the imbalance-robust companion to "
+    "ml_auc_roc",
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_s = spark.sql(_PER_S)
+    run = global_running_sums(per_s, ["s"], ["np", "nn"])
+    tot = run.agg(
+        F.sum("np").cast("long").alias("tot_np"),
+        F.sum("nn").cast("long").alias("tot_nn"),
+    )
+    run.crossJoin(F.broadcast(tot)).createOrReplaceTempView("pls_prauc_run")
+    spark.sql(
+        "SELECT * FROM (" + _pr_auc_terms_sql("pls_prauc_run") + ") t"
+    ).createOrReplaceTempView("pls_prauc_terms")
+    return spark.sql(_pr_auc_final_sql("pls_prauc_terms"))
+
+
+# --- Murphy decomposition of the Brier score ---
+# BS = REL − RES + UNC (Murphy 1973): reliability (how far each
+# forecast value sits from its observed frequency), resolution (how far
+# the per-forecast observed frequencies spread from climatology), and
+# the irreducible uncertainty p̄(1−p̄). Grouping is at DISTINCT forecast
+# values (p̂ = s/C, the sharpest partition — the canonical form):
+#   REL·N = Σ_s (s·n_s − C·np_s)²  / (C²·n_s)
+#   RES·N = Σ_s (np_s·N − n_s·P)² / (n_s·N²)
+# Each numerator is an exact DECIMAL(38,0) square (|s·n_s − C·np_s| ≤
+# C·n_s ≤ 5e13 at 1e9 rows per score — 2.5e27 squared, inside 38
+# digits) cast through VARCHAR to a correctly-rounded DOUBLE, then ONE
+# shared-text division per row and a decimal-routed sum. The identity
+# rel − res + unc == ml_brier_score's BS is test-asserted.
+#
+# Scale: the same single score-domain-bounded aggregate as ml_auc_roc;
+# the term table never exceeds the distinct-score count.
+
+
+def _brier_decomp_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    C = _CAL_C
+    d38 = "DECIMAL(38,0)"
+
+    def sq_over(numer: str, denom: str) -> str:
+        return (
+            f"CAST(CAST(CAST({numer} AS {d38}) * CAST({numer} AS {d38})"
+            f" AS STRING) AS DOUBLE) / ({denom})"
+        )
+
+    rel_t = sq_over(
+        f"s * ns - {C} * np", f"{float(C * C)!r}e0 * CAST(ns AS DOUBLE)"
+    )
+    res_t = sq_over(
+        "np * n_all - ns * p_all",
+        "CAST(ns AS DOUBLE) * CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE)",
+    )
+    return f"""
+WITH per_s AS ({_PER_S}),
+tot AS (
+  SELECT CAST(sum(np) AS BIGINT) AS p_all,
+         CAST(sum(np) + sum(nn) AS BIGINT) AS n_all
+  FROM per_s
+),
+terms AS (
+  SELECT p.np, p.np + p.nn AS ns, p.s, t.p_all, t.n_all,
+         {rel_t} AS rel_t,
+         {res_t} AS res_t
+  FROM per_s p CROSS JOIN tot t
+)
+SELECT max(n_all) AS n, max(p_all) AS n_pos,
+       {dsum_expr("rel_t")} / nullif(CAST(max(n_all) AS DOUBLE), 0.0e0)
+         AS reliability,
+       {dsum_expr("res_t")} / nullif(CAST(max(n_all) AS DOUBLE), 0.0e0)
+         AS resolution,
+       (CAST(max(p_all) AS DOUBLE) / nullif(CAST(max(n_all) AS DOUBLE), 0.0e0))
+         * (1.0e0 - CAST(max(p_all) AS DOUBLE)
+            / nullif(CAST(max(n_all) AS DOUBLE), 0.0e0)) AS uncertainty
+FROM terms
+"""
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=_brier_decomp_sql(),
+    description="Murphy decomposition BS = REL − RES + UNC at the "
+    "sharpest (distinct-forecast) partition: exact DECIMAL(38,0) "
+    "squared numerators cast through VARCHAR, one shared-text division "
+    "per score-domain-bounded row, decimal-routed term sums; the "
+    "rel−res+unc identity against ml_brier_score is test-asserted",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_brier_decomp_sql())

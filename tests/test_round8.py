@@ -190,3 +190,58 @@ def test_pagerank_empty_seed_set_raises(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="seed"):
         pagerank(edges, iters=2, seeds=seeds)
+
+
+def _scored_001():
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF001
+
+    return [
+        (round(r["value"] * 100), 1 if r["event_type"] == "purchase" else 0)
+        for r in pq.read_table(SF001 + "/events.parquet").to_pylist()
+    ]
+
+
+def test_ml_pr_auc_matches_python(spark):
+    """sklearn-convention average precision replay: thresholds at
+    distinct scores descending, AP = Σ ΔR·P. The engine's decimal-
+    routed term sum quantizes each term at 1e-6, so the tolerance is
+    n_terms·5e-7/P above float noise."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    npn = {}
+    for s, y in _scored_001():
+        a, b = npn.get(s, (0, 0))
+        npn[s] = (a + y, b + (1 - y))
+    P = sum(a for a, _ in npn.values())
+    ap = 0.0
+    tp = fp = 0
+    for s in sorted(npn, reverse=True):
+        a, b = npn[s]
+        tp += a
+        fp += b
+        if a:
+            ap += (a / P) * (tp / (tp + fp))
+    got = load_all()["ml_pr_auc"].fn(spark, SF001).collect()[0]
+    assert got["n_pos"] == P
+    tol = len(npn) * 5e-7 / P + 1e-9
+    assert abs(got["average_precision"] - ap) < tol
+
+
+def test_ml_brier_decomposition_identity(spark):
+    """Murphy identity: reliability − resolution + uncertainty must
+    equal ml_brier_score's BS (same corpus, same session)."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    d = reg["ml_brier_decomposition"].fn(spark, SF001).collect()[0]
+    b = reg["ml_brier_score"].fn(spark, SF001).collect()[0]
+    assert d["n"] == b["n"] and d["n_pos"] == b["n_pos"]
+    # rel/res terms are 1e-6-quantized per distinct score; the identity
+    # holds to that quantization
+    n_terms_bound = d["n"]  # distinct scores ≤ n
+    tol = 2 * min(n_terms_bound, 50000) * 5e-7 / d["n"] + 1e-9
+    assert abs((d["reliability"] - d["resolution"] + d["uncertainty"]) - b["brier"]) < tol
