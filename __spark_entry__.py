@@ -33,6 +33,8 @@ _LEDGER_PRIORITY = [
     # -- round-8 waves (no ledger rows can exist yet) --
     "ml_pr_auc",
     "ml_brier_decomposition",
+    "stats_wilcoxon_signed_rank",
+    "stats_friedman_test",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -3250,3 +3250,170 @@ FROM t WHERE prev_type <> '{_ABS_TARGET}'
         f"event_type string, steps_micro long, absorb_micro long, "
         f"expected_steps_h{ABSORB_ITERS} double, p_purchase_h{ABSORB_ITERS} double",
     ).orderBy("event_type")
+
+
+# --- Wilcoxon signed-rank test (paired two-sample) ---
+# The PAIRED sibling of stats_mann_whitney: per calendar day, the pair
+# is (purchase cents total, click cents total); the test ranks the
+# nonzero |differences| and asks whether positive and negative days
+# balance. Exactly the A/B primitive for before/after comparisons on
+# the same units. All rank math in exact integers, the Mann-Whitney
+# trick transposed: per distinct |diff| value v with count t and
+# cum_before smaller values, average rank = cum_before + (t+1)/2, so
+#   2·W⁺ = Σ_v pos_v · (2·cum_before + t + 1)   — an exact BIGINT.
+# Normal approximation with tie correction:
+#   z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+#
+# Scale: daily sums are one map-side-combinable aggregate; everything
+# after is CALENDAR-BOUNDED (≤ 366 rows per year at any data volume) —
+# the Theil-Sen cost model. The ranking window runs over the bounded
+# |diff| domain, never over raw rows.
+
+_WSR_A, _WSR_B = "purchase", "click"
+
+
+def _wilcoxon_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    nd = "CAST(n AS DOUBLE)"
+    w = "(CAST(w2 AS DOUBLE) / 2.0e0)"
+    mu = f"({nd} * ({nd} + 1.0e0) / 4.0e0)"
+    var = (
+        f"({nd} * ({nd} + 1.0e0) * (2.0e0 * {nd} + 1.0e0) / 24.0e0"
+        f" - CAST(tie_sum AS DOUBLE) / 48.0e0)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day,
+         CAST(sum(CASE WHEN event_type = '{_WSR_A}'
+                       THEN CAST(round(value * 100e0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS xa,
+         CAST(sum(CASE WHEN event_type = '{_WSR_B}'
+                       THEN CAST(round(value * 100e0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS xb
+  FROM events
+  WHERE event_type IN ('{_WSR_A}', '{_WSR_B}')
+  GROUP BY 1
+),
+diffs AS (
+  SELECT xa - xb AS d, abs(xa - xb) AS ad FROM daily WHERE xa <> xb
+),
+pts AS (
+  SELECT ad,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM diffs GROUP BY ad
+),
+run AS (
+  SELECT t, pos,
+         sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS run_t
+  FROM pts
+),
+agg AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(pos * (2 * (run_t - t) + t + 1)) AS BIGINT) AS w2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM run
+)
+SELECT n, {w} AS w_plus, tie_sum,
+       ({w} - {mu}) / nullif(sqrt({var}), 0e0) AS z_stat
+FROM agg
+"""
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle=_wilcoxon_sql("epoch_us(ts)"),
+    description="tie-corrected Wilcoxon signed-rank test on paired "
+    "daily (purchase, click) cents totals: exact-integer 2·W⁺ from "
+    "per-|diff| counts + running sums over the calendar-bounded diff "
+    "domain, zero-diff days excluded per convention, one fixed "
+    "shared-text double chain for the tie-corrected z — the paired "
+    "sibling of stats_mann_whitney",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_wilcoxon_sql("unix_micros(ts)"))
+
+
+# --- Friedman test (k related samples, blocked ranks) ---
+# The k-treatment generalization of the signed-rank idea and the
+# nonparametric sibling of a two-way ANOVA without replication: blocks
+# = calendar days, treatments = event types, response = daily cents
+# total (missing cells coalesce to 0 via the day×type scaffold, making
+# blocks complete deterministically on both engines). Within each
+# block the k values get average ranks; with doubled ranks
+# 2r = 2·(#smaller) + (#equal) + 1 every quantity stays a BIGINT, and
+# the tie-corrected statistic (Conover form) is ONE division of exact
+# integers:
+#   Q = (k−1) · Σ_j (2R_j − N(k+1))² / (Σ (2r)² − N·k·(k+1)²)
+# — the classical Q = (k−1)·Σ_j(R_j − N(k+1)/2)² / (A − C) with
+# A = Σ r², C = N·k(k+1)²/4: doubling the ranks multiplies both the
+# spread term (Σ(R_j−N(k+1)/2)² = Σ(2R_j−N(k+1))²/4) and A − C
+# (= (Σ(2r)² − N·k(k+1)²)/4) by 4, so the factors cancel exactly.
+#
+# Scale: one (day, type) aggregate (map-side combine), a k²-per-day
+# self-join on the TYPE-BOUNDED block table (k ≈ 5), calendar-bounded
+# everything after — constant in row count like Theil-Sen.
+
+
+def _friedman_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH cells0 AS (
+  SELECT {day} AS day, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM cells0),
+types AS (SELECT DISTINCT event_type FROM cells0),
+cells AS (
+  SELECT d.day, t.event_type, coalesce(c.v, 0) AS v
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells0 c ON c.day = d.day AND c.event_type = t.event_type
+),
+ranked AS (
+  SELECT a.day, a.event_type,
+         CAST(2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1
+              AS BIGINT) AS r2
+  FROM cells a
+  JOIN cells b ON b.day = a.day
+  GROUP BY a.day, a.event_type
+),
+sums AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j,
+         CAST(sum(r2 * r2) AS BIGINT) AS r2sq
+  FROM ranked GROUP BY event_type
+),
+consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM days) AS n
+  FROM types
+)
+SELECT c.k, c.n,
+       CAST((c.k - 1) AS DOUBLE)
+         * CAST(sum((s.r2j - c.n * (c.k + 1)) * (s.r2j - c.n * (c.k + 1)))
+                AS DOUBLE)
+         / nullif(CAST(sum(s.r2sq) - c.n * c.k * (c.k + 1) * (c.k + 1)
+                       AS DOUBLE), 0e0) AS q_stat,
+       CAST(c.k - 1 AS BIGINT) AS df
+FROM sums s CROSS JOIN consts c
+GROUP BY c.k, c.n
+"""
+
+
+@register(
+    "stats_friedman_test",
+    oracle=_friedman_sql("epoch_us(ts)"),
+    description="tie-corrected Friedman test (blocks = days, "
+    "treatments = event types, response = daily cents totals, missing "
+    "cells completed to 0 via the day×type scaffold): doubled average "
+    "ranks keep every quantity BIGINT (2r = 2·#smaller + #equal + 1), "
+    "the Conover tie-corrected Q is one division of exact integers; "
+    "k²-per-day self-join on the type-bounded block table, calendar-"
+    "bounded cost",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_friedman_sql("unix_micros(ts)"))

@@ -245,3 +245,93 @@ def test_ml_brier_decomposition_identity(spark):
     n_terms_bound = d["n"]  # distinct scores ≤ n
     tol = 2 * min(n_terms_bound, 50000) * 5e-7 / d["n"] + 1e-9
     assert abs((d["reliability"] - d["resolution"] + d["uncertainty"]) - b["brier"]) < tol
+
+
+def _daily_pairs_001():
+    """(day, purchase cents total, click cents total) from sf0.01."""
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF001
+
+    daily = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        if r["event_type"] not in ("purchase", "click"):
+            continue
+        d = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        xa, xb = daily.get(d, (0, 0))
+        c = round(r["value"] * 100)
+        if r["event_type"] == "purchase":
+            daily[d] = (xa + c, xb)
+        else:
+            daily[d] = (xa, xb + c)
+    return daily
+
+
+def test_wilcoxon_signed_rank_matches_python(spark):
+    """Independent replay: average ranks of nonzero |diffs|, W+ over
+    positive diffs, tie-corrected normal z (scipy 'wilcox' convention
+    with zero-diffs dropped)."""
+    import math
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    diffs = [xa - xb for xa, xb in _daily_pairs_001().values() if xa != xb]
+    n = len(diffs)
+    ranked = sorted(abs(d) for d in diffs)
+    # average rank per |value|
+    from collections import Counter
+
+    cnt = Counter(ranked)
+    cum = 0
+    avg_rank = {}
+    for v in sorted(cnt):
+        avg_rank[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    w_plus = sum(avg_rank[abs(d)] for d in diffs if d > 0)
+    tie_sum = sum(t**3 - t for t in cnt.values())
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie_sum / 48
+    want_z = (w_plus - mu) / math.sqrt(var)
+    got = load_all()["stats_wilcoxon_signed_rank"].fn(spark, SF001).collect()[0]
+    assert got["n"] == n
+    assert got["w_plus"] == w_plus
+    assert got["tie_sum"] == tie_sum
+    assert abs(got["z_stat"] - want_z) < 1e-10
+
+
+def test_friedman_matches_python(spark):
+    """Independent replay of the tie-corrected Friedman Q (Conover
+    form; identical to scipy.stats.friedmanchisquare when ties are
+    absent): blocks = days, treatments = event types, missing cells
+    completed to 0."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    cells = {}
+    types, days = set(), set()
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        d = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        key = (d, r["event_type"])
+        cells[key] = cells.get(key, 0) + round(r["value"] * 100)
+        types.add(r["event_type"])
+        days.add(d)
+    k, N = len(types), len(days)
+    rank_sums = dict.fromkeys(types, 0.0)
+    a_sum = 0.0
+    for d in days:
+        vals = {t: cells.get((d, t), 0) for t in types}
+        for t in types:
+            smaller = sum(1 for u in types if vals[u] < vals[t])
+            equal = sum(1 for u in types if vals[u] == vals[t])
+            r = smaller + (equal + 1) / 2
+            rank_sums[t] += r
+            a_sum += r * r
+    c_const = N * k * (k + 1) ** 2 / 4
+    spread = sum((rj - N * (k + 1) / 2) ** 2 for rj in rank_sums.values())
+    want_q = (k - 1) * spread / (a_sum - c_const)
+    got = load_all()["stats_friedman_test"].fn(spark, SF001).collect()[0]
+    assert (got["k"], got["n"], got["df"]) == (k, N, k - 1)
+    assert abs(got["q_stat"] - want_q) < 1e-9
