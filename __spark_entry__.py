@@ -35,6 +35,9 @@ _LEDGER_PRIORITY = [
     "ml_brier_decomposition",
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
+    "timeseries_bollinger_breakouts",
+    "search_term_proximity",
+    "text_heaps_law",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

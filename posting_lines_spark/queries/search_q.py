@@ -538,3 +538,53 @@ def search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ql_sql("SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents")
     )
+
+
+# --- term-proximity search (minimum span between two query terms) ---
+# The proximity-ranking half of an IR engine next to search_phrase's
+# exact adjacency: for every document containing BOTH terms, the
+# minimum token distance between any occurrence pair, the per-term
+# occurrence counts, and how many pairs sit within a slop window.
+# Ranking by (min_dist ASC, doc_id) is a deterministic total order of
+# exact integers — no floats anywhere.
+#
+# Scale: postings are built ONLY for the two query terms (filter
+# before shuffle — the search_phrase discipline); the within-doc pair
+# join is tf_a × tf_b per doc, bounded by per-document term frequency,
+# never corpus-shaped. Top-20 via ORDER/LIMIT = engine TakeOrdered.
+
+PROX_TERMS = ("join", "stream")
+PROX_SLOP = 5
+
+
+def _proximity_sql(tok_pos: str) -> str:
+    w1, w2 = PROX_TERMS
+    return f"""
+WITH tp AS ({tok_pos}),
+p1 AS (SELECT doc_id, pos FROM tp WHERE tok = '{w1}'),
+p2 AS (SELECT doc_id, pos FROM tp WHERE tok = '{w2}')
+SELECT p1.doc_id AS doc_id,
+       CAST(count(DISTINCT p1.pos) AS BIGINT) AS n_{w1},
+       CAST(count(DISTINCT p2.pos) AS BIGINT) AS n_{w2},
+       CAST(min(abs(p1.pos - p2.pos)) AS BIGINT) AS min_dist,
+       CAST(sum(CASE WHEN abs(p1.pos - p2.pos) <= {PROX_SLOP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_slop
+FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+GROUP BY p1.doc_id
+ORDER BY min_dist ASC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "search_term_proximity",
+    oracle=_proximity_sql(_TOKPOS_DUCK),
+    description=f"term-proximity search for {PROX_TERMS}: min token "
+    f"distance + slop-{PROX_SLOP} pair counts per co-containing doc, "
+    "postings built only for the two terms (filter before shuffle), "
+    "within-doc tf×tf pair join bounded by per-doc term frequency, "
+    "deterministic integer ranking top-20",
+)
+def search_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_proximity_sql(_TOKPOS_SPARK))

@@ -1690,3 +1690,78 @@ ORDER BY s.event_type
 def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mann_kendall_sql("unix_micros(ts)"))
+
+
+# --- Bollinger-band breakout detection (all-integer) ---
+# The classic volatility-band monitor over daily cents totals: a point
+# breaks out when it leaves mean ± 2σ of its trailing 7-day window.
+# The entire test is EXACT INTEGER arithmetic — no sqrt, no floats:
+# with window sums S = Σx, Q = Σx² over n days,
+#   x > mean + 2σ  ⟺  d := n·x − S > 0  AND  d² > 4·(n·Q − S²)
+#   x < mean − 2σ  ⟺  d < 0             AND  d² > 4·(n·Q − S²)
+# (multiply the band inequality by n and square; σ is the population σ
+# of the window). Squares route through DECIMAL(38,0): daily totals up
+# to ~1e15 cents keep n·Q ≤ 7e31 and d² ≤ 2e32, both well inside the
+# 38-digit (≈1e38) headroom. Both engines compare identical decimals,
+# so the breakout flags are bit-identical by construction.
+#
+# Scale: one (type, day) aggregate with map-side combine, then a
+# 7-row window per type over the CALENDAR-BOUNDED daily table and one
+# k-row count aggregate — constant cost in raw rows, like Theil-Sen.
+
+BOLL_W = 7  # trailing window length in days
+
+
+def _bollinger_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    d19 = "DECIMAL(19,0)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, x,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         sum(CAST(x AS {d19}) * CAST(x AS {d19})) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+),
+flags AS (
+  SELECT event_type,
+         CAST(n AS {d19}) * x - s AS d,
+         CAST(CAST(n AS {d19}) * x - s AS DECIMAL(38,0))
+           * CAST(CAST(n AS {d19}) * x - s AS DECIMAL(38,0)) AS d2,
+         4 * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+              - CAST(s AS {d19}) * CAST(s AS {d19})) AS band4
+  FROM win
+  WHERE n = {BOLL_W}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN d > 0 AND d2 > band4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breakout_up,
+       CAST(sum(CASE WHEN d < 0 AND d2 > band4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breakout_down
+FROM flags
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_bollinger_breakouts",
+    oracle=_bollinger_sql("epoch_us(ts)"),
+    description=f"Bollinger mean±2σ breakout counts over trailing "
+    f"{BOLL_W}-day windows of daily cents totals, ENTIRELY in exact "
+    "integer/decimal arithmetic (band test squared and scaled by n — "
+    "no sqrt, no floats, bit-identical flags by construction); "
+    "calendar-bounded window over the daily table, full windows only",
+)
+def timeseries_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bollinger_sql("unix_micros(ts)"))

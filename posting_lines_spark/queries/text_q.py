@@ -1815,3 +1815,113 @@ def _bpe_train(spark: SparkSession, w0: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, merged_pair string, n_occ long"
     ).orderBy("round")
+
+
+# --- Heaps' law fit (vocabulary growth) ---
+# V(T) ≈ k·T^β: how fast the TYPE inventory grows as the corpus
+# streams in — THE sizing law for tokenizer vocab budgets and dedup
+# hash tables. Types here are word TRIGRAMS (the synthetic corpus has
+# a fixed 31-word unigram vocabulary, which saturates by the first
+# decile — a degenerate fit; trigram types keep growing for the whole
+# corpus, measured 2.4k → 16k across the deciles at sf0.01). Corpus
+# order = doc_id order; checkpoints are the 10 doc_id-value deciles
+# (i·max_doc/10 — value-based prefixes, NOT rank-based, so no global
+# row_number window ever runs over the doc table). At each checkpoint:
+# T = Σ trigram tokens of docs ≤ cp (one inequality join against the
+# 10-row broadcast checkpoint table), V = # trigram types whose FIRST
+# occurrence doc ≤ cp (per-type min(doc_id) — one map-side-combinable
+# aggregate — joined the same way). ln T and ln V go through the
+# deterministic integer-ln kernel; the 10-point OLS uses the zipf_fit
+# decimal-routed sums → slope β, intercept ln k, r² bit-identical.
+#
+# Scale: trigram build is a per-doc lead() window (doc-partitioned,
+# never global) + two type/doc aggregates (map-side combine) + two
+# 10-row broadcast inequality joins; the regression runs on ≤ 10 rows.
+
+HEAPS_POINTS = 10
+
+_HEAPS_TP_SPARK = (
+    "SELECT doc_id, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"
+)
+_HEAPS_TP_DUCK = (
+    "SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+
+
+def _heaps_sql(tok_pos: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    layers, last = dln_int_cte_layers([("t_n", "hx"), ("v_n", "hy")], "pts", "hl")
+    cp_rows = ", ".join(f"({i})" for i in range(1, HEAPS_POINTS + 1))
+    return f"""
+WITH tp AS ({tok_pos}),
+tg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT doc_id, gram FROM tg WHERE gram IS NOT NULL),
+dtok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM grams GROUP BY doc_id),
+firsts AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS fdoc FROM grams GROUP BY gram),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS md FROM dtok),
+cps AS (
+  SELECT i, (i * mx.md) / {HEAPS_POINTS} AS cp_doc
+  FROM (SELECT * FROM (VALUES {cp_rows}) AS t(i)) iv CROSS JOIN mx
+),
+tsum AS (
+  SELECT c.i, CAST(sum(d.n_tok) AS BIGINT) AS t_n
+  FROM cps c JOIN dtok d ON d.doc_id <= c.cp_doc
+  GROUP BY c.i
+),
+vsum AS (
+  SELECT c.i, CAST(count(*) AS BIGINT) AS v_n
+  FROM cps c JOIN firsts f ON f.fdoc <= c.cp_doc
+  GROUP BY c.i
+),
+pts AS (
+  SELECT t.t_n, v.v_n
+  FROM tsum t JOIN vsum v ON v.i = t.i
+  WHERE t.t_n >= 1 AND v.v_n >= 1
+),
+{layers},
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         {dsum_expr("hx_ln")} AS sx,
+         {dsum_expr("hy_ln")} AS sy,
+         {dsum_expr("hx_ln * hx_ln")} AS sxx,
+         {dsum_expr("hx_ln * hy_ln")} AS sxy,
+         {dsum_expr("hy_ln * hy_ln")} AS syy
+  FROM {last}
+),
+fit AS (
+  SELECT m, sx, sy, syy, sxx, sxy,
+         (CAST(m AS DOUBLE) * sxy - sx * sy)
+           / nullif(CAST(m AS DOUBLE) * sxx - sx * sx, 0e0) AS beta
+  FROM sums
+)
+SELECT m AS n_points,
+       beta,
+       (sy - beta * sx) / CAST(m AS DOUBLE) AS ln_k,
+       ((CAST(m AS DOUBLE) * sxy - sx * sy) * (CAST(m AS DOUBLE) * sxy - sx * sy))
+         / nullif((CAST(m AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(m AS DOUBLE) * syy - sy * sy), 0e0) AS r2
+FROM fit
+"""
+
+
+@register(
+    "text_heaps_law",
+    oracle=_heaps_sql(_HEAPS_TP_DUCK),
+    description=f"Heaps'-law type-inventory growth fit V ≈ k·T^β over "
+    f"{HEAPS_POINTS} doc_id-value decile prefixes of word-TRIGRAM "
+    "types (unigram vocab saturates on this corpus): per-type first-"
+    "occurrence aggregate + per-doc counts, two 10-row broadcast "
+    "inequality joins (no global row_number window), integer-ln kernel "
+    "+ decimal-routed OLS — the tokenizer-vocab sizing diagnostic",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_heaps_sql(_HEAPS_TP_SPARK))

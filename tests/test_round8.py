@@ -335,3 +335,119 @@ def test_friedman_matches_python(spark):
     got = load_all()["stats_friedman_test"].fn(spark, SF001).collect()[0]
     assert (got["k"], got["n"], got["df"]) == (k, N, k - 1)
     assert abs(got["q_stat"] - want_q) < 1e-9
+
+
+def test_bollinger_breakouts_match_python(spark):
+    """Integer-band replay: trailing 7-row windows over daily cents
+    totals per type, breakout iff d=n·x−S has |d|² > 4(nQ−S²)."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import BOLL_W
+    from tests.conftest import SF001
+
+    daily = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        d = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        key = (r["event_type"], d)
+        daily[key] = daily.get(key, 0) + round(r["value"] * 100)
+    series = {}
+    for (t, d), x in sorted(daily.items()):
+        series.setdefault(t, []).append(x)
+    want = {}
+    for t, xs in series.items():
+        up = dn = nw = 0
+        for i in range(BOLL_W - 1, len(xs)):
+            w = xs[i - BOLL_W + 1 : i + 1]
+            n, s, q = len(w), sum(w), sum(v * v for v in w)
+            d = n * w[-1] - s
+            band4 = 4 * (n * q - s * s)
+            nw += 1
+            if d > 0 and d * d > band4:
+                up += 1
+            elif d < 0 and d * d > band4:
+                dn += 1
+        want[t] = (nw, up, dn)
+    got = {
+        r["event_type"]: (r["n_windows"], r["n_breakout_up"], r["n_breakout_down"])
+        for r in load_all()["timeseries_bollinger_breakouts"].fn(spark, SF001).collect()
+    }
+    assert got == want
+    assert any(u + d > 0 for _, u, d in want.values())  # non-vacuous
+
+
+def test_term_proximity_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.search_q import PROX_SLOP, PROX_TERMS
+    from tests.conftest import SF001
+
+    import pyarrow.parquet as pq
+
+    w1, w2 = PROX_TERMS
+    rows = []
+    for r in pq.read_table(SF001 + "/documents.parquet").to_pylist():
+        toks = r["text"].split(" ")
+        p1 = [i for i, t in enumerate(toks) if t == w1]
+        p2 = [i for i, t in enumerate(toks) if t == w2]
+        if p1 and p2:
+            dists = [abs(a - b) for a in p1 for b in p2]
+            rows.append(
+                (
+                    r["doc_id"],
+                    len(p1),
+                    len(p2),
+                    min(dists),
+                    sum(1 for x in dists if x <= PROX_SLOP),
+                )
+            )
+    rows.sort(key=lambda x: (x[3], x[0]))
+    want = rows[:20]
+    got = [
+        (r["doc_id"], r[f"n_{w1}"], r[f"n_{w2}"], r["min_dist"], r["n_within_slop"])
+        for r in load_all()["search_term_proximity"].fn(spark, SF001).collect()
+    ]
+    assert got == want
+
+
+def test_heaps_law_matches_python(spark):
+    """Checkpoint V/T replay on word TRIGRAMS + log-log OLS with
+    math.log (the kernel agrees with libm to ~1e-13 here)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import HEAPS_POINTS
+    from tests.conftest import SF001
+
+    docs = pq.read_table(SF001 + "/documents.parquet").to_pylist()
+    ntok = {}
+    first = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        ntok[r["doc_id"]] = len(grams)
+        for g in grams:
+            if g not in first or r["doc_id"] < first[g]:
+                first[g] = r["doc_id"]
+    md = max(ntok)
+    pts = []
+    for i in range(1, HEAPS_POINTS + 1):
+        cp = (i * md) // HEAPS_POINTS
+        t_n = sum(v for d, v in ntok.items() if d <= cp)
+        v_n = sum(1 for f in first.values() if f <= cp)
+        if t_n >= 1 and v_n >= 1:
+            pts.append((t_n, v_n))
+    m = len(pts)
+    xs = [math.log(t) for t, _ in pts]
+    ys = [math.log(v) for _, v in pts]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    got = load_all()["text_heaps_law"].fn(spark, SF001).collect()[0]
+    assert got["n_points"] == m
+    assert abs(got["beta"] - beta) < 1e-6
+    assert 0.0 < got["beta"] < 1.0  # sublinear type growth
