@@ -38,6 +38,9 @@ _LEDGER_PRIORITY = [
     "timeseries_bollinger_breakouts",
     "search_term_proximity",
     "text_heaps_law",
+    "privacy_randomized_response",
+    "graph_bipartite_projection",
+    "graph_list_ranking",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

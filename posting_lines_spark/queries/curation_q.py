@@ -1427,3 +1427,66 @@ def curation_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_int_spark("tok", salt="dsir"),
         )
     )
+
+
+# --- randomized response (Warner 1965, local differential privacy) ---
+# The LOCAL-DP collection primitive: each unit reports its binary
+# attribute FLIPPED with probability p, and the aggregator recovers an
+# unbiased population estimate without ever seeing a trustworthy
+# individual bit:  T̂ = (Y − p·n) / (1 − 2p)  for observed yes-count Y.
+# Flips are md5-derived per user (deterministic — bit-identical on
+# both engines and idempotent across retries, the dp_release seeding
+# discipline): flip iff md5(user) mod FLIP_DEN < FLIP_NUM, p = 1/4
+# (ε = ln((1−p)/p) = ln 3 local DP). The true count rides along so the
+# released row itself audits the estimator's error. Estimator math is
+# exact integers until two final shared-text divisions.
+#
+# Scale: ONE map-side-combinable conditional aggregate over the
+# distinct-user table — no joins, no windows; the report is 1 row.
+
+FLIP_NUM, FLIP_DEN = 1, 4  # p = 1/4
+
+
+def _rand_response_sql(md5u: str) -> str:
+    p = f"(CAST({FLIP_NUM} AS DOUBLE) / CAST({FLIP_DEN} AS DOUBLE))"
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS truth
+  FROM events
+  GROUP BY user_id
+),
+reports AS (
+  SELECT truth,
+         CASE WHEN ({md5u}) % {FLIP_DEN} < {FLIP_NUM}
+              THEN 1 - truth ELSE truth END AS reported
+  FROM users
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(reported) AS BIGINT) AS y_obs,
+         CAST(sum(truth) AS BIGINT) AS t_true
+  FROM reports
+)
+SELECT n, y_obs, t_true,
+       (CAST(y_obs AS DOUBLE) - {p} * CAST(n AS DOUBLE))
+         / (1.0e0 - 2.0e0 * {p}) AS t_est,
+       abs((CAST(y_obs AS DOUBLE) - {p} * CAST(n AS DOUBLE))
+           / (1.0e0 - 2.0e0 * {p}) - CAST(t_true AS DOUBLE)) AS abs_err
+FROM agg
+"""
+
+
+@register(
+    "privacy_randomized_response",
+    oracle=_rand_response_sql(md5_int_duck("user_id", salt="rrflip")),
+    description=f"Warner randomized response (local DP, p = "
+    f"{FLIP_NUM}/{FLIP_DEN} → ε = ln 3): md5-deterministic per-user "
+    "flips of the is-purchaser bit, unbiased estimate "
+    "T̂ = (Y − p·n)/(1 − 2p) with the true count riding along as the "
+    "error audit; one map-side conditional aggregate, 1-row release",
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rand_response_sql(md5_int_spark("user_id", salt="rrflip")))

@@ -1129,3 +1129,166 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- bipartite projection (user × event-type co-engagement graph) ---
+# Project the bipartite engagement graph onto the TYPE side: for every
+# unordered type pair, the number of users active in both, plus the
+# cosine (w/√(n_a·n_b)) and overlap (w/min) similarity weights — the
+# item-item co-occurrence construction behind collaborative filtering
+# and market-basket graphs. sqrt over exact BIGINT products is one
+# correctly-rounded IEEE op on both engines; everything else is
+# integer counting.
+#
+# Scale: DISTINCT (user, type) is one hash aggregate; the projection
+# self-join fans out k(k−1)/2 pairs PER USER where k ≤ the type
+# alphabet (5 here; never row-shaped), and the pair aggregate
+# map-side-combines into a k²-bounded result. Degree table is
+# k-bounded and broadcast back. No global windows.
+
+
+def _bipartite_projection_sql() -> str:
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM ut a
+  JOIN ut b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       da.n_users AS n_a, db.n_users AS n_b,
+       CAST(p.n_common AS DOUBLE)
+         / sqrt(CAST(da.n_users AS DOUBLE) * CAST(db.n_users AS DOUBLE))
+         AS cosine,
+       CAST(p.n_common AS DOUBLE)
+         / CAST(least(da.n_users, db.n_users) AS DOUBLE) AS overlap
+FROM pairs p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=_bipartite_projection_sql(),
+    description="bipartite user×type graph projected onto types: "
+    "per-pair co-engagement counts with cosine and overlap weights "
+    "(the collaborative-filtering co-occurrence construction); "
+    "k(k−1)/2 pairs per user via a user-keyed self-join of the "
+    "DISTINCT (user, type) table, k²-bounded output, broadcast degree "
+    "rejoin, sqrt over exact integers",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bipartite_projection_sql())
+
+
+# --- list ranking by pointer doubling (the O(log n) chain primitive) ---
+# Each user's events form a linked list in (ts, event_id) order; the
+# task is every event's rank-from-end — the textbook LIST-RANKING
+# problem. A per-user sequential scan is the single-node answer; the
+# distributed answer is POINTER DOUBLING (Wyllie 1979): start with
+# (ptr = successor, dist = 1), and each round set
+#   dist += dist[ptr];  ptr = ptr[ptr]
+# so after ⌈log₂ max-chain⌉ rounds every pointer has drained to NULL
+# and dist IS the rank-from-end. Each round is ONE self-join on the
+# pointer key — O(log n) shuffles total instead of a data-shaped
+# sequential dependency; the round count is a driver scalar from one
+# max-chain-length aggregate (the pagerank-n metadata budget).
+#
+# The per-user initial successor window is user-partitioned (never
+# global). Output compresses to one audit row per user — n_events and
+# the rank-weighted checksum Σ rank·(event_id mod 997) — which detects
+# any misassigned rank while keeping the compare table user-bounded.
+# Oracle: the same checksum from a plain row_number window (DuckDB
+# runs the sequential form; the ENGINE runs the log-round form — an
+# independent execution shape agreeing on the result).
+
+LR_CHECK_MOD = 997
+
+
+def _list_ranking_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         CAST(count(*) OVER (PARTITION BY user_id) -
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rk
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(rk * (event_id % {LR_CHECK_MOD})) AS BIGINT) AS rank_checksum
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "graph_list_ranking",
+    oracle=_list_ranking_oracle(),
+    description="list ranking (rank-from-end of every event in its "
+    "user chain) by Wyllie pointer doubling: ⌈log₂ max-chain⌉ rounds "
+    "of one pointer-keyed self-join each (dist += dist[ptr]; ptr = "
+    "ptr[ptr]) — O(log n) shuffles replace the sequential scan; round "
+    "count from one driver-scalar max-chain aggregate; per-user "
+    "audit checksum output; oracle = the row_number sequential form",
+)
+def graph_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lead("event_id").over(w).alias("ptr"),
+        )
+        .withColumn(
+            "dist",
+            F.when(F.col("ptr").isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    max_chain = (
+        e.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] or 1
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, max_chain))))
+    for _ in range(rounds):
+        nxt = cur.select(
+            F.col("event_id").alias("p_id"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("dist").alias("p_dist"),
+        )
+        cur = (
+            cur.join(nxt, cur["ptr"] == nxt["p_id"], "left")
+            .select(
+                "user_id",
+                "event_id",
+                F.col("p_ptr").alias("ptr"),
+                (F.col("dist") + F.coalesce(F.col("p_dist"), F.lit(0))).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("dist") * (F.col("event_id") % LR_CHECK_MOD))
+            .cast("long")
+            .alias("rank_checksum"),
+        )
+        .orderBy("user_id")
+    )

@@ -451,3 +451,89 @@ def test_heaps_law_matches_python(spark):
     assert got["n_points"] == m
     assert abs(got["beta"] - beta) < 1e-6
     assert 0.0 < got["beta"] < 1.0  # sublinear type growth
+
+
+def test_randomized_response_matches_python(spark):
+    """md5-flip replay: same flips, same Warner estimate."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.curation_q import FLIP_DEN, FLIP_NUM
+    from tests.conftest import SF001
+
+    truth = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        truth[r["user_id"]] = max(
+            truth.get(r["user_id"], 0),
+            1 if r["event_type"] == "purchase" else 0,
+        )
+    y = 0
+    for uid, t in truth.items():
+        h = int(hashlib.md5(f"rrflip|{uid}".encode()).hexdigest()[:15], 16)
+        y += (1 - t) if h % FLIP_DEN < FLIP_NUM else t
+    n, t_true = len(truth), sum(truth.values())
+    p = FLIP_NUM / FLIP_DEN
+    t_est = (y - p * n) / (1 - 2 * p)
+    got = load_all()["privacy_randomized_response"].fn(spark, SF001).collect()[0]
+    assert (got["n"], got["y_obs"], got["t_true"]) == (n, y, t_true)
+    assert abs(got["t_est"] - t_est) < 1e-9
+    assert got["y_obs"] != got["t_true"]  # flips actually happened
+
+
+def test_list_ranking_matches_sequential_replay(spark):
+    """Pointer doubling vs a sequential Python row_number replay on
+    the full sf0.001 chain set (exact checksum equality per user)."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import LR_CHECK_MOD
+
+    rows = pq.read_table(SF0001 + "/events.parquet").to_pylist()
+    chains = {}
+    for r in rows:
+        chains.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    want = {}
+    for uid, evs in chains.items():
+        evs.sort()
+        n = len(evs)
+        want[uid] = (
+            n,
+            sum((n - 1 - i) * (eid % LR_CHECK_MOD) for i, (_, eid) in enumerate(evs)),
+        )
+    got = {
+        r["user_id"]: (r["n_events"], r["rank_checksum"])
+        for r in load_all()["graph_list_ranking"].fn(spark, SF0001).collect()
+    }
+    assert got == want
+    assert max(n for n, _ in want.values()) > 4  # real chains, >2 rounds
+
+
+def test_bipartite_projection_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+
+    ut = set()
+    for r in pq.read_table(SF0001 + "/events.parquet").to_pylist():
+        ut.add((r["user_id"], r["event_type"]))
+    by_user = {}
+    for u, t in ut:
+        by_user.setdefault(u, set()).add(t)
+    deg = {}
+    for _, t in ut:
+        deg[t] = deg.get(t, 0) + 1
+    pairs = {}
+    for types in by_user.values():
+        ts = sorted(types)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pairs[(ts[i], ts[j])] = pairs.get((ts[i], ts[j]), 0) + 1
+    got = load_all()["graph_bipartite_projection"].fn(spark, SF0001).collect()
+    assert {(r["type_a"], r["type_b"]): r["n_common"] for r in got} == pairs
+    for r in got:
+        na, nb, w = deg[r["type_a"]], deg[r["type_b"]], pairs[(r["type_a"], r["type_b"])]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert abs(r["cosine"] - w / (na * nb) ** 0.5) < 1e-12
+        assert abs(r["overlap"] - w / min(na, nb)) < 1e-12
