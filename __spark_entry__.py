@@ -41,6 +41,8 @@ _LEDGER_PRIORITY = [
     "privacy_randomized_response",
     "graph_bipartite_projection",
     "graph_list_ranking",
+    "sim_ivf_recall_audit",
+    "lake_vacuum_orphans",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

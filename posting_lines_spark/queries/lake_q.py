@@ -684,3 +684,82 @@ def lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- vacuum audit: orphan files (listing vs manifest anti-join) ---
+# The maintenance query behind `VACUUM`/`remove_orphan_files` in
+# Iceberg/Delta: files present in the table directory but absent from
+# the committed manifest are failed-commit leftovers — they silently
+# cost storage and, worse, get picked up by naive directory-scan
+# readers. Simulated honestly end-to-end: a registered snapshot
+# (8-file write → manifest captured), then an uncommitted append (3
+# more files land on disk with no manifest entry), then the audit:
+# listing ∖ manifest via one left-anti join on file path. File names
+# and byte sizes are writer-nondeterministic, so the RELEASED columns
+# are the deterministic ones: file counts and the ROW count inside the
+# orphan files (read back through the engine); the oracle states the
+# expected counts from the source table — orphan rows must equal the
+# uncommitted filter's row count exactly, or the audit misattributed a
+# file.
+#
+# Scale: manifest and listing are METADATA-bounded (one row per file;
+# the _metadata pseudo-column never touches row data for the listing
+# aggregate); the anti-join is file-count-shaped. Orphan-row readback
+# scans only the orphaned files.
+
+VAC_FILES, VAC_ORPHAN_MOD = 8, 10
+
+
+def _vacuum_oracle() -> str:
+    return f"""
+SELECT CAST({VAC_FILES} AS BIGINT) AS n_registered,
+       CAST(count(CASE WHEN o_orderkey % {VAC_ORPHAN_MOD} = 0 THEN 1 END)
+            AS BIGINT) AS orphan_rows,
+       CAST(count(*) AS BIGINT) AS registered_rows
+FROM orders
+"""
+
+
+@register(
+    "lake_vacuum_orphans",
+    oracle=_vacuum_oracle(),
+    description=f"vacuum/remove_orphan_files audit: {VAC_FILES}-file "
+    "committed snapshot + manifest, an uncommitted append left on "
+    "disk, orphans = listing ∖ manifest via one left-anti join on "
+    "file path (metadata-bounded), orphan ROW count read back through "
+    "the engine and checked against the uncommitted filter's exact "
+    "count — the Iceberg/Delta maintenance primitive without the jar",
+)
+def lake_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_dir(prefix="pls_vacuum_")
+    o.repartition(VAC_FILES, "o_orderkey").write.mode("overwrite").parquet(path)
+    manifest = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin the committed snapshot BEFORE
+        # the orphan append lands in the same directory
+    )
+    # uncommitted append: rows land on disk, no manifest entry
+    o.filter(F.col("o_orderkey") % VAC_ORPHAN_MOD == 0).repartition(3).write.mode(
+        "append"
+    ).parquet(path)
+    listing = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+    )
+    orphans = listing.join(manifest, "file", "left_anti").localCheckpoint(eager=True)
+    orphan_files = [r["file"] for r in orphans.collect()]
+    orphan_rows = (
+        spark.read.parquet(*orphan_files).count() if orphan_files else 0
+    )
+    n_registered = manifest.count()
+    registered_rows = (
+        spark.read.parquet(path).count() - orphan_rows
+    )
+    return spark.createDataFrame(
+        [(n_registered, orphan_rows, registered_rows)],
+        "n_registered long, orphan_rows long, registered_rows long",
+    )

@@ -1279,3 +1279,73 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: cosine_spark(a, b),
         )
     )
+
+
+# --- ANN recall audit (IVF vs exact, in-engine) ---
+# "Measure, don't guess" applied to the ANN index itself: recall@K of
+# the hyperplane-LSH IVF path against the exact brute-force top-K, per
+# query and summarized — the query an operator runs before trusting
+# NUM_PLANES/multi-probe settings on a new embedding corpus (the
+# dedup_minhash_estimate_audit of the similarity family; the offline
+# tools/ann_recall.py sweep promoted to a first-class oracle-paired
+# query). Only IDs are compared — recall is a ratio of exact integers,
+# no float output beyond one division.
+#
+# Scale: the brute-force side is q×n for the FIXED 5-query panel
+# (broadcast queries — the exact-baseline cost is the audit's price,
+# linear in n, run-once); the IVF side is the bucket equi-join. The
+# intersection join is two K-row-per-query tables.
+
+
+def _recall_audit_sql() -> str:
+    return f"""
+WITH bf AS ({BRUTE_ORACLE.replace("ORDER BY query_id, rank", "")}),
+ivf AS ({IVF_ORACLE.replace("ORDER BY query_id, rank", "")}),
+hits AS (
+  SELECT bf.query_id,
+         CAST(count(ivf.vec_id) AS BIGINT) AS n_hit
+  FROM bf LEFT JOIN ivf
+    ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
+  GROUP BY bf.query_id
+)
+SELECT query_id, n_hit, CAST({K} AS BIGINT) AS k,
+       CAST(n_hit AS DOUBLE) / {K}.0e0 AS recall_at_k
+FROM hits
+ORDER BY query_id
+"""
+
+
+@register(
+    "sim_ivf_recall_audit",
+    oracle=_recall_audit_sql(),
+    description=f"ANN recall@{K} audit of the hyperplane-IVF path vs "
+    "the exact brute-force top-K, per query — ID-set intersection of "
+    "two K-row-per-query tables (recall = ratio of exact integers); "
+    "the measured check an operator runs before trusting plane/probe "
+    "settings, promoted from tools/ann_recall.py to an oracle-paired "
+    "query",
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+    bf = sim.brute_force_topk(emb, queries, K).select("query_id", "vec_id")
+    ivf = sim.ivf_topk(emb, queries, planes, K).select(
+        F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("i_qid") == F.col("query_id")) & (F.col("i_vid") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("i_vid").cast("long").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(K).cast("long").alias("k"),
+            (F.col("n_hit").cast("double") / F.lit(float(K))).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

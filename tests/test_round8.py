@@ -537,3 +537,41 @@ def test_bipartite_projection_matches_python(spark):
         assert (r["n_a"], r["n_b"]) == (na, nb)
         assert abs(r["cosine"] - w / (na * nb) ** 0.5) < 1e-12
         assert abs(r["overlap"] - w / min(na, nb)) < 1e-12
+
+
+def test_ivf_recall_audit_consistent_with_registered_queries(spark):
+    """The audit's n_hit must equal the ID-set intersection of the two
+    registered top-K queries it audits."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    bf = {}
+    for r in reg["sim_topk_bruteforce"].fn(spark, SF001).collect():
+        bf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in reg["sim_topk_ivf"].fn(spark, SF001).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {
+        r["query_id"]: r["n_hit"]
+        for r in reg["sim_ivf_recall_audit"].fn(spark, SF001).collect()
+    }
+    want = {q: len(bf[q] & ivf.get(q, set())) for q in bf}
+    assert got == want
+    assert any(v > 0 for v in want.values())  # buckets actually recall
+
+
+def test_vacuum_orphans_counts(spark):
+    """8 registered files, orphan rows == the uncommitted filter's
+    exact count, registered rows == the full table."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.lake_q import VAC_FILES, VAC_ORPHAN_MOD
+
+    got = load_all()["lake_vacuum_orphans"].fn(spark, SF0001).collect()[0]
+    orders = pq.read_table(SF0001 + "/orders.parquet").to_pylist()
+    want_orphans = sum(1 for r in orders if r["o_orderkey"] % VAC_ORPHAN_MOD == 0)
+    assert got["n_registered"] == VAC_FILES
+    assert got["orphan_rows"] == want_orphans
+    assert got["registered_rows"] == len(orders)
