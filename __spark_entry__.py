@@ -46,6 +46,10 @@ _LEDGER_PRIORITY = [
     "timeseries_pacf_durbin",
     "ml_auc_delong_ci",
     "asof_join_nearest",
+    "events_journey_trigrams",
+    "events_interarrival_burstiness",
+    "stats_runs_test",
+    "anomaly_seasonal_residual",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -3417,3 +3417,165 @@ GROUP BY c.k, c.n
 def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_friedman_sql("unix_micros(ts)"))
+
+
+# --- user-journey trigram mining ---
+# The sequence-mining extension of event_transitions (bigrams / Markov):
+# the most frequent 3-step event-type paths across user sessions —
+# journey analysis as run for funnel redesign and next-action models.
+# Trigrams come from two lead() steps over USER-partitioned windows
+# (never a global ordering); counting is one map-side-combinable
+# aggregate; the top-20 is a deterministic (count DESC, path ASC)
+# TakeOrdered.
+
+
+def _journey_trigram_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       CAST(count(*) AS BIGINT) AS n_journeys
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_journeys DESC, path
+LIMIT 20
+"""
+
+
+@register(
+    "events_journey_trigrams",
+    oracle=_journey_trigram_sql(),
+    description="top-20 3-step user-journey paths (the sequence-mining "
+    "extension of event_transitions): two lead() steps over USER-"
+    "partitioned windows — never a global ordering — one map-side "
+    "path aggregate, deterministic (count DESC, path ASC) top-20",
+)
+def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_journey_trigram_sql())
+
+
+# --- inter-arrival burstiness (index of dispersion per event type) ---
+# Traffic-model audit: per event type, the mean / variance / CV² of
+# inter-arrival gaps measured WITHIN user timelines (user-partitioned
+# lag windows — a per-type global ordering would be a single-partition
+# window, the anti-pattern). CV² ≈ 1 ⇒ Poisson-like; ≫ 1 ⇒ bursty.
+# Gaps are exact integer microseconds; Σg and Σg² ride DECIMAL(38,0)
+# (g ≤ ~1e13 µs, g² ≤ 1e26 — room for 1e12 gaps), cast through VARCHAR
+# (the parity final-cast rule); mean/var/CV² are one fixed shared-text
+# chain over exact operands.
+
+
+def _interarrival_sql(epoch_us: str) -> str:
+    d38 = "DECIMAL(38,0)"
+    mean = "(sg / CAST(n AS DOUBLE))"
+    var = f"(sgg / CAST(n AS DOUBLE) - {mean} * {mean})"
+    return f"""
+WITH gaps AS (
+  SELECT event_type,
+         {epoch_us} - lag({epoch_us}) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS g
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(g AS {d38})) AS STRING) AS DOUBLE) AS sg,
+         CAST(CAST(sum(CAST(g AS {d38}) * CAST(g AS {d38})) AS STRING)
+              AS DOUBLE) AS sgg
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       {mean} AS mean_gap_us,
+       {var} AS var_gap_us,
+       {var} / nullif({mean} * {mean}, 0e0) AS cv2
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle=_interarrival_sql("epoch_us(ts)"),
+    description="inter-arrival burstiness per event type (CV² index of "
+    "dispersion; ≈1 Poisson, ≫1 bursty): gaps from USER-partitioned "
+    "lag windows, exact-integer Σg/Σg² through DECIMAL(38,0) with the "
+    "VARCHAR final cast, one fixed shared-text moment chain",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_interarrival_sql("unix_micros(ts)"))
+
+
+# --- Wald-Wolfowitz up/down runs test ---
+# Randomness check on the daily-total series: too FEW runs of
+# consecutive up/down moves ⇒ trending; too MANY ⇒ oscillating. The
+# up/down variant needs no median: signs are day-over-day differences
+# (zero-diffs dropped per convention), the run count is 1 + the number
+# of sign CHANGES. The classical constants are stated for N
+# observations: E[R] = (2N−1)/3, Var[R] = (16N−29)/90; with n retained
+# SIGNS (N = n+1) they become E[R] = (2n+1)/3, Var[R] = (16n−13)/90.
+# Everything is exact integers until the final z chain.
+# Scale: daily aggregate scan + calendar-bounded lag windows per type.
+
+
+def _runs_test_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    nd = "CAST(n AS DOUBLE)"
+    er = f"((2.0e0 * {nd} + 1.0e0) / 3.0e0)"
+    vr = f"((16.0e0 * {nd} - 13.0e0) / 90.0e0)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+diffs AS (
+  SELECT event_type, day,
+         x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+  FROM daily
+),
+signs AS (
+  SELECT event_type, day,
+         CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE d IS NOT NULL AND d <> 0
+),
+chg AS (
+  SELECT event_type, s,
+         lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+  FROM signs
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM chg GROUP BY event_type
+)
+SELECT event_type, n, runs,
+       (CAST(runs AS DOUBLE) - {er}) / nullif(sqrt({vr}), 0e0) AS z_stat
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register(
+    "stats_runs_test",
+    oracle=_runs_test_sql("epoch_us(ts)"),
+    description="Wald-Wolfowitz up/down (difference-sign) runs test on "
+    "daily cents totals per type: sign sequence from calendar-bounded "
+    "lag windows, zero-diffs dropped, run count = 1 + sign changes, "
+    "E[R]=(2n+1)/3 and Var[R]=(16n−13)/90 (n = retained signs) in one "
+    "fixed shared-text z "
+    "chain — exact integers throughout",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_runs_test_sql("unix_micros(ts)"))

@@ -1947,3 +1947,94 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- seasonality-aware anomaly flags (3σ on the decompose residual) ---
+# anomaly_zscore/mad flag raw outliers and therefore re-flag every
+# daily peak; the production monitor removes trend + seasonality FIRST
+# and thresholds the RESIDUAL. Composes timeseries_seasonal_decompose
+# verbatim (its residuals are already bit-identical doubles on both
+# engines: all-integer internals, one fixed division chain), then one
+# decimal-routed moment pass per type for σ and a broadcast-back flag
+# pass for |r| > 3σ. Output is type-bounded counts — exact integers.
+#
+# Scale: the decompose's own envelope (hourly pre-aggregate + one
+# series-partitioned window + 24-row seasonal join) plus two k-row
+# aggregates; the σ table is type-bounded and broadcast.
+
+ANOM_SEAS_K = 3  # σ multiplier
+
+
+def _anomaly_seasonal_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    base = SEASONAL_ORACLE.replace("ORDER BY d.event_type, d.bucket", "")
+    mean = "(sr / CAST(nh AS DOUBLE))"
+    return f"""
+WITH decomp AS ({base}),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nh,
+         {dsum_expr("residual")} AS sr,
+         {dsum_expr("residual * residual")} AS srr
+  FROM decomp GROUP BY event_type
+),
+sig AS (
+  SELECT event_type, nh,
+         sqrt(srr / CAST(nh AS DOUBLE) - {mean} * {mean}) AS sigma
+  FROM mom
+)
+SELECT d.event_type,
+       s.nh AS n_hours,
+       s.sigma,
+       CAST(sum(CASE WHEN abs(d.residual) > {ANOM_SEAS_K}.0e0 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       max(abs(d.residual)) AS max_abs_residual
+FROM decomp d JOIN sig s ON s.event_type = d.event_type
+GROUP BY d.event_type, s.nh, s.sigma
+ORDER BY d.event_type
+"""
+
+
+@register(
+    "anomaly_seasonal_residual",
+    oracle=_anomaly_seasonal_sql(),
+    description=f"seasonality-aware anomaly flags: "
+    f"{ANOM_SEAS_K}σ threshold on the seasonal-decompose RESIDUAL "
+    "(trend and hour-of-day effects removed first — daily peaks no "
+    "longer false-positive); residuals are bit-identical by the "
+    "decompose's all-integer construction, σ decimal-routed, flags "
+    "exact integer counts; type-bounded σ table broadcast back",
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.queries import REGISTRY
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    decomp = REGISTRY["timeseries_seasonal_decompose"].fn(spark, sf_dir)
+    decomp.createOrReplaceTempView("pls_anom_decomp")
+    mean = "(sr / CAST(nh AS DOUBLE))"
+    return spark.sql(
+        f"""
+WITH mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nh,
+         {dsum_expr("residual")} AS sr,
+         {dsum_expr("residual * residual")} AS srr
+  FROM pls_anom_decomp GROUP BY event_type
+),
+sig AS (
+  SELECT event_type, nh,
+         sqrt(srr / CAST(nh AS DOUBLE) - {mean} * {mean}) AS sigma
+  FROM mom
+)
+SELECT d.event_type,
+       s.nh AS n_hours,
+       s.sigma,
+       CAST(sum(CASE WHEN abs(d.residual) > {ANOM_SEAS_K}.0e0 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       max(abs(d.residual)) AS max_abs_residual
+FROM pls_anom_decomp d JOIN sig s ON s.event_type = d.event_type
+GROUP BY d.event_type, s.nh, s.sigma
+ORDER BY d.event_type
+"""
+    )

@@ -677,3 +677,117 @@ def test_asof_nearest_matches_python(spark):
     assert got == want
     assert any(v[0] is not None for v in want.values())
     assert any(v[0] is None for v in want.values()) or True
+
+
+def test_runs_test_matches_python(spark):
+    """Up/down runs replay with the sign-count-stated constants."""
+    import math
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    daily = {}
+    import pyarrow.parquet as pq
+
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        d = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        key = (r["event_type"], d)
+        daily[key] = daily.get(key, 0) + round(r["value"] * 100)
+    series = {}
+    for (t, d), x in sorted(daily.items()):
+        series.setdefault(t, []).append(x)
+    want = {}
+    for t, xs in series.items():
+        signs = [1 if b > a else -1 for a, b in zip(xs, xs[1:]) if b != a]
+        n = len(signs)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        er = (2 * n + 1) / 3
+        vr = (16 * n - 13) / 90
+        want[t] = (n, runs, (runs - er) / math.sqrt(vr))
+    got = {
+        r["event_type"]: (r["n"], r["runs"], r["z_stat"])
+        for r in load_all()["stats_runs_test"].fn(spark, SF001).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:2] == want[t][:2], t
+        assert abs(got[t][2] - want[t][2]) < 1e-10, t
+
+
+def test_journey_trigrams_match_python(spark):
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    chains = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        chains.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts = {}
+    for evs in chains.values():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n_journeys"])
+        for r in load_all()["events_journey_trigrams"].fn(spark, SF001).collect()
+    ]
+    assert got == want
+
+
+def test_interarrival_burstiness_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    chains = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        chains.setdefault((r["user_id"], r["event_type"]), []).append(
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"])
+        )
+    gaps = {}
+    for (u, t), evs in chains.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps.setdefault(t, []).append(b - a)
+    got = {
+        r["event_type"]: r
+        for r in load_all()["events_interarrival_burstiness"].fn(spark, SF001).collect()
+    }
+    for t, gs in gaps.items():
+        n = len(gs)
+        mean = sum(gs) / n
+        var = sum(g * g for g in gs) / n - mean * mean
+        assert got[t]["n"] == n
+        assert abs(got[t]["mean_gap_us"] - mean) < max(1e-6 * mean, 1e-6)
+        assert abs(got[t]["cv2"] - var / mean**2) < 1e-9
+
+
+def test_seasonal_anomaly_consistent_with_decompose(spark):
+    """Flags recomputed from the registered decompose's residuals."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import ANOM_SEAS_K
+    from tests.conftest import SF001
+
+    reg = load_all()
+    res = {}
+    for r in reg["timeseries_seasonal_decompose"].fn(spark, SF001).collect():
+        res.setdefault(r["event_type"], []).append(r["residual"])
+    got = {
+        r["event_type"]: r
+        for r in reg["anomaly_seasonal_residual"].fn(spark, SF001).collect()
+    }
+    for t, rs in res.items():
+        n = len(rs)
+        mean = sum(rs) / n
+        sigma = (sum(x * x for x in rs) / n - mean * mean) ** 0.5
+        flags = sum(1 for x in rs if abs(x) > ANOM_SEAS_K * sigma)
+        assert got[t]["n_hours"] == n
+        assert abs(got[t]["sigma"] - sigma) < 1e-6
+        assert got[t]["n_anomalies"] == flags
