@@ -50,6 +50,9 @@ _LEDGER_PRIORITY = [
     "events_interarrival_burstiness",
     "stats_runs_test",
     "anomaly_seasonal_residual",
+    "stats_hodges_lehmann",
+    "sketch_linear_counting",
+    "dedup_lsh_band_sweep",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

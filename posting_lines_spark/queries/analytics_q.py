@@ -3579,3 +3579,71 @@ ORDER BY event_type
 def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_runs_test_sql("unix_micros(ts)"))
+
+
+# --- Hodges-Lehmann location estimator (Walsh-average median) ---
+# The point-estimate companion to stats_wilcoxon_signed_rank: the
+# median of all Walsh averages (d_i + d_j)/2, i ≤ j, over the daily
+# (purchase − click) cents diffs — the robust "typical daily gap"
+# with 29% breakdown and the Wilcoxon test's implied location. Stays
+# EXACT: Walsh sums S = d_i + d_j are BIGINTs; the median picks ranks
+# ⌊(m+1)/2⌋ and ⌈(m+1)/2⌉ of the s-ordered table explicitly (no
+# engine median() — DuckDB interpolates integer medians through
+# DOUBLE, Spark through its own path; picking the two order statistics
+# by row_number keeps the convention in OUR hands), and the estimate
+# is (s_lo + s_hi)/4 — one shared-text division.
+#
+# Scale: the pair table is CALENDAR-quadratic (≤ 366·367/2 ≈ 67k rows
+# at any data volume — the Theil-Sen cost model); the ranking window
+# runs over that bounded table only.
+
+
+def _hodges_lehmann_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100e0) AS BIGINT) ELSE 0 END)
+            - sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100e0) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+),
+idx AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily
+),
+walsh AS (
+  SELECT a.d + b.d AS s
+  FROM idx a JOIN idx b ON b.i >= a.i
+),
+ranked AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS r,
+         CAST(count(*) OVER () AS BIGINT) AS m2
+  FROM walsh
+)
+SELECT max(m2) AS n_walsh,
+       CAST(sum(CASE WHEN r = CAST(floor((CAST(m2 AS DOUBLE) + 1.0e0) / 2.0e0)
+                              AS BIGINT) THEN s ELSE 0 END)
+            + sum(CASE WHEN r = CAST(floor((CAST(m2 AS DOUBLE) + 2.0e0) / 2.0e0)
+                                AS BIGINT) THEN s ELSE 0 END)
+            AS DOUBLE) / 4.0e0 AS hl_estimate_cents
+FROM ranked
+"""
+
+
+@register(
+    "stats_hodges_lehmann",
+    oracle=_hodges_lehmann_sql("epoch_us(ts)"),
+    description="Hodges-Lehmann location estimate (median of Walsh "
+    "averages) of the daily purchase−click cents gap — the robust "
+    "point estimate implied by the signed-rank test: exact BIGINT "
+    "Walsh sums over the calendar-quadratic pair table (≤67k rows at "
+    "any volume), explicit order-statistic picks instead of engine "
+    "median() (integer-median conventions differ), one final ÷4",
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hodges_lehmann_sql("unix_micros(ts)"))

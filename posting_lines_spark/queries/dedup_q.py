@@ -872,3 +872,165 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.localCheckpoint(eager=False).orderBy("id_a", "id_b")
+
+
+# --- LSH band-configuration sweep (the S-curve, measured) ---
+# THE tuning query for MinHash dedup: with H = 12 signature components,
+# every divisor split (b bands × r rows) trades precision against
+# recall along the S-curve P(candidate) = 1 − (1 − J^r)^b. This sweep
+# runs ALL four configs (12×1, 6×2, 4×3, 2×6) over one shared
+# signature build and reports, per config: candidate count, verified-
+# true count (exact Jaccard ≥ T), precision, and recall measured
+# against the UNION of all configs' verified-true pairs (the honest
+# denominator at scale — corpus-wide ground truth would be all-pairs;
+# the 12×1 config's single-component candidates make the union a broad
+# superset). "Measure, don't guess" applied to banding itself.
+#
+# Scale: one signature aggregate feeds all configs; per-config
+# candidates stay band-bounded (hot-bucket salting armed); exact
+# verification runs ONCE over the deduped union of candidates, never
+# per config.
+
+SWEEP_BANDS = (12, 6, 4, 2)
+
+
+def _band_sweep_oracle() -> str:
+    from posting_lines_spark.functions.hashing import cw_mix_sql, md5_limb_duck
+
+    limbs = [f"l{i}" for i in range(4)]
+    limb_cols = ", ".join(f"{md5_limb_duck('d', i)} AS l{i}" for i in range(4))
+    mins = ",\n       ".join(
+        f"min({cw_mix_sql(limbs, j)}) AS mh{j}" for j in range(NUM_HASHES)
+    )
+    cfg_selects = []
+    for b in SWEEP_BANDS:
+        rows = NUM_HASHES // b
+        cfg_selects.append(
+            "\nUNION ALL\n".join(
+                f"SELECT {b} AS cfg, doc_id, {bi} AS band_idx, concat_ws(',', "
+                + ", ".join(
+                    f"CAST(mh{bi * rows + r} AS VARCHAR)" for r in range(rows)
+                )
+                + ") AS band_key FROM sig"
+                for bi in range(b)
+            )
+        )
+    all_bands = "\nUNION ALL\n".join(cfg_selects)
+    return f"""
+WITH sh AS ({_SH_DUCK}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, {limb_cols}
+    FROM (SELECT doc_id, md5(concat('mh|', shingle)) AS d FROM sh)
+  )
+  GROUP BY doc_id
+),
+bands AS ({all_bands}),
+cpairs AS (
+  SELECT DISTINCT cfg, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (cfg, band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+upairs AS (SELECT DISTINCT id_a, id_b FROM cpairs),
+uinter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM upairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM uinter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.n_common / (za.n_sh + zb.n_sh - i.n_common) >= {JACCARD_T!r}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_union_true FROM truth),
+per_cfg AS (
+  SELECT c.cfg,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(t.id_a) AS BIGINT) AS n_true
+  FROM cpairs c
+  LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY c.cfg
+)
+SELECT CAST(p.cfg AS INT) AS bands,
+       CAST({NUM_HASHES} / p.cfg AS INT) AS rows_per_band,
+       p.n_candidates, p.n_true, x.n_union_true,
+       CAST(p.n_true AS DOUBLE) / nullif(CAST(p.n_candidates AS DOUBLE), 0e0)
+         AS precision,
+       CAST(p.n_true AS DOUBLE) / nullif(CAST(x.n_union_true AS DOUBLE), 0e0)
+         AS recall_vs_union
+FROM per_cfg p CROSS JOIN tot x
+ORDER BY bands DESC
+"""
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    oracle=_band_sweep_oracle(),
+    description=f"MinHash LSH band-configuration sweep over all four "
+    f"H=12 divisor splits {SWEEP_BANDS}: per config, candidate count / "
+    "verified-true count / precision / recall vs the union-of-configs "
+    "truth set — the measured S-curve an operator tunes banding with; "
+    "one shared signature build, exact verification ONCE over the "
+    "deduped candidate union, hot-bucket salting armed",
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = (
+        spark.sql(NEAR_BASE_SPARK)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    ).localCheckpoint(eager=False)
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    cpairs = None
+    for b in SWEEP_BANDS:
+        p = dedup.lsh_candidate_pairs(
+            sig, "doc_id", NUM_HASHES, b, hot_width=256
+        ).select(F.lit(b).alias("cfg"), "id_a", "id_b")
+        cpairs = p if cpairs is None else cpairs.unionByName(p)
+    cpairs = cpairs.localCheckpoint(eager=False)
+    upairs = cpairs.select("id_a", "id_b").distinct()
+    truth = (
+        dedup.jaccard_verify(upairs, sh, "doc_id", threshold=0.0)
+        .filter(F.col("jaccard") >= F.lit(JACCARD_T))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_union_true"))
+    per_cfg = (
+        cpairs.join(
+            truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("_t").cast("long").alias("n_true"),
+        )
+    )
+    return (
+        per_cfg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cfg").cast("int").alias("bands"),
+            (F.lit(NUM_HASHES) / F.col("cfg")).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            "n_true",
+            "n_union_true",
+            (
+                F.col("n_true").cast("double")
+                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+            ).alias("precision"),
+            (
+                F.col("n_true").cast("double")
+                / F.nullif(F.col("n_union_true").cast("double"), F.lit(0.0))
+            ).alias("recall_vs_union"),
+        )
+        .orderBy(F.col("bands").desc())
+    )

@@ -766,3 +766,61 @@ def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (CAST({bits_set} AS DOUBLE) / {float(BLOOM_M)!r}e0)"
         ).alias("load_fpr"),
     )
+
+
+# --- linear counting (the small-cardinality distinct sketch) ---
+# Whang et al. 1990: hash keys into m buckets, count EMPTY buckets V,
+# estimate n̂ = m·ln(m/V). The regime HyperLogLog is weakest in (small
+# n relative to m — HLL itself switches to linear counting below its
+# threshold), here as a first-class sketch whose md5 hash family lets
+# DuckDB replay the ENTIRE bucket bitmap bit-for-bit (the
+# countmin/bloom discipline — exact-checkable, not bound-checkable).
+# ln(m) − ln(V) goes through the deterministic integer-ln kernel (both
+# args exact integers). The exact distinct count rides along with the
+# relative error, so the released row audits itself.
+#
+# Scale: the bucket bitmap is ONE m-bounded aggregate (map-side
+# combinable: occupied = max-combine per bucket); merging shards is OR
+# over bitmaps — the classic mergeable-sketch shape.
+
+LC_M = 4096
+
+
+def _linear_counting_sql(md5u: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    layers, last = dln_int_cte_layers([("mm", "lm"), ("v", "lv")], "vt", "lc"
+    )
+    return f"""
+WITH occ AS (
+  SELECT DISTINCT ({md5u}) % {LC_M} AS bucket
+  FROM events
+),
+exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events),
+vt AS (
+  SELECT CAST({LC_M} AS BIGINT) AS mm,
+         CAST({LC_M} - (SELECT count(*) FROM occ) AS BIGINT) AS v,
+         (SELECT n_exact FROM exact) AS n_exact
+),
+{layers}
+SELECT mm AS m_buckets, v AS v_empty, n_exact,
+       CAST(mm AS DOUBLE) * (lm_ln - lv_ln) AS n_est,
+       abs(CAST(mm AS DOUBLE) * (lm_ln - lv_ln) - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_err
+FROM {last}
+"""
+
+
+@register(
+    "sketch_linear_counting",
+    oracle=_linear_counting_sql(md5_int_duck("user_id", salt="lc")),
+    description=f"linear counting distinct-user sketch (m = {LC_M} "
+    "md5 buckets, n̂ = m·ln(m/V)): the small-cardinality regime HLL "
+    "falls back to, with the md5 family making the whole bitmap "
+    "DuckDB-replayable bit-for-bit; ln through the integer-ln kernel; "
+    "exact count + relative error ride along as the self-audit; "
+    "m-bounded mergeable state",
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_linear_counting_sql(md5_int_spark("user_id", salt="lc")))

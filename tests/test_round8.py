@@ -791,3 +791,87 @@ def test_seasonal_anomaly_consistent_with_decompose(spark):
         assert got[t]["n_hours"] == n
         assert abs(got[t]["sigma"] - sigma) < 1e-6
         assert got[t]["n_anomalies"] == flags
+
+
+def test_hodges_lehmann_matches_python(spark):
+    """Walsh-average median replay — the rank-pick expression divided
+    ranks in FLOAT in the first draft (silently dropping one order
+    statistic on BOTH engines); this replay is the gate."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    daily = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        if r["event_type"] not in ("purchase", "click"):
+            continue
+        d = int(r["ts"].timestamp() * 1_000_000) // 86_400_000_000
+        sgn = 1 if r["event_type"] == "purchase" else -1
+        daily[d] = daily.get(d, 0) + sgn * round(r["value"] * 100)
+    ds = [daily[k] for k in sorted(daily)]
+    walsh = sorted(
+        ds[i] + ds[j] for i in range(len(ds)) for j in range(i, len(ds))
+    )
+    m = len(walsh)
+    want = (walsh[(m + 1) // 2 - 1] + walsh[(m + 2) // 2 - 1]) / 4
+    got = load_all()["stats_hodges_lehmann"].fn(spark, SF001).collect()[0]
+    assert got["n_walsh"] == m
+    assert got["hl_estimate_cents"] == want
+
+
+def test_linear_counting_matches_python(spark):
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.sketch_q import LC_M
+    from tests.conftest import SF001
+
+    users = {
+        r["user_id"] for r in pq.read_table(SF001 + "/events.parquet").to_pylist()
+    }
+    occ = {
+        int(hashlib.md5(f"lc|{u}".encode()).hexdigest()[:15], 16) % LC_M
+        for u in users
+    }
+    v = LC_M - len(occ)
+    want = LC_M * math.log(LC_M / v)
+    got = load_all()["sketch_linear_counting"].fn(spark, SF001).collect()[0]
+    assert (got["m_buckets"], got["v_empty"], got["n_exact"]) == (
+        LC_M,
+        v,
+        len(users),
+    )
+    # kernel ln vs libm ln agree to ~1e-12 relative here
+    assert abs(got["n_est"] - want) < 1e-6 * want
+    assert got["rel_err"] < 0.25  # sketch actually estimates
+
+
+def test_band_sweep_consistency(spark):
+    """S-curve sanity: candidates decrease with fewer bands (finer
+    keys = longer band rows), truth counts bounded, and the 4×3
+    config's true pairs equal the registered dedup_minhash_lsh
+    output (same signatures, same threshold)."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    rows = {
+        r["bands"]: r for r in reg["dedup_lsh_band_sweep"].fn(spark, SF001).collect()
+    }
+    assert set(rows) == {12, 6, 4, 2}
+    # more, shorter bands => more candidates (permissive); monotone
+    assert (
+        rows[12]["n_candidates"]
+        >= rows[6]["n_candidates"]
+        >= rows[4]["n_candidates"]
+        >= rows[2]["n_candidates"]
+    )
+    for r in rows.values():
+        assert 0 <= r["n_true"] <= r["n_candidates"]
+        assert r["n_true"] <= r["n_union_true"]
+    lsh_pairs = reg["dedup_minhash_lsh"].fn(spark, SF001).count()
+    assert rows[4]["n_true"] == lsh_pairs
