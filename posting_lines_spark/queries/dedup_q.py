@@ -990,13 +990,46 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
     ).localCheckpoint(eager=False)
     sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
-    cpairs = None
+    # ALL 24 (cfg, band) keys from ONE projection + explode — the
+    # union-of-lsh_candidate_pairs form planned 24 scan branches and
+    # ~180 exchanges (the dq_referential_integrity lesson); this shape
+    # is one explode, ONE self-join shuffle, one distinct. (The salted
+    # production path stays dedup.lsh_candidate_pairs; this is the
+    # audit, and the 12×1 flood it measures is band-bounded.)
+    structs = []
     for b in SWEEP_BANDS:
-        p = dedup.lsh_candidate_pairs(
-            sig, "doc_id", NUM_HASHES, b, hot_width=256
-        ).select(F.lit(b).alias("cfg"), "id_a", "id_b")
-        cpairs = p if cpairs is None else cpairs.unionByName(p)
-    cpairs = cpairs.localCheckpoint(eager=False)
+        rows = NUM_HASHES // b
+        for bi in range(b):
+            key = F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{bi * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            )
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("cfg"),
+                    F.lit(bi).alias("band_idx"),
+                    key.alias("band_key"),
+                )
+            )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("x")
+    ).select("doc_id", "x.cfg", "x.band_idx", "x.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "cfg", "band_idx", "band_key"
+    )
+    b_side = bands.select(
+        F.col("doc_id").alias("id_b"), "cfg", "band_idx", "band_key"
+    )
+    cpairs = (
+        a.join(b_side, ["cfg", "band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cfg", "id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     upairs = cpairs.select("id_a", "id_b").distinct()
     truth = (
         dedup.jaccard_verify(upairs, sh, "doc_id", threshold=0.0)
