@@ -53,6 +53,8 @@ _LEDGER_PRIORITY = [
     "stats_hodges_lehmann",
     "sketch_linear_counting",
     "dedup_lsh_band_sweep",
+    "stats_mcnemar",
+    "stats_cochran_q",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

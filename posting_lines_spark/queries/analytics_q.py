@@ -3647,3 +3647,107 @@ FROM ranked
 def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hodges_lehmann_sql("unix_micros(ts)"))
+
+
+# --- McNemar test (paired binary classifiers) ---
+# The paired-binary member of the agreement family (kappa measures
+# agreement; McNemar tests whether the two DISAGREEMENT directions
+# balance — the right test for "did the new model change errors
+# asymmetrically on the same examples"). Raters on each event:
+# A = cents ≥ threshold, B = is-purchase. Only the discordant cells
+# matter: χ² = (b−c)²/(b+c), plus the Edwards continuity-corrected
+# (|b−c|−1)²/(b+c). Exact integers → two one-shot divisions.
+# Scale: ONE conditional aggregate, map-side combinable, 1-row output.
+
+MCN_T = 25000  # cents threshold for rater A
+
+
+def _mcnemar_sql() -> str:
+    return f"""
+WITH cells AS (
+  SELECT
+    CAST(sum(CASE WHEN CAST(round(value * 100e0) AS BIGINT) >= {MCN_T}
+                   AND event_type <> 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(sum(CASE WHEN CAST(round(value * 100e0) AS BIGINT) < {MCN_T}
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events
+)
+SELECT n, b, c,
+       CAST((b - c) * (b - c) AS DOUBLE)
+         / nullif(CAST(b + c AS DOUBLE), 0e0) AS chi2,
+       CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+         / nullif(CAST(b + c AS DOUBLE), 0e0) AS chi2_cc
+FROM cells
+"""
+
+
+@register(
+    "stats_mcnemar",
+    oracle=_mcnemar_sql(),
+    description=f"McNemar paired-binary test (rater A = cents ≥ "
+    f"{MCN_T}, rater B = is-purchase): discordant-cell counts from ONE "
+    "map-side conditional aggregate, χ² and the Edwards continuity-"
+    "corrected form as one-shot divisions of exact integers — the "
+    "model-vs-model error-shift test",
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mcnemar_sql())
+
+
+# --- Cochran's Q (k paired binary treatments) ---
+# The k-treatment generalization of McNemar and the BINARY Friedman:
+# blocks = users, treatments = event types, x = "user has a HIGH-VALUE
+# (cents ≥ 25000) event of this type" — plain did-the-type is
+# degenerate on this corpus (every user did all 5 types, so the
+# Σ R(k−R) denominator is exactly 0; engine and oracle both NULL —
+# the Heaps-law saturation lesson again). All-zero blocks contribute
+# nothing to any term and are dropped. The classical identity keeps
+# EVERYTHING integer:
+#   Q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣR_u²)
+# with C_j = per-type success totals, R_u = per-user success counts,
+# N = ΣC_j = ΣR_u. One (user) aggregate + one k-bounded aggregate;
+# Q is a single division of exact BIGINTs.
+
+
+def _cochran_q_sql() -> str:
+    return """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE CAST(round(value * 100e0) AS BIGINT) >= 25000
+),
+k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM ut),
+ru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r FROM ut GROUP BY user_id),
+cj AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY event_type),
+agg AS (
+  SELECT (SELECT k FROM k) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM ru) AS n_blocks,
+         (SELECT CAST(sum(r) AS BIGINT) FROM ru) AS n_tot,
+         (SELECT CAST(sum(r * r) AS BIGINT) FROM ru) AS sum_r2,
+         (SELECT CAST(sum(c * c) AS BIGINT) FROM cj) AS sum_c2
+)
+SELECT k, n_blocks,
+       CAST((k - 1) * (k * sum_c2 - n_tot * n_tot) AS DOUBLE)
+         / nullif(CAST(k * n_tot - sum_r2 AS DOUBLE), 0e0) AS q_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM agg
+"""
+
+
+@register(
+    "stats_cochran_q",
+    oracle=_cochran_q_sql(),
+    description="Cochran's Q over k binary treatments (blocks = users "
+    "with ≥1 high-value type, success = user has a cents ≥ 25000 event "
+    "of that type — the unthresholded form is degenerate here): the "
+    "all-integer "
+    "identity Q = (k−1)(k·ΣC² − N²)/(k·N − ΣR²) — one distinct-pair "
+    "aggregate, a user-grain and a k-bounded aggregate, one division; "
+    "the binary Friedman / k-way McNemar",
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cochran_q_sql())

@@ -875,3 +875,51 @@ def test_band_sweep_consistency(spark):
         assert r["n_true"] <= r["n_union_true"]
     lsh_pairs = reg["dedup_minhash_lsh"].fn(spark, SF001).count()
     assert rows[4]["n_true"] == lsh_pairs
+
+
+def test_mcnemar_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import MCN_T
+
+    b = c = n = 0
+    for s, y in _scored_001():
+        n += 1
+        if s >= MCN_T and y == 0:
+            b += 1
+        elif s < MCN_T and y == 1:
+            c += 1
+    got = load_all()["stats_mcnemar"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert (got["n"], got["b"], got["c"]) == (n, b, c)
+    assert got["chi2"] == (b - c) ** 2 / (b + c)
+    assert got["chi2_cc"] == (abs(b - c) - 1) ** 2 / (b + c)
+
+
+def test_cochran_q_matches_python(spark):
+    """scipy.stats.cochrans_q-convention replay (and equals the
+    classical identity exactly)."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    ut = set()
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        if round(r["value"] * 100) >= 25000:
+            ut.add((r["user_id"], r["event_type"]))
+    k = len({t for _, t in ut})
+    ru = {}
+    cj = {}
+    for u, t in ut:
+        ru[u] = ru.get(u, 0) + 1
+        cj[t] = cj.get(t, 0) + 1
+    n_tot = sum(ru.values())
+    q = (
+        (k - 1)
+        * (k * sum(c * c for c in cj.values()) - n_tot * n_tot)
+        / (k * n_tot - sum(r * r for r in ru.values()))
+    )
+    got = load_all()["stats_cochran_q"].fn(spark, SF001).collect()[0]
+    assert (got["k"], got["n_blocks"], got["df"]) == (k, len(ru), k - 1)
+    assert abs(got["q_stat"] - q) < 1e-12
