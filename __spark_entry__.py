@@ -55,6 +55,7 @@ _LEDGER_PRIORITY = [
     "dedup_lsh_band_sweep",
     "stats_mcnemar",
     "stats_cochran_q",
+    "stream_interarrival_stateful",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

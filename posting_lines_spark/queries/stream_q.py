@@ -1855,3 +1855,68 @@ register(
     "pair set is provably non-empty at sf0.01; same Arrow-batched "
     "phash48 + 4×12-bit Hamming banding, exact recall at T≤3",
 )(multimodal_phash_dedup_synth)
+
+
+# --- streaming twin: inter-arrival burstiness with mergeable state ---
+# The stateful-stream twin of events_interarrival_burstiness: per
+# (user, type), the gap-moment partials (n, Σg, Σg²) are carried in
+# the state store across real micro-batches (the time-sliced session
+# fixture reused — slices disjoint in time, mtime-ordered). Σg²
+# overflows int64 (a year-scale gap squared ≈ 1e27), so the state
+# carries it as TWO int64 lanes hi·2^62 + lo — the simhash packed-
+# counter discipline applied to applyInPandasWithState's fixed-width
+# state columns; the batch side reassembles the lanes in DECIMAL(38,0)
+# and finishes with the IDENTICAL shared-text moment chain as the
+# batch query, so the twin's output is hash-equal to the batch oracle.
+
+
+def stream_interarrival_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.streaming.stateful import interarrival_stateful
+
+    events = load_table(spark, sf_dir, "events")
+    src = cached_fixture(
+        "sess_events_src", sf_dir, _sess_write_slices(events), "pls_sess_src_"
+    )
+    partials = interarrival_stateful(spark, src)
+    partials.createOrReplaceTempView("pls_gap_partials")
+    d38 = "DECIMAL(38,0)"
+    mean = "(sg / CAST(n AS DOUBLE))"
+    var = f"(sgg / CAST(n AS DOUBLE) - {mean} * {mean})"
+    return spark.sql(
+        f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(sg AS {d38})) AS STRING) AS DOUBLE) AS sg,
+         CAST(CAST(sum(CAST(sgg_hi AS {d38}) * CAST({1 << 62} AS {d38})
+                        + CAST(sgg_lo AS {d38})) AS STRING) AS DOUBLE) AS sgg
+  FROM pls_gap_partials
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       {mean} AS mean_gap_us,
+       {var} AS var_gap_us,
+       {var} / nullif({mean} * {mean}, 0e0) AS cv2
+FROM agg
+ORDER BY event_type
+"""
+    )
+
+
+def _interarrival_oracle_for_stream() -> str:
+    from posting_lines_spark.queries.analytics_q import _interarrival_sql
+
+    return _interarrival_sql("epoch_us(ts)")
+
+
+register(
+    "stream_interarrival_stateful",
+    oracle=_interarrival_oracle_for_stream(),
+    description="streaming twin of events_interarrival_burstiness: "
+    "per-(user, type) gap-moment partials in ENGINE-MANAGED state "
+    "across time-sliced micro-batches, Σg² carried as two int64 state "
+    "lanes hi·2^62 + lo (the simhash packed-counter discipline — the "
+    "state store types are fixed int64), lanes reassembled in "
+    "DECIMAL(38,0) and finished with the batch query's identical "
+    "moment chain — final answer hash-equal to the batch oracle",
+)(stream_interarrival_stateful)

