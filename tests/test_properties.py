@@ -265,3 +265,101 @@ def test_kmv_estimator_identity_edges(vals, k):
     sk_o = set(sorted(other)[:k])
     ub = set(sorted(vals | other)[:k])
     assert len(ub & sk & sk_o) == 0
+
+
+# --- round-8 properties (session-free pure-Python mirrors) ---
+
+letters = st.text(alphabet="ab", min_size=1, max_size=12)
+
+
+@settings(max_examples=500, deadline=None)
+@given(letters, st.text(alphabet="ab", min_size=1, max_size=2),
+       st.text(alphabet="ab", min_size=1, max_size=2))
+def test_wrapped_replace_is_greedy_bpe_merge(word, x, y):
+    """The per-symbol-wrapped representation ('|a||b||a|') makes ONE
+    left-to-right non-overlapping replace('|x||y|' → '|xy|') exactly
+    Sennrich greedy BPE — python str.replace shares those semantics
+    with Spark/DuckDB replace(), so this property IS the engine claim
+    (the round-7 ADVICE counterexamples 'abab'/'aaaa' fall out as
+    instances)."""
+    syms = list(word)
+    wrapped = "".join(f"|{s}|" for s in syms)
+    got = wrapped.replace(f"|{x}||{y}|", f"|{x}{y}|")
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    want = "".join(f"|{s}|" for s in out)
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+def test_hl_rank_picks_equal_walsh_median(ds):
+    """The explicit ⌊(m+1)/2⌋/⌈(m+1)/2⌉ order-statistic picks over
+    Walsh sums reproduce statistics.median of the Walsh averages (the
+    convention the first draft silently broke via float rank
+    division)."""
+    import statistics
+
+    walsh = sorted(a + b for i, a in enumerate(ds) for b in ds[i:])
+    m = len(walsh)
+    picks = (walsh[(m + 1) // 2 - 1] + walsh[(m + 2) // 2 - 1]) / 4
+    assert picks == statistics.median(walsh) / 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.booleans()),
+                min_size=4, max_size=120))
+def test_delong_grouped_equals_per_observation(obs):
+    """The score-grouped DeLong components (the engine's form) equal
+    the classical per-observation computation."""
+    import bisect
+
+    pos = sorted(s for s, y in obs if y)
+    neg = sorted(s for s, y in obs if not y)
+    if len(pos) < 2 or len(neg) < 2:
+        return
+    P, N = len(pos), len(neg)
+
+    def v10(s):
+        lo = bisect.bisect_left(neg, s)
+        return (lo + 0.5 * (bisect.bisect_right(neg, s) - lo)) / N
+
+    def v01(s):
+        lo = bisect.bisect_left(pos, s)
+        return ((P - bisect.bisect_right(pos, s)) + 0.5 * (bisect.bisect_right(pos, s) - lo)) / P
+
+    auc = sum(v10(s) for s in pos) / P
+    s10 = sum((v10(s) - auc) ** 2 for s in pos)
+    s01 = sum((v01(s) - auc) ** 2 for s in neg)
+    # grouped form: per distinct score, component × class count
+    from collections import Counter
+
+    np_c = Counter(pos)
+    nn_c = Counter(neg)
+    g10 = sum(c * (v10(s) - auc) ** 2 for s, c in np_c.items())
+    g01 = sum(c * (v01(s) - auc) ** 2 for s, c in nn_c.items())
+    assert abs(g10 - s10) < 1e-9
+    assert abs(g01 - s01) < 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-5, 5), min_size=2, max_size=60))
+def test_runs_equal_one_plus_changes(xs):
+    """Run count over a sign sequence == 1 + #adjacent changes (the
+    relational formulation) — checked against an explicit run scan."""
+    signs = [1 if b > a else -1 for a, b in zip(xs, xs[1:]) if a != b]
+    if not signs:
+        return
+    runs_scan = 1
+    for a, b in zip(signs, signs[1:]):
+        if a != b:
+            runs_scan += 1
+    runs_rel = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert runs_rel == runs_scan
