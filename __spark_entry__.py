@@ -56,6 +56,8 @@ _LEDGER_PRIORITY = [
     "stats_mcnemar",
     "stats_cochran_q",
     "stream_interarrival_stateful",
+    "text_bpe_tokenize_apply",
+    "join_null_safe",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -768,3 +768,53 @@ def lookup_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) ---
+# The join shape every SQL engine must decide on: plain `=` drops
+# NULL keys from BOTH sides (ANSI three-valued logic), while the
+# null-safe operator matches NULL with NULL — the semantics behind
+# Spark's `<=>`, MERGE key matching, and SCD lookups on nullable
+# business keys. Keys here are made nullable deterministically
+# (NULLIF(o_orderkey % 7, 3): bucket 3 becomes NULL on the fact side;
+# the dim side carries buckets 0-6 plus an explicit NULL row), and the
+# output contrasts the two semantics side by side: n_nullsafe counts
+# every order (NULLs matched to the dim NULL row), n_strict loses
+# bucket 3 entirely.
+#
+# Scale: broadcast dim join (8 rows); the null-safe condition keeps
+# the broadcast-hash plan — NULL keys hash to the dim's NULL row
+# rather than being filtered.
+
+
+def _null_safe_join_sql() -> str:
+    dim_rows = ", ".join(f"({i}, 'b{i}')" for i in range(7))
+    return f"""
+WITH fact AS (
+  SELECT o_orderkey, nullif(o_orderkey % 7, 3) AS k FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES {dim_rows}, (NULL, 'b_null')) AS d(k, label)
+)
+SELECT d.label,
+       CAST(count(f.o_orderkey) AS BIGINT) AS n_nullsafe,
+       CAST(count(CASE WHEN f.k = d.k THEN 1 END) AS BIGINT) AS n_strict
+FROM dim d
+LEFT JOIN fact f ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
+@register(
+    "join_null_safe",
+    oracle=_null_safe_join_sql(),
+    description="null-safe equality join (IS NOT DISTINCT FROM / "
+    "Spark <=>) vs strict `=` side by side on a deterministically "
+    "nullable key: the NULL-bucket orders match the dim's NULL row "
+    "under null-safe semantics and vanish under strict equality; "
+    "8-row broadcast dim, fact scanned once",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_null_safe_join_sql())

@@ -1753,7 +1753,9 @@ GROUP BY word
     return _bpe_train(spark, w0)
 
 
-def _bpe_train(spark: SparkSession, w0: DataFrame) -> DataFrame:
+def _bpe_train(
+    spark: SparkSession, w0: DataFrame, return_seq: bool = False
+):
     """Run BPE_ROUNDS greedy merge rounds over a (word, freq) table.
 
     The loop a distributed engine actually runs: the sequence table is
@@ -1812,9 +1814,10 @@ def _bpe_train(spark: SparkSession, w0: DataFrame) -> DataFrame:
                 F.lit("|" + top["pair"].replace("|", "") + "|"),
             ).alias("seq"),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         merges, "round int, merged_pair string, n_occ long"
     ).orderBy("round")
+    return (out, seq) if return_seq else out
 
 
 # --- Heaps' law fit (vocabulary growth) ---
@@ -1925,3 +1928,74 @@ FROM fit
 def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_heaps_sql(_HEAPS_TP_SPARK))
+
+
+# --- BPE tokenizer APPLY (the inference half of the trainer) ---
+# text_bpe_merge_rounds trains the merge table; this applies it
+# corpus-wide and reports what a tokenizer buyer actually asks: token
+# counts before/after and the compression ratio. Counting rides the
+# wrapped representation: a word's token count is half its sentinel
+# count ((len(seq) − len(strip '|')) / 2) — the /2 is float on both
+# engines but exact per row (small even ints), and the per-row CAST
+# back to BIGINT keeps the frequency-weighted TOTALS in exact integer
+# summation at any corpus size (no 2^53 float-sum ceiling). The oracle re-runs the unrolled 3-round
+# chain and counts the same way (independent execution shape: loop +
+# checkpoints vs nested CTEs).
+#
+# Scale: the trainer's envelope (distinct-word-bounded rounds) plus
+# one counting aggregate over the distinct-word table.
+
+
+def _bpe_apply_counts_sql() -> str:
+    # reuse the oracle chain's parts up to the final sequence table
+    body = _bpe_duck_sql()
+    # the trainer oracle ends with the merge-round UNION SELECT; strip
+    # it and select counts from the last seq CTE instead
+    cut = body.rindex("\nSELECT CAST(round AS INT)")
+    with_chain = body[:cut]
+    last_seq = f"seq{BPE_ROUNDS + 1}"
+    return f"""{with_chain}
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(freq * length(word)) AS BIGINT) AS tokens_char,
+       CAST(sum(CAST(freq * (length(seq) - length(replace(seq, '|', ''))) / 2
+                 AS BIGINT)) AS BIGINT) AS tokens_bpe,
+       CAST(sum(freq * length(word)) AS DOUBLE)
+         / CAST(sum(CAST(freq * (length(seq) - length(replace(seq, '|', ''))) / 2
+                    AS BIGINT)) AS DOUBLE) AS compression_ratio
+FROM {last_seq}
+"""
+
+
+@register(
+    "text_bpe_tokenize_apply",
+    oracle=_bpe_apply_counts_sql(),
+    description=f"BPE tokenizer APPLY after the {BPE_ROUNDS} trained "
+    "merge rounds: corpus token counts before (chars) and after "
+    "(wrapped-sentinel count / 2 — exact integers), frequency-weighted, "
+    "plus the compression ratio; the trainer's distinct-word-bounded "
+    "envelope + one counting aggregate",
+)
+def text_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    w0 = spark.sql(
+        """
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
+WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+GROUP BY word
+"""
+    )
+    _, seq = _bpe_train(spark, w0, return_seq=True)
+    seq.createOrReplaceTempView("pls_bpe_final_seq")
+    return spark.sql(
+        """
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(freq * length(word)) AS BIGINT) AS tokens_char,
+       CAST(sum(CAST(freq * (length(seq) - length(replace(seq, '|', ''))) / 2
+                 AS BIGINT)) AS BIGINT) AS tokens_bpe,
+       CAST(sum(freq * length(word)) AS DOUBLE)
+         / CAST(sum(CAST(freq * (length(seq) - length(replace(seq, '|', ''))) / 2
+                    AS BIGINT)) AS DOUBLE) AS compression_ratio
+FROM pls_bpe_final_seq
+"""
+    )

@@ -944,3 +944,63 @@ def test_stream_interarrival_twin_equals_batch(spark):
     }
     assert twin == batch
     assert any(v[2] > 2**62 / 1e6 for v in batch.values()) or True
+
+
+def test_bpe_tokenize_apply_consistent(spark):
+    """Token accounting replay: train greedy BPE in Python, apply the
+    merges, count frequency-weighted tokens."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import BPE_ROUNDS
+
+    docs = pq.read_table(SF0001 + "/documents.parquet").to_pylist()
+    freq = {}
+    for d in docs:
+        for w in d["text"].split(" "):
+            if len(w) >= 2 and "|" not in w:
+                freq[w] = freq.get(w, 0) + 1
+    merges = _greedy_bpe_python(list(freq.items()), BPE_ROUNDS)
+    seqs = {w: tuple(w) for w in freq}
+    for _, pair, _ in merges:
+        pa, pb = pair.split("|")
+        for w, syms in list(seqs.items()):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    tokens_char = sum(f * len(w) for w, f in freq.items())
+    tokens_bpe = sum(f * len(seqs[w]) for w, f in freq.items())
+    got = load_all()["text_bpe_tokenize_apply"].fn(spark, SF0001).collect()[0]
+    assert got["n_distinct_words"] == len(freq)
+    assert got["tokens_char"] == tokens_char
+    assert got["tokens_bpe"] == tokens_bpe
+    assert got["tokens_bpe"] < got["tokens_char"]  # merges actually fired
+
+
+def test_null_safe_join_semantics(spark):
+    """NULL bucket matches under IS NOT DISTINCT FROM, vanishes under
+    strict equality; all orders accounted for exactly once."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+
+    orders = pq.read_table(SF0001 + "/orders.parquet").to_pylist()
+    got = {
+        r["label"]: (r["n_nullsafe"], r["n_strict"])
+        for r in load_all()["join_null_safe"].fn(spark, SF0001).collect()
+    }
+    n_null_bucket = sum(1 for o in orders if o["o_orderkey"] % 7 == 3)
+    assert got["b_null"] == (n_null_bucket, 0)
+    assert sum(v[0] for v in got.values()) == len(orders)
+    for i in range(7):
+        if i == 3:
+            assert got["b3"] == (0, 0)
+        else:
+            n = sum(1 for o in orders if o["o_orderkey"] % 7 == i)
+            assert got[f"b{i}"] == (n, n)
