@@ -994,3 +994,73 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run0.crossJoin(F.broadcast(auc)).createOrReplaceTempView("pls_delong_run")
     return spark.sql(_delong_final_sql(_delong_terms_sql("pls_delong_run")))
+
+
+# --- MAP@K (mean average precision for ranked retrieval) ---
+# Completes the ranking-evaluation triple (ml_mrr: first hit; ml_ndcg:
+# graded discounts; MAP: ALL hits with precision-at-hit weighting):
+# AP@K(u) = Σ_{hits r ≤ K} Precision@r / min(K, n_pos(u)), averaged
+# over users with ≥1 positive. Precision@r at a hit = (hits so far)/r
+# — a ratio of small exact integers from one cumulative window over
+# the user's top-K rows; the per-user AP sum is ≤ K terms, and the
+# cross-user mean is decimal-routed.
+#
+# Scale: identical envelope to ml_mrr/ml_ndcg — one user-partitioned
+# ranking window, one K-bounded per-user pass, one 1-row reduce.
+# The outer cross-user mean routes at scale 9, not 12: ap values are
+# already quotients of a scale-12 decimal sum (full-entropy doubles),
+# and the NESTED double→DECIMAL cast at scale 12 measurably lands on
+# a 0.5-ulp rounding boundary (one user out of 130 flipped at sf0.01
+# — the parity.py per-row hazard realized); scale 9 leaves 3 digits
+# of margin while the mean itself only needs ~1e-9.
+
+MAP_K = 10
+
+
+def _map_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+WITH r AS ({_RANKED}),
+topk AS (
+  SELECT user_id, y, rnk,
+         CAST(sum(y) OVER (PARTITION BY user_id ORDER BY rnk
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
+  FROM r WHERE rnk <= {MAP_K}
+),
+np AS (
+  SELECT user_id, CAST(sum(y) AS BIGINT) AS n_pos_k
+  FROM topk GROUP BY user_id
+),
+terms AS (
+  SELECT t.user_id,
+         CASE WHEN t.y = 1
+              THEN CAST(t.hits AS DOUBLE) / CAST(t.rnk AS DOUBLE)
+              ELSE 0e0 END AS p_at_hit
+  FROM topk t
+),
+ap AS (
+  SELECT s.user_id,
+         {dsum_expr("s.p_at_hit", 12)} / CAST(max(n.n_pos_k) AS DOUBLE) AS ap
+  FROM terms s JOIN np n ON n.user_id = s.user_id
+  WHERE n.n_pos_k > 0
+  GROUP BY s.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS users_with_pos,
+       {dsum_expr("ap", 9)} / CAST(count(*) AS DOUBLE) AS map_at_k
+FROM ap
+"""
+
+
+@register(
+    "ml_map_at_k",
+    oracle=_map_sql(),
+    description=f"MAP@{MAP_K} (mean average precision): precision-at-"
+    "hit ratios of exact integers from one user-partitioned cumulative "
+    "window over the top-K rows, per-user AP normalized by min(K, "
+    "positives-in-K), decimal-routed cross-user mean — completes the "
+    "mrr/ndcg ranking-evaluation triple",
+)
+def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_map_sql())

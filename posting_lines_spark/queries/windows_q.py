@@ -243,3 +243,64 @@ def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+# --- RANGE-interval frame (value-based window, peak trailing-hour rate) ---
+# Every other window in this family uses ROW frames; production rate
+# monitors need VALUE frames — "events in the trailing hour" regardless
+# of how many rows that is. RANGE BETWEEN x PRECEDING works over the
+# int64 microsecond timeline (numeric range ordering — identical
+# semantics in Spark and DuckDB, including the all-peers-at-equal-ts
+# rule that ROW frames would break ties on arbitrarily). Output is the
+# per-type PEAK trailing-hour count and cents (rate-limiter sizing),
+# exact integers.
+#
+# Scale: the partition key is the 5-value type alphabet, so a naive
+# per-event window would put whole types on single partitions at
+# 100 TB. The fix is the seasonal family's pre-aggregation: bucket to
+# (type, second) counts first (map-side combine), then run the RANGE
+# frame over the CALENDAR-bounded bucket timeline — which is exactly
+# how this query is written.
+
+RANGE_WIN_US = 3_600_000_000  # 1 hour
+
+
+def _range_frame_sql(epoch_us: str) -> str:
+    return f"""
+WITH sec AS (
+  SELECT event_type,
+         ({epoch_us} - ({epoch_us} % 1000000)) AS sec_us,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type,
+         CAST(sum(n) OVER w AS BIGINT) AS hr_n,
+         CAST(sum(cents) OVER w AS BIGINT) AS hr_cents
+  FROM sec
+  WINDOW w AS (PARTITION BY event_type ORDER BY sec_us
+               RANGE BETWEEN {RANGE_WIN_US - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(max(hr_n) AS BIGINT) AS peak_hour_events,
+       CAST(max(hr_cents) AS BIGINT) AS peak_hour_cents
+FROM win
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "window_range_frame",
+    oracle=_range_frame_sql("epoch_us(ts)"),
+    description=f"value-based RANGE window frame (trailing "
+    f"{RANGE_WIN_US // 1_000_000} s on the µs timeline): peak "
+    "trailing-hour event count + cents per type — rate-limiter "
+    "sizing; pre-bucketed to (type, second) map-side so the RANGE "
+    "frame runs over the bounded bucket timeline, not raw rows",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_range_frame_sql("unix_micros(ts)"))

@@ -1004,3 +1004,76 @@ def test_null_safe_join_semantics(spark):
         else:
             n = sum(1 for o in orders if o["o_orderkey"] % 7 == i)
             assert got[f"b{i}"] == (n, n)
+
+
+def test_map_at_k_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.ml_q import MAP_K
+    from tests.conftest import SF001
+
+    import pyarrow.parquet as pq
+
+    users = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        users.setdefault(r["user_id"], []).append(
+            (-round(r["value"] * 100), r["event_id"],
+             1 if r["event_type"] == "purchase" else 0)
+        )
+    aps = []
+    for evs in users.values():
+        evs.sort()
+        top = [y for _, _, y in evs[:MAP_K]]
+        npos = sum(top)
+        if npos == 0:
+            continue
+        hits = 0
+        ap = 0.0
+        for i, y in enumerate(top, 1):
+            if y:
+                hits += 1
+                ap += hits / i
+        aps.append(ap / npos)
+    want = sum(aps) / len(aps)
+    got = load_all()["ml_map_at_k"].fn(spark, SF001).collect()[0]
+    assert got["users_with_pos"] == len(aps)
+    assert abs(got["map_at_k"] - want) < 1e-7
+
+
+def test_range_frame_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.windows_q import RANGE_WIN_US
+    from tests.conftest import SF001
+
+    import pyarrow.parquet as pq
+
+    sec = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        t = int(r["ts"].timestamp() * 1_000_000)
+        key = (r["event_type"], t - t % 1_000_000)
+        n, c = sec.get(key, (0, 0))
+        sec[key] = (n + 1, c + round(r["value"] * 100))
+    want = {}
+    by_type = {}
+    for (ty, s), v in sec.items():
+        by_type.setdefault(ty, []).append((s, v))
+    for ty, rows in by_type.items():
+        rows.sort()
+        import bisect
+
+        times = [s for s, _ in rows]
+        peak_n = peak_c = 0
+        cn = [0]
+        cc = [0]
+        for _, (n, c) in rows:
+            cn.append(cn[-1] + n)
+            cc.append(cc[-1] + c)
+        for i, (s, _) in enumerate(rows):
+            j = bisect.bisect_left(times, s - (RANGE_WIN_US - 1))
+            peak_n = max(peak_n, cn[i + 1] - cn[j])
+            peak_c = max(peak_c, cc[i + 1] - cc[j])
+        want[ty] = (peak_n, peak_c)
+    got = {
+        r["event_type"]: (r["peak_hour_events"], r["peak_hour_cents"])
+        for r in load_all()["window_range_frame"].fn(spark, SF001).collect()
+    }
+    assert got == want
