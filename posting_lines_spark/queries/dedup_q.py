@@ -886,12 +886,30 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 12×1 config's single-component candidates make the union a broad
 # superset). "Measure, don't guess" applied to banding itself.
 #
-# Scale: one signature aggregate feeds all configs; per-config
-# candidates stay band-bounded (hot-bucket salting armed); exact
-# verification runs ONCE over the deduped union of candidates, never
-# per config.
+# Scale: one signature aggregate feeds all configs; exact verification
+# runs ONCE over the deduped union of candidates, never per config.
+# TWO bound guards, both found the hard way (the first drafts OOM'd at
+# sf10 — the SNM/DBSCAN lesson class):
+# 1. SATURATION: buckets wider than SWEEP_MAX_BUCKET are EXCLUDED from
+#    pair generation and REPORTED (n_sat_buckets / n_sat_docs). A
+#    bucket that wide carries no tuning signal — its pairs are the
+#    flood the sweep exists to warn about.
+# 2. VERIFICATION BUDGET: the 12×1 config legitimately emits ~24M
+#    candidates at 5M docs (max bucket width only 52 — saturation
+#    never fires; the blowup was the exact-Jaccard verify join's
+#    pairs×shingles fan-out). Per config, verification runs on a
+#    DETERMINISTIC md5-budgeted sample: keep pair (a,b) iff
+#    h·n_candidates < V·2^60 with h the 60-bit md5 of the id pair —
+#    expected V verified pairs per config, EXACTLY all of them when
+#    n_candidates ≤ V (so the correctness-SF rows are unsampled and
+#    the cfg-4 ≡ dedup_minhash_lsh pin still holds). Candidate COUNTS
+#    stay exact; precision/recall are measured on the sample universe
+#    — identical integer cross-multiply rule on both engines.
 
 SWEEP_BANDS = (12, 6, 4, 2)
+SWEEP_MAX_BUCKET = 256
+SWEEP_VERIFY_BUDGET = 100_000
+_H60 = 1 << 60
 
 
 def _band_sweep_oracle() -> str:
@@ -927,12 +945,40 @@ sig AS (
   GROUP BY doc_id
 ),
 bands AS ({all_bands}),
+bsz AS (
+  SELECT cfg, band_idx, band_key, CAST(count(*) AS BIGINT) AS width
+  FROM bands GROUP BY cfg, band_idx, band_key
+),
+sat AS (
+  SELECT cfg,
+         CAST(count(CASE WHEN width > {SWEEP_MAX_BUCKET} THEN 1 END) AS BIGINT) AS n_sat_buckets,
+         CAST(coalesce(sum(CASE WHEN width > {SWEEP_MAX_BUCKET} THEN width END), 0)
+              AS BIGINT) AS n_sat_docs
+  FROM bsz GROUP BY cfg
+),
+okb AS (
+  SELECT b.cfg, b.doc_id, b.band_idx, b.band_key
+  FROM bands b JOIN bsz z
+    ON z.cfg = b.cfg AND z.band_idx = b.band_idx AND z.band_key = b.band_key
+  WHERE z.width <= {SWEEP_MAX_BUCKET}
+),
 cpairs AS (
   SELECT DISTINCT cfg, a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (cfg, band_idx, band_key)
+  FROM okb a JOIN okb b USING (cfg, band_idx, band_key)
   WHERE a.doc_id < b.doc_id
 ),
-upairs AS (SELECT DISTINCT id_a, id_b FROM cpairs),
+ccount AS (
+  SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cpairs GROUP BY cfg
+),
+keep AS (
+  SELECT c.cfg, c.id_a, c.id_b
+  FROM cpairs c JOIN ccount n ON n.cfg = c.cfg
+  WHERE CAST({md5_int_duck("concat(CAST(c.id_a AS VARCHAR), '|', CAST(c.id_b AS VARCHAR))", salt="sweepv")} AS DECIMAL(38,0))
+          * n.n_candidates
+        < CAST({SWEEP_VERIFY_BUDGET} AS DECIMAL(38,0)) * {_H60}
+),
+upairs AS (SELECT DISTINCT id_a, id_b FROM keep),
 uinter AS (
   SELECT p.id_a, p.id_b, count(*) AS n_common
   FROM upairs p
@@ -950,21 +996,29 @@ truth AS (
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_union_true FROM truth),
 per_cfg AS (
-  SELECT c.cfg,
-         CAST(count(*) AS BIGINT) AS n_candidates,
+  SELECT k.cfg,
+         CAST(count(*) AS BIGINT) AS n_verified,
          CAST(count(t.id_a) AS BIGINT) AS n_true
-  FROM cpairs c
-  LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
-  GROUP BY c.cfg
+  FROM keep k
+  LEFT JOIN truth t ON t.id_a = k.id_a AND t.id_b = k.id_b
+  GROUP BY k.cfg
 )
-SELECT CAST(p.cfg AS INT) AS bands,
-       CAST({NUM_HASHES} / p.cfg AS INT) AS rows_per_band,
-       p.n_candidates, p.n_true, x.n_union_true,
-       CAST(p.n_true AS DOUBLE) / nullif(CAST(p.n_candidates AS DOUBLE), 0e0)
+SELECT CAST(s.cfg AS INT) AS bands,
+       CAST({NUM_HASHES} / s.cfg AS INT) AS rows_per_band,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       coalesce(p.n_verified, 0) AS n_verified,
+       coalesce(p.n_true, 0) AS n_true, x.n_union_true,
+       s.n_sat_buckets, s.n_sat_docs,
+       CAST(coalesce(p.n_true, 0) AS DOUBLE)
+         / nullif(CAST(coalesce(p.n_verified, 0) AS DOUBLE), 0e0)
          AS precision,
-       CAST(p.n_true AS DOUBLE) / nullif(CAST(x.n_union_true AS DOUBLE), 0e0)
+       CAST(coalesce(p.n_true, 0) AS DOUBLE)
+         / nullif(CAST(x.n_union_true AS DOUBLE), 0e0)
          AS recall_vs_union
-FROM per_cfg p CROSS JOIN tot x
+FROM sat s
+LEFT JOIN ccount n ON n.cfg = s.cfg
+LEFT JOIN per_cfg p ON p.cfg = s.cfg
+CROSS JOIN tot x
 ORDER BY bands DESC
 """
 
@@ -1016,11 +1070,37 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     bands = sig.select(
         "doc_id", F.explode(F.array(*structs)).alias("x")
-    ).select("doc_id", "x.cfg", "x.band_idx", "x.band_key")
-    a = bands.select(
+    ).select("doc_id", "x.cfg", "x.band_idx", "x.band_key").localCheckpoint(
+        eager=False
+    )
+    # saturation guard: buckets wider than SWEEP_MAX_BUCKET are
+    # excluded from pair generation and reported (the first draft
+    # OOM'd at sf10 on the 12×1 config's quadratic buckets)
+    bsz = bands.groupBy("cfg", "band_idx", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("width")
+    ).localCheckpoint(eager=False)
+    sat = bsz.groupBy("cfg").agg(
+        F.sum(F.when(F.col("width") > SWEEP_MAX_BUCKET, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sat_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("width") > SWEEP_MAX_BUCKET, F.col("width"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_sat_docs"),
+    )
+    # shuffle-hash pin: Catalyst's post-aggregation size estimate for
+    # bsz admits a broadcast that OOMs at sf10 (bsz has one row per
+    # BUCKET — millions; the SNM r5 / DBSCAN r6 lesson class)
+    okb = bands.join(
+        bsz.filter(F.col("width") <= SWEEP_MAX_BUCKET).hint("shuffle_hash"),
+        ["cfg", "band_idx", "band_key"],
+    ).select("cfg", "band_idx", "band_key", "doc_id")
+    a = okb.select(
         F.col("doc_id").alias("id_a"), "cfg", "band_idx", "band_key"
     )
-    b_side = bands.select(
+    b_side = okb.select(
         F.col("doc_id").alias("id_b"), "cfg", "band_idx", "band_key"
     )
     cpairs = (
@@ -1030,7 +1110,27 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    upairs = cpairs.select("id_a", "id_b").distinct()
+    ccount = cpairs.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    from posting_lines_spark.functions.hashing import md5_int_spark
+
+    h60 = F.expr(
+        md5_int_spark(
+            "concat(CAST(id_a AS STRING), '|', CAST(id_b AS STRING))",
+            salt="sweepv",
+        )
+    ).cast("decimal(38,0)")
+    keep = (
+        cpairs.join(F.broadcast(ccount), "cfg")
+        .filter(
+            h60 * F.col("n_candidates")
+            < F.lit(SWEEP_VERIFY_BUDGET).cast("decimal(38,0)") * F.lit(_H60)
+        )
+        .select("cfg", "id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    upairs = keep.select("id_a", "id_b").distinct()
     truth = (
         dedup.jaccard_verify(upairs, sh, "doc_id", threshold=0.0)
         .filter(F.col("jaccard") >= F.lit(JACCARD_T))
@@ -1039,29 +1139,41 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_union_true"))
     per_cfg = (
-        cpairs.join(
+        keep.join(
             truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
         )
         .groupBy("cfg")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count(F.lit(1)).cast("long").alias("n_verified"),
             F.count("_t").cast("long").alias("n_true"),
         )
     )
     return (
-        per_cfg.crossJoin(F.broadcast(tot))
+        sat.join(F.broadcast(ccount), "cfg", "left")
+        .join(F.broadcast(per_cfg), "cfg", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("cfg").cast("int").alias("bands"),
             (F.lit(NUM_HASHES) / F.col("cfg")).cast("int").alias("rows_per_band"),
-            "n_candidates",
-            "n_true",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_verified"), F.lit(0))
+            .cast("long")
+            .alias("n_verified"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
             "n_union_true",
+            "n_sat_buckets",
+            "n_sat_docs",
             (
-                F.col("n_true").cast("double")
-                / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0))
+                F.coalesce(F.col("n_true"), F.lit(0)).cast("double")
+                / F.nullif(
+                    F.coalesce(F.col("n_verified"), F.lit(0)).cast("double"),
+                    F.lit(0.0),
+                )
             ).alias("precision"),
             (
-                F.col("n_true").cast("double")
+                F.coalesce(F.col("n_true"), F.lit(0)).cast("double")
                 / F.nullif(F.col("n_union_true").cast("double"), F.lit(0.0))
             ).alias("recall_vs_union"),
         )
