@@ -1027,11 +1027,13 @@ ORDER BY bands DESC
     "dedup_lsh_band_sweep",
     oracle=_band_sweep_oracle(),
     description=f"MinHash LSH band-configuration sweep over all four "
-    f"H=12 divisor splits {SWEEP_BANDS}: per config, candidate count / "
-    "verified-true count / precision / recall vs the union-of-configs "
-    "truth set — the measured S-curve an operator tunes banding with; "
-    "one shared signature build, exact verification ONCE over the "
-    "deduped candidate union, hot-bucket salting armed",
+    f"H=12 divisor splits {SWEEP_BANDS}: per config, exact candidate "
+    "count + verified-true/precision/recall on a deterministic "
+    "md5-budgeted verification sample (exact below V=100k — the "
+    "correctness SF is unsampled), saturation-guarded buckets, "
+    "shuffle-hash-pinned bucket join; one shared signature build, "
+    "verification once over the deduped kept union — the measured "
+    "S-curve an operator tunes banding with",
 )
 def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
