@@ -60,6 +60,7 @@ _LEDGER_PRIORITY = [
     "join_null_safe",
     "ml_map_at_k",
     "window_range_frame",
+    "graph_modularity",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -495,7 +495,7 @@ JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2"""
 
 
-def _lpa_oracle() -> str:
+def _lpa_parts() -> list:
     parts = [
         f"e0 AS ({_LPA_EDGES})",
         "edges AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0)",
@@ -516,9 +516,13 @@ def _lpa_oracle() -> str:
   ) WHERE rn = 1
 )"""
         )
+    return parts
+
+
+def _lpa_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_lpa_parts())
         + f"""
 SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
        min(node) AS min_node, max(node) AS max_node
@@ -528,16 +532,9 @@ ORDER BY community"""
     )
 
 
-@register(
-    "graph_label_propagation",
-    oracle=_lpa_oracle(),
-    description=f"weighted label propagation ({LPA_ROUNDS} synchronous "
-    "rounds, deterministic max-weight/min-label rule) over the part "
-    "co-purchase graph — communities along weak cuts, not components; "
-    "per round one edges⋈labels equi-join + one weighted-mode aggregate, "
-    "all-integer arithmetic; oracle = identical recurrence unrolled as CTEs",
-)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(doubled-edge table, final node→label table) — shared by the
+    LPA community query and the modularity audit."""
     from pyspark.sql import functions as F
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -569,6 +566,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.groupBy("node")
             .agg(F.expr("max_by(label, struct(wt, -label))").alias("label"))
         )
+    return edges, labels
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    description=f"weighted label propagation ({LPA_ROUNDS} synchronous "
+    "rounds, deterministic max-weight/min-label rule) over the part "
+    "co-purchase graph — communities along weak cuts, not components; "
+    "per round one edges⋈labels equi-join + one weighted-mode aggregate, "
+    "all-integer arithmetic; oracle = identical recurrence unrolled as CTEs",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges, labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1291,4 +1304,103 @@ def graph_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_checksum"),
         )
         .orderBy("user_id")
+    )
+
+
+# --- weighted modularity of the LPA communities ---
+# The quality audit for ANY community assignment (Newman 2004):
+#   Q = Σ_c [ intra_c/(2W) − (s_c/(2W))² ]
+# over the DOUBLED edge table (each undirected edge counted both ways:
+# 2W = Σw, intra_c = Σw with both endpoints in c, s_c = strength of
+# c's nodes). Everything is exact integers until ONE division:
+#   Q · (2W)² = Σ_c [ intra_c·2W − s_c² ]   — a BIGINT.
+# Communities come from the registered LPA run (labels recomputed via
+# the shared _lpa_labels helper; the oracle replays the identical
+# unrolled recurrence then the same integer aggregation).
+#
+# Scale: LPA's own envelope + one labels⋈edges join keyed on node and
+# one community-bounded aggregate.
+
+
+def _modularity_oracle() -> str:
+    parts = _lpa_parts()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, lab AS (SELECT node, label FROM lab{LPA_ROUNDS}),
+lw AS (
+  SELECT la.label AS lu, lb.label AS lv, e.w
+  FROM edges e
+  JOIN lab la ON la.node = e.u
+  JOIN lab lb ON lb.node = e.v
+),
+tw AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM lw),
+per_c AS (
+  SELECT lu AS community,
+         CAST(sum(CASE WHEN lu = lv THEN w ELSE 0 END) AS BIGINT) AS intra,
+         CAST(sum(w) AS BIGINT) AS strength
+  FROM lw GROUP BY lu
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       max(t.w2) AS two_w,
+       CAST(sum(p.intra * t.w2 - p.strength * p.strength) AS BIGINT) AS q_num,
+       CAST(sum(p.intra * t.w2 - p.strength * p.strength) AS DOUBLE)
+         / nullif(CAST(t.w2 AS DOUBLE) * CAST(t.w2 AS DOUBLE), 0e0)
+         AS modularity
+FROM per_c p CROSS JOIN tw t
+GROUP BY t.w2
+"""
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    description="Newman weighted modularity of the LPA communities: "
+    "Q·(2W)² = Σ_c[intra_c·2W − s_c²] — exact BIGINTs until one final "
+    "division; one labels⋈edges join + a community-bounded aggregate "
+    "on top of the registered LPA recurrence — the community-quality "
+    "audit that says whether the partition beats random mixing",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    edges, labels = _lpa_labels(spark, sf_dir)
+    lw = (
+        edges.join(labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu"), "u")
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv"), "v")
+        .select("lu", "lv", "w")
+    )
+    per_c = lw.groupBy(F.col("lu").alias("community")).agg(
+        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("intra"),
+        F.sum("w").cast("long").alias("strength"),
+    )
+    tw = lw.agg(F.sum("w").cast("long").alias("w2"))
+    return (
+        per_c.crossJoin(F.broadcast(tw))
+        .groupBy("w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum(
+                F.col("intra") * F.col("w2")
+                - F.col("strength") * F.col("strength")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+        .select(
+            "n_communities",
+            F.col("w2").alias("two_w"),
+            "q_num",
+            (
+                F.col("q_num").cast("double")
+                / F.nullif(
+                    F.col("w2").cast("double") * F.col("w2").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("modularity"),
+        )
     )

@@ -1077,3 +1077,31 @@ def test_range_frame_matches_python(spark):
         for r in load_all()["window_range_frame"].fn(spark, SF001).collect()
     }
     assert got == want
+
+
+def test_modularity_matches_python(spark):
+    """Integer-exact Newman Q replay from the registered LPA labels'
+    own community sizes via an independent edge walk."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import _lpa_labels
+    from tests.conftest import SF001
+
+    edges, labels = _lpa_labels(spark, SF001)
+    lab = {r["node"]: r["label"] for r in labels.collect()}
+    ew = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
+    w2 = sum(w for _, _, w in ew)
+    intra = {}
+    strength = {}
+    for u, v, w in ew:
+        strength[lab[u]] = strength.get(lab[u], 0) + w
+        if lab[u] == lab[v]:
+            intra[lab[u]] = intra.get(lab[u], 0) + w
+    q_num = sum(
+        intra.get(c, 0) * w2 - s * s for c, s in strength.items()
+    )
+    got = load_all()["graph_modularity"].fn(spark, SF001).collect()[0]
+    assert got["two_w"] == w2
+    assert got["q_num"] == q_num
+    assert got["n_communities"] == len(strength)
+    assert abs(got["modularity"] - q_num / (w2 * w2)) < 1e-15
+    assert got["modularity"] > 0  # LPA beats random mixing here
