@@ -61,6 +61,8 @@ _LEDGER_PRIORITY = [
     "ml_map_at_k",
     "window_range_frame",
     "graph_modularity",
+    "timeseries_ljung_box",
+    "stats_bartlett",
     # -- round-7 head: the one query with no driver row after r1-r6 (r6
     # verdict: registered in the final snapshot commit, missed the draw)
     # plus its non-vacuous synthetic twin registered this round --

@@ -3751,3 +3751,94 @@ FROM agg
 def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cochran_q_sql())
+
+
+# --- Bartlett's test for homogeneity of variances ---
+# The parametric sibling of stats_levene_bf (more powerful under
+# normality, famously tail-sensitive otherwise — which is WHY both
+# belong in the family): k groups (event types), response = cents.
+#   χ² = [(N−k)·ln s_p² − Σ (n_j−1)·ln s_j²] / C,
+#   C  = 1 + (Σ 1/(n_j−1) − 1/(N−k)) / (3(k−1)).
+# ln must go through the deterministic integer-ln kernel, and the
+# variances are rationals of huge exact integers (A_j = n·Σx² − (Σx)²
+# needs DECIMAL(38,0)), so each variance is QUANTIZED to the nearest
+# integer cents² before the kernel: one shared-text division of exact
+# operands + round() (identical half-away semantics on positives in
+# both engines). Variances here are O(1e8) cents², so the quantization
+# perturbs ln by O(1e-8) — far below any decision threshold, identical
+# on both engines, and documented rather than hidden.
+#
+# Scale: one conditional-moment aggregate (map-side combine, k rows),
+# then k-row scalar math.
+
+
+def _bartlett_sql() -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    d38 = "DECIMAL(38,0)"
+    layers, last = dln_int_cte_layers([("vj", "bj"), ("vp", "bp")], "vt", "bl")
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS s1,
+         sum(CAST(CAST(round(value * 100e0) AS BIGINT) AS {d38})
+             * CAST(CAST(round(value * 100e0) AS BIGINT) AS {d38})) AS s2
+  FROM events
+  GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n,
+         CAST(round(
+           CAST(CAST(CAST(n AS {d38}) * s2
+                     - CAST(s1 AS {d38}) * CAST(s1 AS {d38}) AS STRING)
+                AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))
+         ) AS BIGINT) AS vj
+  FROM g
+  WHERE n >= 2
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(round(sum((CAST(n AS DOUBLE) - 1.0e0) * CAST(vj AS DOUBLE))
+                    / (CAST(sum(n) AS DOUBLE) - CAST(count(*) AS DOUBLE)))
+              AS BIGINT) AS vp,
+         {dsum_expr("1.0e0 / (CAST(n AS DOUBLE) - 1.0e0)", 12)} AS inv_sum
+  FROM v
+),
+vt AS (
+  SELECT x.event_type, x.n, x.vj, t.n_all, t.k, t.vp, t.inv_sum
+  FROM v x CROSS JOIN tot t
+),
+{layers},
+asm AS (
+  SELECT max(n_all) AS n_all, max(k) AS k, max(inv_sum) AS inv_sum,
+         max(bp_ln) AS ln_vp,
+         {dsum_expr("(CAST(n AS DOUBLE) - 1.0e0) * bj_ln", 6)} AS sum_term
+  FROM {last}
+)
+SELECT n_all, k,
+       ((CAST(n_all AS DOUBLE) - CAST(k AS DOUBLE)) * ln_vp - sum_term)
+         / (1.0e0 + (inv_sum
+                     - 1.0e0 / (CAST(n_all AS DOUBLE) - CAST(k AS DOUBLE)))
+                    / (3.0e0 * (CAST(k AS DOUBLE) - 1.0e0))) AS chi2_stat,
+       CAST(k - 1 AS BIGINT) AS df
+FROM asm
+"""
+
+
+@register(
+    "stats_bartlett",
+    oracle=_bartlett_sql(),
+    description="Bartlett's variance-homogeneity test over k = 5 "
+    "event-type groups (the parametric sibling of stats_levene_bf): "
+    "exact DECIMAL(38,0) moment numerators, variances quantized to "
+    "integer cents² (O(1e-8) relative ln perturbation, identical both "
+    "engines) for the deterministic integer-ln kernel, fixed "
+    "shared-text χ²/C chain; one k-row conditional-moment aggregate",
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bartlett_sql())

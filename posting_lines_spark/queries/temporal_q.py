@@ -2038,3 +2038,46 @@ GROUP BY d.event_type, s.nh, s.sigma
 ORDER BY d.event_type
 """
     )
+
+
+# --- Ljung-Box portmanteau test (is the series white noise?) ---
+# The significance companion to timeseries_autocorr/pacf: tests all
+# ACF_LAGS lags JOINTLY —  Q = n(n+2)·Σ_k r_k²/(n−k), χ²(h) under the
+# white-noise null. Reuses the bit-identical ACF chain verbatim; the
+# Q assembly is one k-row fixed shared-text expression per type.
+# Scale: exactly the ACF envelope.
+
+
+def _ljung_box_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    acf_sub = _acf_sql(epoch_us).replace("ORDER BY n.event_type, n.lag", "")
+    nd = "CAST(max(n_days) AS DOUBLE)"
+    return f"""
+WITH acf AS ({acf_sub}),
+terms AS (
+  SELECT event_type, n_days,
+         acf * acf / nullif(CAST(n_days AS DOUBLE) - CAST(lag AS DOUBLE), 0e0)
+           AS t
+  FROM acf
+)
+SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS h_lags,
+       {nd} * ({nd} + 2.0e0) * {dsum_expr("t", 12)} AS q_stat
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_ljung_box",
+    oracle=_ljung_box_sql("epoch_us(ts)"),
+    description="Ljung-Box portmanteau test over the first 3 ACF lags "
+    "per type (Q = n(n+2)·Σ r²/(n−k), χ²(3) under white noise): "
+    "reuses the bit-identical decimal-routed ACF chain; the joint-"
+    "significance companion to autocorr/pacf; calendar-bounded",
+)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ljung_box_sql("unix_micros(ts)"))

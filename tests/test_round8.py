@@ -1105,3 +1105,56 @@ def test_modularity_matches_python(spark):
     assert got["n_communities"] == len(strength)
     assert abs(got["modularity"] - q_num / (w2 * w2)) < 1e-15
     assert got["modularity"] > 0  # LPA beats random mixing here
+
+
+def test_ljung_box_consistent_with_acf(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    reg = load_all()
+    acf = {}
+    nd = {}
+    for r in reg["timeseries_autocorr"].fn(spark, SF001).collect():
+        acf.setdefault(r["event_type"], {})[r["lag"]] = r["acf"]
+        nd[r["event_type"]] = r["n_days"]
+    got = {
+        r["event_type"]: (r["n_days"], r["h_lags"], r["q_stat"])
+        for r in reg["timeseries_ljung_box"].fn(spark, SF001).collect()
+    }
+    for t, rk in acf.items():
+        n = nd[t]
+        q = n * (n + 2) * sum(r * r / (n - k) for k, r in rk.items())
+        assert got[t][0] == n and got[t][1] == len(rk)
+        assert abs(got[t][2] - q) < 1e-6 * max(1.0, abs(q))
+
+
+def test_bartlett_matches_python(spark):
+    """scipy.stats.bartlett replay up to the documented integer-cents²
+    variance quantization (O(1e-8) relative)."""
+    import math
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF001
+
+    import pyarrow.parquet as pq
+
+    groups = {}
+    for r in pq.read_table(SF001 + "/events.parquet").to_pylist():
+        groups.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    ns, vs = [], []
+    for xs in groups.values():
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        ns.append(n)
+        vs.append(round((n * s2 - s1 * s1) / (n * (n - 1))))
+    N, k = sum(ns), len(ns)
+    vp = round(sum((n - 1) * v for n, v in zip(ns, vs)) / (N - k))
+    num = (N - k) * math.log(vp) - sum(
+        (n - 1) * math.log(v) for n, v in zip(ns, vs)
+    )
+    c = 1 + (sum(1 / (n - 1) for n in ns) - 1 / (N - k)) / (3 * (k - 1))
+    want = num / c
+    got = load_all()["stats_bartlett"].fn(spark, SF001).collect()[0]
+    assert (got["n_all"], got["k"], got["df"]) == (N, k, k - 1)
+    assert abs(got["chi2_stat"] - want) < 1e-4 * max(1.0, abs(want))
