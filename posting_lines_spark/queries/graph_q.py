@@ -1344,8 +1344,14 @@ per_c AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_communities,
        max(t.w2) AS two_w,
-       CAST(sum(p.intra * t.w2 - p.strength * p.strength) AS BIGINT) AS q_num,
-       CAST(sum(p.intra * t.w2 - p.strength * p.strength) AS DOUBLE)
+       CAST(CAST(sum(CAST(p.intra AS DECIMAL(19,0)) * CAST(t.w2 AS DECIMAL(19,0))
+                     - CAST(p.strength AS DECIMAL(19,0))
+                       * CAST(p.strength AS DECIMAL(19,0))) AS VARCHAR)
+            AS DOUBLE) AS q_num,
+       CAST(CAST(sum(CAST(p.intra AS DECIMAL(19,0)) * CAST(t.w2 AS DECIMAL(19,0))
+                     - CAST(p.strength AS DECIMAL(19,0))
+                       * CAST(p.strength AS DECIMAL(19,0))) AS VARCHAR)
+            AS DOUBLE)
          / nullif(CAST(t.w2 AS DOUBLE) * CAST(t.w2 AS DOUBLE), 0e0)
          AS modularity
 FROM per_c p CROSS JOIN tw t
@@ -1379,17 +1385,22 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("strength"),
     )
     tw = lw.agg(F.sum("w").cast("long").alias("w2"))
+    # intra·2W and s_c² exceed int64 once Σw passes ~3e9 (well inside
+    # the 100-TB envelope); DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0)
+    # is exact on both engines (each operand < 9.3e18, product <
+    # 8.6e37), and the sum leaves through the parity.py VARCHAR
+    # final cast so both engines round identically.
+    term = F.col("intra").cast("decimal(19,0)") * F.col("w2").cast(
+        "decimal(19,0)"
+    ) - F.col("strength").cast("decimal(19,0)") * F.col("strength").cast(
+        "decimal(19,0)"
+    )
     return (
         per_c.crossJoin(F.broadcast(tw))
         .groupBy("w2")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.sum(
-                F.col("intra") * F.col("w2")
-                - F.col("strength") * F.col("strength")
-            )
-            .cast("long")
-            .alias("q_num"),
+            F.sum(term).cast("string").cast("double").alias("q_num"),
         )
         .select(
             "n_communities",

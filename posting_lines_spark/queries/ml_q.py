@@ -999,11 +999,14 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MAP@K (mean average precision for ranked retrieval) ---
 # Completes the ranking-evaluation triple (ml_mrr: first hit; ml_ndcg:
 # graded discounts; MAP: ALL hits with precision-at-hit weighting):
-# AP@K(u) = Σ_{hits r ≤ K} Precision@r / min(K, n_pos(u)), averaged
-# over users with ≥1 positive. Precision@r at a hit = (hits so far)/r
-# — a ratio of small exact integers from one cumulative window over
-# the user's top-K rows; the per-user AP sum is ≤ K terms, and the
-# cross-user mean is decimal-routed.
+# AP@K(u) = Σ_{hits r ≤ K} Precision@r / min(K, n_pos(u)), where
+# n_pos(u) counts the user's positives over the FULL ranked list (the
+# standard TREC convention — a user whose only relevant items sit
+# outside the top-K scores AP=0, it does not vanish from the mean),
+# averaged over users with ≥1 positive anywhere. Precision@r at a hit
+# = (hits so far)/r — a ratio of small exact integers from one
+# cumulative window over the user's top-K rows; the per-user AP sum is
+# ≤ K terms, and the cross-user mean is decimal-routed.
 #
 # Scale: identical envelope to ml_mrr/ml_ndcg — one user-partitioned
 # ranking window, one K-bounded per-user pass, one 1-row reduce.
@@ -1022,15 +1025,15 @@ def _map_sql() -> str:
 
     return f"""
 WITH r AS ({_RANKED}),
+np AS (
+  SELECT user_id, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM r GROUP BY user_id
+),
 topk AS (
   SELECT user_id, y, rnk,
          CAST(sum(y) OVER (PARTITION BY user_id ORDER BY rnk
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
   FROM r WHERE rnk <= {MAP_K}
-),
-np AS (
-  SELECT user_id, CAST(sum(y) AS BIGINT) AS n_pos_k
-  FROM topk GROUP BY user_id
 ),
 terms AS (
   SELECT t.user_id,
@@ -1039,12 +1042,16 @@ terms AS (
               ELSE 0e0 END AS p_at_hit
   FROM topk t
 ),
+sums AS (
+  SELECT user_id, {dsum_expr("p_at_hit", 12)} AS ap_num
+  FROM terms GROUP BY user_id
+),
 ap AS (
-  SELECT s.user_id,
-         {dsum_expr("s.p_at_hit", 12)} / CAST(max(n.n_pos_k) AS DOUBLE) AS ap
-  FROM terms s JOIN np n ON n.user_id = s.user_id
-  WHERE n.n_pos_k > 0
-  GROUP BY s.user_id
+  SELECT n.user_id,
+         COALESCE(s.ap_num, 0e0)
+           / CAST(LEAST(n.n_pos, {MAP_K}) AS DOUBLE) AS ap
+  FROM np n LEFT JOIN sums s ON s.user_id = n.user_id
+  WHERE n.n_pos > 0
 )
 SELECT CAST(count(*) AS BIGINT) AS users_with_pos,
        {dsum_expr("ap", 9)} / CAST(count(*) AS DOUBLE) AS map_at_k
@@ -1058,8 +1065,9 @@ FROM ap
     description=f"MAP@{MAP_K} (mean average precision): precision-at-"
     "hit ratios of exact integers from one user-partitioned cumulative "
     "window over the top-K rows, per-user AP normalized by min(K, "
-    "positives-in-K), decimal-routed cross-user mean — completes the "
-    "mrr/ndcg ranking-evaluation triple",
+    "total positives over the FULL ranked list — standard TREC "
+    "convention, zero-hit users score 0), decimal-routed cross-user "
+    "mean — completes the mrr/ndcg ranking-evaluation triple",
 )
 def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -789,7 +789,14 @@ LC_M = 4096
 def _linear_counting_sql(md5u: str) -> str:
     from posting_lines_spark.functions.dmath import dln_int_cte_layers
 
-    layers, last = dln_int_cte_layers([("mm", "lm"), ("v", "lv")], "vt", "lc"
+    # Saturation guard: once every bucket is occupied (V = 0 —
+    # guaranteed past n ≈ m·ln m ≈ 36k distinct), the estimator is
+    # undefined (ln(m/0)); the integer-ln kernel's contract is n ≥ 1
+    # and at 0 it would return a finite WRONG value. nullif routes the
+    # saturated regime to NULL n_est/rel_err on both engines instead —
+    # the documented degenerate-case discipline.
+    layers, last = dln_int_cte_layers(
+        [("mm", "lm"), ("nullif(v, 0)", "lv")], "vt", "lc"
     )
     return f"""
 WITH occ AS (

@@ -190,7 +190,18 @@ def _track_gaps(key, pdfs, state: GroupState) -> "Iterator[pd.DataFrame]":
     else:
         last, n, sg, hi, lo = None, 0, 0, 0, 0
     sgg = hi * _LANE + lo
-    for pdf in pdfs:
+    # Buffer the WHOLE group before sorting: a group's rows within one
+    # micro-batch can span multiple Arrow record batches (default
+    # maxRecordsPerBatch=10000), and slice files are written unsorted —
+    # sorting each chunk independently would fold gaps between
+    # misordered neighbors (the _session_update discipline).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for t in pdf["ts_us"].astype("int64"):
             t = int(t)

@@ -1022,17 +1022,17 @@ def test_map_at_k_matches_python(spark):
     aps = []
     for evs in users.values():
         evs.sort()
-        top = [y for _, _, y in evs[:MAP_K]]
-        npos = sum(top)
-        if npos == 0:
+        npos_total = sum(y for _, _, y in evs)
+        if npos_total == 0:
             continue
+        top = [y for _, _, y in evs[:MAP_K]]
         hits = 0
         ap = 0.0
         for i, y in enumerate(top, 1):
             if y:
                 hits += 1
                 ap += hits / i
-        aps.append(ap / npos)
+        aps.append(ap / min(MAP_K, npos_total))
     want = sum(aps) / len(aps)
     got = load_all()["ml_map_at_k"].fn(spark, SF001).collect()[0]
     assert got["users_with_pos"] == len(aps)
