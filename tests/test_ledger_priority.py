@@ -30,3 +30,19 @@ def test_ledger_priority_is_total_permutation():
 
     assert sorted(m._LEDGER_PRIORITY) == sorted(load_all())
     assert len(set(m._LEDGER_PRIORITY)) == len(m._LEDGER_PRIORITY)
+
+
+def test_readme_count_matches_registry():
+    """README's headline query count must track load_all() — the r8
+    VERDICT caught a hand-maintained count three waves stale."""
+    import re
+
+    sys.path.insert(0, "/root/repo")
+    from posting_lines_spark.queries import load_all
+
+    text = open("/root/repo/README.md").read()
+    counts = re.findall(r"(\d+) registered queries", text)
+    assert counts, "README lost its registry-count sentence"
+    assert all(int(c) == len(load_all()) for c in counts), (
+        f"README says {counts}, registry has {len(load_all())}"
+    )

@@ -168,3 +168,100 @@ FROM per_c
     got_duck = duck.execute(frag).fetchone()[0]
     duck.execute("DROP TABLE per_c")
     assert got_spark == got_duck == float(exact)
+
+
+def test_interarrival_stateful_recovers_after_restart(spark):
+    """Crash/resume path of the gap-moment state store (round-8 VERDICT
+    item 3, mirroring test_stateful_attribution_recovers_after_restart):
+    drain the first half of the time slices, STOP the query (offsets +
+    per-(user,type) lane state checkpointed), reveal the rest, then
+    start a BRAND-NEW query from the same checkpoint. The resumed query
+    must reload (last_ts, n, Σg, Σg²-lanes) from the state store — the
+    boundary gap between the halves is only correct if last_ts
+    survived — so the per-key union-max partials equal the
+    uninterrupted run's exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.stream_q import _sess_write_slices
+    from posting_lines_spark.sources import load_table
+    from posting_lines_spark.streaming.stateful import (
+        _track_gaps,
+        interarrival_stateful,
+    )
+
+    events = load_table(spark, SF001, "events")
+    full = scratch_dir("pls_gaprec_full_")
+    _sess_write_slices(events)(full)
+    files = sorted(
+        (os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    assert len(files) == 6  # 4 slices + 2 watermark-flush sentinels
+
+    src = scratch_dir("pls_gaprec_src_")
+    sink = scratch_dir("pls_gaprec_out_")
+    ckpt = scratch_dir("pls_gaprec_ckpt_")
+    schema = spark.read.parquet(full).schema
+
+    def drain() -> None:
+        # The memory sink can't recover from a checkpoint, so the
+        # restart path uses a parquet sink in append mode: every
+        # micro-batch appends each touched key's RUNNING totals, and
+        # the max-n row per key is the final answer — same row-shape
+        # and same _track_gaps state encoding as the registered query.
+        out = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("user_id") >= 0)
+            .withColumn("ts_us", F.expr("unix_micros(ts)"))
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                _track_gaps,
+                outputStructType="user_id long, event_type string, n long,"
+                " sg long, sgg_hi long, sgg_lo long",
+                stateStructType="last_ts long, n long, sg long,"
+                " sgg_hi long, sgg_lo long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:3]:
+        shutil.copy2(f, os.path.join(src, os.path.basename(f)))
+    drain()
+    for f in files[3:]:
+        shutil.copy2(f, os.path.join(src, os.path.basename(f)))
+    drain()  # new query object; resumes from ckpt
+
+    # final per-key row = max-n row across all appended running totals
+    both = spark.read.schema(
+        "user_id long, event_type string, n long, sg long,"
+        " sgg_hi long, sgg_lo long"
+    ).parquet(sink)
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("n").desc())
+    got = {
+        (r["user_id"], r["event_type"]): (r["n"], r["sg"], r["sgg_hi"], r["sgg_lo"])
+        for r in both.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["sg"], r["sgg_hi"], r["sgg_lo"])
+        for r in interarrival_stateful(spark, full).collect()
+    }
+    assert got == want
