@@ -185,3 +185,78 @@ def phash48(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(per_batch, schema="doc_id long, phash long")
+
+
+# --- audio lane: deterministic fake PCM + frame-energy decode ---
+# The audio half of the multimodal story (speech curation pipelines run
+# VAD before transcription): audio travels as an opaque binary payload
+# of fixed 16-byte frames (one md5 digest = 8 big-endian int16 samples
+# — the deterministic fake standing in for real PCM, same boundary as
+# the image fake above), and "decode" is an Arrow-batched mapInPandas
+# that parses samples and emits per-frame energy Σs². Everything
+# downstream (thresholding, segment runs) is engine SQL; the oracle
+# replays the digest arithmetic bit-for-bit, so the WHOLE lane is
+# exact-checked. With real audio the per-batch body calls the codec;
+# the schema, fan-out shape, and batch-sized memory are the real path.
+
+AUDIO_FRAME_BYTES = 16
+AUDIO_SAMPLES_PER_FRAME = 8
+AUDIO_NF_MOD = 37  # n_frames = 1 + doc_id % 37 — bounded fan-out
+ENERGY_SCHEMA = "doc_id long, frame_idx long, energy long"
+
+
+def attach_audio(df: DataFrame) -> DataFrame:
+    """Simulated ingestion: per doc, n_frames = 1 + doc_id % 37 frames
+    of md5(doc_id:frame:vad) digest bytes, concatenated into one binary
+    payload column (with real audio this is the object-store blob)."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 1 + doc_id % AUDIO_NF_MOD
+                payload = b"".join(
+                    hashlib.md5(f"{doc_id}:{f}:vad".encode()).digest()
+                    for f in range(nf)
+                )
+                rows.append((doc_id, nf, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "audio"])
+
+    return df.select("doc_id").mapInPandas(
+        per_batch, schema="doc_id long, n_frames long, audio binary"
+    )
+
+
+def frame_energies(df: DataFrame) -> DataFrame:
+    """The fake decode: slice the payload into 16-byte frames, parse 8
+    big-endian uint16 samples per frame, center to int16 range, emit
+    per-frame energy Σs² (exact integers — what the SQL oracle replays
+    from the md5 hex). Arrow-batched; payload bytes never shuffle."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio"]):
+                doc_id = int(doc_id)
+                for f in range(len(payload) // AUDIO_FRAME_BYTES):
+                    fb = payload[
+                        f * AUDIO_FRAME_BYTES : (f + 1) * AUDIO_FRAME_BYTES
+                    ]
+                    e = 0
+                    for s in range(AUDIO_SAMPLES_PER_FRAME):
+                        v = (
+                            int.from_bytes(fb[2 * s : 2 * s + 2], "big")
+                            - 32768
+                        )
+                        e += v * v
+                    rows.append((doc_id, f, e))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    return df.mapInPandas(per_batch, schema=ENERGY_SCHEMA)

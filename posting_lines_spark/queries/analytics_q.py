@@ -3842,3 +3842,513 @@ FROM asm
 def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bartlett_sql())
+
+
+# --- Mood's median test across event types ---
+# The k-sample nonparametric location test in its cheapest form: does
+# each group put the same share of mass above the POOLED median? All
+# machinery is exact: values land in the cents domain (round(value·100)
+# — the _SCORED discipline), the pooled lower median is the smallest
+# cents value whose cumulative count reaches half of n (one window over
+# the score-domain-BOUNDED per-cents table, the AUC pattern), the 2×k
+# contingency cells are exact integer counts, and the Pearson χ² folds
+# in event-type order (the stats_chi2_independence fold) so both
+# engines add identical doubles in an identical order. df = k−1.
+#
+# Scale: one cents-domain aggregate (map-side combinable), one bounded
+# cumulative window, one k-row finish.
+
+
+def _mood_fold(which: str) -> str:
+    if which == "spark":
+        return (
+            "aggregate(transform(array_sort(collect_list(struct(event_type,"
+            " term))), s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(term ORDER BY event_type)), (acc, v) -> acc + v)"
+    )
+
+
+def _mood_sql(fold: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100e0) AS BIGINT) AS s FROM events
+),
+per_s AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY s),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per_s),
+cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cc
+  FROM per_s
+),
+med AS (SELECT CAST(min(s) AS BIGINT) AS m FROM cum CROSS JOIN tot WHERE 2 * cc >= n),
+cells AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN s > (SELECT m FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS o_hi,
+         CAST(sum(CASE WHEN s <= (SELECT m FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS o_lo
+  FROM scored GROUP BY event_type
+),
+marg AS (
+  SELECT CAST(sum(o_hi) AS BIGINT) AS t_hi, CAST(sum(o_lo) AS BIGINT) AS t_lo,
+         CAST(sum(o_hi + o_lo) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM cells
+),
+terms AS (
+  SELECT c.event_type,
+         (CAST(c.o_hi AS DOUBLE)
+            - CAST(c.o_hi + c.o_lo AS DOUBLE) * t_hi / n)
+         * (CAST(c.o_hi AS DOUBLE)
+            - CAST(c.o_hi + c.o_lo AS DOUBLE) * t_hi / n)
+         / nullif(CAST(c.o_hi + c.o_lo AS DOUBLE) * t_hi / n, 0e0)
+         + (CAST(c.o_lo AS DOUBLE)
+            - CAST(c.o_hi + c.o_lo AS DOUBLE) * t_lo / n)
+         * (CAST(c.o_lo AS DOUBLE)
+            - CAST(c.o_hi + c.o_lo AS DOUBLE) * t_lo / n)
+         / nullif(CAST(c.o_hi + c.o_lo AS DOUBLE) * t_lo / n, 0e0) AS term
+  FROM cells c CROSS JOIN marg
+)
+SELECT (SELECT m FROM med) AS median_cents,
+       (SELECT k FROM marg) AS k,
+       (SELECT n FROM marg) AS n,
+       (SELECT k - 1 FROM marg) AS dof,
+       (SELECT {fold} FROM terms) AS chi2
+"""
+
+
+@register(
+    "stats_mood_median",
+    oracle=_mood_sql(_mood_fold("duck")),
+    description="Mood's median test across event types: pooled lower "
+    "median from one bounded cumulative window over the cents domain, "
+    "exact 2×k contingency cells, event-type-ordered χ² fold (df=k−1) "
+    "— the robust k-sample location screen when Kruskal-Wallis's full "
+    "ranking is overkill; one cents aggregate + a k-row finish",
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mood_sql(_mood_fold("spark")))
+
+
+# --- Cronbach's alpha (internal consistency of the event-type "scale") ---
+# Treat each event type as an item and each user as a subject, scored
+# by their cents total on that item (missing item = 0 — the zero-fill
+# is FREE because population moments over all N users only need sums
+# over PRESENT cells). α = k/(k−1)·(1 − Σᵢ varᵢ / var_total), all
+# variances population-style over N. Every data-touching sum is an
+# exact integer (cents cells, DECIMAL(19,0)-routed squares, VARCHAR
+# final cast); the k per-item variance terms fold in item order; the
+# per-user totals' moments are exact the same way.
+#
+# Scale: one (user, item) cents aggregate, one |items|-row and one
+# |users|-row re-aggregate — the classic two-level cube, all map-side
+# combinable; the finish is k-bounded.
+
+_D19A = "DECIMAL(19,0)"
+
+
+def _cronbach_fold(which: str) -> str:
+    if which == "spark":
+        return (
+            "aggregate(transform(array_sort(collect_list(struct(event_type,"
+            " v_i))), s -> s.v_i), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(v_i ORDER BY event_type)), (acc, v) -> acc + v)"
+    )
+
+
+def _cronbach_sql(fold: str) -> str:
+    return f"""
+WITH cell AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id, event_type
+),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_subj FROM cell),
+items AS (
+  SELECT event_type,
+         CAST(CAST(sum(CAST(x AS {_D19A})) AS STRING) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(x AS {_D19A}) * CAST(x AS {_D19A}))
+              AS STRING) AS DOUBLE) AS sxx
+  FROM cell GROUP BY event_type
+),
+ivar AS (
+  SELECT event_type,
+         sxx / CAST(n_subj AS DOUBLE)
+           - (sx / CAST(n_subj AS DOUBLE)) * (sx / CAST(n_subj AS DOUBLE))
+           AS v_i
+  FROM items CROSS JOIN nu
+),
+totals AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS t FROM cell GROUP BY user_id),
+tvar AS (
+  SELECT CAST(CAST(sum(CAST(t AS {_D19A})) AS STRING) AS DOUBLE) AS st,
+         CAST(CAST(sum(CAST(t AS {_D19A}) * CAST(t AS {_D19A}))
+              AS STRING) AS DOUBLE) AS stt
+  FROM totals
+),
+fin AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM items) AS k,
+         (SELECT n_subj FROM nu) AS n_subj,
+         (SELECT {fold} FROM ivar) AS sum_item_var,
+         (SELECT stt / CAST(n_subj AS DOUBLE)
+            - (st / CAST(n_subj AS DOUBLE)) * (st / CAST(n_subj AS DOUBLE))
+          FROM tvar CROSS JOIN nu) AS total_var
+)
+SELECT k, n_subj, sum_item_var, total_var,
+       (CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0))
+         * (1.0e0 - sum_item_var / nullif(total_var, 0e0)) AS alpha
+FROM fin
+"""
+
+
+@register(
+    "stats_cronbach_alpha",
+    oracle=_cronbach_sql(_cronbach_fold("duck")),
+    description="Cronbach's alpha over the user×event-type cents "
+    "matrix (items = event types, zero-filled for free via population "
+    "moments over all N subjects): exact integer cells, DECIMAL(19,0)-"
+    "routed squares with the VARCHAR final cast, item-ordered variance "
+    "fold — the internal-consistency check before trusting a composite "
+    "engagement score; two-level cube aggregates, k-bounded finish",
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cronbach_sql(_cronbach_fold("spark")))
+
+
+# --- ICC(1,1): one-way random-effects intraclass correlation ---
+# How much of event-value variance is BETWEEN users vs within them —
+# the users-as-raters reliability decomposition (Shrout & Fleiss 1979
+# case 1, unbalanced groups with the k₀ adjusted mean group size):
+#   MSW = SSW/(N−G), MSB = SSB/(G−1),
+#   k₀ = (N − Σnᵢ²/N)/(G−1),  ICC = (MSB−MSW)/(MSB+(k₀−1)·MSW).
+# Per-group sums Σy, Σy² are exact cents integers (DECIMAL(19,0)-
+# routed squares); the cross-group sums of the per-group RATIONAL
+# terms (Σyᵢ)²/nᵢ are decimal-routed at scale 0 — terms are ~1e10
+# cents², so scale 0 keeps the per-row double→DECIMAL quantization
+# ~11 digits below the value while avoiding the magnitude hazard
+# documented in parity.py (higher scales flip rounding coin-flips at
+# this magnitude).
+#
+# Scale: one (user) aggregate with map-side combine, one G-row
+# re-aggregate, a 1-row finish.
+
+
+def _icc_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    d19 = "DECIMAL(19,0)"
+    return f"""
+WITH y AS (
+  SELECT user_id, CAST(round(value * 100e0) AS BIGINT) AS y FROM events
+),
+per_g AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(CAST(sum(CAST(y AS {d19}) * CAST(y AS {d19})) AS STRING)
+              AS DOUBLE) AS syy
+  FROM y GROUP BY user_id
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_i) AS BIGINT) AS n_tot,
+         CAST(sum(sy) AS BIGINT) AS sy_tot,
+         CAST(CAST(sum(CAST(n_i AS {d19}) * CAST(n_i AS {d19})) AS STRING)
+              AS DOUBLE) AS sum_ni_sq,
+         {dsum_expr("syy", 0)} AS syy_tot,
+         {dsum_expr(
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_i AS DOUBLE)",
+            0,
+         )} AS s2
+  FROM per_g
+),
+ms AS (
+  SELECT n_groups, n_tot,
+         (syy_tot - s2) / (CAST(n_tot AS DOUBLE) - CAST(n_groups AS DOUBLE))
+           AS msw,
+         (s2 - CAST(sy_tot AS DOUBLE) * CAST(sy_tot AS DOUBLE)
+                 / CAST(n_tot AS DOUBLE))
+           / (CAST(n_groups AS DOUBLE) - 1.0e0) AS msb,
+         (CAST(n_tot AS DOUBLE) - sum_ni_sq / CAST(n_tot AS DOUBLE))
+           / (CAST(n_groups AS DOUBLE) - 1.0e0) AS k0
+  FROM g
+)
+SELECT n_groups, n_tot, msw, msb, k0,
+       (msb - msw) / nullif(msb + (k0 - 1.0e0) * msw, 0e0) AS icc1
+FROM ms
+"""
+
+
+@register(
+    "stats_icc",
+    oracle=_icc_sql(),
+    description="ICC(1,1) one-way random-effects intraclass correlation "
+    "of event cents by user (unbalanced k₀ form): exact per-group cents "
+    "moments, scale-0 decimal-routed cross-group rational sums, one "
+    "fixed double chain for MSW/MSB/k₀/ICC — how much variance is "
+    "between users vs within; a two-level aggregate and a 1-row finish",
+)
+def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_icc_sql())
+
+
+# --- Lin's concordance correlation (daily purchase vs click revenue) ---
+# Pearson asks "correlated?"; Lin's CCC asks "do they AGREE along the
+# 45° line?" — the right reproducibility metric when one daily series
+# should reproduce another:
+#   CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+# over the day-joined daily cents totals of the two event types. All
+# five moments are exact integers (DECIMAL(19,0)-routed products,
+# VARCHAR final cast); CCC and Pearson r finish in one fixed double
+# chain, so both engines emit bit-identical values. The scale shift
+# C_b = CCC/r rides along (accuracy vs precision split).
+#
+# Scale: one (type, day) aggregate, a calendar-bounded day join, one
+# 1-row reduce.
+
+_CCC_A, _CCC_B = "purchase", "click"
+
+
+def _ccc_sql(epoch_us: str) -> str:
+    d19 = "DECIMAL(19,0)"
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    xa, xb = f"CAST(p.x AS {d19})", f"CAST(c.x AS {d19})"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IN ('{_CCC_A}', '{_CCC_B}')
+  GROUP BY event_type, {day}
+),
+j AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum({xa}) AS STRING) AS DOUBLE) AS sa,
+         CAST(CAST(sum({xb}) AS STRING) AS DOUBLE) AS sb,
+         CAST(CAST(sum({xa} * {xa}) AS STRING) AS DOUBLE) AS saa,
+         CAST(CAST(sum({xb} * {xb}) AS STRING) AS DOUBLE) AS sbb,
+         CAST(CAST(sum({xa} * {xb}) AS STRING) AS DOUBLE) AS sab
+  FROM (SELECT day, x FROM daily WHERE event_type = '{_CCC_A}') p
+  JOIN (SELECT day, x FROM daily WHERE event_type = '{_CCC_B}') c
+    ON c.day = p.day
+),
+m AS (
+  SELECT n,
+         sa / CAST(n AS DOUBLE) AS ma, sb / CAST(n AS DOUBLE) AS mb,
+         saa / CAST(n AS DOUBLE)
+           - (sa / CAST(n AS DOUBLE)) * (sa / CAST(n AS DOUBLE)) AS va,
+         sbb / CAST(n AS DOUBLE)
+           - (sb / CAST(n AS DOUBLE)) * (sb / CAST(n AS DOUBLE)) AS vb,
+         sab / CAST(n AS DOUBLE)
+           - (sa / CAST(n AS DOUBLE)) * (sb / CAST(n AS DOUBLE)) AS cab
+  FROM j
+)
+SELECT n AS n_days, ma AS mean_a, mb AS mean_b,
+       cab / nullif(sqrt(va) * sqrt(vb), 0e0) AS pearson_r,
+       2.0e0 * cab / nullif(va + vb + (ma - mb) * (ma - mb), 0e0) AS ccc,
+       (2.0e0 * cab / nullif(va + vb + (ma - mb) * (ma - mb), 0e0))
+         / nullif(cab / nullif(sqrt(va) * sqrt(vb), 0e0), 0e0) AS c_b
+FROM m
+"""
+
+
+@register(
+    "stats_lin_ccc",
+    oracle=_ccc_sql("epoch_us(ts)"),
+    description=f"Lin's concordance correlation between daily "
+    f"{_CCC_A} and {_CCC_B} cents totals (+ Pearson r and the C_b "
+    "accuracy factor): five exact integer moments via DECIMAL(19,0)-"
+    "routed products and the VARCHAR final cast, one fixed double "
+    "chain — agreement along the 45° line, not just correlation; one "
+    "daily aggregate + a calendar-bounded join",
+)
+def stats_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ccc_sql("unix_micros(ts)"))
+
+
+# --- Mantel-Haenszel stratified 2×2 association ---
+# Is purchase-hood associated with high value AFTER controlling for
+# day-of-week? Strata s = weekday of the event day; per stratum the
+# 2×2 cells (a,b,c,d) of (is-purchase × value ≥ threshold) are exact
+# integer counts. The common odds ratio and the CMH χ² (no continuity
+# correction — stated convention):
+#   OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
+#   χ²   = (Σaᵢ − Σ r1ᵢc1ᵢ/nᵢ)² / Σ [r1ᵢr0ᵢc1ᵢc0ᵢ/(nᵢ²(nᵢ−1))].
+# Each per-stratum term is one fixed shared-text double expression of
+# exact integers; the four cross-stratum double sums fold in stratum
+# order (7 elements) — bit-identical on both engines.
+#
+# Scale: one (stratum, exposure, outcome) count aggregate — 28 cells
+# regardless of data volume; everything downstream is stratum-bounded.
+
+_MH_THRESH = 25000  # cents
+
+
+def _mh_fold(which: str, col: str) -> str:
+    if which == "spark":
+        return (
+            f"aggregate(transform(array_sort(collect_list(struct(dow,"
+            f" {col}))), s -> s.{col}), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({col} ORDER BY dow)), (acc, v) -> acc + v)"
+    )
+
+
+def _mh_sql(epoch_us: str, which: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH base AS (
+  SELECT {day} % 7 AS dow,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS expo,
+         CASE WHEN CAST(round(value * 100e0) AS BIGINT) >= {_MH_THRESH}
+              THEN 1 ELSE 0 END AS outc
+  FROM events
+),
+cells AS (
+  SELECT dow,
+         CAST(sum(expo * outc) AS BIGINT) AS a,
+         CAST(sum(expo * (1 - outc)) AS BIGINT) AS b,
+         CAST(sum((1 - expo) * outc) AS BIGINT) AS c,
+         CAST(sum((1 - expo) * (1 - outc)) AS BIGINT) AS d
+  FROM base GROUP BY dow
+),
+terms AS (
+  SELECT dow, a,
+         CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           / CAST(a + b + c + d AS DOUBLE) AS ad_n,
+         CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           / CAST(a + b + c + d AS DOUBLE) AS bc_n,
+         CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+           / CAST(a + b + c + d AS DOUBLE) AS e1,
+         CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+           * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+           / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+              * (CAST(a + b + c + d AS DOUBLE) - 1.0e0)) AS v1
+  FROM cells
+),
+folded AS (
+  SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_strata,
+         CAST((SELECT sum(a) FROM cells) AS BIGINT) AS sum_a,
+         (SELECT {_mh_fold(which, "ad_n")} FROM terms) AS s_ad,
+         (SELECT {_mh_fold(which, "bc_n")} FROM terms) AS s_bc,
+         (SELECT {_mh_fold(which, "e1")} FROM terms) AS s_e,
+         (SELECT {_mh_fold(which, "v1")} FROM terms) AS s_v
+)
+SELECT n_strata, sum_a, s_e AS sum_expected,
+       s_ad / nullif(s_bc, 0e0) AS or_mh,
+       (CAST(sum_a AS DOUBLE) - s_e) * (CAST(sum_a AS DOUBLE) - s_e)
+         / nullif(s_v, 0e0) AS cmh_chi2
+FROM folded
+"""
+
+
+@register(
+    "stats_mantel_haenszel",
+    oracle=_mh_sql("epoch_us(ts)", "duck"),
+    description="Mantel-Haenszel common odds ratio + CMH χ² (no "
+    "continuity correction) for purchase × high-value stratified by "
+    "weekday: exact integer 2×2 cells per stratum, fixed shared-text "
+    "per-stratum rationals, stratum-ordered folds for the four cross-"
+    "stratum sums — confounder-adjusted association; one 28-cell "
+    "aggregate, stratum-bounded finish",
+)
+def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mh_sql("unix_micros(ts)", "spark"))
+
+
+# --- Page's L trend test (ordered alternative to Friedman) ---
+# Friedman asks "do the k treatments differ at all?"; Page's L asks
+# "do they increase in a PRE-SPECIFIED order?" — much more power when
+# the alternative is monotone. Blocks = days, treatments = event types
+# in ALPHABETICAL order (the declared ordering c_j = 1..k), scores =
+# daily cents totals, midranks within each zero-filled block (the
+# stats_friedman_test doubled-rank machinery reused verbatim):
+#   L = Σ_j c_j·R_j,  E[L] = N·k(k+1)²/4,
+#   Var[L] = N·k²(k+1)²(k−1)/144  (tie-uncorrected, the classical
+#   no-ties null — stated convention),
+# z = (L−E)/√Var. With doubled ranks L2 = 2L stays an exact BIGINT;
+# E and Var close in one fixed shared-text double chain.
+#
+# Scale: identical envelope to Friedman — one (day, type) aggregate,
+# a k-bounded per-day rank join, calendar-bounded everything after.
+
+
+def _page_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH cells0 AS (
+  SELECT {day} AS day, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS v
+  FROM events
+  GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM cells0),
+types AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS c_j
+  FROM (SELECT DISTINCT event_type FROM cells0) t
+),
+cells AS (
+  SELECT d.day, t.event_type, t.c_j, coalesce(c.v, 0) AS v
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells0 c ON c.day = d.day AND c.event_type = t.event_type
+),
+ranked AS (
+  SELECT a.day, a.event_type, max(a.c_j) AS c_j,
+         CAST(2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1
+              AS BIGINT) AS r2
+  FROM cells a
+  JOIN cells b ON b.day = a.day
+  GROUP BY a.day, a.event_type
+),
+sums AS (
+  SELECT CAST(sum(c_j * r2) AS BIGINT) AS l2
+  FROM ranked
+),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM types) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM days) AS n
+)
+SELECT c.k, c.n,
+       CAST(s.l2 AS DOUBLE) / 2.0e0 AS l_stat,
+       CAST(c.n AS DOUBLE) * CAST(c.k AS DOUBLE)
+         * (CAST(c.k AS DOUBLE) + 1.0e0) * (CAST(c.k AS DOUBLE) + 1.0e0)
+         / 4.0e0 AS l_expected,
+       (CAST(s.l2 AS DOUBLE) / 2.0e0
+          - CAST(c.n AS DOUBLE) * CAST(c.k AS DOUBLE)
+            * (CAST(c.k AS DOUBLE) + 1.0e0) * (CAST(c.k AS DOUBLE) + 1.0e0)
+            / 4.0e0)
+         / nullif(sqrt(CAST(c.n AS DOUBLE)
+                       * CAST(c.k AS DOUBLE) * CAST(c.k AS DOUBLE)
+                       * (CAST(c.k AS DOUBLE) + 1.0e0)
+                       * (CAST(c.k AS DOUBLE) + 1.0e0)
+                       * (CAST(c.k AS DOUBLE) - 1.0e0) / 144.0e0), 0e0)
+         AS z
+FROM sums s CROSS JOIN consts c
+"""
+
+
+@register(
+    "stats_page_trend",
+    oracle=_page_sql("epoch_us(ts)"),
+    description="Page's L trend test for a monotone ordered alternative "
+    "(treatments = event types in alphabetical order, blocks = days, "
+    "midranks on zero-filled daily cents — the Friedman doubled-rank "
+    "machinery reused): L2 = 2L stays an exact BIGINT, E[L] and the "
+    "tie-uncorrected Var[L] close in one fixed double chain — the "
+    "higher-power sibling when the alternative is ordered; Friedman's "
+    "scale envelope",
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_page_sql("unix_micros(ts)"))

@@ -538,11 +538,18 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    from pyspark import StorageLevel
+
     e0 = spark.sql(_LPA_EDGES)
     edges = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        # loop-invariant: the join side of every round — materialize once
-        .localCheckpoint(eager=False)
+        # Loop-invariant: the join side of every round — materialize
+        # once. SERIALIZED storage (not the deserialized default): the
+        # doubled edge table is ~180M rows at sf10 and deserialized
+        # row retention is what blew a 24 GiB heap there (round-9 OOM
+        # find, the SNM-r5/DBSCAN-r6/band-sweep-r8 memory class);
+        # MEMORY_AND_DISK serialized is ~5× denser and spills cleanly.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -1415,3 +1422,130 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# --- degree assortativity (Newman 2002) over the co-order part graph ---
+# Do high-degree parts co-occur with other high-degree parts? r is the
+# Pearson correlation of (deg_u, deg_v) over the DOUBLED edge list
+# (each undirected edge contributes both orientations, making the two
+# marginals identical by symmetry):
+#   r = (Σab/M − μ²) / (Σa²/M − μ²),  μ = Σ(a+b)/M,  M = 2m.
+# Every sum is over exact integer degrees; the d·d products are routed
+# through DECIMAL(19,0)×DECIMAL(19,0) (exact to 8.6e37 — int64 holds
+# to d≈3e9·√m only, the graph_modularity overflow lesson applied
+# PROACTIVELY) with the parity.py VARCHAR final cast; the closing
+# Pearson is one fixed double chain on a single row.
+#
+# Scale: one edge aggregate for degrees (map-side combinable), two
+# node-keyed joins to attach endpoint degrees (degree table is
+# |nodes| — broadcastable at any realistic fan-in), one 1-row reduce.
+
+_D19 = "DECIMAL(19,0)"
+
+
+def _assortativity_sql() -> str:
+    a, b = f"CAST(du.d AS {_D19})", f"CAST(dv.d AS {_D19})"
+    return f"""
+WITH e AS ({_LPA_EDGES}),
+ends AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY node),
+s AS (
+  SELECT CAST(count(*) * 2 AS BIGINT) AS m2,
+         CAST(CAST(sum({a} + {b}) AS STRING) AS DOUBLE) AS s1,
+         CAST(CAST(sum({a} * {a} + {b} * {b}) AS STRING) AS DOUBLE) AS s2,
+         CAST(CAST(sum({a} * {b} * 2) AS STRING) AS DOUBLE) AS sxy
+  FROM e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+)
+SELECT m2 AS n_directed_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (sxy / CAST(m2 AS DOUBLE)
+          - (s1 / CAST(m2 AS DOUBLE)) * (s1 / CAST(m2 AS DOUBLE)))
+         / nullif(s2 / CAST(m2 AS DOUBLE)
+          - (s1 / CAST(m2 AS DOUBLE)) * (s1 / CAST(m2 AS DOUBLE)), 0e0)
+         AS assortativity
+FROM s
+"""
+
+
+@register(
+    "graph_assortativity",
+    oracle=_assortativity_sql(),
+    description="degree assortativity (Newman 2002) of the co-order "
+    "part graph: Pearson over the doubled edge list's endpoint-degree "
+    "pairs — exact integer degree sums with DECIMAL(19,0)-routed "
+    "products and the VARCHAR final cast, one fixed double chain on "
+    "one row; degrees from one map-side-combinable edge aggregate, "
+    "two node-keyed degree joins",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_assortativity_sql())
+
+
+# --- rich-club coefficient φ(k) over the co-order part graph ---
+# Do the hubs form a club? For each degree threshold k: N_k = nodes
+# with degree > k, E_k = surviving edges with BOTH endpoints above
+# threshold, φ(k) = 2·E_k / (N_k·(N_k−1)) — the density of the
+# induced hub subgraph (Zhou & Mondragón 2004). Everything is exact
+# integer counts until the one density division per k (N_k² in DOUBLE:
+# exact below 2^53 nodes — beyond any corpus).
+#
+# Scale: the k-list is a literal (|K| = 4 rows); degrees come from one
+# edge aggregate; the threshold filter is a degree-table broadcast
+# join; per-k counts are map-side combinable. No shuffle grows with k.
+
+_RICH_KS = [2, 4, 8, 16]
+
+
+def _rich_club_sql(klist: str) -> str:
+    return f"""
+WITH e AS ({_LPA_EDGES}),
+ends AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY node),
+ks AS ({klist}),
+nk AS (
+  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_k
+  FROM ks JOIN deg ON deg.d > ks.k
+  GROUP BY ks.k
+),
+ek AS (
+  SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+  FROM ks
+  JOIN e ON 1 = 1
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY ks.k
+)
+SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+       CASE WHEN nk.n_k > 1
+            THEN 2.0e0 * CAST(coalesce(ek.e_k, 0) AS DOUBLE)
+                 / (CAST(nk.n_k AS DOUBLE) * (CAST(nk.n_k AS DOUBLE) - 1.0e0))
+            END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+ORDER BY nk.k
+"""
+
+
+_RICH_KS_SPARK = (
+    "SELECT explode(array(" + ", ".join(map(str, _RICH_KS)) + ")) AS k"
+)
+_RICH_KS_DUCK = (
+    "SELECT unnest([" + ", ".join(map(str, _RICH_KS)) + "]) AS k"
+)
+
+
+@register(
+    "graph_rich_club",
+    oracle=_rich_club_sql(_RICH_KS_DUCK),
+    description=f"rich-club coefficient phi(k) for k in {_RICH_KS} "
+    "(Zhou & Mondragón 2004): density of the induced hub subgraph at "
+    "each degree threshold — exact integer node/edge counts from one "
+    "degree aggregate + broadcast threshold joins, one density "
+    "division per k; the k-list is literal so no shuffle grows with k",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_rich_club_sql(_RICH_KS_SPARK))

@@ -1920,3 +1920,110 @@ register(
     "DECIMAL(38,0) and finished with the batch query's identical "
     "moment chain — final answer hash-equal to the batch oracle",
 )(stream_interarrival_stateful)
+
+
+# --- audio VAD over the fake-PCM multimodal lane ---
+# Energy-threshold voice-activity detection, the first op a speech
+# curation pipeline runs: binary payload → mapInPandas frame-energy
+# decode (operators/multimodal.py attach_audio/frame_energies — real
+# Arrow plumbing, deterministic fake PCM) → shared-text SQL for the
+# threshold flags, segment starts (lag), run ids (cumulative sum) and
+# per-doc segment stats. The oracle regenerates every frame energy
+# from the md5 hex INSIDE SQL (8 big-endian uint16 slices per digest,
+# exact integers end-to-end), so the whole lane — fan-out, decode,
+# segmentation — is exact-checked, not schema-checked.
+#
+# Scale: fan-out is bounded (≤37 frames/doc); energies shuffle as
+# (doc_id, frame, int64) — payload bytes never leave the scan side;
+# the VAD window is per-doc and frame-bounded. With real audio only
+# the per-batch decode body changes.
+
+VAD_THRESH = 2_900_000_000  # just above the 8-sample energy mean
+
+
+def _vad_sql(en: str) -> str:
+    return f"""
+WITH en AS ({en}),
+fl AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN energy > {VAD_THRESH} THEN 1 ELSE 0 END AS sp
+  FROM en
+),
+st AS (
+  SELECT doc_id, frame_idx, sp,
+         CASE WHEN sp = 1 AND coalesce(lag(sp) OVER (
+                PARTITION BY doc_id ORDER BY frame_idx), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+  FROM fl
+),
+runs AS (
+  SELECT doc_id, sp,
+         sum(seg_start) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                              ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM st
+),
+per_seg AS (
+  SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS run
+  FROM runs WHERE sp = 1 GROUP BY doc_id, seg_id
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(sp) AS BIGINT) AS n_speech
+  FROM fl GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(run) AS BIGINT) AS max_run
+  FROM per_seg GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_frames, a.n_speech,
+       coalesce(s.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+       coalesce(s.max_run, CAST(0 AS BIGINT)) AS max_run
+FROM agg a LEFT JOIN segs s ON s.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def _vad_energy_duck() -> str:
+    from posting_lines_spark.operators.multimodal import (
+        AUDIO_NF_MOD,
+        AUDIO_SAMPLES_PER_FRAME,
+    )
+
+    h = "md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(f.frame_idx AS VARCHAR) || ':vad')"
+    terms = " + ".join(
+        f"(CAST('0x' || substring({h}, {1 + 4 * s}, 4) AS BIGINT) - 32768)"
+        f" * (CAST('0x' || substring({h}, {1 + 4 * s}, 4) AS BIGINT) - 32768)"
+        for s in range(AUDIO_SAMPLES_PER_FRAME)
+    )
+    return f"""
+SELECT d.doc_id, f.frame_idx, CAST({terms} AS BIGINT) AS energy
+FROM (SELECT doc_id, 1 + doc_id % {AUDIO_NF_MOD} AS nf FROM documents) d
+CROSS JOIN (SELECT unnest(range(0, {AUDIO_NF_MOD})) AS frame_idx) f
+WHERE f.frame_idx < d.nf
+"""
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.multimodal import (
+        attach_audio,
+        frame_energies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    en = frame_energies(attach_audio(docs))
+    en.createOrReplaceTempView("pls_vad_energies")
+    return spark.sql(_vad_sql("SELECT doc_id, frame_idx, energy FROM pls_vad_energies"))
+
+
+register(
+    "multimodal_audio_vad",
+    oracle=_vad_sql(_vad_energy_duck()),
+    description="audio-lane VAD over the multimodal fake-PCM payloads: "
+    "mapInPandas frame-energy decode (8 int16 samples per 16-byte md5 "
+    "frame, exact integer Σs²), then shared-text SQL thresholding + "
+    "lag/cumsum segment runs per doc; the oracle regenerates every "
+    "frame energy from md5 hex inside SQL, exact-checking the whole "
+    "lane — the first op of a speech curation pipeline, with bounded "
+    "fan-out and no payload shuffle",
+)(multimodal_audio_vad)

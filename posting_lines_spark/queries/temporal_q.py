@@ -2081,3 +2081,174 @@ ORDER BY event_type
 def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ljung_box_sql("unix_micros(ts)"))
+
+
+# --- turning-points randomness test per event type ---
+# The classic nonparametric check that a series is not random noise
+# (Kendall 1973): over the day-ordered daily EVENT-COUNT series, an
+# interior day is a turning point iff it is a STRICT local max or min
+# (ties with either neighbor do not turn). For an i.i.d. series,
+#   E[T] = 2(n−2)/3,  Var[T] = (16n−29)/90,
+# and z = (T − E)/√Var is asymptotically N(0,1) — |z| large means the
+# series has structure (trend or oscillation) worth modeling with the
+# ACF/Holt family above. Counts are exact integers end-to-end; the
+# z-score is one fixed shared-text double chain per type.
+#
+# Scale: one (type, day) count aggregate (map-side combinable), one
+# calendar-bounded per-type window for the neighbor compares, one
+# k-row finish (k = |event types|).
+
+
+def _turning_points_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY event_type, {day}
+),
+nb AS (
+  SELECT event_type, c,
+         lag(c)  OVER (PARTITION BY event_type ORDER BY day) AS p,
+         lead(c) OVER (PARTITION BY event_type ORDER BY day) AS f
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+                        AND ((c > p AND c > f) OR (c < p AND c < f))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t_obs
+  FROM nb GROUP BY event_type
+)
+SELECT event_type, n_days, t_obs,
+       2.0e0 * (CAST(n_days AS DOUBLE) - 2.0e0) / 3.0e0 AS t_expected,
+       (16.0e0 * CAST(n_days AS DOUBLE) - 29.0e0) / 90.0e0 AS t_variance,
+       (CAST(t_obs AS DOUBLE)
+          - 2.0e0 * (CAST(n_days AS DOUBLE) - 2.0e0) / 3.0e0)
+         / nullif(sqrt((16.0e0 * CAST(n_days AS DOUBLE) - 29.0e0) / 90.0e0),
+                  0e0) AS z
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_turning_points",
+    oracle=_turning_points_sql("epoch_us(ts)"),
+    description="turning-points randomness test per event type over the "
+    "daily event-count series: strict local extrema counted in exact "
+    "integers, E[T]=2(n-2)/3 and Var[T]=(16n-29)/90 in one fixed "
+    "shared-text double chain — the cheap is-there-structure screen "
+    "before fitting the ACF/Holt family; calendar-bounded per-type "
+    "window state",
+)
+def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_turning_points_sql("unix_micros(ts)"))
+
+
+# --- Lo–MacKinlay variance-ratio test per event type ---
+# Is the daily revenue series a random walk? Over the day-INDEXED
+# daily cents-total series x_i (i = 1..n by row_number — gaps in the
+# calendar are treated as consecutive observations, stated convention):
+# with μ̂ = (x_n − x_1)/(n−1) the per-step drift,
+#   VR(q) = [Σ_{i>q}(x_i − x_{i−q} − qμ̂)² / (q·(n−q))]
+#         / [Σ_{i>1}(x_i − x_{i−1} −  μ̂)² / (n−1)],
+# and under the homoskedastic null z = (VR−1)/√(2(2q−1)(q−1)/(3q·n))
+# is N(0,1) (Lo & MacKinlay 1988). Each deviation square expands to
+# Σd² − 2μ̂q·Σd + m·(μ̂q)² with Σd, Σd² EXACT integer sums of cents
+# diffs (DECIMAL(19,0)-routed products, VARCHAR final cast), so both
+# engines finish from identical integers through one fixed double
+# chain — no per-row double aggregation anywhere.
+#
+# Scale: one (type, day) cents aggregate, two calendar-bounded
+# per-type self-joins at offsets 1 and q, a k-row finish.
+
+VR_Q = 5
+
+
+def _variance_ratio_sql(epoch_us: str) -> str:
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    d19 = "DECIMAL(19,0)"
+    dd = f"CAST(b.x - a.x AS {d19})"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+ends AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(min_by(x, i) AS BIGINT) AS x1,
+         CAST(max_by(x, i) AS BIGINT) AS xn
+  FROM idx GROUP BY event_type
+),
+d1 AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS m1,
+         CAST(CAST(sum({dd}) AS STRING) AS DOUBLE) AS s1,
+         CAST(CAST(sum({dd} * {dd}) AS STRING) AS DOUBLE) AS s1_sq
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type AND b.i = a.i + 1
+  GROUP BY a.event_type
+),
+dq AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS mq,
+         CAST(CAST(sum({dd}) AS STRING) AS DOUBLE) AS sq,
+         CAST(CAST(sum({dd} * {dd}) AS STRING) AS DOUBLE) AS sq_sq
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type AND b.i = a.i + {VR_Q}
+  GROUP BY a.event_type
+),
+fin AS (
+  SELECT e.event_type, e.n,
+         (CAST(e.xn AS DOUBLE) - CAST(e.x1 AS DOUBLE))
+           / (CAST(e.n AS DOUBLE) - 1.0e0) AS mu,
+         d1.m1, d1.s1, d1.s1_sq, dq.mq, dq.sq, dq.sq_sq
+  FROM ends e
+  JOIN d1 ON d1.event_type = e.event_type
+  JOIN dq ON dq.event_type = e.event_type
+),
+vr AS (
+  SELECT event_type, n, mu,
+         (s1_sq - 2.0e0 * mu * s1 + CAST(m1 AS DOUBLE) * mu * mu)
+           / CAST(m1 AS DOUBLE) AS var1,
+         (sq_sq - 2.0e0 * ({VR_Q}.0e0 * mu) * sq
+            + CAST(mq AS DOUBLE) * ({VR_Q}.0e0 * mu) * ({VR_Q}.0e0 * mu))
+           / ({VR_Q}.0e0 * CAST(mq AS DOUBLE)) AS varq
+  FROM fin
+)
+SELECT event_type, n AS n_days, CAST({VR_Q} AS INT) AS q,
+       varq / nullif(var1, 0e0) AS vr,
+       (varq / nullif(var1, 0e0) - 1.0e0)
+         / nullif(sqrt(2.0e0 * (2.0e0 * {VR_Q}.0e0 - 1.0e0)
+                       * ({VR_Q}.0e0 - 1.0e0)
+                       / (3.0e0 * {VR_Q}.0e0 * CAST(n AS DOUBLE))), 0e0)
+         AS z
+FROM vr
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_variance_ratio",
+    oracle=_variance_ratio_sql("epoch_us(ts)"),
+    description=f"Lo-MacKinlay variance-ratio test (q={VR_Q}) per event "
+    "type over the day-indexed daily cents-total series: deviation "
+    "squares expanded so every data-touching sum is an EXACT integer "
+    "(DECIMAL(19,0)-routed diff products, VARCHAR final cast), then "
+    "one fixed double chain for VR and the homoskedastic z — the "
+    "random-walk screen for revenue series; calendar-bounded per-type "
+    "offset self-joins",
+)
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_variance_ratio_sql("unix_micros(ts)"))

@@ -1999,3 +1999,79 @@ SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
 FROM pls_bpe_final_seq
 """
     )
+
+
+# --- Jaro-Winkler fuzzy join over part names ---
+# The record-linkage metric (Winkler 1990) the levenshtein join above
+# doesn't cover: prefix-weighted, length-normalized similarity in
+# [0,1]. Pairs are BLOCKED — same first name token and |length diff|
+# ≤ 2, low key < high key — and the block join is part of the declared
+# semantics, replicated identically in the oracle. The SCORE is the
+# independently-verified part: the engine computes it with the pure-
+# Python textbook kernel (functions/strdist.py) in an Arrow-batched
+# Pandas UDF, the oracle with DuckDB's C++ jaro_winkler_similarity —
+# two unrelated implementations that tests/test_round9.py shows agree
+# BIT-FOR-BIT (46k adversarial pairs, max |Δ| = 0.0), so the emitted
+# doubles hash-match and the ≥-threshold filter cannot straddle.
+#
+# Scale: blocking bounds candidates to Σ_b |b|²; the block key's
+# cardinality (first token × length band) controls skew — at larger
+# corpora extend the key (2-token prefix) or salt the block join; the
+# per-pair kernel is the slow path by design (Arrow-batched, never
+# row-at-a-time BatchEvalPython).
+
+JW_THRESH = 0.92
+_JW_LEN_BAND = 2
+
+
+def _jw_candidates_sql(split1: str) -> str:
+    return f"""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b
+FROM part a
+JOIN part b
+  ON {split1.format(c="a.p_name")} = {split1.format(c="b.p_name")}
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_JW_LEN_BAND}
+"""
+
+
+_JW_ORACLE = f"""
+WITH c AS ({_jw_candidates_sql("split_part({c}, ' ', 1)")})
+SELECT id_a, id_b, name_a, name_b,
+       jaro_winkler_similarity(name_a, name_b) AS jw
+FROM c
+WHERE jaro_winkler_similarity(name_a, name_b) >= {JW_THRESH}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "text_jaro_winkler_join",
+    oracle=_JW_ORACLE,
+    description=f"Jaro-Winkler fuzzy join on part names (same-first-"
+    f"token + length-band blocking, score ≥ {JW_THRESH}): engine "
+    "scores with the pure-Python textbook kernel in an Arrow-batched "
+    "Pandas UDF, oracle with DuckDB's independent C++ builtin — "
+    "bit-identical by test, so the ≥ filter cannot straddle; the "
+    "record-linkage companion to fuzzy_join_levenshtein",
+)
+def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from posting_lines_spark.functions.strdist import jaro_winkler
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    cand = spark.sql(_jw_candidates_sql("split_part({c}, ' ', 1)"))
+    return (
+        cand.withColumn("jw", _jw(F.col("name_a"), F.col("name_b")))
+        .where(F.col("jw") >= JW_THRESH)
+        .orderBy("id_a", "id_b")
+    )

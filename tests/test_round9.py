@@ -265,3 +265,469 @@ def test_interarrival_stateful_recovers_after_restart(spark):
         for r in interarrival_stateful(spark, full).collect()
     }
     assert got == want
+
+
+# ---- wave-15 replay tests (independent Python, the parity-blindness
+# lesson: a green oracle row only proves the engines AGREE) ----
+
+
+def _events_rows(sf=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF0001
+
+    t = pq.read_table(sf or (SF0001 + "/events.parquet"))
+    us = t.column("ts").cast(pa.int64()).to_pylist()
+    rows = t.to_pylist()
+    for r, u in zip(rows, us):
+        r["ts_us"] = u
+        r["cents"] = _round_half_even(r["value"] * 100.0)
+    return rows
+
+
+def _round_half_even(x):
+    # SQL round() is half-away-from-zero on both engines for doubles?
+    # No: Spark/DuckDB round(double) round HALF-EVEN per IEEE rint.
+    # The cents domain in TESTDATA is exact 2-dp values, so the two
+    # conventions cannot diverge; use Python round (half-even) which
+    # matches for exact inputs.
+    return int(round(x))
+
+
+def _lpa_edges_python():
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF0001
+
+    li = pq.read_table(
+        SF0001 + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    orders = {}
+    for r in li:
+        orders.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    pairs = set()
+    for parts in orders.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                if a != b:
+                    pairs.add((min(a, b), max(a, b)))
+    return pairs
+
+
+def test_assortativity_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    pairs = _lpa_edges_python()
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = 2 * len(pairs)
+    s1 = sum(deg[a] + deg[b] for a, b in pairs)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in pairs)
+    sxy = sum(2 * deg[a] * deg[b] for a, b in pairs)
+    mu = s1 / m2
+    want = (sxy / m2 - mu * mu) / (s2 / m2 - mu * mu)
+    got = load_all()["graph_assortativity"].fn(spark, SF0001).collect()[0]
+    assert got["n_directed_edges"] == m2
+    assert got["n_nodes"] == len(deg)
+    assert abs(got["assortativity"] - want) < 1e-12
+
+
+def test_rich_club_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import _RICH_KS
+    from tests.conftest import SF0001
+
+    pairs = _lpa_edges_python()
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {
+        r["k"]: (r["n_k"], r["e_k"], r["phi"])
+        for r in load_all()["graph_rich_club"].fn(spark, SF0001).collect()
+    }
+    for k in _RICH_KS:
+        nodes = {n for n, d in deg.items() if d > k}
+        if not nodes:
+            assert k not in got  # inner join on nk drops empty clubs
+            continue
+        ek = sum(1 for a, b in pairs if a in nodes and b in nodes)
+        want_phi = (
+            2.0 * ek / (len(nodes) * (len(nodes) - 1.0))
+            if len(nodes) > 1
+            else None
+        )
+        assert got[k][0] == len(nodes)
+        assert got[k][1] == ek
+        if want_phi is None:
+            assert got[k][2] is None
+        else:
+            assert abs(got[k][2] - want_phi) < 1e-12
+
+
+def test_turning_points_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + 1
+    series = {}
+    for (et, day), c in daily.items():
+        series.setdefault(et, []).append((day, c))
+    got = {
+        r["event_type"]: r
+        for r in load_all()["timeseries_turning_points"].fn(spark, SF0001).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, c in pts]
+        n = len(cs)
+        t = sum(
+            1
+            for i in range(1, n - 1)
+            if (cs[i] > cs[i - 1] and cs[i] > cs[i + 1])
+            or (cs[i] < cs[i - 1] and cs[i] < cs[i + 1])
+        )
+        e = 2.0 * (n - 2) / 3.0
+        v = (16.0 * n - 29.0) / 90.0
+        row = got[et]
+        assert row["n_days"] == n
+        assert row["t_obs"] == t
+        assert abs(row["z"] - (t - e) / v**0.5) < 1e-9
+
+
+def test_variance_ratio_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import VR_Q
+    from tests.conftest import SF0001
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + r["cents"]
+    series = {}
+    for (et, day), x in daily.items():
+        series.setdefault(et, []).append((day, x))
+    got = {
+        r["event_type"]: r
+        for r in load_all()["timeseries_variance_ratio"].fn(spark, SF0001).collect()
+    }
+    q = VR_Q
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        n = len(xs)
+        mu = (xs[-1] - xs[0]) / (n - 1)
+        d1 = [xs[i] - xs[i - 1] for i in range(1, n)]
+        dq = [xs[i] - xs[i - q] for i in range(q, n)]
+        var1 = sum((d - mu) ** 2 for d in d1) / len(d1)
+        varq = sum((d - q * mu) ** 2 for d in dq) / (q * len(dq))
+        vr = varq / var1
+        z = (vr - 1.0) / (2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n)) ** 0.5
+        row = got[et]
+        assert row["n_days"] == n
+        assert abs(row["vr"] - vr) < 1e-9
+        assert abs(row["z"] - z) < 1e-9
+
+
+def test_mood_median_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    rows = _events_rows()
+    cents = sorted(r["cents"] for r in rows)
+    n = len(cents)
+    # lower median: smallest s with 2*cum >= n over the per-value table
+    med = cents[(n - 1) // 2] if n % 2 == 1 else cents[n // 2 - 1]
+    groups = {}
+    for r in rows:
+        hi = 1 if r["cents"] > med else 0
+        g = groups.setdefault(r["event_type"], [0, 0])
+        g[hi] += 1
+    k = len(groups)
+    t_hi = sum(g[1] for g in groups.values())
+    t_lo = sum(g[0] for g in groups.values())
+    chi2 = 0.0
+    for et in sorted(groups):
+        lo, hi = groups[et]
+        rt = lo + hi
+        e_hi = rt * t_hi / n
+        e_lo = rt * t_lo / n
+        chi2 += (hi - e_hi) ** 2 / e_hi + (lo - e_lo) ** 2 / e_lo
+    got = load_all()["stats_mood_median"].fn(spark, SF0001).collect()[0]
+    assert got["median_cents"] == med
+    assert (got["k"], got["n"], got["dof"]) == (k, n, k - 1)
+    assert abs(got["chi2"] - chi2) < 1e-9
+
+
+def test_cronbach_alpha_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    cells = {}
+    for r in _events_rows():
+        key = (r["user_id"], r["event_type"])
+        cells[key] = cells.get(key, 0) + r["cents"]
+    users = sorted({u for u, _ in cells})
+    items = sorted({i for _, i in cells})
+    nu, k = len(users), len(items)
+    sum_iv = 0.0
+    for it in items:
+        xs = [cells.get((u, it), 0) for u in users]
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        sum_iv += sxx / nu - (sx / nu) ** 2
+    ts = [sum(cells.get((u, it), 0) for it in items) for u in users]
+    st, stt = sum(ts), sum(t * t for t in ts)
+    tv = stt / nu - (st / nu) ** 2
+    alpha = k / (k - 1) * (1 - sum_iv / tv)
+    got = load_all()["stats_cronbach_alpha"].fn(spark, SF0001).collect()[0]
+    assert (got["k"], got["n_subj"]) == (k, nu)
+    assert abs(got["sum_item_var"] - sum_iv) < 1e-6 * abs(sum_iv)
+    assert abs(got["alpha"] - alpha) < 1e-9
+
+
+def test_icc_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    g = {}
+    for r in _events_rows():
+        g.setdefault(r["user_id"], []).append(r["cents"])
+    G, N = len(g), sum(len(v) for v in g.values())
+    syy_tot = sum(y * y for v in g.values() for y in v)
+    sy_tot = sum(y for v in g.values() for y in v)
+    s2 = sum(sum(v) ** 2 / len(v) for v in g.values())
+    sum_ni_sq = sum(len(v) ** 2 for v in g.values())
+    msw = (syy_tot - s2) / (N - G)
+    msb = (s2 - sy_tot**2 / N) / (G - 1)
+    k0 = (N - sum_ni_sq / N) / (G - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    got = load_all()["stats_icc"].fn(spark, SF0001).collect()[0]
+    assert (got["n_groups"], got["n_tot"]) == (G, N)
+    assert abs(got["icc1"] - icc) < 1e-9
+
+
+def test_lin_ccc_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import _CCC_A, _CCC_B
+    from tests.conftest import SF0001
+
+    daily = {}
+    for r in _events_rows():
+        if r["event_type"] not in (_CCC_A, _CCC_B):
+            continue
+        day = r["ts_us"] // 86_400_000_000
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + r["cents"]
+    days = sorted(
+        {d for et, d in daily if (_CCC_A, d) in daily and (_CCC_B, d) in daily}
+    )
+    xa = [daily[(_CCC_A, d)] for d in days]
+    xb = [daily[(_CCC_B, d)] for d in days]
+    n = len(days)
+    ma, mb = sum(xa) / n, sum(xb) / n
+    va = sum(x * x for x in xa) / n - ma * ma
+    vb = sum(x * x for x in xb) / n - mb * mb
+    cab = sum(a * b for a, b in zip(xa, xb)) / n - ma * mb
+    ccc = 2 * cab / (va + vb + (ma - mb) ** 2)
+    r_p = cab / (va**0.5 * vb**0.5)
+    got = load_all()["stats_lin_ccc"].fn(spark, SF0001).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["pearson_r"] - r_p) < 1e-12
+    assert abs(got["ccc"] - ccc) < 1e-12
+
+
+def test_mantel_haenszel_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import _MH_THRESH
+    from tests.conftest import SF0001
+
+    strata = {}
+    for r in _events_rows():
+        dow = (r["ts_us"] // 86_400_000_000) % 7
+        expo = 1 if r["event_type"] == "purchase" else 0
+        outc = 1 if r["cents"] >= _MH_THRESH else 0
+        cell = strata.setdefault(dow, [[0, 0], [0, 0]])
+        cell[expo][outc] += 1
+    s_ad = s_bc = s_e = s_v = sum_a = 0.0
+    for dow in sorted(strata):
+        # cells: a = expo&outc, b = expo&~outc, c = ~expo&outc, d = ~expo&~outc
+        a = strata[dow][1][1]
+        b = strata[dow][1][0]
+        c = strata[dow][0][1]
+        d = strata[dow][0][0]
+        n = a + b + c + d
+        sum_a += a
+        s_ad += a * d / n
+        s_bc += b * c / n
+        s_e += (a + b) * (a + c) / n
+        s_v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    or_mh = s_ad / s_bc
+    chi2 = (sum_a - s_e) ** 2 / s_v
+    got = load_all()["stats_mantel_haenszel"].fn(spark, SF0001).collect()[0]
+    assert got["n_strata"] == len(strata)
+    assert got["sum_a"] == sum_a
+    assert abs(got["or_mh"] - or_mh) < 1e-9
+    assert abs(got["cmh_chi2"] - chi2) < 1e-9
+
+
+def test_jaro_winkler_matches_duckdb_bitexact():
+    """The load-bearing claim of text_jaro_winkler_join: the pure-Python
+    kernel and DuckDB's C++ builtin agree BIT-FOR-BIT, so engine and
+    oracle doubles hash-match and the threshold filter cannot straddle.
+    Random + adversarial (1-edit, reversed) pairs."""
+    import random
+
+    import duckdb
+
+    from posting_lines_spark.functions.strdist import jaro, jaro_winkler
+
+    rng = random.Random(20260815)
+    words = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 14)))
+        for _ in range(1000)
+    ]
+    pairs = [(rng.choice(words), rng.choice(words)) for _ in range(4000)]
+    for _ in range(2000):
+        w = rng.choice(words)
+        i = rng.randrange(len(w))
+        pairs.append((w, w[:i] + rng.choice("abcdef") + w[i + 1:]))
+        pairs.append((w, w[::-1]))
+    pairs.append(("", ""))
+    pairs.append(("", "abc"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    rows = con.execute(
+        "SELECT a, b, jaro_winkler_similarity(a, b), jaro_similarity(a, b) FROM p"
+    ).fetchall()
+    con.close()
+    for a, b, d_jw, d_j in rows:
+        assert jaro_winkler(a, b) == d_jw, (a, b)
+        assert jaro(a, b) == d_j, (a, b)
+
+
+def test_jaro_winkler_join_matches_python(spark):
+    """End-to-end replay of the blocked JW join at sf0.001: same
+    blocking, kernel scores, threshold — identical pair set + scores."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.functions.strdist import jaro_winkler
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import _JW_LEN_BAND, JW_THRESH
+    from tests.conftest import SF0001
+
+    parts = pq.read_table(
+        SF0001 + "/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pylist()
+    blocks = {}
+    for r in parts:
+        blocks.setdefault(r["p_name"].split(" ")[0], []).append(
+            (r["p_partkey"], r["p_name"])
+        )
+    want = {}
+    for grp in blocks.values():
+        grp.sort()
+        for i, (ka, na) in enumerate(grp):
+            for kb, nb in grp[i + 1:]:
+                if abs(len(na) - len(nb)) > _JW_LEN_BAND:
+                    continue
+                s = jaro_winkler(na, nb)
+                if s >= JW_THRESH:
+                    want[(ka, kb)] = s
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in load_all()["text_jaro_winkler_join"].fn(spark, SF0001).collect()
+    }
+    assert got == want
+    assert want  # non-vacuous: the threshold admits real pairs
+
+
+def test_audio_vad_matches_python(spark):
+    """Replay the whole audio lane in Python: md5 fake PCM, frame
+    energies, threshold, segment runs — per-doc stats must be equal."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.operators.multimodal import (
+        AUDIO_NF_MOD,
+        AUDIO_SAMPLES_PER_FRAME,
+    )
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.stream_q import VAD_THRESH
+    from tests.conftest import SF0001
+
+    doc_ids = [
+        r["doc_id"]
+        for r in pq.read_table(SF0001 + "/documents.parquet", columns=["doc_id"]).to_pylist()
+    ]
+    want = {}
+    for doc_id in doc_ids:
+        nf = 1 + doc_id % AUDIO_NF_MOD
+        sp = []
+        for f in range(nf):
+            d = hashlib.md5(f"{doc_id}:{f}:vad".encode()).digest()
+            e = sum(
+                (int.from_bytes(d[2 * s : 2 * s + 2], "big") - 32768) ** 2
+                for s in range(AUDIO_SAMPLES_PER_FRAME)
+            )
+            sp.append(1 if e > VAD_THRESH else 0)
+        runs = []
+        cur = 0
+        for v in sp:
+            if v:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        want[doc_id] = (nf, sum(sp), len(runs), max(runs) if runs else 0)
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_speech"], r["n_segments"], r["max_run"])
+        for r in load_all()["multimodal_audio_vad"].fn(spark, SF0001).collect()
+    }
+    assert got == want
+
+
+def test_page_trend_matches_python(spark):
+    """Replay Page's L: blocks = days, treatments = alphabetical event
+    types, midranks on zero-filled daily cents, tie-uncorrected z."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    cells = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        key = (day, r["event_type"])
+        cells[key] = cells.get(key, 0) + r["cents"]
+    days = sorted({d for d, _ in cells})
+    types = sorted({t for _, t in cells})
+    k, n = len(types), len(days)
+    L = 0.0
+    for d in days:
+        vals = [cells.get((d, t), 0) for t in types]
+        for j, t in enumerate(types, 1):
+            v = cells.get((d, t), 0)
+            rank = (
+                sum(1 for x in vals if x < v)
+                + (sum(1 for x in vals if x == v) + 1) / 2.0
+            )
+            L += j * rank
+    e = n * k * (k + 1) ** 2 / 4.0
+    var = n * k * k * (k + 1) ** 2 * (k - 1) / 144.0
+    z = (L - e) / var**0.5
+    got = load_all()["stats_page_trend"].fn(spark, SF0001).collect()[0]
+    assert (got["k"], got["n"]) == (k, n)
+    assert abs(got["l_stat"] - L) < 1e-9
+    assert abs(got["l_expected"] - e) < 1e-9
+    assert abs(got["z"] - z) < 1e-9
