@@ -1549,3 +1549,67 @@ _RICH_KS_DUCK = (
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_rich_club_sql(_RICH_KS_SPARK))
+
+
+# --- power-law MLE over the degree distribution ---
+# Is the co-order graph scale-free? The Clauset-Shalizi-Newman
+# continuous-approximation MLE for the tail d ≥ d_min:
+#   α̂ = 1 + n_tail / Σ ln(d/d_min),  σ(α̂) = (α̂−1)/√n_tail.
+# Degrees are exact integers, so every ln goes through the
+# deterministic integer-ln kernel on the DISTINCT-DEGREE table
+# (degree-domain-bounded — hundreds of rows no matter the corpus),
+# then Σ cnt_d·(ln d − ln d_min) is decimal-routed. The continuous
+# approximation (not the discrete zeta MLE) is the stated convention,
+# standard for d_min ≥ ~6 and exact-checkable without special
+# functions.
+#
+# Scale: one edge aggregate for degrees, one |degrees|-bounded
+# re-aggregate, the ln stack over a bounded table, a 1-row finish.
+
+PL_DMIN = 6
+
+
+def _powerlaw_sql() -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    # ln(d_min) rides the same kernel stack as a constant column so the
+    # result never depends on some node having degree EXACTLY d_min.
+    layers, last = dln_int_cte_layers(
+        [("d", "pd"), (f"CAST({PL_DMIN} AS BIGINT)", "pm")], "dd", "pl"
+    )
+    return f"""
+WITH e AS ({_LPA_EDGES}),
+ends AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY node),
+dd AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt
+  FROM deg WHERE d >= {PL_DMIN} GROUP BY d
+),
+{layers},
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+         {dsum_expr("CAST(cnt AS DOUBLE) * (pd_ln - pm_ln)", 9)} AS sum_ln_ratio
+  FROM {last}
+)
+SELECT n_tail, CAST({PL_DMIN} AS BIGINT) AS d_min,
+       1.0e0 + CAST(n_tail AS DOUBLE) / nullif(sum_ln_ratio, 0e0) AS alpha,
+       (CAST(n_tail AS DOUBLE) / nullif(sum_ln_ratio, 0e0))
+         / sqrt(CAST(n_tail AS DOUBLE)) AS alpha_se
+FROM agg
+"""
+
+
+@register(
+    "graph_powerlaw_mle",
+    oracle=_powerlaw_sql(),
+    description=f"Clauset-Shalizi-Newman power-law MLE on the co-order "
+    f"degree tail (d ≥ {PL_DMIN}, continuous approximation — stated "
+    "convention): integer-ln kernel over the degree-DOMAIN-bounded "
+    "distinct-degree table, decimal-routed Σ cnt·ln d, one fixed "
+    "double chain for α̂ and its standard error — the scale-free "
+    "diagnostic that says whether hub-aware partitioning will matter",
+)
+def graph_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_powerlaw_sql())

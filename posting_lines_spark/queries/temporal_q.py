@@ -2252,3 +2252,113 @@ ORDER BY event_type
 def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_variance_ratio_sql("unix_micros(ts)"))
+
+
+# --- fixed-period periodogram (seasonality power at 7/14/30 days) ---
+# Direct DFT power at the CALENDAR periods a pipeline cares about:
+#   I(p) = (C_p² + S_p²)/n,  C_p = Σ(x_t−x̄)·cos(2πt/p),
+#                             S_p = Σ(x_t−x̄)·sin(2πt/p),
+# over the day-offset daily cents series (t = day − min_day keeps true
+# weekly phase; gaps are real calendar gaps). Engine-native trig is
+# libm-dependent, so the angles go through the repo's deterministic
+# sin/cos kernels (functions/geo.py — the Albers Horner polynomials)
+# after an EXACT integer quadrant reduction: r = t mod p, q =
+# ⌊4r/p⌋ ∈ {0..3}, u = (π/2)·(4r − qp)/p ∈ [0, π/2) — kernel domain —
+# with the (q-dependent) sign/swap selecting cos/sin. Per-row products
+# are decimal-routed at scale 2 (daily totals reach ~1e9 cents at
+# sf10; the parity.py magnitude rule caps the usable scale — envelope
+# re-checked at sf0.1 in the oracle sweep).
+#
+# Scale: one (type, day) aggregate, |periods| literal fan-out over the
+# calendar-bounded series, one k×|periods| finish.
+
+PERIODOGRAM_PERIODS = (7, 14, 30)
+
+
+def _periodogram_sql(epoch_us: str) -> str:
+    import math
+
+    from posting_lines_spark.functions.geo import dcos_sql, dlit, dsin_sql
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    periods = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS p" for p in PERIODOGRAM_PERIODS
+    )
+    half_pi = dlit(math.pi / 2.0)
+    c, s = dcos_sql("u"), dsin_sql("u")
+    cos_t = (
+        f"CASE q WHEN 0 THEN {c} WHEN 1 THEN -{s} "
+        f"WHEN 2 THEN -{c} ELSE {s} END"
+    )
+    sin_t = (
+        f"CASE q WHEN 0 THEN {s} WHEN 1 THEN {c} "
+        f"WHEN 2 THEN -{s} ELSE -{c} END"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY event_type, {day}
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(min(day) AS BIGINT) AS d0
+  FROM daily GROUP BY event_type
+),
+base AS (
+  SELECT d.event_type, d.x, d.day - s.d0 AS t, s.n, s.sx
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+),
+ang0 AS (
+  SELECT b.event_type, b.x, b.n, b.sx, pr.p,
+         b.t % pr.p AS r
+  FROM base b CROSS JOIN ({periods}) pr
+),
+ang1 AS (
+  SELECT event_type, x, n, sx, p,
+         CAST(floor(CAST(4 * r AS DOUBLE) / CAST(p AS DOUBLE)) AS BIGINT) AS q,
+         4 * r AS r4
+  FROM ang0
+),
+ang AS (
+  SELECT event_type, x, n, sx, p, q,
+         {half_pi} * (CAST(r4 - q * p AS DOUBLE) / CAST(p AS DOUBLE)) AS u
+  FROM ang1
+),
+terms AS (
+  SELECT event_type, p, n,
+         (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * ({cos_t}) AS xc,
+         (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * ({sin_t}) AS xs
+  FROM ang
+),
+sums AS (
+  SELECT event_type, p, CAST(max(n) AS BIGINT) AS n,
+         {dsum_expr("xc", 2)} AS c,
+         {dsum_expr("xs", 2)} AS s
+  FROM terms GROUP BY event_type, p
+)
+SELECT event_type, p AS period_days, n AS n_days,
+       (c * c + s * s) / CAST(n AS DOUBLE) AS power
+FROM sums
+ORDER BY event_type, p
+"""
+
+
+@register(
+    "timeseries_periodogram",
+    oracle=_periodogram_sql("epoch_us(ts)"),
+    description=f"direct-DFT periodogram power at {PERIODOGRAM_PERIODS}"
+    "-day calendar periods per event type: exact integer quadrant "
+    "reduction (r = t mod p, q = ⌊4r/p⌋) feeds the deterministic "
+    "sin/cos Horner kernels — no libm anywhere — mean-centered daily "
+    "cents products decimal-routed at the magnitude-safe scale; the "
+    "seasonality screen that says which period Holt-Winters should "
+    "use; calendar-bounded per-type fan-out of |periods|",
+)
+def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_periodogram_sql("unix_micros(ts)"))

@@ -731,3 +731,71 @@ def test_page_trend_matches_python(spark):
     assert abs(got["l_stat"] - L) < 1e-9
     assert abs(got["l_expected"] - e) < 1e-9
     assert abs(got["z"] - z) < 1e-9
+
+
+def test_powerlaw_mle_matches_python(spark):
+    """CSN continuous MLE replay over the co-order degree tail, with
+    the kernel-identical dln mirror."""
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import PL_DMIN
+    from tests.conftest import SF0001
+
+    pairs = _lpa_edges_python()
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tail = [d for d in deg.values() if d >= PL_DMIN]
+    s = sum(dln_int_py(d) - dln_int_py(PL_DMIN) for d in tail)
+    alpha = 1.0 + len(tail) / s
+    got = load_all()["graph_powerlaw_mle"].fn(spark, SF0001).collect()[0]
+    assert got["n_tail"] == len(tail)
+    assert got["d_min"] == PL_DMIN
+    assert abs(got["alpha"] - alpha) < 1e-9
+    assert abs(got["alpha_se"] - (alpha - 1) / len(tail) ** 0.5) < 1e-9
+
+
+def test_periodogram_matches_python(spark):
+    """Replay the quadrant-reduced deterministic-trig periodogram with
+    the dcos_py/dsin_py kernel mirrors."""
+    import math
+
+    from posting_lines_spark.functions.geo import dcos_py, dsin_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import PERIODOGRAM_PERIODS
+    from tests.conftest import SF0001
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + r["cents"]
+    series = {}
+    for (et, day), x in daily.items():
+        series.setdefault(et, []).append((day, x))
+    got = {
+        (r["event_type"], r["period_days"]): (r["n_days"], r["power"])
+        for r in load_all()["timeseries_periodogram"].fn(spark, SF0001).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        n = len(pts)
+        mu = sum(x for _, x in pts) / n
+        for p in PERIODOGRAM_PERIODS:
+            c = s = 0.0
+            for day, x in pts:
+                t = day - d0
+                r_ = t % p
+                q = (4 * r_) // p
+                u = (math.pi / 2.0) * ((4 * r_ - q * p) / p)
+                cu, su = dcos_py(u), dsin_py(u)
+                cos_t = [cu, -su, -cu, su][q]
+                sin_t = [su, cu, -su, -cu][q]
+                c += (x - mu) * cos_t
+                s += (x - mu) * sin_t
+            power = (c * c + s * s) / n
+            gn, gp = got[(et, p)]
+            assert gn == n
+            assert abs(gp - power) < max(1e-6, 1e-9 * abs(power))
