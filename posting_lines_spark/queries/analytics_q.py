@@ -4024,22 +4024,26 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 # case 1, unbalanced groups with the k₀ adjusted mean group size):
 #   MSW = SSW/(N−G), MSB = SSB/(G−1),
 #   k₀ = (N − Σnᵢ²/N)/(G−1),  ICC = (MSB−MSW)/(MSB+(k₀−1)·MSW).
-# Per-group sums Σy, Σy² are exact cents integers (DECIMAL(19,0)-
-# routed squares); the cross-group sums of the per-group RATIONAL
-# terms (Σyᵢ)²/nᵢ are decimal-routed at scale 0 — terms are ~1e10
-# cents², so scale 0 keeps the per-row double→DECIMAL quantization
-# ~11 digits below the value while avoiding the magnitude hazard
-# documented in parity.py (higher scales flip rounding coin-flips at
-# this magnitude).
+# Per-group sums Σy, Σy² are exact cents integers carried in wide
+# integers end-to-end (Spark DECIMAL / DuckDB HUGEINT — nested sums
+# stay exact). The one intrinsically RATIONAL cross-group sum,
+# S₂ = Σᵢ(Σyᵢ)²/nᵢ, is decomposed by exact integer division
+# (Σyᵢ)² = qᵢ·nᵢ + rᵢ (Spark DECIMAL `div` ≡ DuckDB HUGEINT `//`,
+# the graph_hits idiom): Σqᵢ is an exact wide-integer sum and only
+# Σ(rᵢ/nᵢ) — each term in [0,1) — crosses groups as a float, decimal-
+# routed at scale 12 where the parity.py magnitude estimate stays ≪1
+# through ~1e7 groups. (A first draft summed the raw rationals at
+# scale 0; the per-row double→DECIMAL coin flip hit at sf0.1 — the
+# stats_bartlett magnitude lesson, re-learned and re-fixed.)
 #
 # Scale: one (user) aggregate with map-side combine, one G-row
 # re-aggregate, a 1-row finish.
 
 
-def _icc_sql() -> str:
+def _icc_sql(idiv: str, w19: str) -> str:
     from posting_lines_spark.queries.parity import dsum_expr
 
-    d19 = "DECIMAL(19,0)"
+    sq = f"CAST(sy AS {w19}) * CAST(sy AS {w19})"
     return f"""
 WITH y AS (
   SELECT user_id, CAST(round(value * 100e0) AS BIGINT) AS y FROM events
@@ -4048,22 +4052,26 @@ per_g AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_i,
          CAST(sum(y) AS BIGINT) AS sy,
-         CAST(CAST(sum(CAST(y AS {d19}) * CAST(y AS {d19})) AS STRING)
-              AS DOUBLE) AS syy
+         sum(CAST(y AS {w19}) * CAST(y AS {w19})) AS syy
   FROM y GROUP BY user_id
+),
+per_g2 AS (
+  SELECT n_i, sy, syy,
+         ({sq}) {idiv} n_i AS s2_q,
+         ({sq}) - (({sq}) {idiv} n_i) * n_i AS s2_r
+  FROM per_g
 ),
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n_groups,
          CAST(sum(n_i) AS BIGINT) AS n_tot,
          CAST(sum(sy) AS BIGINT) AS sy_tot,
-         CAST(CAST(sum(CAST(n_i AS {d19}) * CAST(n_i AS {d19})) AS STRING)
+         CAST(CAST(sum(CAST(n_i AS {w19}) * CAST(n_i AS {w19})) AS STRING)
               AS DOUBLE) AS sum_ni_sq,
-         {dsum_expr("syy", 0)} AS syy_tot,
-         {dsum_expr(
-            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_i AS DOUBLE)",
-            0,
-         )} AS s2
-  FROM per_g
+         CAST(CAST(sum(syy) AS STRING) AS DOUBLE) AS syy_tot,
+         CAST(CAST(sum(s2_q) AS STRING) AS DOUBLE)
+           + {dsum_expr("CAST(s2_r AS DOUBLE) / CAST(n_i AS DOUBLE)", 12)}
+           AS s2
+  FROM per_g2
 ),
 ms AS (
   SELECT n_groups, n_tot,
@@ -4084,16 +4092,17 @@ FROM ms
 
 @register(
     "stats_icc",
-    oracle=_icc_sql(),
+    oracle=_icc_sql("//", "HUGEINT"),
     description="ICC(1,1) one-way random-effects intraclass correlation "
-    "of event cents by user (unbalanced k₀ form): exact per-group cents "
-    "moments, scale-0 decimal-routed cross-group rational sums, one "
+    "of event cents by user (unbalanced k₀ form): wide-integer moment "
+    "sums end-to-end, the rational Σ(Σyᵢ)²/nᵢ split by exact integer "
+    "division so only [0,1) remainders cross groups as floats, one "
     "fixed double chain for MSW/MSB/k₀/ICC — how much variance is "
     "between users vs within; a two-level aggregate and a 1-row finish",
 )
 def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_icc_sql())
+    return spark.sql(_icc_sql("div", "DECIMAL(19,0)"))
 
 
 # --- Lin's concordance correlation (daily purchase vs click revenue) ---

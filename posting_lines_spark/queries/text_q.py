@@ -2001,60 +2001,88 @@ FROM pls_bpe_final_seq
     )
 
 
-# --- Jaro-Winkler fuzzy join over part names ---
-# The record-linkage metric (Winkler 1990) the levenshtein join above
-# doesn't cover: prefix-weighted, length-normalized similarity in
-# [0,1]. Pairs are BLOCKED — same first name token and |length diff|
-# ≤ 2, low key < high key — and the block join is part of the declared
-# semantics, replicated identically in the oracle. The SCORE is the
-# independently-verified part: the engine computes it with the pure-
-# Python textbook kernel (functions/strdist.py) in an Arrow-batched
-# Pandas UDF, the oracle with DuckDB's C++ jaro_winkler_similarity —
-# two unrelated implementations that tests/test_round9.py shows agree
-# BIT-FOR-BIT (46k adversarial pairs, max |Δ| = 0.0), so the emitted
-# doubles hash-match and the ≥-threshold filter cannot straddle.
+# --- Jaro-Winkler record linkage: dirty probes vs the master table ---
+# The record-linkage shape Winkler built the metric for: a "dirty"
+# probe list (deterministically corrupted part names — two adjacent
+# characters transposed at an md5-chosen position, same SQL on both
+# engines) matched TOP-1 against the master part table within
+# same-first-token blocks. The SCORE is the independently-verified
+# part: the engine computes it with the pure-Python textbook kernel
+# (functions/strdist.py) in an Arrow-batched Pandas UDF, the oracle
+# with DuckDB's C++ jaro_winkler_similarity — two unrelated
+# implementations that tests/test_round9.py shows agree BIT-FOR-BIT
+# (46k adversarial pairs, max |Δ| = 0.0), so the argmax ordering
+# (jw DESC, key ASC) picks the identical winner on both engines. The
+# self-audit rides along: matched_self = the probe's top-1 is its own
+# uncorrupted source row.
 #
-# Scale: blocking bounds candidates to Σ_b |b|²; the block key's
-# cardinality (first token × length band) controls skew — at larger
-# corpora extend the key (2-token prefix) or salt the block join; the
-# per-pair kernel is the slow path by design (Arrow-batched, never
+# Scale: candidates = |probes| × block size (probes are a fixed 1/101
+# sample; blocks are first-token-bounded) — linear in the corpus, not
+# quadratic; at larger corpora extend the block key or pre-prune with
+# a q-gram filter (the fuzzy_join_levenshtein machinery). The
+# per-pair kernel is the declared slow path (Arrow-batched, never
 # row-at-a-time BatchEvalPython).
 
-JW_THRESH = 0.92
-_JW_LEN_BAND = 2
+JW_PROBE_MOD = 101
 
 
-def _jw_candidates_sql(split1: str) -> str:
+def _jw_probes_sql(md5i: str) -> str:
+    """Deterministic transposition typo: swap chars at pos, pos+1 with
+    pos md5-chosen AFTER the first token (so the probe stays in its
+    source's first-token block — a typo that breaks the blocking key
+    is the classic record-linkage blind spot, out of scope here) and
+    never the last character."""
+    t1 = "length(split_part(p_name, ' ', 1))"
+    pos = f"({t1} + 2 + ({md5i}) % (length(p_name) - {t1} - 3))"
     return f"""
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-       a.p_name AS name_a, b.p_name AS name_b
-FROM part a
-JOIN part b
-  ON {split1.format(c="a.p_name")} = {split1.format(c="b.p_name")}
- AND a.p_partkey < b.p_partkey
- AND abs(length(a.p_name) - length(b.p_name)) <= {_JW_LEN_BAND}
+SELECT p_partkey AS probe_id,
+       concat(substring(p_name, 1, {pos} - 1),
+              substring(p_name, {pos} + 1, 1),
+              substring(p_name, {pos}, 1),
+              substring(p_name, {pos} + 2)) AS probe_name
+FROM part WHERE p_partkey % {JW_PROBE_MOD} = 0
 """
 
 
-_JW_ORACLE = f"""
-WITH c AS ({_jw_candidates_sql("split_part({c}, ' ', 1)")})
-SELECT id_a, id_b, name_a, name_b,
-       jaro_winkler_similarity(name_a, name_b) AS jw
-FROM c
-WHERE jaro_winkler_similarity(name_a, name_b) >= {JW_THRESH}
-ORDER BY id_a, id_b
+def _jw_linkage_sql(probes: str, jw: str) -> str:
+    return f"""
+WITH probes AS ({probes}),
+cand AS (
+  SELECT p.probe_id, p.probe_name, m.p_partkey AS match_id,
+         m.p_name AS match_name
+  FROM probes p
+  JOIN part m
+    ON split_part(p.probe_name, ' ', 1) = split_part(m.p_name, ' ', 1)
+),
+scored AS (
+  SELECT probe_id, match_id, {jw} AS jw,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY {jw} DESC, match_id) AS rn
+  FROM cand
+)
+SELECT probe_id, match_id, jw,
+       CASE WHEN match_id = probe_id THEN 1 ELSE 0 END AS matched_self
+FROM scored WHERE rn = 1
+ORDER BY probe_id
 """
+
+
+_JW_ORACLE = _jw_linkage_sql(
+    _jw_probes_sql(md5_int_duck("p_partkey", salt="jwp")),
+    "jaro_winkler_similarity(probe_name, match_name)",
+)
 
 
 @register(
     "text_jaro_winkler_join",
     oracle=_JW_ORACLE,
-    description=f"Jaro-Winkler fuzzy join on part names (same-first-"
-    f"token + length-band blocking, score ≥ {JW_THRESH}): engine "
-    "scores with the pure-Python textbook kernel in an Arrow-batched "
-    "Pandas UDF, oracle with DuckDB's independent C++ builtin — "
-    "bit-identical by test, so the ≥ filter cannot straddle; the "
-    "record-linkage companion to fuzzy_join_levenshtein",
+    description=f"Jaro-Winkler record linkage: 1/{JW_PROBE_MOD} of part "
+    "names get a deterministic md5-positioned transposition typo, then "
+    "top-1 match against the master table within first-token blocks — "
+    "engine scores with the pure-Python textbook kernel in an Arrow-"
+    "batched Pandas UDF, oracle with DuckDB's independent C++ builtin "
+    "(bit-identical by test, so the argmax picks the same winner); "
+    "matched_self audits recovery of the uncorrupted source",
 )
 def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -2062,16 +2090,42 @@ def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from posting_lines_spark.functions.strdist import jaro_winkler
 
-    @pandas_udf("double")
-    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _jw_batch(a, b):
         return pd.Series(
             [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
         )
 
+    # real annotation objects (module has `from __future__ import
+    # annotations`, so inline hints would be strings the UDF type
+    # inferencer cannot resolve)
+    _jw_batch.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _jw = pandas_udf(_jw_batch, "double")
+
+    from pyspark.sql import Window as W
+
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    cand = spark.sql(_jw_candidates_sql("split_part({c}, ' ', 1)"))
+    probes = spark.sql(_jw_probes_sql(md5_int_spark("p_partkey", salt="jwp")))
+    master = spark.table("part").select(
+        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("match_name")
+    )
+    cand = probes.join(
+        master,
+        F.expr("split_part(probe_name, ' ', 1)")
+        == F.expr("split_part(match_name, ' ', 1)"),
+    )
+    scored = cand.withColumn("jw", _jw(F.col("probe_name"), F.col("match_name")))
+    w = W.partitionBy("probe_id").orderBy(F.col("jw").desc(), F.col("match_id"))
     return (
-        cand.withColumn("jw", _jw(F.col("name_a"), F.col("name_b")))
-        .where(F.col("jw") >= JW_THRESH)
-        .orderBy("id_a", "id_b")
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "probe_id",
+            "match_id",
+            "jw",
+            F.when(F.col("match_id") == F.col("probe_id"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("matched_self"),
+        )
+        .orderBy("probe_id")
     )

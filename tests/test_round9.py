@@ -616,13 +616,16 @@ def test_jaro_winkler_matches_duckdb_bitexact():
 
 
 def test_jaro_winkler_join_matches_python(spark):
-    """End-to-end replay of the blocked JW join at sf0.001: same
-    blocking, kernel scores, threshold — identical pair set + scores."""
+    """End-to-end replay of the JW record linkage at sf0.001: same md5
+    transposition typos, same blocking, kernel scores, same (jw DESC,
+    match_id) argmax — identical winners and scores."""
+    import hashlib
+
     import pyarrow.parquet as pq
 
     from posting_lines_spark.functions.strdist import jaro_winkler
     from posting_lines_spark.queries import load_all
-    from posting_lines_spark.queries.text_q import _JW_LEN_BAND, JW_THRESH
+    from posting_lines_spark.queries.text_q import JW_PROBE_MOD
     from tests.conftest import SF0001
 
     parts = pq.read_table(
@@ -634,21 +637,34 @@ def test_jaro_winkler_join_matches_python(spark):
             (r["p_partkey"], r["p_name"])
         )
     want = {}
-    for grp in blocks.values():
-        grp.sort()
-        for i, (ka, na) in enumerate(grp):
-            for kb, nb in grp[i + 1:]:
-                if abs(len(na) - len(nb)) > _JW_LEN_BAND:
-                    continue
-                s = jaro_winkler(na, nb)
-                if s >= JW_THRESH:
-                    want[(ka, kb)] = s
+    n_self = 0
+    for r in parts:
+        key, name = r["p_partkey"], r["p_name"]
+        if key % JW_PROBE_MOD != 0:
+            continue
+        h = int(hashlib.md5(f"jwp|{key}".encode()).hexdigest()[:15], 16)
+        t1 = len(name.split(" ")[0])
+        pos = t1 + 2 + h % (len(name) - t1 - 3)  # 1-based SQL position
+        i = pos - 1
+        probe = name[:i] + name[i + 1] + name[i] + name[i + 2:]
+        best = None
+        for mid, mname in blocks.get(probe.split(" ")[0], []):
+            jw = jaro_winkler(probe, mname)
+            if best is None or jw > best[1] or (jw == best[1] and mid < best[0]):
+                best = (mid, jw)
+        want[key] = best
+        if best and best[0] == key:
+            n_self += 1
     got = {
-        (r["id_a"], r["id_b"]): r["jw"]
+        r["probe_id"]: (r["match_id"], r["jw"], r["matched_self"])
         for r in load_all()["text_jaro_winkler_join"].fn(spark, SF0001).collect()
     }
-    assert got == want
-    assert want  # non-vacuous: the threshold admits real pairs
+    assert set(got) == set(want)
+    for k, (mid, jw) in want.items():
+        assert got[k][0] == mid, (k, got[k], mid, jw)
+        assert got[k][1] == jw
+        assert got[k][2] == (1 if mid == k else 0)
+    assert n_self > 0  # the typo is usually recoverable — non-vacuous
 
 
 def test_audio_vad_matches_python(spark):
@@ -793,9 +809,10 @@ def test_periodogram_matches_python(spark):
                 cu, su = dcos_py(u), dsin_py(u)
                 cos_t = [cu, -su, -cu, su][q]
                 sin_t = [su, cu, -su, -cu][q]
-                c += (x - mu) * cos_t
-                s += (x - mu) * sin_t
+                # mirror the engine's scale-2 decimal routing per term
+                c += round((x - mu) * cos_t, 2)
+                s += round((x - mu) * sin_t, 2)
             power = (c * c + s * s) / n
             gn, gp = got[(et, p)]
             assert gn == n
-            assert abs(gp - power) < max(1e-6, 1e-9 * abs(power))
+            assert abs(gp - power) < max(1e-6, 1e-8 * abs(power))
