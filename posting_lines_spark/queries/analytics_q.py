@@ -4361,3 +4361,213 @@ FROM sums s CROSS JOIN consts c
 def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_page_sql("unix_micros(ts)"))
+
+
+# --- k-sample Anderson-Darling (Scholz-Stephens 1987), tie-adjusted ---
+# The heavyweight k-sample EDF test the ladder was missing (Kruskal-
+# Wallis ranks locations; AD weights the FULL distribution, tails
+# included). The tie-adjusted statistic over distinct pooled values j
+# with multiplicity l_j, pooled midrank cumulative B_j and per-sample
+# midrank cumulative M_ij becomes, after clearing denominators with
+# B2 = 2·cum − l and M2 = 2·cumBefore + c (all EXACT integers):
+#   A²akN = (N−1)/N · Σ_{i,j} l_j·Q_ij²
+#            / (n_i·(B2_j·(2N−B2_j) − N·l_j)),   Q = N·M2 − n_i·B2.
+# Every input to a term is an exact integer below 2^53 through sf10
+# (N·M2 ≤ 2N² ≈ 7e15 at 60M rows — route through DECIMAL(19,0) like
+# graph_modularity beyond that); each term is one fixed shared-text
+# double expression, dsum-routed across the (k × distinct-values)
+# grid.
+#
+# The null mean is k−1; the variance needs the Scholz-Stephens
+# constants H = Σ1/nᵢ (k-bounded fold), h = Σ_{i<N} 1/i, and the
+# double harmonic sum g = Σ_{i<N−1} Σ_{i<j<N} 1/((N−i)j) —
+# re-indexed to g = Σ_j (1/j)·(h_{N−1} − h_{N−j}) so it needs ONE
+# harmonic prefix table: 1/m quantized to round(1e15/m) (identical
+# integer on both engines), prefix-summed DISTRIBUTED on the engine
+# (operators/ranking.global_running_sums — no single-partition window
+# over N rows) and by a plain window in the DuckDB oracle, then one
+# 1:1 join on m = N−j. The normalization is O(N) compute for a
+# CONSTANT — embarrassingly parallel, and the only exact way to get
+# the published σ²_N.
+#
+#   σ²_N = (aN³ + bN² + cN + d)/((N−1)(N−2)(N−3)),
+#   a = (4g−6)(k−1) + (10−6g)H
+#   b = (2g−4)k² + 8hk + (2g−14h−4)H − 8h + 4g − 6
+#   c = (6h+2g−2)k² + (4h−4g+6)k + (2h−6)H + 4h
+#   d = (2h+6)k² − 4hk
+#   T_kN = (A² − (k−1))/σ_N.
+#
+# Scale: one cents aggregate, bounded-domain windows (distinct cents ×
+# k grid), the O(N) harmonic prefix (distributed two-pass), a 1-row
+# finish.
+
+
+def _adk_fold_h(which: str) -> str:
+    if which == "spark":
+        return (
+            "aggregate(transform(array_sort(collect_list(struct(g, hv))), "
+            "s -> s.hv), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(hv ORDER BY g)), (acc, v) -> acc + v)"
+    )
+
+
+def _adk_edf_sql(fold_h: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    nn, ni = "CAST(n AS DOUBLE)", "CAST(n_i AS DOUBLE)"
+    b2, m2, ll = "CAST(2 * cum - l AS DOUBLE)", "CAST(m2 AS DOUBLE)", "CAST(l AS DOUBLE)"
+    q = f"({nn} * {m2} - {ni} * {b2})"
+    den = f"({ni} * ({b2} * (2.0e0 * {nn} - {b2}) - {nn} * {ll}))"
+    return f"""
+WITH scored AS (
+  SELECT event_type AS g, CAST(round(value * 100e0) AS BIGINT) AS v
+  FROM events
+),
+samp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i FROM scored GROUP BY g),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+        FROM samp),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM scored GROUP BY v),
+pool AS (
+  SELECT v, l,
+         CAST(sum(l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM vals
+),
+cell AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY v, g),
+grid AS (
+  SELECT p.v, p.l, p.cum, s.g, s.n_i, coalesce(c.c, CAST(0 AS BIGINT)) AS c
+  FROM pool p CROSS JOIN samp s
+  LEFT JOIN cell c ON c.v = p.v AND c.g = s.g
+),
+mcur AS (
+  SELECT v, l, cum, g, n_i,
+         CAST(2 * sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS m2
+  FROM grid
+),
+terms AS (
+  SELECT m.g, m.v, {ll} * {q} * {q} / nullif({den}, 0e0) AS term
+  FROM mcur m CROSS JOIN tot
+),
+hterms AS (SELECT g, 1.0e0 / CAST(n_i AS DOUBLE) AS hv FROM samp)
+SELECT t.n, t.k,
+       (SELECT {fold_h} FROM hterms) AS h_cap,
+       ((CAST(t.n AS DOUBLE) - 1.0e0) / CAST(t.n AS DOUBLE))
+         * (SELECT {dsum_expr("term", 6)} FROM terms) AS a2
+FROM tot t
+"""
+
+
+def _adk_final_sql(src: str) -> str:
+    """Shared-text closing chain over columns (n, k, h_cap, h_small,
+    g_small, a2) — the Scholz-Stephens variance polynomial + T_kN."""
+    N, K = "CAST(n AS DOUBLE)", "CAST(k AS DOUBLE)"
+    H, h, g = "h_cap", "h_small", "g_small"
+    a = f"((4.0e0 * {g} - 6.0e0) * ({K} - 1.0e0) + (10.0e0 - 6.0e0 * {g}) * {H})"
+    b = (
+        f"((2.0e0 * {g} - 4.0e0) * {K} * {K} + 8.0e0 * {h} * {K}"
+        f" + (2.0e0 * {g} - 14.0e0 * {h} - 4.0e0) * {H}"
+        f" - 8.0e0 * {h} + 4.0e0 * {g} - 6.0e0)"
+    )
+    c = (
+        f"((6.0e0 * {h} + 2.0e0 * {g} - 2.0e0) * {K} * {K}"
+        f" + (4.0e0 * {h} - 4.0e0 * {g} + 6.0e0) * {K}"
+        f" + (2.0e0 * {h} - 6.0e0) * {H} + 4.0e0 * {h})"
+    )
+    d = f"((2.0e0 * {h} + 6.0e0) * {K} * {K} - 4.0e0 * {h} * {K})"
+    var = (
+        f"(({a} * {N} * {N} * {N} + {b} * {N} * {N} + {c} * {N} + {d})"
+        f" / (({N} - 1.0e0) * ({N} - 2.0e0) * ({N} - 3.0e0)))"
+    )
+    return f"""
+SELECT n, k, a2,
+       {K} - 1.0e0 AS a2_mean,
+       {var} AS a2_var,
+       (a2 - ({K} - 1.0e0)) / nullif(sqrt({var}), 0e0) AS t_kn
+FROM {src}
+"""
+
+
+_ADK_Q15 = "1e15"
+
+
+def _adk_oracle() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    edf = _adk_edf_sql(_adk_fold_h("duck"))
+    harm = f"""
+WITH edf AS ({edf}),
+seq AS (SELECT unnest(generate_series(1,
+          (SELECT CAST(n - 1 AS BIGINT) FROM edf))) AS m),
+rq AS (SELECT m, CAST(round({_ADK_Q15} / CAST(m AS DOUBLE)) AS BIGINT) AS r
+       FROM seq),
+pr AS (SELECT m, CAST(sum(r) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS run_r FROM rq),
+hr AS (SELECT {dsum_expr("1.0e0 / CAST(m AS DOUBLE)", 9)} AS h_small FROM seq),
+rt AS (SELECT max(run_r) AS rtot FROM pr),
+gr AS (
+  SELECT {dsum_expr(
+      "(1.0e0 / CAST(j AS DOUBLE)) * (CAST(rtot - run_r AS DOUBLE) / "
+      + _ADK_Q15 + ")", 9)} AS g_small
+  FROM (SELECT m AS j FROM seq WHERE m >= 2) gj
+  JOIN pr ON pr.m = (SELECT n FROM edf) - gj.j
+  CROSS JOIN rt
+),
+fin AS (
+  SELECT e.n, e.k, e.h_cap, h.h_small, g.g_small, e.a2
+  FROM edf e CROSS JOIN hr h CROSS JOIN gr g
+)
+{_adk_final_sql("fin")}
+"""
+    return harm
+
+
+@register(
+    "stats_anderson_darling_k",
+    oracle=_adk_oracle(),
+    description="k-sample Anderson-Darling (Scholz-Stephens, tie-"
+    "adjusted A²akN + standardized T_kN): all-integer EDF terms over "
+    "the bounded (distinct cents × k) grid, and the exact published "
+    "normalization — H from a k-fold, h and the double harmonic sum g "
+    "from a quantized 1/m prefix computed DISTRIBUTED on the engine "
+    "(global_running_sums, no single-partition window over N rows) vs "
+    "a plain window in the oracle; the full-distribution k-sample "
+    "test Kruskal-Wallis isn't",
+)
+def stats_anderson_darling_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FX
+
+    from posting_lines_spark.operators.ranking import global_running_sums
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    edf = spark.sql(_adk_edf_sql(_adk_fold_h("spark")))
+    n = edf.select("n").collect()[0][0]
+    rng = spark.range(1, n).selectExpr(
+        "id AS m",
+        f"CAST(round({_ADK_Q15} / CAST(id AS DOUBLE)) AS BIGINT) AS r",
+    )
+    pr = global_running_sums(rng, ["m"], ["r"])
+    hr = rng.selectExpr(f"{dsum_expr('1.0e0 / CAST(m AS DOUBLE)', 9)} AS h_small")
+    rt = pr.selectExpr("max(run_r) AS rtot")
+    gj = spark.range(2, n).selectExpr("id AS j").withColumn(
+        "m", FX.lit(int(n)) - FX.col("j")
+    )
+    gr = (
+        gj.join(pr.select("m", "run_r"), "m")
+        .crossJoin(FX.broadcast(rt))
+        .selectExpr(
+            dsum_expr(
+                "(1.0e0 / CAST(j AS DOUBLE)) * (CAST(rtot - run_r AS DOUBLE) / "
+                + _ADK_Q15 + ")",
+                9,
+            )
+            + " AS g_small"
+        )
+    )
+    fin = edf.crossJoin(FX.broadcast(hr)).crossJoin(FX.broadcast(gr))
+    fin.createOrReplaceTempView("pls_adk_fin")
+    return spark.sql(_adk_final_sql("pls_adk_fin"))

@@ -816,3 +816,67 @@ def test_periodogram_matches_python(spark):
             gn, gp = got[(et, p)]
             assert gn == n
             assert abs(gp - power) < max(1e-6, 1e-8 * abs(power))
+
+
+def test_anderson_darling_k_matches_python(spark):
+    """Full replay of A²akN + the exact Scholz-Stephens normalization
+    (quantized harmonic prefix mirrored with SQL half-up rounding)."""
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    rows = _events_rows()
+    samples = {}
+    for r in rows:
+        samples.setdefault(r["event_type"], []).append(r["cents"])
+    k = len(samples)
+    N = sum(len(v) for v in samples.values())
+    names = sorted(samples)
+    pooled = sorted(set(c for v in samples.values() for c in v))
+    l = {z: sum(v.count(z) for v in samples.values()) for z in pooled}
+    cum = {}
+    acc = 0
+    for z in pooled:
+        acc += l[z]
+        cum[z] = acc
+    a2 = 0.0
+    for g in names:
+        xs = sorted(samples[g])
+        n_i = len(xs)
+        import bisect
+
+        for z in pooled:
+            c = xs.count(z)
+            before = bisect.bisect_left(xs, z)
+            m2 = 2 * before + c
+            b2 = 2 * cum[z] - l[z]
+            q = N * m2 - n_i * b2
+            den = n_i * (b2 * (2 * N - b2) - N * l[z])
+            if den != 0:
+                a2 += l[z] * q * q / den
+    a2 *= (N - 1) / N
+    H = sum(1.0 / len(samples[g]) for g in names)
+    # quantized harmonic prefix, SQL round = half away from zero
+    r_m = [int(1e15 / m + 0.5) for m in range(1, N)]
+    pref = [0]
+    for r_ in r_m:
+        pref.append(pref[-1] + r_)  # pref[m] = Σ_{1..m}
+    rtot = pref[N - 1]
+    h = sum(1.0 / m for m in range(1, N))
+    g_ = sum((1.0 / j) * ((rtot - pref[N - j]) / 1e15) for j in range(2, N))
+    a = (4 * g_ - 6) * (k - 1) + (10 - 6 * g_) * H
+    b = (
+        (2 * g_ - 4) * k * k + 8 * h * k + (2 * g_ - 14 * h - 4) * H
+        - 8 * h + 4 * g_ - 6
+    )
+    c = (
+        (6 * h + 2 * g_ - 2) * k * k + (4 * h - 4 * g_ + 6) * k
+        + (2 * h - 6) * H + 4 * h
+    )
+    d = (2 * h + 6) * k * k - 4 * h * k
+    var = (a * N**3 + b * N**2 + c * N + d) / ((N - 1) * (N - 2) * (N - 3))
+    t_kn = (a2 - (k - 1)) / var**0.5
+    got = load_all()["stats_anderson_darling_k"].fn(spark, SF0001).collect()[0]
+    assert (got["n"], got["k"]) == (N, k)
+    assert abs(got["a2"] - a2) < 1e-6 * abs(a2)
+    assert abs(got["a2_var"] - var) < 1e-6 * abs(var)
+    assert abs(got["t_kn"] - t_kn) < 1e-6 * max(1.0, abs(t_kn))
