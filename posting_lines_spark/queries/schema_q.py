@@ -909,3 +909,81 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rows if out is None else out.unionByName(rows)
     return out.orderBy("fk_edge")
+
+
+# --- functional-dependency audit (DQ profiling classic) ---
+# Does lhs → rhs hold? Iff count(DISTINCT lhs, rhs) = count(DISTINCT
+# lhs); the violation mass (pairs − lhs) counts how many extra rhs
+# values leak per determinant. A literal candidate list mixes FDs that
+# MUST hold (key → attribute), ones expected to fail (attribute →
+# key-ish), and a probabilistic one (p_name → p_partkey: 5 words off
+# a 92-color vocabulary — collisions decide it, which is exactly what
+# an FD miner has to measure rather than assume). All counts are exact
+# integers; each candidate is one distinct-aggregate over its own
+# table — map-side combinable, |candidates|-bounded output.
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("nation", "n_regionkey", "n_nationkey"),
+    ("part", "p_partkey", "p_name"),
+    ("part", "p_name", "p_partkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def _fd_sql() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+       CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+       CAST(count(DISTINCT {lhs}, {rhs}) AS BIGINT) AS n_pairs
+FROM {tbl}""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH cand AS ({u})
+SELECT fd, n_lhs, n_pairs,
+       CAST(n_pairs - n_lhs AS BIGINT) AS violations,
+       CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS holds
+FROM cand
+ORDER BY fd
+"""
+
+
+def _fd_sql_duck() -> str:
+    # DuckDB's count(DISTINCT a, b) needs a row() or struct — use the
+    # two-column form via a distinct subselect per candidate.
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT {lhs} FROM {tbl}) q) AS BIGINT) AS n_lhs,
+       CAST((SELECT count(*) FROM (SELECT DISTINCT {lhs}, {rhs} FROM {tbl}) q) AS BIGINT) AS n_pairs""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH cand AS ({u})
+SELECT fd, n_lhs, n_pairs,
+       CAST(n_pairs - n_lhs AS BIGINT) AS violations,
+       CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS holds
+FROM cand
+ORDER BY fd
+"""
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle=_fd_sql_duck(),
+    description="functional-dependency audit over a literal candidate "
+    "list (key→attr must hold, attr→key expected to fail, and the "
+    "collision-decided p_name→p_partkey): holds iff distinct(lhs,rhs) "
+    "= distinct(lhs), violation mass = the difference — exact integer "
+    "distinct-aggregates, one per candidate, |candidates|-bounded "
+    "output; the schema-inference primitive a profiler runs first",
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in {c[0] for c in _FD_CANDIDATES}:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_fd_sql())

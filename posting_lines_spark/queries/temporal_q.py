@@ -2362,3 +2362,151 @@ ORDER BY event_type, p
 def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_periodogram_sql("unix_micros(ts)"))
+
+
+# --- Hurst exponent via rescaled-range (R/S) analysis ---
+# Long-range dependence: H ≈ 0.5 random walk, H > 0.5 persistent,
+# H < 0.5 mean-reverting. Per event type, the day-indexed daily cents
+# series is cut into FULL blocks of s ∈ {8, 16, 32, 64} days; per
+# block the cumulative-deviation range is EXACT in integers
+# (W_t·s = s·cumsum(x) − t·Σx — no rational mean anywhere), the std
+# is one sqrt of exact-integer moments (IEEE sqrt is correctly
+# rounded on both engines), and per-(type, s) mean R/S is decimal-
+# routed. ln(R/S) then rides the INTEGER-ln kernel via quantization:
+# ln(x) = dln(round(x·1e9)) − dln(1e9) — both args exact integers,
+# perturbation ≤ 1e-9/x, deterministic on both engines (the trick
+# that unlocks ln of positive DOUBLES for this repo's kernel). H is
+# the OLS slope of ln(R/S) on ln(s) over the |S|-bounded point set,
+# folded in s order.
+#
+# Scale: one (type, day) aggregate, calendar-bounded block windows,
+# an |S|×k-bounded ln stack + fold — nothing data-shaped after the
+# first aggregate.
+
+HURST_WINDOWS = (8, 16, 32, 64)
+_HURST_Q = 1_000_000_000
+
+
+def _hurst_fold(which: str, col: str) -> str:
+    if which == "spark":
+        return (
+            f"aggregate(transform(array_sort(collect_list(struct(s, {col}))), "
+            f"t -> t.{col}), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({col} ORDER BY s)), (acc, v) -> acc + v)"
+    )
+
+
+def _hurst_sql(epoch_us: str, which: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    wins = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS s" for s in HURST_WINDOWS
+    )
+    layers, last = dln_int_cte_layers(
+        [("lq", "lr"), (f"CAST({_HURST_Q} AS BIGINT)", "lc"), ("s", "ls")],
+        "lnin",
+        "hl",
+    )
+    fold = lambda c: _hurst_fold(which, c)  # noqa: E731
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY event_type, {day}
+),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+  FROM daily
+),
+blk AS (
+  SELECT b.event_type, b.x, w.s,
+         CAST(floor(CAST(b.i AS DOUBLE) / CAST(w.s AS DOUBLE)) AS BIGINT) AS b,
+         row_number() OVER (PARTITION BY b.event_type, w.s,
+            CAST(floor(CAST(b.i AS DOUBLE) / CAST(w.s AS DOUBLE)) AS BIGINT)
+            ORDER BY b.i) AS t,
+         CAST(sum(b.x) OVER (PARTITION BY b.event_type, w.s,
+            CAST(floor(CAST(b.i AS DOUBLE) / CAST(w.s AS DOUBLE)) AS BIGINT)
+            ORDER BY b.i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx
+  FROM idx b CROSS JOIN ({wins}) w
+),
+bstat AS (
+  SELECT event_type, s, b,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM blk GROUP BY event_type, s, b
+),
+wdev AS (
+  SELECT k.event_type, k.s, k.b,
+         CAST(max(k.s * k.cx - k.t * st.sx) AS BIGINT) AS wmax,
+         CAST(min(k.s * k.cx - k.t * st.sx) AS BIGINT) AS wmin
+  FROM blk k
+  JOIN bstat st ON st.event_type = k.event_type AND st.s = k.s AND st.b = k.b
+  WHERE st.cnt = k.s
+  GROUP BY k.event_type, k.s, k.b
+),
+rs AS (
+  SELECT w.event_type, w.s,
+         (CAST(w.wmax - w.wmin AS DOUBLE) / CAST(w.s AS DOUBLE))
+           / nullif(sqrt(CAST(CAST(st.sxx AS STRING) AS DOUBLE) / CAST(w.s AS DOUBLE)
+                  - (CAST(st.sx AS DOUBLE) / CAST(w.s AS DOUBLE))
+                    * (CAST(st.sx AS DOUBLE) / CAST(w.s AS DOUBLE))), 0e0)
+           AS rs_b
+  FROM wdev w
+  JOIN bstat st ON st.event_type = w.event_type AND st.s = w.s AND st.b = w.b
+),
+rsm AS (
+  SELECT event_type, s,
+         CAST(count(rs_b) AS BIGINT) AS n_blocks,
+         {dsum_expr("rs_b", 6)} / CAST(count(rs_b) AS DOUBLE) AS rs_mean
+  FROM rs GROUP BY event_type, s
+),
+lnin AS (
+  SELECT event_type, s, n_blocks, rs_mean,
+         CAST(round(rs_mean * {_HURST_Q}.0e0) AS BIGINT) AS lq
+  FROM rsm WHERE rs_mean > 0e0
+),
+{layers},
+pts AS (
+  SELECT event_type, s, n_blocks,
+         ls_ln AS lx, lr_ln - lc_ln AS ly
+  FROM {last}
+),
+ols AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pts,
+         {fold("lx")} AS sx, {fold("ly")} AS sy,
+         {fold("xy")} AS sxy, {fold("xx")} AS sxx
+  FROM (SELECT event_type, s, n_blocks, lx, ly,
+               lx * ly AS xy, lx * lx AS xx FROM pts) p
+  GROUP BY event_type
+)
+SELECT event_type, n_pts,
+       (CAST(n_pts AS DOUBLE) * sxy - sx * sy)
+         / nullif(CAST(n_pts AS DOUBLE) * sxx - sx * sx, 0e0) AS hurst
+FROM ols
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_hurst_rs",
+    oracle=_hurst_sql("epoch_us(ts)", "duck"),
+    description=f"Hurst exponent by rescaled-range analysis over block "
+    f"sizes {HURST_WINDOWS}: cumulative-deviation ranges kept EXACT in "
+    "integers (W·s = s·cumsum − t·Σx), block std from exact moments, "
+    "ln(R/S) through the integer-ln kernel via 1e-9 quantization (the "
+    "ln-of-a-double unlock), s-ordered OLS fold for the slope — the "
+    "long-range-dependence diagnostic; calendar-bounded block windows",
+)
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hurst_sql("unix_micros(ts)", "spark"))

@@ -880,3 +880,101 @@ def test_anderson_darling_k_matches_python(spark):
     assert abs(got["a2"] - a2) < 1e-6 * abs(a2)
     assert abs(got["a2_var"] - var) < 1e-6 * abs(var)
     assert abs(got["t_kn"] - t_kn) < 1e-6 * max(1.0, abs(t_kn))
+
+
+def test_hurst_rs_matches_python(spark):
+    """Replay R/S: exact integer W ranges, block std, quantized-ln
+    points, s-ordered OLS slope — mirrors the kernel with dln_int_py."""
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import _HURST_Q, HURST_WINDOWS
+    from tests.conftest import SF0001
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        key = (r["event_type"], day)
+        daily[key] = daily.get(key, 0) + r["cents"]
+    series = {}
+    for (et, day), x in daily.items():
+        series.setdefault(et, []).append((day, x))
+    got = {
+        r["event_type"]: (r["n_pts"], r["hurst"])
+        for r in load_all()["timeseries_hurst_rs"].fn(spark, SF0001).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        pts_ln = []
+        for s in HURST_WINDOWS:
+            rss = []
+            for b0 in range(0, len(xs) - s + 1, s):
+                blk = xs[b0 : b0 + s]
+                if len(blk) < s:
+                    continue
+                sx = sum(blk)
+                sxx = sum(v * v for v in blk)
+                var = sxx / s - (sx / s) ** 2
+                if var <= 0:
+                    continue
+                cum = 0
+                ws = []
+                for t, v in enumerate(blk, 1):
+                    cum += v
+                    ws.append(s * cum - t * sx)
+                r_ = (max(ws) - min(ws)) / s
+                rss.append(r_ / var**0.5)
+            if not rss:
+                continue
+            # mirror dsum scale-6 quantization of the block mean
+            rs_mean = sum(round(v, 6) for v in rss) / len(rss)
+            if rs_mean <= 0:
+                continue
+            lq = int(rs_mean * _HURST_Q + 0.5)  # SQL round half-up
+            pts_ln.append(
+                (dln_int_py(s), dln_int_py(lq) - dln_int_py(_HURST_Q))
+            )
+        n = len(pts_ln)
+        sx_ = sum(x for x, _ in pts_ln)
+        sy = sum(y for _, y in pts_ln)
+        sxy = sum(x * y for x, y in pts_ln)
+        sxx_ = sum(x * x for x, _ in pts_ln)
+        h = (n * sxy - sx_ * sy) / (n * sxx_ - sx_ * sx_)
+        gn, gh = got[et]
+        assert gn == n
+        assert abs(gh - h) < 1e-6
+
+
+def test_functional_dependencies_matches_python(spark):
+    """FD audit replay: exact distinct counts per candidate, and the
+    semantically-known candidates behave (keys hold, reverses fail)."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.schema_q import _FD_CANDIDATES
+    from tests.conftest import SF0001
+
+    got = {
+        r["fd"]: (r["n_lhs"], r["n_pairs"], r["violations"], r["holds"])
+        for r in load_all()["dq_functional_dependencies"].fn(spark, SF0001).collect()
+    }
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        rows = pq.read_table(
+            SF0001 + f"/{tbl}.parquet", columns=[lhs, rhs]
+        ).to_pylist()
+        n_lhs = len({r[lhs] for r in rows})
+        n_pairs = len({(r[lhs], r[rhs]) for r in rows})
+        key = f"{tbl}.{lhs}->{rhs}"
+        assert got[key] == (
+            n_lhs,
+            n_pairs,
+            n_pairs - n_lhs,
+            1 if n_pairs == n_lhs else 0,
+        )
+    # key -> attribute FDs must hold
+    assert got["orders.o_orderkey->o_custkey"][3] == 1
+    assert got["nation.n_nationkey->n_regionkey"][3] == 1
+    assert got["part.p_partkey->p_name"][3] == 1
+    assert got["customer.c_custkey->c_nationkey"][3] == 1
+    # reverse of a genuinely many-to-one mapping must fail
+    assert got["nation.n_regionkey->n_nationkey"][3] == 0
