@@ -2016,14 +2016,19 @@ FROM pls_bpe_final_seq
 # self-audit rides along: matched_self = the probe's top-1 is its own
 # uncorrupted source row.
 #
-# Scale: candidates = |probes| × block size (probes are a fixed 1/101
-# sample; blocks are first-token-bounded) — linear in the corpus, not
-# quadratic; at larger corpora extend the block key or pre-prune with
-# a q-gram filter (the fuzzy_join_levenshtein machinery). The
-# per-pair kernel is the declared slow path (Arrow-batched, never
-# row-at-a-time BatchEvalPython).
+# Scale: candidates = |probes| × block size. Probes are a fixed RATE
+# (1/101 — a dirty feed grows with the corpus), and first-token block
+# size also grows with the corpus, so the candidate count is
+# intrinsically quadratic in SF (measured 6.3× for 10× at sf1 before
+# the length band; the band cuts the constant ~2×). The scale levers,
+# in order: extend the block key (2-token — trades recall for typos
+# in token 2), then the q-gram prefilter the levenshtein join already
+# implements (provably complete for 1 transposition). The per-pair
+# kernel is the declared slow path (Arrow-batched, never row-at-a-time
+# BatchEvalPython).
 
 JW_PROBE_MOD = 101
+JW_LEN_BAND = 2  # a 1-char transposition never changes length
 
 
 def _jw_probes_sql(md5i: str) -> str:
@@ -2053,6 +2058,7 @@ cand AS (
   FROM probes p
   JOIN part m
     ON split_part(p.probe_name, ' ', 1) = split_part(m.p_name, ' ', 1)
+   AND abs(length(p.probe_name) - length(m.p_name)) <= {JW_LEN_BAND}
 ),
 scored AS (
   SELECT probe_id, match_id, {jw} AS jw,
@@ -2110,8 +2116,14 @@ def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = probes.join(
         master,
-        F.expr("split_part(probe_name, ' ', 1)")
-        == F.expr("split_part(match_name, ' ', 1)"),
+        (
+            F.expr("split_part(probe_name, ' ', 1)")
+            == F.expr("split_part(match_name, ' ', 1)")
+        )
+        & (
+            F.abs(F.length("probe_name") - F.length("match_name"))
+            <= JW_LEN_BAND
+        ),
     )
     scored = cand.withColumn("jw", _jw(F.col("probe_name"), F.col("match_name")))
     w = W.partitionBy("probe_id").orderBy(F.col("jw").desc(), F.col("match_id"))

@@ -625,7 +625,7 @@ def test_jaro_winkler_join_matches_python(spark):
 
     from posting_lines_spark.functions.strdist import jaro_winkler
     from posting_lines_spark.queries import load_all
-    from posting_lines_spark.queries.text_q import JW_PROBE_MOD
+    from posting_lines_spark.queries.text_q import JW_LEN_BAND, JW_PROBE_MOD
     from tests.conftest import SF0001
 
     parts = pq.read_table(
@@ -649,6 +649,8 @@ def test_jaro_winkler_join_matches_python(spark):
         probe = name[:i] + name[i + 1] + name[i] + name[i + 2:]
         best = None
         for mid, mname in blocks.get(probe.split(" ")[0], []):
+            if abs(len(probe) - len(mname)) > JW_LEN_BAND:
+                continue
             jw = jaro_winkler(probe, mname)
             if best is None or jw > best[1] or (jw == best[1] and mid < best[0]):
                 best = (mid, jw)
