@@ -980,3 +980,59 @@ def test_functional_dependencies_matches_python(spark):
     assert got["customer.c_custkey->c_nationkey"][3] == 1
     # reverse of a genuinely many-to-one mapping must fail
     assert got["nation.n_regionkey->n_nationkey"][3] == 0
+
+
+def test_mood_median_single_group_degenerate(spark):
+    """k = 1: χ² must agree across engines (0 when both cells occupied
+    — every expected equals its observed)."""
+    import duckdb
+
+    from posting_lines_spark.queries.analytics_q import _mood_fold, _mood_sql
+
+    duck = duckdb.connect()
+
+    rows = [("click", v) for v in (1.0, 2.0, 3.0, 4.0)]
+    spark.createDataFrame(rows, "event_type string, value double")\
+        .createOrReplaceTempView("events")
+    got_s = spark.sql(_mood_sql(_mood_fold("spark"))).collect()[0]
+    duck.execute("CREATE TABLE events(event_type VARCHAR, value DOUBLE)")
+    duck.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    got_d = duck.execute(_mood_sql(_mood_fold("duck"))).fetchone()
+    duck.close()
+    assert (got_s["k"], got_s["dof"]) == (1, 0)
+    assert got_s["median_cents"] == 200 == got_d[0]
+    assert got_s["chi2"] == got_d[4] == 0.0
+
+
+def test_variance_ratio_short_series_drops_type(spark):
+    """A type with fewer than q+1 days has no q-step diffs: BOTH
+    engines drop it via the inner join, no error/NULL divergence."""
+    import datetime
+
+    import duckdb
+
+    duck = duckdb.connect()
+
+    from posting_lines_spark.queries.temporal_q import (
+        VR_Q,
+        _variance_ratio_sql,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(VR_Q + 3):  # long type: enough days
+        rows.append(("long", base + datetime.timedelta(days=d), 10.0 + d))
+    for d in range(2):  # short type: too few
+        rows.append(("short", base + datetime.timedelta(days=d), 5.0))
+    spark.createDataFrame(rows, "event_type string, ts timestamp, value double")\
+        .createOrReplaceTempView("events")
+    got_s = spark.sql(_variance_ratio_sql("unix_micros(ts)")).collect()
+    duck.execute(
+        "CREATE TABLE events(event_type VARCHAR, ts TIMESTAMP, value DOUBLE)"
+    )
+    duck.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+    got_d = duck.execute(_variance_ratio_sql("epoch_us(ts)")).fetchall()
+    duck.close()
+    assert [r["event_type"] for r in got_s] == ["long"]
+    assert [r[0] for r in got_d] == ["long"]
+    assert got_s[0]["vr"] == got_d[0][3]

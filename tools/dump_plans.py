@@ -120,6 +120,10 @@ def main() -> None:
         extra={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            # Spark 4 defaults to a rolling zstd V2 log the stdlib can't
+            # read; a single plain-JSON file is what the parser expects.
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     registry = sorted(load_all().items())
