@@ -4571,3 +4571,111 @@ def stats_anderson_darling_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = edf.crossJoin(FX.broadcast(hr)).crossJoin(FX.broadcast(gr))
     fin.createOrReplaceTempView("pls_adk_fin")
     return spark.sql(_adk_final_sql("pls_adk_fin"))
+
+
+# --- Brunner-Munzel test (the modern Mann-Whitney replacement) ---
+# Mann-Whitney assumes equal variances under H0; Brunner-Munzel (2000)
+# doesn't — it tests P(X < Y) + ½P(X = Y) = ½ with a Welch-style
+# t-approximation, which is what current stats practice reaches for
+# first. Same two samples as stats_mann_whitney/stats_welch_ttest
+# (purchase vs click cents). Everything data-touching is EXACT:
+# doubled pooled midranks 2R = 2·cumB + l + 1 and doubled within-
+# sample midranks 2r = 2·cumB_i + c + 1 come from cents-domain-bounded
+# cumulative windows; the per-value placement deviation is cleared of
+# its rational mean by T_iv = n_i·(2R − 2r + n_i + 1) − 2·Σ(2R·c)_i/2
+# ... concretely T_iv = n_i·(2R_v − 2r_iv) + n_i·(n_i + 1) − 2·X_i
+# with X_i = Σ_v c_iv·R·2/2 (exact), so Σ_v c_iv·T_iv² is an exact
+# wide-integer sum (≤ ~1e33 — DECIMAL(38,0)/HUGEINT, VARCHAR final
+# cast) and S_i² = that / (4n_i²·(n_i−1)). The scipy convention is
+# the stated one: W = n₁n₂(R̄₂ − R̄₁)/((n₁+n₂)·√(n₁S₁² + n₂S₂²)),
+# Satterthwaite df, plus the p̂ = P(X<Y)+½P(X=Y) estimate.
+#
+# Scale: one cents-domain aggregate, two bounded cumulative windows,
+# a 2-row finish — the Mann-Whitney envelope exactly.
+
+
+def _bm_sql(w19: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 2 END AS i,
+         CAST(round(value * 100e0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+samp AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM scored GROUP BY i),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM scored GROUP BY v),
+pool AS (
+  SELECT v, l,
+         CAST(2 * (sum(l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - l)
+              + l + 1 AS BIGINT) AS r2
+  FROM vals
+),
+cell AS (SELECT v, i, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY v, i),
+wr AS (
+  SELECT c.v, c.i, c.c, p.r2, p.l, s.n_i,
+         CAST(2 * (sum(c.c) OVER (PARTITION BY c.i ORDER BY c.v
+                                  ROWS UNBOUNDED PRECEDING) - c.c)
+              + c.c + 1 AS BIGINT) AS w2
+  FROM cell c
+  JOIN pool p ON p.v = c.v
+  JOIN samp s ON s.i = c.i
+),
+xs AS (
+  SELECT i, CAST(max(n_i) AS BIGINT) AS n_i,
+         CAST(sum(c * r2) AS BIGINT) AS x2
+  FROM wr GROUP BY i
+),
+ss AS (
+  SELECT w.i,
+         CAST(CAST(sum(CAST(w.c AS {w19})
+              * (CAST(w.n_i * (w.r2 - w.w2) + w.n_i * (w.n_i + 1) - x.x2
+                      AS {w19})
+                 * CAST(w.n_i * (w.r2 - w.w2) + w.n_i * (w.n_i + 1) - x.x2
+                        AS {w19}))) AS STRING) AS DOUBLE) AS sum_t2
+  FROM wr w JOIN xs x ON x.i = w.i
+  GROUP BY w.i
+),
+fin AS (
+  SELECT x1.n_i AS n1, x2.n_i AS n2,
+         CAST(x1.x2 AS DOUBLE) / (2.0e0 * CAST(x1.n_i AS DOUBLE)) AS rb1,
+         CAST(x2.x2 AS DOUBLE) / (2.0e0 * CAST(x2.n_i AS DOUBLE)) AS rb2,
+         s1.sum_t2 / (4.0e0 * CAST(x1.n_i AS DOUBLE) * CAST(x1.n_i AS DOUBLE)
+                      * (CAST(x1.n_i AS DOUBLE) - 1.0e0)) AS s1sq,
+         s2.sum_t2 / (4.0e0 * CAST(x2.n_i AS DOUBLE) * CAST(x2.n_i AS DOUBLE)
+                      * (CAST(x2.n_i AS DOUBLE) - 1.0e0)) AS s2sq
+  FROM (SELECT * FROM xs WHERE i = 1) x1
+  CROSS JOIN (SELECT * FROM xs WHERE i = 2) x2
+  JOIN (SELECT * FROM ss WHERE i = 1) s1 ON 1 = 1
+  JOIN (SELECT * FROM ss WHERE i = 2) s2 ON 1 = 1
+)
+SELECT n1, n2,
+       (rb2 - (CAST(n2 AS DOUBLE) + 1.0e0) / 2.0e0) / CAST(n1 AS DOUBLE)
+         AS p_hat,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rb2 - rb1)
+         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         / nullif(sqrt(CAST(n1 AS DOUBLE) * s1sq
+                       + CAST(n2 AS DOUBLE) * s2sq), 0e0) AS w_stat,
+       (CAST(n1 AS DOUBLE) * s1sq + CAST(n2 AS DOUBLE) * s2sq)
+         * (CAST(n1 AS DOUBLE) * s1sq + CAST(n2 AS DOUBLE) * s2sq)
+         / nullif(
+             (CAST(n1 AS DOUBLE) * s1sq) * (CAST(n1 AS DOUBLE) * s1sq)
+               / (CAST(n1 AS DOUBLE) - 1.0e0)
+             + (CAST(n2 AS DOUBLE) * s2sq) * (CAST(n2 AS DOUBLE) * s2sq)
+               / (CAST(n2 AS DOUBLE) - 1.0e0), 0e0) AS df
+FROM fin
+"""
+
+
+@register(
+    "stats_brunner_munzel",
+    oracle=_bm_sql("HUGEINT"),
+    description=f"Brunner-Munzel test ({_MW_A} vs {_MW_B} cents, scipy "
+    "convention): doubled pooled/within-sample midranks from bounded "
+    "cumulative windows, placement variances as exact wide-integer "
+    "Σc·T² (mean cleared by integer algebra, VARCHAR final cast), "
+    "then one fixed double chain for p̂ = P(X<Y)+½P(X=Y), W, and the "
+    "Satterthwaite df — the unequal-variance rank test that replaces "
+    "Mann-Whitney in modern practice; same scale envelope",
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bm_sql("DECIMAL(19,0)"))

@@ -1036,3 +1036,54 @@ def test_variance_ratio_short_series_drops_type(spark):
     assert [r["event_type"] for r in got_s] == ["long"]
     assert [r[0] for r in got_d] == ["long"]
     assert got_s[0]["vr"] == got_d[0][3]
+
+
+def test_brunner_munzel_matches_python(spark):
+    """Replay BM from scratch with midranks over raw values (no cents
+    grid) — validates the window algebra, the exact T_iv mean-clearing,
+    and the final W/df chain."""
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import _MW_A, _MW_B
+    from tests.conftest import SF0001
+
+    xs, ys = [], []
+    for r in _events_rows():
+        if r["event_type"] == _MW_A:
+            xs.append(r["cents"])
+        elif r["event_type"] == _MW_B:
+            ys.append(r["cents"])
+    pooled = sorted(xs + ys)
+    n1, n2 = len(xs), len(ys)
+
+    def midranks(vals, within):
+        import bisect
+
+        w = sorted(within)
+        out = []
+        for v in vals:
+            lo, hi = bisect.bisect_left(w, v), bisect.bisect_right(w, v)
+            out.append((lo + hi + 1) / 2.0)
+        return out
+
+    rc1 = midranks(xs, pooled)
+    rc2 = midranks(ys, pooled)
+    r1 = midranks(xs, xs)
+    r2 = midranks(ys, ys)
+    rb1 = sum(rc1) / n1
+    rb2 = sum(rc2) / n2
+    s1 = sum(
+        (a - b - rb1 + (n1 + 1) / 2.0) ** 2 for a, b in zip(rc1, r1)
+    ) / (n1 - 1)
+    s2 = sum(
+        (a - b - rb2 + (n2 + 1) / 2.0) ** 2 for a, b in zip(rc2, r2)
+    ) / (n2 - 1)
+    p_hat = (rb2 - (n2 + 1) / 2.0) / n1
+    w = n1 * n2 * (rb2 - rb1) / (n1 + n2) / (n1 * s1 + n2 * s2) ** 0.5
+    df = (n1 * s1 + n2 * s2) ** 2 / (
+        (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
+    )
+    got = load_all()["stats_brunner_munzel"].fn(spark, SF0001).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["p_hat"] - p_hat) < 1e-12
+    assert abs(got["w_stat"] - w) < 1e-9
+    assert abs(got["df"] - df) < 1e-6 * df
