@@ -4679,3 +4679,94 @@ FROM fin
 def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bm_sql("DECIMAL(19,0)"))
+
+
+# --- k-sample Cramér-von Mises statistic ---
+# The L² companion of stats_anderson_darling_k (AD up-weights tails;
+# CvM weights uniformly — the pair brackets EDF-distance practice):
+#   T = (1/N) Σ_i n_i Σ_j (l_j/N) · (F_ij − F̄_j)²
+# with right-continuous EDFs at the distinct pooled values (stated
+# convention), F_ij = cum_ij/n_i, F̄_j = cum_j/N. Clearing
+# denominators: T·N³ = Σ_{i,j} l_j·Q_ij²/n_i with Q = N·cum_ij −
+# n_i·cum_j exact integers, and the rational /n_i handled by the
+# stats_icc integer-division split — l·Q² = a·n_i + r (wide-int
+# DECIMAL/HUGEINT div), Σa exact wide, only Σ(r/n_i) ∈ [0,1)-terms
+# crosses as floats at dsum scale 12. The raw statistic is emitted
+# with its exact building blocks (no asymptotic standardization —
+# the null moments for the tie-adjusted k-sample case aren't a
+# formula this repo can verify independently, and an unverifiable
+# constant is exactly what the replay-test discipline exists to
+# keep out).
+#
+# Scale: the AD grid's envelope — one cents aggregate, bounded-domain
+# windows, a 1-row finish.
+
+
+def _cvm_sql(idiv: str, w19: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    lq2 = (
+        f"CAST(l AS {w19}) * CAST(q AS {w19}) * CAST(q AS {w19})"
+    )
+    return f"""
+WITH scored AS (
+  SELECT event_type AS g, CAST(round(value * 100e0) AS BIGINT) AS v
+  FROM events
+),
+samp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i FROM scored GROUP BY g),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+        FROM samp),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS l FROM scored GROUP BY v),
+pool AS (
+  SELECT v, l,
+         CAST(sum(l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM vals
+),
+cell AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY v, g),
+grid AS (
+  SELECT p.v, p.l, p.cum, s.g, s.n_i, coalesce(c.c, CAST(0 AS BIGINT)) AS c
+  FROM pool p CROSS JOIN samp s
+  LEFT JOIN cell c ON c.v = p.v AND c.g = s.g
+),
+qs AS (
+  SELECT v, l, g, n_i,
+         CAST((SELECT n FROM tot)
+              * sum(c) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING)
+              - n_i * cum AS BIGINT) AS q
+  FROM grid
+),
+split AS (
+  SELECT g, n_i,
+         ({lq2}) {idiv} n_i AS a,
+         ({lq2}) - (({lq2}) {idiv} n_i) * n_i AS r
+  FROM qs
+),
+agg AS (
+  SELECT CAST(CAST(sum(a) AS STRING) AS DOUBLE) AS sum_a,
+         {dsum_expr("CAST(r AS DOUBLE) / CAST(n_i AS DOUBLE)", 12)} AS sum_r
+  FROM split
+)
+SELECT t.n, t.k,
+       (a.sum_a + a.sum_r)
+         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+         AS cvm_t
+FROM agg a CROSS JOIN tot t
+"""
+
+
+@register(
+    "stats_cvm_ksamples",
+    oracle=_cvm_sql("//", "HUGEINT"),
+    description="k-sample Cramér-von Mises statistic (right-continuous "
+    "EDFs at distinct pooled cents, stated convention): T·N³ kept in "
+    "exact integers via the stats_icc division split — wide-int Σa "
+    "plus [0,1)-remainder floats only — the uniform-weight L² "
+    "companion that brackets stats_anderson_darling_k's tail-weighted "
+    "view; the AD grid's scale envelope, no unverifiable asymptotic "
+    "constants emitted",
+)
+def stats_cvm_ksamples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cvm_sql("div", "DECIMAL(19,0)"))

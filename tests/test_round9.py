@@ -1087,3 +1087,38 @@ def test_brunner_munzel_matches_python(spark):
     assert abs(got["p_hat"] - p_hat) < 1e-12
     assert abs(got["w_stat"] - w) < 1e-9
     assert abs(got["df"] - df) < 1e-6 * df
+
+
+def test_cvm_ksamples_matches_python(spark):
+    """Replay T = (1/N)Σᵢ nᵢ Σⱼ (lⱼ/N)(F_ij − F̄_j)² with exact
+    fractions (integer Q algebra mirrored)."""
+    from fractions import Fraction
+
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    samples = {}
+    for r in _events_rows():
+        samples.setdefault(r["event_type"], []).append(r["cents"])
+    N = sum(len(v) for v in samples.values())
+    pooled = sorted(set(c for v in samples.values() for c in v))
+    l = {z: sum(v.count(z) for v in samples.values()) for z in pooled}
+    cum = {}
+    acc = 0
+    for z in pooled:
+        acc += l[z]
+        cum[z] = acc
+    t = Fraction(0)
+    import bisect
+
+    for g, xs in samples.items():
+        xs = sorted(xs)
+        n_i = len(xs)
+        for z in pooled:
+            cum_i = bisect.bisect_right(xs, z)
+            q = N * cum_i - n_i * cum[z]
+            t += Fraction(l[z] * q * q, n_i)
+    t = t / N**3
+    got = load_all()["stats_cvm_ksamples"].fn(spark, SF0001).collect()[0]
+    assert (got["n"], got["k"]) == (N, len(samples))
+    assert abs(got["cvm_t"] - float(t)) < 1e-9 * max(1.0, float(t))
