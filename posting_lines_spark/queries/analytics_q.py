@@ -4028,22 +4028,62 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers end-to-end (Spark DECIMAL / DuckDB HUGEINT — nested sums
 # stay exact). The one intrinsically RATIONAL cross-group sum,
 # S₂ = Σᵢ(Σyᵢ)²/nᵢ, is decomposed by exact integer division
-# (Σyᵢ)² = qᵢ·nᵢ + rᵢ (Spark DECIMAL `div` ≡ DuckDB HUGEINT `//`,
-# the graph_hits idiom): Σqᵢ is an exact wide-integer sum and only
+# (Σyᵢ)² = qᵢ·nᵢ + rᵢ: Σqᵢ is an exact wide-integer sum and only
 # Σ(rᵢ/nᵢ) — each term in [0,1) — crosses groups as a float, decimal-
 # routed at scale 12 where the parity.py magnitude estimate stays ≪1
 # through ~1e7 groups. (A first draft summed the raw rationals at
 # scale 0; the per-row double→DECIMAL coin flip hit at sf0.1 — the
 # stats_bartlett magnitude lesson, re-learned and re-fixed.)
 #
+# ENGINE-SIDE DIVISION SPLIT (r10, ADVICE item): Spark's `div` is
+# IntegralDivide and ALWAYS returns BIGINT, whatever the operand
+# type — so `(Σy)² div nᵢ` wraps silently once the quotient nᵢ·ȳ²
+# exceeds 2⁶³ (ȳ ≈ 1e5 cents ⇒ nᵢ ≳ 1e9 rows/user), and sum(BIGINT)
+# wraps once Σqᵢ ≈ N·ȳ² does (N ≳ 1e9), while the DuckDB oracle's
+# HUGEINT `//` stays int128 — a latent engine/oracle divergence.
+# The engine therefore derives the same split with the ladder
+#   Σy = a·nᵢ + r  (BIGINT div, trunc; |r| < nᵢ, exact — Σy is int64)
+#   (Σy)² = a²nᵢ² + 2·a·r·nᵢ + r²
+#   ⇒ qᵢ = a²·nᵢ + 2·a·r + (r² div nᵢ),  rᵢ = r² mod nᵢ
+# where every `div` operand is int64 (r² < nᵢ² needs nᵢ < 3.04e9 —
+# the one documented bound) and the wide products a²·nᵢ, 2·a·r live
+# in DECIMAL(38,0) with an exact DECIMAL(38,0) sum. Trunc semantics
+# match (Spark div ≡ DuckDB // toward zero, verified −7//2 = −3 on
+# both). The oracle keeps the DIRECT `(Σy)² // nᵢ` HUGEINT form, so
+# parity now cross-checks two independent derivations.
+#
 # Scale: one (user) aggregate with map-side combine, one G-row
 # re-aggregate, a 1-row finish.
 
 
-def _icc_sql(idiv: str, w19: str) -> str:
+def _icc_sql(idiv: str, w19: str, split: bool = False) -> str:
     from posting_lines_spark.queries.parity import dsum_expr
 
     sq = f"CAST(sy AS {w19}) * CAST(sy AS {w19})"
+    if split:
+        per_g2 = f"""
+per_g1 AS (
+  SELECT n_i, sy, syy,
+         sy {idiv} n_i AS a,
+         sy - (sy {idiv} n_i) * n_i AS r
+  FROM per_g
+),
+per_g2 AS (
+  SELECT n_i, sy, syy,
+         CAST(a AS {w19}) * CAST(a AS {w19}) * n_i
+           + 2 * CAST(a AS {w19}) * r
+           + (r * r) {idiv} n_i AS s2_q,
+         (r * r) - ((r * r) {idiv} n_i) * n_i AS s2_r
+  FROM per_g1
+),"""
+    else:
+        per_g2 = f"""
+per_g2 AS (
+  SELECT n_i, sy, syy,
+         ({sq}) {idiv} n_i AS s2_q,
+         ({sq}) - (({sq}) {idiv} n_i) * n_i AS s2_r
+  FROM per_g
+),"""
     return f"""
 WITH y AS (
   SELECT user_id, CAST(round(value * 100e0) AS BIGINT) AS y FROM events
@@ -4054,13 +4094,7 @@ per_g AS (
          CAST(sum(y) AS BIGINT) AS sy,
          sum(CAST(y AS {w19}) * CAST(y AS {w19})) AS syy
   FROM y GROUP BY user_id
-),
-per_g2 AS (
-  SELECT n_i, sy, syy,
-         ({sq}) {idiv} n_i AS s2_q,
-         ({sq}) - (({sq}) {idiv} n_i) * n_i AS s2_r
-  FROM per_g
-),
+),{per_g2}
 g AS (
   SELECT CAST(count(*) AS BIGINT) AS n_groups,
          CAST(sum(n_i) AS BIGINT) AS n_tot,
@@ -4102,7 +4136,7 @@ FROM ms
 )
 def stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_icc_sql("div", "DECIMAL(19,0)"))
+    return spark.sql(_icc_sql("div", "DECIMAL(19,0)", split=True))
 
 
 # --- Lin's concordance correlation (daily purchase vs click revenue) ---
@@ -4702,12 +4736,58 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows, a 1-row finish.
 
 
-def _cvm_sql(idiv: str, w19: str) -> str:
+def _cvm_sql(idiv: str, w19: str, split: bool = False) -> str:
+    # ENGINE-SIDE DIVISION SPLIT (r10, ADVICE item): Spark `div`
+    # always returns BIGINT, so the direct `l·Q² div nᵢ` quotient —
+    # which sums to T·N³ ≈ N³ across rows — wraps silently around
+    # N ≈ 2e6 pooled rows while DuckDB's HUGEINT `//` stays int128.
+    # The engine instead runs the trunc-division ladder
+    #   Q = a·nᵢ + r            (|r| < nᵢ; Q is int64 — existing
+    #                            envelope: N·max nᵢ < 2⁶³)
+    #   Q² = a²nᵢ² + 2·a·r·nᵢ + r²
+    #   r² = b·nᵢ + s           (s ∈ [0,nᵢ); needs nᵢ < 3.04e9)
+    #   l·s = c·nᵢ + t          (t ∈ [0,nᵢ); needs l·nᵢ < 2⁶³)
+    #   ⇒ floor(l·Q²/nᵢ) = l·a²·nᵢ + 2·l·a·r + l·b + c,  rem = t
+    # so every BIGINT `div`/`*` operand is int64-bounded and the wide
+    # products live in DECIMAL(38,0) with an exact DECIMAL(38,0) sum
+    # (Σ = T·N³ < 1e38 through N ≈ 1e12). The oracle keeps the DIRECT
+    # HUGEINT `l·Q² // nᵢ` form — parity cross-checks the derivations.
     from posting_lines_spark.queries.parity import dsum_expr
 
     lq2 = (
         f"CAST(l AS {w19}) * CAST(q AS {w19}) * CAST(q AS {w19})"
     )
+    if split:
+        split_sql = f"""
+split0 AS (
+  SELECT g, n_i, l,
+         q {idiv} n_i AS a,
+         q - (q {idiv} n_i) * n_i AS r
+  FROM qs
+),
+split1 AS (
+  SELECT g, n_i, l, a, r,
+         (r * r) {idiv} n_i AS b,
+         (r * r) - ((r * r) {idiv} n_i) * n_i AS s
+  FROM split0
+),
+split AS (
+  SELECT g, n_i,
+         CAST(l AS {w19}) * CAST(a AS {w19}) * CAST(a AS {w19}) * n_i
+           + 2 * CAST(l AS {w19}) * CAST(a AS {w19}) * r
+           + CAST(l AS {w19}) * b
+           + (l * s) {idiv} n_i AS a,
+         (l * s) - ((l * s) {idiv} n_i) * n_i AS r
+  FROM split1
+),"""
+    else:
+        split_sql = f"""
+split AS (
+  SELECT g, n_i,
+         ({lq2}) {idiv} n_i AS a,
+         ({lq2}) - (({lq2}) {idiv} n_i) * n_i AS r
+  FROM qs
+),"""
     return f"""
 WITH scored AS (
   SELECT event_type AS g, CAST(round(value * 100e0) AS BIGINT) AS v
@@ -4737,12 +4817,7 @@ qs AS (
               - n_i * cum AS BIGINT) AS q
   FROM grid
 ),
-split AS (
-  SELECT g, n_i,
-         ({lq2}) {idiv} n_i AS a,
-         ({lq2}) - (({lq2}) {idiv} n_i) * n_i AS r
-  FROM qs
-),
+{split_sql}
 agg AS (
   SELECT CAST(CAST(sum(a) AS STRING) AS DOUBLE) AS sum_a,
          {dsum_expr("CAST(r AS DOUBLE) / CAST(n_i AS DOUBLE)", 12)} AS sum_r
@@ -4769,4 +4844,4 @@ FROM agg a CROSS JOIN tot t
 )
 def stats_cvm_ksamples(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_cvm_sql("div", "DECIMAL(19,0)"))
+    return spark.sql(_cvm_sql("div", "DECIMAL(19,0)", split=True))

@@ -16,10 +16,16 @@ tool derives the order mechanically:
 3. Everything else, oldest-green-first (so decade-old r1/r2 rows
    continuously re-certify), registry order as the tiebreak.
 
-The generated block records its inputs (correctness files + HEAD sha at
-generation), so tests/test_ledger_priority.py can re-run the generator
-against the SAME inputs and assert the committed list matches exactly —
-deterministic even after later commits land.
+The generated block records two of its three inputs (correctness files
++ the HEAD sha used as the git-diff base). The third input — the
+registry name list and each query's implementing-file set — is ALWAYS
+read from the current working tree, not the recorded sha (r10, ADVICE
+item: resolving the registry at a past sha would need a checkout, and
+pretending otherwise made --check's contract misleading). So --check
+verifies: committed block == regeneration from (recorded ledgers,
+recorded diff base, CURRENT tree). A registration added/renamed/removed
+after the last --write therefore FAILS --check by design — that is the
+drift the tool exists to catch; the fix is always to re-run --write.
 
 Usage:
     python tools/ledger_priority.py --write   # regenerate the block
@@ -171,7 +177,9 @@ def render(corr_files: list[str], head: str) -> str:
         "# (3) the rest oldest-green-first. Regenerate with",
         "#   python tools/ledger_priority.py --write",
         f"# inputs: correctness={','.join(corr_files)}",
-        f"# inputs: head={head}",
+        f"# inputs: head={head} (git-diff base only; the registry and",
+        "# implementing-file sets are read from the working tree, so any",
+        "# registration change after --write fails --check by design)",
         "_LEDGER_PRIORITY = [",
         "    # -- never ledgered (new registrations; no driver row exists) --",
     ]

@@ -65,13 +65,18 @@ def main() -> int:
     print("|---|---|---|")
     for name in names:
         t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, "-c", RUNNER.format(repo=REPO, name=name, sf=sf)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", RUNNER.format(repo=REPO, name=name, sf=sf)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # per-query isolation: a hung query must not abort the sweep
+            print(f"| {name} | TIMEOUT | {time.time() - t0:.1f} |", flush=True)
+            continue
         wall = time.time() - t0
         ok = "MEMSWEEP_OK" in r.stdout
         if ok:
