@@ -888,8 +888,9 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: one signature aggregate feeds all configs; exact verification
 # runs ONCE over the deduped union of candidates, never per config.
-# TWO bound guards, both found the hard way (the first drafts OOM'd at
-# sf10 — the SNM/DBSCAN lesson class):
+# THREE bound guards, the first two found the hard way (the first
+# drafts OOM'd at sf10 — the SNM/DBSCAN lesson class), the third the
+# r9 adjudication's designed fix, built in r10:
 # 1. SATURATION: buckets wider than SWEEP_MAX_BUCKET are EXCLUDED from
 #    pair generation and REPORTED (n_sat_buckets / n_sat_docs). A
 #    bucket that wide carries no tuning signal — its pairs are the
@@ -899,22 +900,60 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    never fires; the blowup was the exact-Jaccard verify join's
 #    pairs×shingles fan-out). Per config, verification runs on a
 #    DETERMINISTIC md5-budgeted sample: keep pair (a,b) iff
-#    h·n_candidates < V·2^60 with h the 60-bit md5 of the id pair —
+#    h·n_sampled < V·2^60 with h the 60-bit md5 of the id pair —
 #    expected V verified pairs per config, EXACTLY all of them when
-#    n_candidates ≤ V (so the correctness-SF rows are unsampled and
-#    the cfg-4 ≡ dedup_minhash_lsh pin still holds). Candidate COUNTS
-#    stay exact; precision/recall are measured on the sample universe
-#    — identical integer cross-multiply rule on both engines.
+#    n_sampled ≤ V (so the correctness-SF rows are unsampled and
+#    the cfg-4 ≡ dedup_minhash_lsh pin still holds). Precision/recall
+#    are measured on the sample universe — identical integer
+#    cross-multiply rule on both engines.
+# 3. CANDIDATE CAP (r10, the VERDICT-r9 lever): the r9 idle-host
+#    adjudication proved the candidate census grows ~11.9×/decade
+#    INTRINSICALLY (bucket occupancy ∝ corpus at fixed band width ⇒
+#    quadratic within-bucket pairs) — the repo's one known 100×-scale
+#    cliff. Per config the sweep now computes the exact pair-universe
+#    bound B = Σ_buckets w(w−1)/2 from the ok-bucket widths (one
+#    G-row aggregate, no pairs materialized) and keeps an enumerated
+#    pair iff h·B < CAP·2^60 (60-bit md5 of the id pair, salt
+#    'sweepc', applied BEFORE the candidate DISTINCT — so the census
+#    shuffle is ≤ ~CAP rows/config however big the corpus). When
+#    B ≤ CAP the filter passes everything and the census stays EXACT
+#    (all correctness SFs, and every config at sf1; only cfg 12×1
+#    trips it at sf10). When capped, n_candidates is the unbiased
+#    estimate n_sampled·B div CAP and the truncation is REPORTED:
+#    n_cand_sampled (exact kept count), n_pairs_bound (B), capped
+#    (0/1). A capped census still ranks configs — the sweep is a
+#    tuning audit — and tests/test_round10.py proves capped-vs-
+#    uncapped ranking equivalence plus engine/oracle hash parity in
+#    the capped regime.
 
 SWEEP_BANDS = (12, 6, 4, 2)
 SWEEP_MAX_BUCKET = 256
 SWEEP_VERIFY_BUDGET = 100_000
+SWEEP_CANDIDATE_CAP = 5_000_000
 _H60 = 1 << 60
 
 
-def _band_sweep_oracle() -> str:
+def _cap_pred_duck(cap: int | None) -> str:
+    """AND-clause keeping pair (a,b) iff h·B < CAP·2⁶⁰ — the per-config
+    candidate cap, exact integer cross-multiply (HUGEINT)."""
+    if cap is None:
+        return ""
+    from posting_lines_spark.functions.hashing import md5_int_duck
+
+    h = md5_int_duck(
+        "concat(CAST(a.doc_id AS VARCHAR), '|', CAST(b.doc_id AS VARCHAR))",
+        salt="sweepc",
+    )
+    return (
+        f"\n      AND CAST({h} AS HUGEINT) * d.n_pairs_bound"
+        f" < CAST({cap} AS HUGEINT) * {_H60}"
+    )
+
+
+def _band_sweep_oracle(cap: int | None = SWEEP_CANDIDATE_CAP) -> str:
     from posting_lines_spark.functions.hashing import cw_mix_sql, md5_limb_duck
 
+    cap_lit = "NULL" if cap is None else str(cap)
     limbs = [f"l{i}" for i in range(4)]
     limb_cols = ", ".join(f"{md5_limb_duck('d', i)} AS l{i}" for i in range(4))
     mins = ",\n       ".join(
@@ -962,20 +1001,30 @@ okb AS (
     ON z.cfg = b.cfg AND z.band_idx = b.band_idx AND z.band_key = b.band_key
   WHERE z.width <= {SWEEP_MAX_BUCKET}
 ),
+bnd AS (
+  SELECT cfg,
+         CAST(coalesce(sum(width * (width - 1) // 2), 0) AS BIGINT)
+           AS n_pairs_bound
+  FROM bsz WHERE width <= {SWEEP_MAX_BUCKET} GROUP BY cfg
+),
 cpairs AS (
-  SELECT DISTINCT cfg, a.doc_id AS id_a, b.doc_id AS id_b
-  FROM okb a JOIN okb b USING (cfg, band_idx, band_key)
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT cfg, id_a, id_b
+  FROM (
+    SELECT a.cfg, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM okb a JOIN okb b USING (cfg, band_idx, band_key)
+    JOIN bnd d ON d.cfg = a.cfg
+    WHERE a.doc_id < b.doc_id{_cap_pred_duck(cap)}
+  )
 ),
 ccount AS (
-  SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates
+  SELECT cfg, CAST(count(*) AS BIGINT) AS n_sampled
   FROM cpairs GROUP BY cfg
 ),
 keep AS (
   SELECT c.cfg, c.id_a, c.id_b
   FROM cpairs c JOIN ccount n ON n.cfg = c.cfg
   WHERE CAST({md5_int_duck("concat(CAST(c.id_a AS VARCHAR), '|', CAST(c.id_b AS VARCHAR))", salt="sweepv")} AS DECIMAL(38,0))
-          * n.n_candidates
+          * n.n_sampled
         < CAST({SWEEP_VERIFY_BUDGET} AS DECIMAL(38,0)) * {_H60}
 ),
 upairs AS (SELECT DISTINCT id_a, id_b FROM keep),
@@ -1005,7 +1054,16 @@ per_cfg AS (
 )
 SELECT CAST(s.cfg AS INT) AS bands,
        CAST({NUM_HASHES} / s.cfg AS INT) AS rows_per_band,
-       coalesce(n.n_candidates, 0) AS n_candidates,
+       CASE WHEN {cap_lit} IS NOT NULL
+                 AND coalesce(d.n_pairs_bound, 0) > {cap_lit}
+            THEN CAST(CAST(coalesce(n.n_sampled, 0) AS HUGEINT)
+                      * d.n_pairs_bound // {cap_lit} AS BIGINT)
+            ELSE coalesce(n.n_sampled, 0) END AS n_candidates,
+       coalesce(n.n_sampled, 0) AS n_cand_sampled,
+       coalesce(d.n_pairs_bound, 0) AS n_pairs_bound,
+       CASE WHEN {cap_lit} IS NOT NULL
+                 AND coalesce(d.n_pairs_bound, 0) > {cap_lit}
+            THEN 1 ELSE 0 END AS capped,
        coalesce(p.n_verified, 0) AS n_verified,
        coalesce(p.n_true, 0) AS n_true, x.n_union_true,
        s.n_sat_buckets, s.n_sat_docs,
@@ -1017,6 +1075,7 @@ SELECT CAST(s.cfg AS INT) AS bands,
          AS recall_vs_union
 FROM sat s
 LEFT JOIN ccount n ON n.cfg = s.cfg
+LEFT JOIN bnd d ON d.cfg = s.cfg
 LEFT JOIN per_cfg p ON p.cfg = s.cfg
 CROSS JOIN tot x
 ORDER BY bands DESC
@@ -1027,15 +1086,19 @@ ORDER BY bands DESC
     "dedup_lsh_band_sweep",
     oracle=_band_sweep_oracle(),
     description=f"MinHash LSH band-configuration sweep over all four "
-    f"H=12 divisor splits {SWEEP_BANDS}: per config, exact candidate "
-    "count + verified-true/precision/recall on a deterministic "
-    "md5-budgeted verification sample (exact below V=100k — the "
-    "correctness SF is unsampled), saturation-guarded buckets, "
+    f"H=12 divisor splits {SWEEP_BANDS}: per config, candidate census "
+    "(exact below the 5M/config cap — every correctness SF and sf1; "
+    "md5-rate-capped with REPORTED truncation above it, the r10 fix "
+    "for the intrinsic ~12×/decade candidate growth) + verified-true/"
+    "precision/recall on a deterministic md5-budgeted verification "
+    "sample (exact below V=100k), saturation-guarded buckets, "
     "shuffle-hash-pinned bucket join; one shared signature build, "
     "verification once over the deduped kept union — the measured "
     "S-curve an operator tunes banding with",
 )
-def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_band_sweep(
+    spark: SparkSession, sf_dir: str, cap: int | None = SWEEP_CANDIDATE_CAP
+) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = (
         spark.sql(NEAR_BASE_SPARK)
@@ -1099,24 +1162,54 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bsz.filter(F.col("width") <= SWEEP_MAX_BUCKET).hint("shuffle_hash"),
         ["cfg", "band_idx", "band_key"],
     ).select("cfg", "band_idx", "band_key", "doc_id")
+    # per-config pair-universe bound B = Σ w(w−1)/2 over ok buckets —
+    # one G-row aggregate; the candidate cap's sampling denominator
+    bnd = (
+        bsz.filter(F.col("width") <= SWEEP_MAX_BUCKET)
+        .groupBy("cfg")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("width * (width - 1) div 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_pairs_bound")
+        )
+    )
     a = okb.select(
         F.col("doc_id").alias("id_a"), "cfg", "band_idx", "band_key"
     )
     b_side = okb.select(
         F.col("doc_id").alias("id_b"), "cfg", "band_idx", "band_key"
     )
+    from posting_lines_spark.functions.hashing import md5_int_spark
+
+    raw_pairs = a.join(b_side, ["cfg", "band_idx", "band_key"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if cap is not None:
+        # candidate cap: keep (a,b) iff h·B < CAP·2⁶⁰, applied BEFORE
+        # the distinct so the census shuffle is ≤ ~CAP rows/config —
+        # the r10 fix for the intrinsic ~12×/decade candidate growth.
+        # Exact pass-through when B ≤ CAP (same 60-bit md5 idiom as
+        # the verify budget; independent salt).
+        hcap = F.expr(
+            md5_int_spark(
+                "concat(CAST(id_a AS STRING), '|', CAST(id_b AS STRING))",
+                salt="sweepc",
+            )
+        ).cast("decimal(38,0)")
+        raw_pairs = raw_pairs.join(F.broadcast(bnd), "cfg").filter(
+            hcap * F.col("n_pairs_bound")
+            < F.lit(cap).cast("decimal(38,0)") * F.lit(_H60)
+        )
     cpairs = (
-        a.join(b_side, ["cfg", "band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cfg", "id_a", "id_b")
+        raw_pairs.select("cfg", "id_a", "id_b")
         .distinct()
         .localCheckpoint(eager=False)
     )
     ccount = cpairs.groupBy("cfg").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
     )
-    from posting_lines_spark.functions.hashing import md5_int_spark
-
     h60 = F.expr(
         md5_int_spark(
             "concat(CAST(id_a AS STRING), '|', CAST(id_b AS STRING))",
@@ -1126,7 +1219,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (
         cpairs.join(F.broadcast(ccount), "cfg")
         .filter(
-            h60 * F.col("n_candidates")
+            h60 * F.col("n_sampled")
             < F.lit(SWEEP_VERIFY_BUDGET).cast("decimal(38,0)") * F.lit(_H60)
         )
         .select("cfg", "id_a", "id_b")
@@ -1150,16 +1243,34 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_t").cast("long").alias("n_true"),
         )
     )
+    n_sampled0 = F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long")
+    bound0 = F.coalesce(F.col("n_pairs_bound"), F.lit(0)).cast("long")
+    if cap is not None:
+        is_capped = bound0 > F.lit(cap)
+        census = F.when(
+            is_capped,
+            F.expr(
+                f"CAST(CAST(coalesce(n_sampled, 0) AS DECIMAL(19,0))"
+                f" * coalesce(n_pairs_bound, 0) div {cap} AS BIGINT)"
+            ),
+        ).otherwise(n_sampled0)
+    else:
+        is_capped = F.lit(False)
+        census = n_sampled0
     return (
         sat.join(F.broadcast(ccount), "cfg", "left")
+        .join(F.broadcast(bnd), "cfg", "left")
         .join(F.broadcast(per_cfg), "cfg", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             F.col("cfg").cast("int").alias("bands"),
             (F.lit(NUM_HASHES) / F.col("cfg")).cast("int").alias("rows_per_band"),
-            F.coalesce(F.col("n_candidates"), F.lit(0))
-            .cast("long")
-            .alias("n_candidates"),
+            census.cast("long").alias("n_candidates"),
+            n_sampled0.alias("n_cand_sampled"),
+            bound0.alias("n_pairs_bound"),
+            F.when(is_capped, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("capped"),
             F.coalesce(F.col("n_verified"), F.lit(0))
             .cast("long")
             .alias("n_verified"),

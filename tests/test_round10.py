@@ -17,6 +17,81 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+from tests.conftest import SF001
+
+
+def test_band_sweep_cap_ranking_equivalence(spark):
+    """VERDICT-r9 item 1: a capped census must rank the 4 configs
+    identically to the uncapped one (the sweep is a tuning audit).
+    Force the cap to bind at sf0.01 and compare against cap=None."""
+    from posting_lines_spark.queries.dedup_q import dedup_lsh_band_sweep
+
+    exact = {
+        r["bands"]: r
+        for r in dedup_lsh_band_sweep(spark, SF001, cap=None).collect()
+    }
+    assert all(r["capped"] == 0 for r in exact.values())
+    assert all(
+        r["n_candidates"] == r["n_cand_sampled"] for r in exact.values()
+    )
+    assert all(
+        r["n_pairs_bound"] >= r["n_candidates"] for r in exact.values()
+    )
+
+    cap = max(1, min(r["n_pairs_bound"] for r in exact.values()) // 2)
+    capped = {
+        r["bands"]: r
+        for r in dedup_lsh_band_sweep(spark, SF001, cap=cap).collect()
+    }
+    assert all(r["capped"] == 1 for r in capped.values())
+    # bounds are cap-independent; sampled counts respect the cap rate
+    for b, r in capped.items():
+        assert r["n_pairs_bound"] == exact[b]["n_pairs_bound"]
+        assert r["n_cand_sampled"] <= exact[b]["n_candidates"]
+        # unbiased estimate: generous 5σ binomial envelope
+        n_kept = max(r["n_cand_sampled"], 1)
+        rel = 5.0 / n_kept**0.5 + 0.02
+        assert abs(r["n_candidates"] - exact[b]["n_candidates"]) <= max(
+            rel * exact[b]["n_candidates"], 3
+        )
+    # THE equivalence the verdict asked for: identical config ranking
+    rank_exact = sorted(exact, key=lambda b: (-exact[b]["n_candidates"], b))
+    rank_capped = sorted(
+        capped, key=lambda b: (-capped[b]["n_candidates"], b)
+    )
+    assert rank_exact == rank_capped
+
+
+def test_band_sweep_cap_engine_oracle_parity(spark, duck):
+    """The capped regime must hash-match across engines too: run the
+    Spark query and the DuckDB oracle with the same binding cap at
+    sf0.001 and compare every cell exactly."""
+    from posting_lines_spark.queries.dedup_q import (
+        _band_sweep_oracle,
+        dedup_lsh_band_sweep,
+    )
+
+    probe = {
+        r["bands"]: r
+        for r in dedup_lsh_band_sweep(spark, "/root/testdata/sf0.001",
+                                      cap=None).collect()
+    }
+    cap = max(1, min(r["n_pairs_bound"] for r in probe.values()) // 2)
+    got = [
+        tuple(r)
+        for r in dedup_lsh_band_sweep(
+            spark, "/root/testdata/sf0.001", cap=cap
+        ).collect()
+    ]
+    want = duck.execute(_band_sweep_oracle(cap=cap)).fetchall()
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and gv is not None and wv is not None:
+                assert gv == wv or abs(gv - wv) < 1e-15
+            else:
+                assert gv == wv
+
 
 def test_icc_split_survives_int64_overflow(spark):
     """1000 rows/group of ~1e8 cents: (Σy)² ≈ 1e22, direct quotient
