@@ -673,21 +673,30 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial-merge path ≡ the batch computation.
 
 
-def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_psi_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    src: str | None = None,
+    out: str | None = None,
+    ckpt: str | None = None,
+) -> DataFrame:
+    # src/out/ckpt injectable for the restart-recovery test
     from posting_lines_spark.queries.schema_q import _PSI_FOLD_SPARK, _psi_sql
 
     orders = load_table(spark, sf_dir, "orders")
-    src = cached_fixture(
-        "psi_orders_src",
-        sf_dir,
-        lambda p: orders.select("o_totalprice", "o_orderdate")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(p),
-        "pls_psi_src_",
-    )
-    out = scratch_dir("pls_psi_out_")
-    ckpt = scratch_dir("pls_psi_ckpt_")
+    if src is None:
+        src = cached_fixture(
+            "psi_orders_src",
+            sf_dir,
+            lambda p: orders.select("o_totalprice", "o_orderdate")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(p),
+            "pls_psi_src_",
+        )
+    out = out or scratch_dir("pls_psi_out_")
+    ckpt = ckpt or scratch_dir("pls_psi_ckpt_")
     schema = spark.read.parquet(src).schema
 
     from posting_lines_spark.queries.schema_q import PSI_BINS, PSI_SPLIT, PSI_WIDTH
@@ -916,18 +925,7 @@ register(
 # batch EWMA bit-for-bit — the oracle is the batch SQL, unchanged.
 
 
-def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from posting_lines_spark.queries.analytics_q import (
-        _EWMA_FOLD_SPARK,
-        _EWMA_SERIES_SPARK,
-        EWMA_ALPHA,
-    )
-    from posting_lines_spark.queries.parity import davg_expr
-
-    events = load_table(spark, sf_dir, "events")
-
+def _ewma_write_slices(events: DataFrame):
     def write_slices(p: str) -> None:
         # force_mtime_order: the EWMA carry is order-sensitive — an
         # mtime tie between appends could replay slices out of order
@@ -954,9 +952,37 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             force_mtime_order(p, seen, i, base)
 
-    src = cached_fixture("ewma_events_src", sf_dir, write_slices, "pls_ewma_src_")
-    state_root = scratch_dir("pls_ewma_state_")
-    ckpt = scratch_dir("pls_ewma_ckpt_")
+    return write_slices
+
+
+def stream_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    src: str | None = None,
+    state_root: str | None = None,
+    ckpt: str | None = None,
+) -> DataFrame:
+    # src/state_root/ckpt are injectable so the restart-recovery test
+    # (tests/test_round10.py) can drive THIS pipeline across a
+    # kill/resume instead of a reimplementation
+    import os
+
+    from posting_lines_spark.queries.analytics_q import (
+        _EWMA_FOLD_SPARK,
+        _EWMA_SERIES_SPARK,
+        EWMA_ALPHA,
+    )
+    from posting_lines_spark.queries.parity import davg_expr
+
+    events = load_table(spark, sf_dir, "events")
+    if src is None:
+        src = cached_fixture(
+            "ewma_events_src", sf_dir, _ewma_write_slices(events),
+            "pls_ewma_src_",
+        )
+    state_root = state_root or scratch_dir("pls_ewma_state_")
+    ckpt = ckpt or scratch_dir("pls_ewma_ckpt_")
     schema = spark.read.parquet(src).schema
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1377,13 +1403,7 @@ register(
 # bounded-metadata pattern.
 
 
-def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from posting_lines_spark.queries.sketch_q import HH_K
-
-    docs = load_table(spark, sf_dir, "documents")
-
+def _hh_write_slices(docs: DataFrame):
     def write_slices(p: str) -> None:
         import time
 
@@ -1402,9 +1422,29 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             force_mtime_order(p, seen, i, base)
 
-    src = cached_fixture("hh_docs_src", sf_dir, write_slices, "pls_hh_src_")
-    state_root = scratch_dir("pls_hh_state_")
-    ckpt = scratch_dir("pls_hh_ckpt_")
+    return write_slices
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    src: str | None = None,
+    state_root: str | None = None,
+    ckpt: str | None = None,
+) -> DataFrame:
+    # src/state_root/ckpt injectable for the restart-recovery test
+    import os
+
+    from posting_lines_spark.queries.sketch_q import HH_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    if src is None:
+        src = cached_fixture(
+            "hh_docs_src", sf_dir, _hh_write_slices(docs), "pls_hh_src_"
+        )
+    state_root = state_root or scratch_dir("pls_hh_state_")
+    ckpt = ckpt or scratch_dir("pls_hh_ckpt_")
     schema = spark.read.parquet(src).schema
 
     def grams_of(df: DataFrame) -> DataFrame:

@@ -2018,17 +2018,29 @@ FROM pls_bpe_final_seq
 #
 # Scale: candidates = |probes| × block size. Probes are a fixed RATE
 # (1/101 — a dirty feed grows with the corpus), and first-token block
-# size also grows with the corpus, so the candidate count is
+# size also grows with the corpus, so the RAW candidate count is
 # intrinsically quadratic in SF (measured 6.3× for 10× at sf1 before
-# the length band; the band cuts the constant ~2×). The scale levers,
-# in order: extend the block key (2-token — trades recall for typos
-# in token 2), then the q-gram prefilter the levenshtein join already
-# implements (provably complete for 1 transposition). The per-pair
-# kernel is the declared slow path (Arrow-batched, never row-at-a-time
-# BatchEvalPython).
+# the length band). The r10 lever (VERDICT item 2) is the q-gram
+# prefilter the levenshtein join already proved out: candidates must
+# share all but ≤ JW_QGRAM_SLACK of the probe's DISTINCT bigrams —
+# PROVABLY COMPLETE for one adjacent transposition (swapping chars
+# p,p+1 changes only the bigrams at positions p−1, p, p+1, so at most
+# 3 distinct probe grams can be absent from the source; every other
+# probe gram is literally a source gram at the same position). The
+# arrays are built ONCE per row before the join (array_distinct /
+# list_distinct — identical set semantics), the intersect-size test is
+# JVM-side per pair, and only survivors reach the Python kernel and
+# the top-1 window shuffle, so the expensive stages are ~linear while
+# the quadratic residue is a cheap streamed intersect behind a
+# BROADCAST of the probe side (probes are 1/101 of parts — ~20k rows
+# at sf10, ~2M even at 100 TB; past broadcast size the fallback is the
+# plain shuffle equi-join on the block key, unchanged semantics). The
+# per-pair kernel is the declared slow path (Arrow-batched, never
+# row-at-a-time BatchEvalPython).
 
 JW_PROBE_MOD = 101
 JW_LEN_BAND = 2  # a 1-char transposition never changes length
+JW_QGRAM_SLACK = 3  # one transposition destroys ≤ 3 distinct bigrams
 
 
 def _jw_probes_sql(md5i: str) -> str:
@@ -2049,33 +2061,63 @@ FROM part WHERE p_partkey % {JW_PROBE_MOD} = 0
 """
 
 
-def _jw_linkage_sql(probes: str, jw: str) -> str:
+def _jw_linkage_sql(
+    probes: str, jw: str, grams: str, isect: str, card: str, hint: str = ""
+) -> str:
+    """Shared linkage text. `grams` builds the distinct-bigram array of
+    column {s}; `isect(a, b)` is set-intersection size; `card(a)` is
+    set size — engine-specific spellings, identical semantics."""
+    pg, mg = "p.pg", "m.mg"
     return f"""
-WITH probes AS ({probes}),
+WITH probes0 AS ({probes}),
+probes AS (
+  SELECT probe_id, probe_name, {grams.format(s="probe_name")} AS pg
+  FROM probes0
+),
+master AS (
+  SELECT p_partkey AS match_id, p_name AS match_name,
+         {grams.format(s="p_name")} AS mg
+  FROM part
+),
 cand AS (
-  SELECT p.probe_id, p.probe_name, m.p_partkey AS match_id,
-         m.p_name AS match_name
+  SELECT {hint}p.probe_id, p.probe_name, m.match_id, m.match_name
   FROM probes p
-  JOIN part m
-    ON split_part(p.probe_name, ' ', 1) = split_part(m.p_name, ' ', 1)
-   AND abs(length(p.probe_name) - length(m.p_name)) <= {JW_LEN_BAND}
+  JOIN master m
+    ON split_part(p.probe_name, ' ', 1) = split_part(m.match_name, ' ', 1)
+   AND abs(length(p.probe_name) - length(m.match_name)) <= {JW_LEN_BAND}
+   AND {isect.format(a=pg, b=mg)} >= {card.format(a=pg)} - {JW_QGRAM_SLACK}
 ),
 scored AS (
-  SELECT probe_id, match_id, {jw} AS jw,
+  SELECT probe_id, match_id, {jw} AS jw FROM cand
+),
+ranked AS (
+  SELECT probe_id, match_id, jw,
          row_number() OVER (PARTITION BY probe_id
-                            ORDER BY {jw} DESC, match_id) AS rn
-  FROM cand
+                            ORDER BY jw DESC, match_id) AS rn
+  FROM scored
 )
 SELECT probe_id, match_id, jw,
        CASE WHEN match_id = probe_id THEN 1 ELSE 0 END AS matched_self
-FROM scored WHERE rn = 1
+FROM ranked WHERE rn = 1
 ORDER BY probe_id
 """
 
 
+_JW_GRAMS_DUCK = (
+    "list_distinct(list_transform(range(1, length({s})),"
+    " p -> substr({s}, p, 2)))"
+)
+_JW_GRAMS_SPARK = (
+    "array_distinct(transform(sequence(1, length({s}) - 1),"
+    " p -> substring({s}, p, 2)))"
+)
+
 _JW_ORACLE = _jw_linkage_sql(
     _jw_probes_sql(md5_int_duck("p_partkey", salt="jwp")),
     "jaro_winkler_similarity(probe_name, match_name)",
+    _JW_GRAMS_DUCK,
+    "len(list_intersect({a}, {b}))",
+    "len({a})",
 )
 
 
@@ -2084,7 +2126,10 @@ _JW_ORACLE = _jw_linkage_sql(
     oracle=_JW_ORACLE,
     description=f"Jaro-Winkler record linkage: 1/{JW_PROBE_MOD} of part "
     "names get a deterministic md5-positioned transposition typo, then "
-    "top-1 match against the master table within first-token blocks — "
+    "top-1 match against the master table within first-token blocks "
+    "gated by a distinct-bigram q-gram prefilter (all but ≤3 of the "
+    "probe's bigrams must appear in the match — provably complete for "
+    "one transposition; r10) behind a broadcast of the probe side — "
     "engine scores with the pure-Python textbook kernel in an Arrow-"
     "batched Pandas UDF, oracle with DuckDB's independent C++ builtin "
     "(bit-identical by test, so the argmax picks the same winner); "
@@ -2105,39 +2150,19 @@ def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotations`, so inline hints would be strings the UDF type
     # inferencer cannot resolve)
     _jw_batch.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    _jw = pandas_udf(_jw_batch, "double")
-
-    from pyspark.sql import Window as W
+    spark.udf.register("pls_jw", pandas_udf(_jw_batch, "double"))
 
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    probes = spark.sql(_jw_probes_sql(md5_int_spark("p_partkey", salt="jwp")))
-    master = spark.table("part").select(
-        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("match_name")
-    )
-    cand = probes.join(
-        master,
-        (
-            F.expr("split_part(probe_name, ' ', 1)")
-            == F.expr("split_part(match_name, ' ', 1)")
+    # BROADCAST(p): probes are 1/101 of parts — the block join streams
+    # the master side with zero shuffle; the q-gram prefilter keeps the
+    # Python kernel + window off all but near-duplicate pairs
+    return spark.sql(
+        _jw_linkage_sql(
+            _jw_probes_sql(md5_int_spark("p_partkey", salt="jwp")),
+            "pls_jw(probe_name, match_name)",
+            _JW_GRAMS_SPARK,
+            "size(array_intersect({a}, {b}))",
+            "size({a})",
+            hint="/*+ BROADCAST(p) */ ",
         )
-        & (
-            F.abs(F.length("probe_name") - F.length("match_name"))
-            <= JW_LEN_BAND
-        ),
-    )
-    scored = cand.withColumn("jw", _jw(F.col("probe_name"), F.col("match_name")))
-    w = W.partitionBy("probe_id").orderBy(F.col("jw").desc(), F.col("match_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(
-            "probe_id",
-            "match_id",
-            "jw",
-            F.when(F.col("match_id") == F.col("probe_id"), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("matched_self"),
-        )
-        .orderBy("probe_id")
     )

@@ -93,6 +93,330 @@ def test_band_sweep_cap_engine_oracle_parity(spark, duck):
                 assert gv == wv
 
 
+# ---- restart-recovery tests for the 6 remaining stateful twins
+# (VERDICT-r9 item 3; attribution + interarrival set the bar: kill at a
+# checkpoint boundary, resume with a BRAND-NEW query, assert output ≡
+# the uninterrupted run). These drive the PRODUCTION pipelines — the
+# twins take injectable src/state/ckpt dirs — not reimplementations. ----
+
+
+def _slice_files(d):
+    import os
+
+    return sorted(
+        (
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ),
+        key=os.path.getmtime,
+    )
+
+
+def _copy_in(files, dst):
+    import os
+    import shutil
+
+    for f in files:
+        shutil.copy2(f, os.path.join(dst, os.path.basename(f)))
+
+
+def test_sessions_stateful_recovers_after_restart(spark):
+    """Kill the event-time-timer sessionizer after 3 of 6 slices
+    (open-session carry + timers checkpointed), resume: the appended
+    closed-session set must equal the uninterrupted run's."""
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.stream_q import _sess_write_slices
+    from posting_lines_spark.sources import load_table
+    from posting_lines_spark.streaming.stateful import sessionize_stateful
+
+    events = load_table(spark, SF001, "events")
+    full = scratch_dir("pls_sessrec_full_")
+    _sess_write_slices(events)(full)
+    files = _slice_files(full)
+    assert len(files) == 6  # 4 slices + 2 watermark-flush sentinels
+
+    schema = "user_id long, s_start_us long, s_end_us long, n_events long"
+
+    def read_out(p):
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(p)
+            .where(F.col("user_id") >= 0)
+            .collect()
+        )
+
+    src = scratch_dir("pls_sessrec_src_")
+    out = scratch_dir("pls_sessrec_out_")
+    ckpt = scratch_dir("pls_sessrec_ckpt_")
+    _copy_in(files[:3], src)
+    sessionize_stateful(spark, src, out, ckpt)
+    _copy_in(files[3:], src)
+    sessionize_stateful(spark, src, out, ckpt)  # new query, same ckpt
+
+    out2 = scratch_dir("pls_sessrec_out2_")
+    sessionize_stateful(spark, full, out2, scratch_dir("pls_sessrec_ck2_"))
+    got, want = read_out(out), read_out(out2)
+    assert got == want and len(got) > 0
+
+
+def test_stateful_stats_recovers_after_restart(spark):
+    """Kill the per-user running (n, max) tracker after 2 of 4 files,
+    resume from the checkpoint: final per-user state must equal the
+    batch aggregate (the registered twin's oracle)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.sources import load_table
+    from posting_lines_spark.streaming.stateful import _track_user
+
+    events = load_table(spark, SF001, "events").select("user_id", "value")
+    full = scratch_dir("pls_statsrec_full_")
+    events.repartition(4).write.mode("overwrite").parquet(full)
+    files = _slice_files(full)
+    assert len(files) == 4
+
+    src = scratch_dir("pls_statsrec_src_")
+    sink = scratch_dir("pls_statsrec_out_")
+    ckpt = scratch_dir("pls_statsrec_ckpt_")
+    schema = spark.read.parquet(full).schema
+
+    def drain():
+        out = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _track_user,
+                outputStructType="user_id long, n_events long,"
+                " max_value double",
+                stateStructType="n long, mx double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _copy_in(files[:2], src)
+    drain()
+    _copy_in(files[2:], src)
+    drain()  # new query; per-user (n, mx) reloads from the state store
+
+    rows = spark.read.schema(
+        "user_id long, n_events long, max_value double"
+    ).parquet(sink)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in rows.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ewma_recovers_after_restart(spark):
+    """The ORDER-DEPENDENT carry class: kill after 2 of 4 in-order day
+    slices, resume — the resumed fold must seed from the persisted
+    (ewma, n_days) carry, so the final state is bit-identical to the
+    uninterrupted run's."""
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.stream_q import (
+        _ewma_write_slices,
+        stream_ewma,
+    )
+    from posting_lines_spark.sources import load_table
+
+    events = load_table(spark, SF001, "events")
+    full = scratch_dir("pls_ewmarec_full_")
+    _ewma_write_slices(events)(full)
+    files = _slice_files(full)
+    assert len(files) == 4
+
+    src = scratch_dir("pls_ewmarec_src_")
+    state = scratch_dir("pls_ewmarec_state_")
+    ckpt = scratch_dir("pls_ewmarec_ckpt_")
+    _copy_in(files[:2], src)
+    stream_ewma(spark, SF001, src=src, state_root=state, ckpt=ckpt)
+    _copy_in(files[2:], src)
+    got = {
+        r["event_type"]: (r["n_days"], r["ewma"])
+        for r in stream_ewma(
+            spark, SF001, src=src, state_root=state, ckpt=ckpt
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_days"], r["ewma"])
+        for r in stream_ewma(
+            spark,
+            SF001,
+            src=full,
+            state_root=scratch_dir("pls_ewmarec_st2_"),
+            ckpt=scratch_dir("pls_ewmarec_ck2_"),
+        ).collect()
+    }
+    assert got == want  # exact — same fold, same seeds, same order
+
+
+def test_psi_drift_recovers_after_restart(spark):
+    """Additive-partials class: kill after 2 of 4 files, resume — the
+    merged (bin, n_a, n_b) partials and the PSI must equal the
+    uninterrupted run's exactly."""
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.stream_q import stream_psi_drift
+    from posting_lines_spark.sources import load_table
+
+    orders = load_table(spark, SF001, "orders")
+    full = scratch_dir("pls_psirec_full_")
+    orders.select("o_totalprice", "o_orderdate").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(full)
+    files = _slice_files(full)
+    assert len(files) == 4
+
+    src = scratch_dir("pls_psirec_src_")
+    out = scratch_dir("pls_psirec_out_")
+    ckpt = scratch_dir("pls_psirec_ckpt_")
+    _copy_in(files[:2], src)
+    stream_psi_drift(spark, SF001, src=src, out=out, ckpt=ckpt)
+    _copy_in(files[2:], src)
+    got = sorted(
+        tuple(r)
+        for r in stream_psi_drift(
+            spark, SF001, src=src, out=out, ckpt=ckpt
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in stream_psi_drift(
+            spark,
+            SF001,
+            src=full,
+            out=scratch_dir("pls_psirec_out2_"),
+            ckpt=scratch_dir("pls_psirec_ck2_"),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_recovers_after_restart(spark):
+    """Mergeable Misra-Gries carry: kill after 2 of 4 slices, resume —
+    the k-bounded carry reloads from parquet state, and the final
+    exact counting pass must equal the uninterrupted run's."""
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.stream_q import (
+        _hh_write_slices,
+        stream_heavy_hitters,
+    )
+    from posting_lines_spark.sources import load_table
+
+    docs = load_table(spark, SF001, "documents")
+    full = scratch_dir("pls_hhrec_full_")
+    _hh_write_slices(docs)(full)
+    files = _slice_files(full)
+    assert len(files) == 4
+
+    src = scratch_dir("pls_hhrec_src_")
+    state = scratch_dir("pls_hhrec_state_")
+    ckpt = scratch_dir("pls_hhrec_ckpt_")
+    _copy_in(files[:2], src)
+    stream_heavy_hitters(spark, SF001, src=src, state_root=state, ckpt=ckpt)
+    _copy_in(files[2:], src)
+    got = [
+        tuple(r)
+        for r in stream_heavy_hitters(
+            spark, SF001, src=src, state_root=state, ckpt=ckpt
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in stream_heavy_hitters(
+            spark,
+            SF001,
+            src=full,
+            state_root=scratch_dir("pls_hhrec_st2_"),
+            ckpt=scratch_dir("pls_hhrec_ck2_"),
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_dedup_index_recovers_after_restart(spark):
+    """Persisted MinHash band index: kill after 2 of 4 corpus chunks,
+    resume — the resumed batches must probe the persisted band/shingle
+    state, so the cumulative pair table equals the uninterrupted
+    run's."""
+    from posting_lines_spark.fixtures import scratch_dir
+    from posting_lines_spark.queries.dedup_q import (
+        BANDS,
+        JACCARD_T,
+        NUM_HASHES,
+    )
+    from posting_lines_spark.queries.stream_q import _dedup_stream_src
+    from posting_lines_spark.streaming.incremental import (
+        minhash_index_stream,
+    )
+
+    full = _dedup_stream_src(spark, SF001)
+    files = _slice_files(full)
+    assert len(files) == 4
+
+    def pairs_of(df):
+        return sorted(
+            (r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()
+        )
+
+    src = scratch_dir("pls_idxrec_src_")
+    state = scratch_dir("pls_idxrec_state_")
+    ckpt = scratch_dir("pls_idxrec_ckpt_")
+    _copy_in(files[:2], src)
+    minhash_index_stream(
+        spark, src, state, ckpt, NUM_HASHES, BANDS, JACCARD_T
+    )
+    _copy_in(files[2:], src)
+    got = pairs_of(
+        minhash_index_stream(
+            spark, src, state, ckpt, NUM_HASHES, BANDS, JACCARD_T
+        )
+    )
+    want = pairs_of(
+        minhash_index_stream(
+            spark,
+            full,
+            scratch_dir("pls_idxrec_st2_"),
+            scratch_dir("pls_idxrec_ck2_"),
+            NUM_HASHES,
+            BANDS,
+            JACCARD_T,
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_icc_split_survives_int64_overflow(spark):
     """1000 rows/group of ~1e8 cents: (Σy)² ≈ 1e22, direct quotient
     ≈ 1e19 > 2⁶³ wraps; the r10 ladder stays exact."""
