@@ -2016,31 +2016,47 @@ FROM pls_bpe_final_seq
 # self-audit rides along: matched_self = the probe's top-1 is its own
 # uncorrupted source row.
 #
-# Scale: candidates = |probes| × block size. Probes are a fixed RATE
-# (1/101 — a dirty feed grows with the corpus), and first-token block
-# size also grows with the corpus, so the RAW candidate count is
-# intrinsically quadratic in SF (measured 6.3× for 10× at sf1 before
-# the length band). The r10 lever (VERDICT item 2) is the q-gram
-# prefilter the levenshtein join already proved out: candidates must
-# share all but ≤ JW_QGRAM_SLACK of the probe's DISTINCT bigrams —
-# PROVABLY COMPLETE for one adjacent transposition (swapping chars
-# p,p+1 changes only the bigrams at positions p−1, p, p+1, so at most
-# 3 distinct probe grams can be absent from the source; every other
-# probe gram is literally a source gram at the same position). The
-# arrays are built ONCE per row before the join (array_distinct /
-# list_distinct — identical set semantics), the intersect-size test is
-# JVM-side per pair, and only survivors reach the Python kernel and
-# the top-1 window shuffle, so the expensive stages are ~linear while
-# the quadratic residue is a cheap streamed intersect behind a
-# BROADCAST of the probe side (probes are 1/101 of parts — ~20k rows
-# at sf10, ~2M even at 100 TB; past broadcast size the fallback is the
-# plain shuffle equi-join on the block key, unchanged semantics). The
-# per-pair kernel is the declared slow path (Arrow-batched, never
-# row-at-a-time BatchEvalPython).
+# Scale (the r10 lever, VERDICT item 2 — measured, hit a wall,
+# redesigned): raw candidates = |probes| × first-token-block size,
+# both ∝ SF ⇒ intrinsically quadratic (measured 6.3×/decade; idle sf1
+# p50 32.7 s pre-lever). The first attempt was the planned q-gram
+# prefilter — share all but ≤3 of the probe's distinct bigrams,
+# complete for one transposition — as an array_intersect predicate on
+# the block join. It was CORRECT but did not scale: Catalyst's
+# CollapseProject inlines the streamed side's gram-array build into
+# the join condition, so the 25-element array + distinct + intersect
+# re-evaluates PER CANDIDATE PAIR (~440M pairs at sf10 — the sf10 run
+# had to be killed at 10+ min; the physical plan shows the streamed
+# side as bare Filter+FileScan with no Project). The fix is
+# structural, not a materialization barrier: the declared corruption
+# is ONE ADJACENT TRANSPOSITION, and a transposition PERMUTES
+# characters — it preserves the character multiset exactly, and it
+# preserves token 1 by construction. So the blocking key
+#   (first token, sorted characters of the remainder)
+# is transposition-INVARIANT: the true source always shares it (zero
+# recall loss — stronger than the q-gram slack bound), and it is an
+# EQUI-JOIN key computed once per row in the hash-join key projection
+# (CollapseProject can't multiply per-row work on an equi key).
+# Candidates collapse from block-quadratic streaming to hash-join
+# matches (essentially anagram classes). The second wall was DATA
+# DUPLICATION: the synthetic corpus has only ~64 distinct part names
+# over millions of rows, so even the invariant-key buckets hold tens
+# of thousands of IDENTICAL-name rows and any per-ROW candidate join
+# stays quadratic. Fix: score at the distinct-NAME-class level —
+# master aggregates to (name, block) → min(match_id) once (one
+# map-side-combinable shuffle), the kernel scores distinct
+# (probe_name, match_name) pairs only, and the class argmax
+# (jw DESC, min_id) is PROVABLY the row argmax (jw is a function of
+# the names; every copy ties; the row tie-break picks the min id of
+# the winning class). Winners then join back to probe ids. The whole
+# query is scan-bound at any SF and any duplication profile. For
+# broader real-world typo classes (insertions/deletions break the
+# multiset) the generalization is q-gram BANDING as separate
+# equi-join keys, not a per-pair predicate — same lesson, same shape.
+# The per-pair kernel stays the declared slow path (Arrow-batched,
+# never row-at-a-time BatchEvalPython).
 
 JW_PROBE_MOD = 101
-JW_LEN_BAND = 2  # a 1-char transposition never changes length
-JW_QGRAM_SLACK = 3  # one transposition destroys ≤ 3 distinct bigrams
 
 
 def _jw_probes_sql(md5i: str) -> str:
@@ -2062,62 +2078,90 @@ FROM part WHERE p_partkey % {JW_PROBE_MOD} = 0
 
 
 def _jw_linkage_sql(
-    probes: str, jw: str, grams: str, isect: str, card: str, hint: str = ""
+    probes: str, jw: str, sortsig: str, hint: str = ""
 ) -> str:
-    """Shared linkage text. `grams` builds the distinct-bigram array of
-    column {s}; `isect(a, b)` is set-intersection size; `card(a)` is
-    set size — engine-specific spellings, identical semantics."""
-    pg, mg = "p.pg", "m.mg"
+    """Shared linkage text, two scale layers (r10):
+
+    1. BLOCKING: key = (first token, sorted chars of the remainder) —
+       invariant under the declared one-transposition corruption, so
+       candidate generation is a pure equi-join (the key is computed
+       once per row; nothing re-evaluates per pair).
+    2. NAME-CLASS DEDUP: the kernel scores DISTINCT (probe_name,
+       match_name) pairs, never rows. Master aggregates to one row
+       per (name, block) carrying min(match_id); since jw is a
+       function of the names alone, every copy of a name ties, and
+       the (jw DESC, match_id ASC) argmax over rows equals the
+       (jw DESC, min_id ASC) argmax over classes — proven equal, and
+       immune to duplicated corpora (the synthetic part table has
+       only ~64 distinct names over millions of rows; a per-row
+       candidate join degenerates to |probes|·|bucket| identical-name
+       pairs there, which is what killed the per-pair q-gram draft at
+       sf10).
+
+    `sortsig` is the engine spelling of sort-characters-of-{s}."""
     return f"""
 WITH probes0 AS ({probes}),
-probes AS (
-  SELECT probe_id, probe_name, {grams.format(s="probe_name")} AS pg
-  FROM probes0
+pnames AS (
+  SELECT probe_name, b1, {sortsig.format(s="rest")} AS sig
+  FROM (
+    SELECT DISTINCT probe_name,
+           split_part(probe_name, ' ', 1) AS b1,
+           substring(probe_name,
+                     length(split_part(probe_name, ' ', 1)) + 2) AS rest
+    FROM probes0
+  ) x
 ),
-master AS (
-  SELECT p_partkey AS match_id, p_name AS match_name,
-         {grams.format(s="p_name")} AS mg
-  FROM part
+mclass AS (
+  SELECT match_name, b1, {sortsig.format(s="rest")} AS sig,
+         min(match_id) AS min_id
+  FROM (
+    SELECT p_partkey AS match_id, p_name AS match_name,
+           split_part(p_name, ' ', 1) AS b1,
+           substring(p_name, length(split_part(p_name, ' ', 1)) + 2) AS rest
+    FROM part
+  ) x
+  GROUP BY match_name, b1, sig
 ),
 cand AS (
-  SELECT {hint}p.probe_id, p.probe_name, m.match_id, m.match_name
-  FROM probes p
-  JOIN master m
-    ON split_part(p.probe_name, ' ', 1) = split_part(m.match_name, ' ', 1)
-   AND abs(length(p.probe_name) - length(m.match_name)) <= {JW_LEN_BAND}
-   AND {isect.format(a=pg, b=mg)} >= {card.format(a=pg)} - {JW_QGRAM_SLACK}
+  SELECT {hint}p.probe_name, m.match_name, m.min_id
+  FROM pnames p
+  JOIN mclass m ON m.b1 = p.b1 AND m.sig = p.sig
 ),
 scored AS (
-  SELECT probe_id, match_id, {jw} AS jw FROM cand
+  SELECT probe_name, match_name, min_id, {jw} AS jw FROM cand
 ),
 ranked AS (
-  SELECT probe_id, match_id, jw,
-         row_number() OVER (PARTITION BY probe_id
-                            ORDER BY jw DESC, match_id) AS rn
+  SELECT probe_name, min_id, jw,
+         row_number() OVER (PARTITION BY probe_name
+                            ORDER BY jw DESC, min_id) AS rn
   FROM scored
+),
+resolved AS (
+  SELECT probe_name, min_id AS match_id, jw FROM ranked WHERE rn = 1
 )
-SELECT probe_id, match_id, jw,
-       CASE WHEN match_id = probe_id THEN 1 ELSE 0 END AS matched_self
-FROM ranked WHERE rn = 1
+SELECT p0.probe_id, r.match_id, r.jw,
+       CASE WHEN r.match_id = p0.probe_id THEN 1 ELSE 0 END AS matched_self
+FROM probes0 p0 JOIN resolved r ON r.probe_name = p0.probe_name
 ORDER BY probe_id
 """
 
 
-_JW_GRAMS_DUCK = (
-    "list_distinct(list_transform(range(1, length({s})),"
-    " p -> substr({s}, p, 2)))"
+# engine spellings of "characters of {s}, sorted, re-joined" (ASCII
+# corpus ⇒ identical binary char ordering on both engines)
+_JW_SORTSIG_DUCK = (
+    "array_to_string(list_sort(list_transform("
+    "range(1, length({s}) + 1), i -> substring({s}, i, 1))), '')"
 )
-_JW_GRAMS_SPARK = (
-    "array_distinct(transform(sequence(1, length({s}) - 1),"
-    " p -> substring({s}, p, 2)))"
+_JW_SORTSIG_SPARK = (
+    "CASE WHEN length({s}) >= 1 THEN array_join(array_sort(transform("
+    "sequence(1, length({s})), i -> substring({s}, i, 1))), '') "
+    "ELSE '' END"
 )
 
 _JW_ORACLE = _jw_linkage_sql(
     _jw_probes_sql(md5_int_duck("p_partkey", salt="jwp")),
     "jaro_winkler_similarity(probe_name, match_name)",
-    _JW_GRAMS_DUCK,
-    "len(list_intersect({a}, {b}))",
-    "len({a})",
+    _JW_SORTSIG_DUCK,
 )
 
 
@@ -2126,10 +2170,12 @@ _JW_ORACLE = _jw_linkage_sql(
     oracle=_JW_ORACLE,
     description=f"Jaro-Winkler record linkage: 1/{JW_PROBE_MOD} of part "
     "names get a deterministic md5-positioned transposition typo, then "
-    "top-1 match against the master table within first-token blocks "
-    "gated by a distinct-bigram q-gram prefilter (all but ≤3 of the "
-    "probe's bigrams must appear in the match — provably complete for "
-    "one transposition; r10) behind a broadcast of the probe side — "
+    "top-1 match against the master table blocked on the "
+    "transposition-INVARIANT key (first token, sorted chars of the "
+    "rest) — a pure equi-join with zero recall loss for the declared "
+    "corruption (a transposition permutes characters), the r10 "
+    "redesign after the per-pair q-gram predicate hit Catalyst's "
+    "CollapseProject wall at sf10 — "
     "engine scores with the pure-Python textbook kernel in an Arrow-"
     "batched Pandas UDF, oracle with DuckDB's independent C++ builtin "
     "(bit-identical by test, so the argmax picks the same winner); "
@@ -2153,16 +2199,14 @@ def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udf.register("pls_jw", pandas_udf(_jw_batch, "double"))
 
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    # BROADCAST(p): probes are 1/101 of parts — the block join streams
-    # the master side with zero shuffle; the q-gram prefilter keeps the
-    # Python kernel + window off all but near-duplicate pairs
+    # BROADCAST(p): probes are 1/101 of parts — the invariant-key block
+    # join streams the master side with zero shuffle; the Python kernel
+    # + top-1 window see only equi-key matches (≈ anagram classes)
     return spark.sql(
         _jw_linkage_sql(
             _jw_probes_sql(md5_int_spark("p_partkey", salt="jwp")),
             "pls_jw(probe_name, match_name)",
-            _JW_GRAMS_SPARK,
-            "size(array_intersect({a}, {b}))",
-            "size({a})",
+            _JW_SORTSIG_SPARK,
             hint="/*+ BROADCAST(p) */ ",
         )
     )

@@ -625,15 +625,19 @@ def test_jaro_winkler_join_matches_python(spark):
 
     from posting_lines_spark.functions.strdist import jaro_winkler
     from posting_lines_spark.queries import load_all
-    from posting_lines_spark.queries.text_q import JW_LEN_BAND, JW_PROBE_MOD
+    from posting_lines_spark.queries.text_q import JW_PROBE_MOD
     from tests.conftest import SF0001
+
+    def blocksig(name):
+        t1 = len(name.split(" ")[0])
+        return (name.split(" ")[0], "".join(sorted(name[t1 + 1:])))
 
     parts = pq.read_table(
         SF0001 + "/part.parquet", columns=["p_partkey", "p_name"]
     ).to_pylist()
     blocks = {}
     for r in parts:
-        blocks.setdefault(r["p_name"].split(" ")[0], []).append(
+        blocks.setdefault(blocksig(r["p_name"]), []).append(
             (r["p_partkey"], r["p_name"])
         )
     want = {}
@@ -648,9 +652,7 @@ def test_jaro_winkler_join_matches_python(spark):
         i = pos - 1
         probe = name[:i] + name[i + 1] + name[i] + name[i + 2:]
         best = None
-        for mid, mname in blocks.get(probe.split(" ")[0], []):
-            if abs(len(probe) - len(mname)) > JW_LEN_BAND:
-                continue
+        for mid, mname in blocks.get(blocksig(probe), []):
             jw = jaro_winkler(probe, mname)
             if best is None or jw > best[1] or (jw == best[1] and mid < best[0]):
                 best = (mid, jw)
