@@ -260,3 +260,81 @@ def frame_energies(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
 
     return df.mapInPandas(per_batch, schema=ENERGY_SCHEMA)
+
+
+# --- video lane: deterministic fake frames + scene-cut decode ---
+# The video half of the multimodal story (shot segmentation is the
+# first op a video curation pipeline runs, before frame sampling or
+# captioning): video travels as an opaque binary payload of fixed
+# 16-byte frames (one md5 digest = a fake 4×4 luma raster — the same
+# deterministic-fake boundary as the audio lane), and "decode" is an
+# Arrow-batched mapInPandas that emits the sum-of-absolute-differences
+# between consecutive frames. Everything downstream (cut thresholding,
+# shot runs) is engine SQL; the oracle replays the digest arithmetic
+# bit-for-bit. With real video the per-batch body calls the codec; the
+# schema, fan-out shape, and batch-sized memory are the real path.
+
+VIDEO_FRAME_BYTES = 16
+VIDEO_NF_MOD = 29  # n_frames = 2 + doc_id % 29 — bounded, always ≥ 2
+SAD_SCHEMA = "doc_id long, frame_idx long, sad long"
+
+
+def attach_video(df: DataFrame) -> DataFrame:
+    """Simulated ingestion: per doc, n_frames = 2 + doc_id % 29 frames
+    of md5(doc_id:frame:vid) digest bytes concatenated into one binary
+    payload column (with real video this is the object-store blob).
+    Always ≥ 2 frames, so every doc has at least one frame diff."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % VIDEO_NF_MOD
+                payload = b"".join(
+                    hashlib.md5(f"{doc_id}:{f}:vid".encode()).digest()
+                    for f in range(nf)
+                )
+                rows.append((doc_id, nf, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "video"])
+
+    return df.select("doc_id").mapInPandas(
+        per_batch, schema="doc_id long, n_frames long, video binary"
+    )
+
+
+def frame_sads(df: DataFrame) -> DataFrame:
+    """The fake decode: slice the payload into 16-byte frames (4×4
+    luma rasters) and emit the exact-integer sum of absolute pixel
+    differences between consecutive frames — the classic shot-change
+    signal. Arrow-batched; payload bytes never shuffle."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                doc_id = int(doc_id)
+                nf = len(payload) // VIDEO_FRAME_BYTES
+                prev = None
+                for f in range(nf):
+                    fb = payload[
+                        f * VIDEO_FRAME_BYTES : (f + 1) * VIDEO_FRAME_BYTES
+                    ]
+                    if prev is not None:
+                        rows.append(
+                            (
+                                doc_id,
+                                f,
+                                sum(abs(a - b) for a, b in zip(fb, prev)),
+                            )
+                        )
+                    prev = fb
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "sad"])
+
+    return df.mapInPandas(per_batch, schema=SAD_SCHEMA)

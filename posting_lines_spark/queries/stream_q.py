@@ -2067,3 +2067,118 @@ register(
     "lane — the first op of a speech curation pipeline, with bounded "
     "fan-out and no payload shuffle",
 )(multimodal_audio_vad)
+
+
+# --- video scene-cut detection over the fake-frame multimodal lane ---
+# The video twin of the audio VAD (VERDICT-r9 item 8): shot
+# segmentation by consecutive-frame SAD (sum of absolute luma
+# differences), the first op of a video curation pipeline. Binary
+# payload → mapInPandas SAD decode (operators/multimodal.py
+# attach_video/frame_sads — real Arrow plumbing, deterministic fake
+# 4×4-luma frames) → shared-text SQL for cut flags, shot run-ids
+# (cumulative cuts) and per-doc shot stats. The oracle regenerates
+# every SAD from the md5 hex INSIDE SQL (16 byte-pairs across two
+# digests, exact integers end-to-end), so the whole lane is
+# exact-checked.
+#
+# Scale: fan-out is bounded (≤30 frames/doc); SADs shuffle as
+# (doc_id, frame, int64) — payload bytes never leave the scan side;
+# the shot window is per-doc and frame-bounded. With real video only
+# the per-batch decode body changes.
+
+VIDEO_CUT_THRESH = 1450  # just above the 16-pixel |Δ| expectation
+
+
+def _scenecut_sql(d: str) -> str:
+    return f"""
+WITH d AS ({d}),
+fl AS (
+  SELECT doc_id, frame_idx, sad,
+         CASE WHEN sad > {VIDEO_CUT_THRESH} THEN 1 ELSE 0 END AS cut
+  FROM d
+),
+fr AS (
+  SELECT doc_id, frame_idx, cut FROM fl
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, 0 AS cut
+  FROM (SELECT DISTINCT doc_id FROM fl) z
+),
+shots AS (
+  SELECT doc_id, frame_idx,
+         sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                        ROWS UNBOUNDED PRECEDING) AS shot_id
+  FROM fr
+),
+per_shot AS (
+  SELECT doc_id, shot_id, CAST(count(*) AS BIGINT) AS len
+  FROM shots GROUP BY doc_id, shot_id
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_frames,
+         CAST(sum(cut) AS BIGINT) AS n_cuts,
+         CAST(max(sad) AS BIGINT) AS max_sad
+  FROM fl GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_frames, a.n_cuts,
+       CAST(a.n_cuts + 1 AS BIGINT) AS n_shots,
+       s.max_shot_len, a.max_sad
+FROM agg a
+JOIN (SELECT doc_id, CAST(max(len) AS BIGINT) AS max_shot_len
+      FROM per_shot GROUP BY doc_id) s ON s.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+def _scenecut_sad_duck() -> str:
+    from posting_lines_spark.operators.multimodal import (
+        VIDEO_FRAME_BYTES,
+        VIDEO_NF_MOD,
+    )
+
+    hf = (
+        "md5(CAST(d.doc_id AS VARCHAR) || ':' ||"
+        " CAST(f.frame_idx AS VARCHAR) || ':vid')"
+    )
+    hp = (
+        "md5(CAST(d.doc_id AS VARCHAR) || ':' ||"
+        " CAST(f.frame_idx - 1 AS VARCHAR) || ':vid')"
+    )
+    terms = " + ".join(
+        f"abs(CAST('0x' || substring({hf}, {1 + 2 * i}, 2) AS BIGINT)"
+        f" - CAST('0x' || substring({hp}, {1 + 2 * i}, 2) AS BIGINT))"
+        for i in range(VIDEO_FRAME_BYTES)
+    )
+    return f"""
+SELECT d.doc_id, f.frame_idx, CAST({terms} AS BIGINT) AS sad
+FROM (SELECT doc_id, 2 + doc_id % {VIDEO_NF_MOD} AS nf FROM documents) d
+CROSS JOIN (SELECT unnest(range(1, {VIDEO_NF_MOD} + 2)) AS frame_idx) f
+WHERE f.frame_idx < d.nf
+"""
+
+
+def multimodal_video_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.multimodal import (
+        attach_video,
+        frame_sads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sads = frame_sads(attach_video(docs))
+    sads.createOrReplaceTempView("pls_video_sads")
+    return spark.sql(
+        _scenecut_sql("SELECT doc_id, frame_idx, sad FROM pls_video_sads")
+    )
+
+
+register(
+    "multimodal_video_scenecut",
+    oracle=_scenecut_sql(_scenecut_sad_duck()),
+    description="video-lane scene-cut detection over the multimodal "
+    "fake-frame payloads: mapInPandas consecutive-frame SAD decode "
+    "(16-byte md5 frames as 4×4 luma rasters, exact integer Σ|Δ|), "
+    "then shared-text SQL cut thresholding + cumulative-cut shot runs "
+    "per doc (n_cuts/n_shots/longest shot); the oracle regenerates "
+    "every SAD from md5 hex inside SQL, exact-checking the whole lane "
+    "— the shot-segmentation op a video curation pipeline runs first, "
+    "with bounded fan-out and no payload shuffle",
+)(multimodal_video_scenecut)

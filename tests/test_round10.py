@@ -509,3 +509,66 @@ def test_cvm_split_survives_int64_overflow(spark):
             abs(old["cvm_t"] - expect) > 1e-6 * max(1.0, expect)
     except Exception:
         pass  # ANSI overflow error — the failure mode the ladder removes
+
+
+def test_video_scenecut_matches_python(spark):
+    """Replay the whole video lane in Python: md5 fake 4×4-luma
+    frames, consecutive-frame SADs, cut threshold, shot runs — per-doc
+    stats must be equal (the parity-blindness discipline: the oracle
+    shares the SQL text, so only an independent replay proves the
+    statistic itself)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.operators.multimodal import VIDEO_NF_MOD
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.stream_q import VIDEO_CUT_THRESH
+    from tests.conftest import SF0001
+
+    doc_ids = pq.read_table(
+        SF0001 + "/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    want = {}
+    for doc_id in doc_ids:
+        nf = 2 + doc_id % VIDEO_NF_MOD
+        frames = [
+            hashlib.md5(f"{doc_id}:{f}:vid".encode()).digest()
+            for f in range(nf)
+        ]
+        sads = [
+            sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1]))
+            for f in range(1, nf)
+        ]
+        cuts = [s > VIDEO_CUT_THRESH for s in sads]
+        shot_lens, cur = [], 1
+        for c in cuts:
+            if c:
+                shot_lens.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        shot_lens.append(cur)
+        want[doc_id] = (
+            nf,
+            sum(cuts),
+            sum(cuts) + 1,
+            max(shot_lens),
+            max(sads),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_frames"],
+            r["n_cuts"],
+            r["n_shots"],
+            r["max_shot_len"],
+            r["max_sad"],
+        )
+        for r in load_all()["multimodal_video_scenecut"]
+        .fn(spark, SF0001)
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: the threshold actually splits — some docs have cuts
+    assert any(v[1] > 0 for v in want.values())
+    assert any(v[1] == 0 for v in want.values())
