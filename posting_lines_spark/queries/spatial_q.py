@@ -443,11 +443,31 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multisets include the point itself (standard |N_eps(p)| ≥ minPts)
 # via the 1 + count form, and the left join keeps isolated points.
 #
-# Scale: candidate fanout is density-bounded — Σ_cell ~4.5·n_cell² —
+# Scale: candidate fanout is density-bounded — Σ_cell ~4.5·n̂_cell² —
 # never a cross join; skewed cells are the classic salting candidate.
 # Spark side self-joins ACROSS A STORAGE BOUNDARY (enrich_materialized)
 # so cx/cy are plain attributes, not inlined Albers kernels, in the
 # join key (the Janino 64KB lesson).
+#
+# WEIGHTED DISTINCT-COORDINATE REWRITE (r10, VERDICT item 4): the
+# first sf10 run had to be killed at ≥57 min. Diagnosis from the
+# query's own output: avg_neighbors grew EXACTLY 10× per decade
+# (71.84 → 718.38 at sf0.1 → sf1) because the scale-up replicates
+# event values verbatim — points stack at IDENTICAL coordinates, so
+# verified pairs ∝ N·density ∝ SF² (projected 2.15e11 pairs ≈ 5 h at
+# sf10). Exact fix, same lesson as the r10 JW name-class redesign:
+# collapse duplicates BEFORE the quadratic stage. Coordinates
+# aggregate to (x, y, w=multiplicity) once; the eps-pair join runs
+# over DISTINCT coords only (n̂_cell = distinct coords per cell, NOT
+# points); a point's neighbor count is the weighted sum
+#   n_neighbors(p at c) = w(c) + Σ_{c' ≠ c, dist ≤ eps} w(c')
+# which equals the old 1 + #(other points within eps) exactly — own
+# coord contributes itself plus its w−1 twins, every other coord its
+# full multiplicity. The 2-row summary re-aggregates weighted
+# (n_points = Σw, avg = Σw·nb / Σw as exact wide integers). On
+# duplicate-free data this costs one extra map-side-combined groupBy
+# and changes nothing; on duplicated data the quadratic term depends
+# on the DISTINCT support only — sf10 pair work equals sf0.1's.
 
 DBSCAN_EPS_M = 5_000.0
 DBSCAN_MINPTS = 10
@@ -460,7 +480,7 @@ _DBSCAN_OFFSETS = " UNION ALL ".join(
 )
 
 
-def _dbscan_core_sql() -> str:
+def _dbscan_core_sql(w38: str = "HUGEINT") -> str:
     eps2 = dlit(DBSCAN_EPS_M * DBSCAN_EPS_M)
     cell = dlit(DBSCAN_EPS_M)
     return f"""
@@ -471,34 +491,41 @@ pts AS (
          CAST(floor(y1 / {cell}) AS BIGINT) AS cy
   FROM seg
 ),
+coords AS (
+  SELECT x, y, cx, cy, CAST(count(*) AS BIGINT) AS w
+  FROM pts GROUP BY x, y, cx, cy
+),
 offsets AS ({_DBSCAN_OFFSETS}),
 probes AS (
-  SELECT id, x, y, dx, dy, cx + dx AS pcx, cy + dy AS pcy
-  FROM pts CROSS JOIN offsets
+  SELECT x, y, w, dx, dy, cx + dx AS pcx, cy + dy AS pcy
+  FROM coords CROSS JOIN offsets
 ),
 pairs AS (
-  SELECT a.id AS id_a, a.x AS xa, a.y AS ya,
-         b.id AS id_b, b.x AS xb, b.y AS yb
-  FROM probes a JOIN pts b ON b.cx = a.pcx AND b.cy = a.pcy
-  WHERE (a.dx <> 0 OR a.dy <> 0
-         OR (a.id, a.x, a.y) < (b.id, b.x, b.y))
+  SELECT a.x AS xa, a.y AS ya, a.w AS wa,
+         b.x AS xb, b.y AS yb, b.w AS wb
+  FROM probes a JOIN coords b ON b.cx = a.pcx AND b.cy = a.pcy
+  WHERE (a.dx <> 0 OR a.dy <> 0 OR (a.x, a.y) < (b.x, b.y))
     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps2}
 ),
 ends AS (
-  SELECT id_a AS id, xa AS x, ya AS y FROM pairs
+  SELECT xa AS x, ya AS y, wb AS nw FROM pairs
   UNION ALL
-  SELECT id_b AS id, xb AS x, yb AS y FROM pairs
+  SELECT xb AS x, yb AS y, wa AS nw FROM pairs
 ),
 neigh AS (
-  SELECT p.id, p.x, p.y, CAST(1 + count(e.id) AS BIGINT) AS n_neighbors
-  FROM pts p LEFT JOIN ends e ON e.id = p.id AND e.x = p.x AND e.y = p.y
-  GROUP BY p.id, p.x, p.y
+  SELECT c.x, c.y, c.w,
+         c.w + coalesce(e.s, CAST(0 AS BIGINT)) AS n_neighbors
+  FROM coords c
+  LEFT JOIN (SELECT x, y, CAST(sum(nw) AS BIGINT) AS s
+             FROM ends GROUP BY x, y) e
+    ON e.x = c.x AND e.y = c.y
 )
 SELECT n_neighbors >= {DBSCAN_MINPTS} AS is_core,
-       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(w) AS BIGINT) AS n_points,
        CAST(min(n_neighbors) AS BIGINT) AS min_neighbors,
        CAST(max(n_neighbors) AS BIGINT) AS max_neighbors,
-       {davg_expr("n_neighbors")} AS avg_neighbors
+       CAST(CAST(sum(CAST(w AS {w38}) * n_neighbors) AS STRING) AS DOUBLE)
+         / sum(w) AS avg_neighbors
 FROM neigh
 GROUP BY 1
 ORDER BY is_core
@@ -530,10 +557,15 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probes = pts.select(
-        "id",
+    # weighted distinct-coordinate collapse (r10): the quadratic stage
+    # must see each coordinate once, with its multiplicity as a weight
+    coords = pts.groupBy("x", "y", "cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    probes = coords.select(
         "x",
         "y",
+        "w",
         F.explode(
             F.array(
                 *[
@@ -545,9 +577,10 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select("id", "x", "y", "p.dx", "p.dy", "p.pcx", "p.pcy")
-    b = pts.select(
-        F.col("id").alias("id_b"), F.col("x").alias("bx"), F.col("y").alias("by"),
+    ).select("x", "y", "w", "p.dx", "p.dy", "p.pcx", "p.pcy")
+    b = coords.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("w").alias("wb"),
         F.col("cx").alias("pcx"), F.col("cy").alias("pcy"),
     )
     eps2 = DBSCAN_EPS_M * DBSCAN_EPS_M
@@ -564,7 +597,7 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("dx") != 0)
                 | (F.col("dy") != 0)
-                | (F.struct("id", "x", "y") < F.struct("id_b", "bx", "by"))
+                | (F.struct("x", "y") < F.struct("bx", "by"))
             )
             & (
                 (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
@@ -572,34 +605,42 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.lit(eps2)
             )
         )
-        .select("id", "x", "y", "id_b", "bx", "by")
+        .select("x", "y", "w", "bx", "by", "wb")
     )
-    # segment_id is NOT unique (multi-line segments share it); the point
-    # identity is the (id, x, y) triple — exact float copies, never
-    # arithmetic results, so the equality join/group keys are safe
-    ends = pairs.select("id", "x", "y").unionAll(
+    # coordinates are exact float copies, never arithmetic results, so
+    # the equality join/group keys below are safe
+    ends = pairs.select("x", "y", F.col("wb").alias("nw")).unionAll(
         pairs.select(
-            F.col("id_b").alias("id"), F.col("bx").alias("x"), F.col("by").alias("y")
+            F.col("bx").alias("x"), F.col("by").alias("y"),
+            F.col("w").alias("nw"),
         )
     )
     neigh = (
-        pts.select("id", "x", "y")
-        .join(
-            ends.groupBy("id", "x", "y").agg(F.count(F.lit(1)).alias("c")),
-            ["id", "x", "y"],
+        coords.join(
+            ends.groupBy("x", "y").agg(F.sum("nw").cast("long").alias("s")),
+            ["x", "y"],
             "left",
         )
-        .select((F.lit(1) + F.coalesce("c", F.lit(0))).alias("n_neighbors"))
+        .select(
+            "w",
+            (F.col("w") + F.coalesce("s", F.lit(0))).alias("n_neighbors"),
+        )
     )
     return (
         neigh.groupBy(
             (F.col("n_neighbors") >= DBSCAN_MINPTS).alias("is_core")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_points"),
+            F.sum("w").cast("long").alias("n_points"),
             F.min("n_neighbors").alias("min_neighbors"),
             F.max("n_neighbors").alias("max_neighbors"),
-            F.expr(davg_expr("n_neighbors")).alias("avg_neighbors"),
+            (
+                F.expr(
+                    "CAST(CAST(sum(CAST(w AS DECIMAL(38,0)) * n_neighbors)"
+                    " AS STRING) AS DOUBLE)"
+                )
+                / F.sum("w")
+            ).alias("avg_neighbors"),
         )
         .orderBy("is_core")
     )
