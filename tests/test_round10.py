@@ -572,3 +572,39 @@ def test_video_scenecut_matches_python(spark):
     # non-vacuous: the threshold actually splits — some docs have cuts
     assert any(v[1] > 0 for v in want.values())
     assert any(v[1] == 0 for v in want.values())
+
+
+def test_semdedup_class_collapse_equals_pairwise(spark):
+    """The r10 embedding-class collapse must reproduce the pairwise
+    drop rule exactly: run both formulations in Spark at sf0.01 and
+    compare every row."""
+    from posting_lines_spark.functions.hashing import md5_int_spark
+    from posting_lines_spark.operators.similarity import cosine_spark
+    from posting_lines_spark.queries.vectors_q import (
+        _KM_LONG_SPARK,
+        _semdedup_sql,
+    )
+    from posting_lines_spark.sources import load_table
+
+    load_table(spark, SF001, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    h = md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans")
+
+    def run(collapse):
+        return sorted(
+            tuple(r)
+            for r in spark.sql(
+                _semdedup_sql(
+                    _KM_LONG_SPARK,
+                    h,
+                    lambda a, b: cosine_spark(a, b),
+                    collapse=collapse,
+                )
+            ).collect()
+        )
+
+    got, want = run(True), run(False)
+    assert got == want and len(got) > 0
+    # non-vacuous: some cluster actually drops members
+    assert any(r[2] > 0 for r in got)
