@@ -4845,3 +4845,264 @@ FROM agg a CROSS JOIN tot t
 def stats_cvm_ksamples(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cvm_sql("div", "DECIMAL(19,0)", split=True))
+
+
+# --- Ansari-Bradley scale test (wave 19) ---
+# The rank test for SCALE differences (Mann-Whitney detects location;
+# AB detects dispersion): pooled values get the symmetric scores
+# a(i) = min(i, N+1−i), ties receive the block mid-score, and the
+# statistic is W = Σ scores of sample 1. No table of magic constants:
+# under H0, W is the sum of n1 draws WITHOUT replacement from the
+# finite score population, so E[W] = n1·μ_s and
+# Var[W] = n1·n2·σ_s²/(N−1) with μ_s, σ_s² the exact population
+# moments of the N mid-scores — plain finite-population sampling
+# theory, fully replayable (the CvM discipline: nothing emitted that
+# an independent Python replay can't re-derive).
+#
+# Exact integer plumbing: per tied block at positions [a, b] the raw
+# score sum S = Σ min(i, N+1−i) has the closed form
+#   S = Σ_{i=a}^{min(b,h)} i + Σ_{i=max(a,h+1)}^{b} (N+1−i),  h = ⌊(N+1)/2⌋
+# via triangular numbers in wide integers. The rationals W = Σ c1·S/t
+# and Q = Σ S²/t ride the r10 trunc-division ladder (S = s_q·t + s_r
+# with the quotient ≤ (N+1)/2 always int64): floor parts are exact
+# wide sums, only [0,1) remainders cross as floats at dsum scale 12.
+# Documented bounds: s_r² < t² needs t < 3.04e9 tied rows per value;
+# c1·s_r < c1·t < 2⁶³.
+#
+# Scale: Mann-Whitney's envelope — one cents aggregate, one bounded-
+# domain cumulative window, a 1-row finish.
+
+
+def _ab_sql(idiv: str, w19: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    T = lambda x: f"(CAST({x} AS {w19}) * ({x} + 1) {idiv} 2)"  # noqa: E731
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+pts AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(count(*) - sum(g1) AS BIGINT) AS c2
+  FROM scored GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 + c2) AS BIGINT) AS n,
+         CAST((sum(c1 + c2) + 1) {idiv} 2 AS BIGINT) AS h
+  FROM pts
+),
+run AS (
+  SELECT v, c1, c2, c1 + c2 AS t,
+         CAST(sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM pts
+),
+blocks AS (
+  SELECT c1, c2, t, cum - t + 1 AS a, cum AS b, n, h, n1, n2
+  FROM run CROSS JOIN tot
+),
+bscore AS (
+  SELECT c1, t, n, n1, n2,
+         CASE WHEN least(b, h) >= a
+              THEN {T("least(b, h)")} - {T("(a - 1)")}
+              ELSE CAST(0 AS {w19}) END
+         + CASE WHEN b >= greatest(a, h + 1)
+                THEN CAST(n + 1 AS {w19}) * (b - greatest(a, h + 1) + 1)
+                     - ({T("b")} - {T("(greatest(a, h + 1) - 1)")})
+                ELSE CAST(0 AS {w19}) END AS s
+  FROM blocks
+),
+ladder AS (
+  SELECT c1, t, n, n1, n2, s,
+         CAST(s {idiv} t AS BIGINT) AS s_q,
+         CAST(s - (s {idiv} t) * t AS BIGINT) AS s_r
+  FROM bscore
+),
+terms AS (
+  SELECT n, n1, n2, t,
+         -- W floor/frac: c1·S/t = c1·s_q + (c1·s_r div t) + (c1·s_r mod t)/t
+         CAST(c1 AS {w19}) * s_q + (c1 * s_r) {idiv} t AS w_fl,
+         (c1 * s_r) - ((c1 * s_r) {idiv} t) * t AS w_rm,
+         -- Q floor/frac: S²/t = s_q²·t + 2·s_q·s_r + (s_r² div t) + (s_r² mod t)/t
+         CAST(s_q AS {w19}) * CAST(s_q AS {w19}) * t
+           + 2 * CAST(s_q AS {w19}) * s_r
+           + (s_r * s_r) {idiv} t AS q_fl,
+         (s_r * s_r) - ((s_r * s_r) {idiv} t) * t AS q_rm,
+         s AS s_all
+  FROM ladder
+),
+agg AS (
+  SELECT max(n) AS n, max(n1) AS n1, max(n2) AS n2,
+         CAST(CAST(sum(w_fl) AS STRING) AS DOUBLE)
+           + {dsum_expr("CAST(w_rm AS DOUBLE) / CAST(t AS DOUBLE)", 12)}
+           AS w_ab,
+         CAST(CAST(sum(q_fl) AS STRING) AS DOUBLE)
+           + {dsum_expr("CAST(q_rm AS DOUBLE) / CAST(t AS DOUBLE)", 12)}
+           AS q,
+         CAST(CAST(sum(s_all) AS STRING) AS DOUBLE) AS s_tot
+  FROM (SELECT t, n, n1, n2, w_fl, w_rm, q_fl, q_rm, s_all FROM terms) z
+),
+fin AS (
+  SELECT n, n1, n2, w_ab,
+         CAST(n1 AS DOUBLE) * s_tot / CAST(n AS DOUBLE) AS e_w,
+         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           * (CAST(n AS DOUBLE) * q - s_tot * s_tot)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) - 1.0e0)) AS var_w
+  FROM agg
+)
+SELECT n1, n2, w_ab, e_w, var_w,
+       (w_ab - e_w) / nullif(sqrt(var_w), 0e0) AS z_stat
+FROM fin
+"""
+
+
+@register(
+    "stats_ansari_bradley",
+    oracle=_ab_sql("//", "HUGEINT"),
+    description=f"Ansari-Bradley scale test ({_MW_A} vs {_MW_B} cents): "
+    "symmetric rank scores min(i, N+1−i) with exact tie mid-scores via "
+    "closed-form triangular block sums, rationals on the r10 trunc-"
+    "division ladder (wide floor sums + [0,1) remainder floats), and "
+    "null moments from finite-population sampling theory (E[W]=n1·μ_s, "
+    "Var=n1·n2·σ_s²/(N−1)) — no unverifiable constants; the dispersion "
+    "sibling of stats_mann_whitney on the same envelope",
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ab_sql("div", "DECIMAL(19,0)"))
+
+
+# --- Goodman-Kruskal gamma (wave 19) ---
+# Ordinal-ordinal association over a BOUNDED grid: hour-of-day (0–23)
+# vs fixed-width cents decile (0–9). Concordant/discordant pair counts
+# come from the ≤240-cell grid's self-join — never a row-level pair
+# join: C = Σ n_xy·n_x'y' over (x'>x, y'>y), D over (x'>x, y'<y),
+# γ = (C−D)/(C+D). Products ride wide integers; C and D are emitted
+# through the exact STRING→DOUBLE route (they exceed int64 past ~4e9
+# rows; the double carries their exact leading digits either way).
+#
+# Scale: one grid aggregate with map-side combine (grid is constant-
+# size), a 240×240 broadcast self-join, a 1-row finish.
+
+
+def _gamma_sql(w19: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT CAST(({{us}} % 86400000000) {{idiv}} 3600000000 AS BIGINT)
+           AS x,
+         least(CAST(round(value * 100e0) AS BIGINT) {{idiv}} 2000,
+               CAST(9 AS BIGINT)) AS y
+  FROM events
+),
+g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY x, y),
+pairs AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN b.y > a.y
+                           THEN CAST(a.n AS {w19}) * b.n END), 0)
+         AS {w19}) AS c_raw,
+    CAST(coalesce(sum(CASE WHEN b.y < a.y
+                           THEN CAST(a.n AS {w19}) * b.n END), 0)
+         AS {w19}) AS d_raw
+  FROM g a JOIN g b ON b.x > a.x
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM g)
+SELECT t.n_rows,
+       CAST(CAST(p.c_raw AS STRING) AS DOUBLE) AS c_pairs,
+       CAST(CAST(p.d_raw AS STRING) AS DOUBLE) AS d_pairs,
+       (CAST(CAST(p.c_raw AS STRING) AS DOUBLE)
+          - CAST(CAST(p.d_raw AS STRING) AS DOUBLE))
+         / nullif(CAST(CAST(p.c_raw AS STRING) AS DOUBLE)
+                  + CAST(CAST(p.d_raw AS STRING) AS DOUBLE), 0e0) AS gamma
+FROM pairs p CROSS JOIN tot t
+"""
+
+
+@register(
+    "stats_goodman_kruskal_gamma",
+    oracle=_gamma_sql("HUGEINT")
+    .replace("{idiv}", "//")
+    .replace("{us}", "epoch_us(ts)"),
+    description="Goodman-Kruskal gamma between hour-of-day and cents "
+    "decile: concordant/discordant pair counts from the ≤240-cell "
+    "grid's self-join (exact wide-integer products, never a row-level "
+    "pair join), γ = (C−D)/(C+D) — the ordinal association measure "
+    "Kendall's τ-b approximates on grids; one constant-size grid "
+    "aggregate + a 1-row finish",
+)
+def stats_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _gamma_sql("DECIMAL(19,0)")
+        .replace("{idiv}", "div")
+        .replace("{us}", "unix_micros(ts)")
+    )
+
+
+# --- Cliff's delta (wave 19) ---
+# The nonparametric effect size stats_effect_sizes lacks: the
+# dominance measure δ = P(X>Y) − P(X<Y) for purchase vs click cents —
+# robust where Cohen's d assumes normality. Exact integers end-to-end:
+# per-cents-value group counts + one bounded-domain cumulative window
+# give #(X>Y) = Σ_v c1_v·cum2_<v and #(X<Y) = Σ_v c1_v·(n2 − cum2_≤v)
+# as wide-integer sums; δ and the tie mass close in one double chain.
+# (2·#(X>Y) + ties)/2 is exactly Mann-Whitney U₁ — the documented
+# cross-check the replay test asserts.
+#
+# Scale: Mann-Whitney's envelope — one cents aggregate, one bounded
+# cumulative window, a 1-row finish.
+
+
+def _cliffs_sql(w19: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS v,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+),
+pts AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(count(*) - sum(g1) AS BIGINT) AS c2
+  FROM scored GROUP BY v
+),
+run AS (
+  SELECT v, c1, c2,
+         CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum2
+  FROM pts
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM pts),
+agg AS (
+  SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+         CAST(CAST(sum(CAST(r.c1 AS {w19}) * (r.cum2 - r.c2)) AS STRING)
+              AS DOUBLE) AS n_gt,
+         CAST(CAST(sum(CAST(r.c1 AS {w19}) * (t.n2 - r.cum2)) AS STRING)
+              AS DOUBLE) AS n_lt,
+         CAST(CAST(sum(CAST(r.c1 AS {w19}) * r.c2) AS STRING) AS DOUBLE)
+           AS n_tie
+  FROM run r CROSS JOIN tot t
+)
+SELECT n1, n2, n_gt, n_lt, n_tie,
+       (n_gt - n_lt) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta
+FROM agg
+"""
+
+
+@register(
+    "stats_cliffs_delta",
+    oracle=_cliffs_sql("HUGEINT"),
+    description=f"Cliff's delta dominance effect size ({_MW_A} vs "
+    f"{_MW_B} cents): exact wide-integer #(X>Y)/#(X<Y)/tie counts from "
+    "per-value group counts + one bounded cumulative window, "
+    "δ = (gt−lt)/(n1·n2) — the nonparametric companion to "
+    "stats_effect_sizes' Cohen's d, and (2·gt + ties)/2 ≡ Mann-Whitney "
+    "U₁ by construction (the replay test asserts it); one cents "
+    "aggregate + a 1-row finish",
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cliffs_sql("DECIMAL(19,0)"))

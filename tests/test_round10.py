@@ -608,3 +608,109 @@ def test_semdedup_class_collapse_equals_pairwise(spark):
     assert got == want and len(got) > 0
     # non-vacuous: some cluster actually drops members
     assert any(r[2] > 0 for r in got)
+
+
+# ---- wave-19 replay tests (the parity-blindness discipline: engine
+# and oracle share SQL text, so only independent Python re-derivations
+# prove the statistics themselves) ----
+
+
+def _mw_groups(rows):
+    from posting_lines_spark.queries.analytics_q import _MW_A, _MW_B
+
+    a = sorted(r["cents"] for r in rows if r["event_type"] == _MW_A)
+    b = sorted(r["cents"] for r in rows if r["event_type"] == _MW_B)
+    return a, b
+
+
+def test_ansari_bradley_matches_python(spark):
+    """Replay W, the finite-population null moments, and z from first
+    principles with exact Fractions."""
+    from fractions import Fraction
+
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    a, b = _mw_groups(_events_rows())
+    pooled = sorted([(v, 1) for v in a] + [(v, 0) for v in b])
+    N = len(pooled)
+    # mid-scores per tied block of the symmetric scores min(i, N+1-i)
+    scores = {}
+    i = 0
+    while i < N:
+        j = i
+        while j < N and pooled[j][0] == pooled[i][0]:
+            j += 1
+        block = [min(k + 1, N - k) for k in range(i, j)]
+        scores[pooled[i][0]] = Fraction(sum(block), len(block))
+        i = j
+    w = sum(scores[v] for v in a)
+    s_tot = sum(scores[pooled[k][0]] for k in range(N))
+    q = sum(scores[pooled[k][0]] ** 2 for k in range(N))
+    n1, n2 = len(a), len(b)
+    e_w = Fraction(n1, N) * s_tot
+    var_w = Fraction(n1 * n2, N - 1) * (q / N - (s_tot / N) ** 2)
+    z = float(w - e_w) / float(var_w) ** 0.5
+    got = load_all()["stats_ansari_bradley"].fn(spark, SF0001).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["w_ab"] - float(w)) < 1e-6
+    assert abs(got["e_w"] - float(e_w)) < 1e-6
+    assert abs(got["var_w"] - float(var_w)) < 1e-6 * float(var_w)
+    assert abs(got["z_stat"] - z) < 1e-9 * max(1.0, abs(z))
+
+
+def test_goodman_kruskal_gamma_matches_python(spark):
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    grid = {}
+    for r in _events_rows():
+        x = (r["ts_us"] % 86_400_000_000) // 3_600_000_000
+        y = min(r["cents"] // 2000, 9)
+        grid[(x, y)] = grid.get((x, y), 0) + 1
+    cells = list(grid.items())
+    c = d = 0
+    for (x1, y1), n1 in cells:
+        for (x2, y2), n2 in cells:
+            if x2 > x1 and y2 > y1:
+                c += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                d += n1 * n2
+    got = load_all()["stats_goodman_kruskal_gamma"].fn(
+        spark, SF0001
+    ).collect()[0]
+    assert got["n_rows"] == sum(grid.values())
+    assert got["c_pairs"] == float(c)
+    assert got["d_pairs"] == float(d)
+    assert abs(got["gamma"] - (c - d) / (c + d)) < 1e-12
+
+
+def test_cliffs_delta_matches_python(spark):
+    """Replay gt/lt/tie counts and assert the documented U1 identity
+    against the registered Mann-Whitney machinery."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+    from tests.conftest import SF0001
+
+    a, b = _mw_groups(_events_rows())
+    import bisect
+
+    gt = lt = tie = 0
+    for v in a:
+        lo = bisect.bisect_left(b, v)
+        hi = bisect.bisect_right(b, v)
+        gt += lo
+        lt += len(b) - hi
+        tie += hi - lo
+    got = load_all()["stats_cliffs_delta"].fn(spark, SF0001).collect()[0]
+    assert (got["n1"], got["n2"]) == (len(a), len(b))
+    assert got["n_gt"] == float(gt)
+    assert got["n_lt"] == float(lt)
+    assert got["n_tie"] == float(tie)
+    delta = (gt - lt) / (len(a) * len(b))
+    assert abs(got["delta"] - delta) < 1e-15
+    # U1 identity vs the registered Mann-Whitney
+    mw = load_all()["stats_mann_whitney"].fn(spark, SF0001).collect()[0]
+    assert abs(mw["u1"] - (gt + tie / 2.0)) < 1e-6
