@@ -4862,21 +4862,47 @@ def stats_cvm_ksamples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact integer plumbing: per tied block at positions [a, b] the raw
 # score sum S = Σ min(i, N+1−i) has the closed form
 #   S = Σ_{i=a}^{min(b,h)} i + Σ_{i=max(a,h+1)}^{b} (N+1−i),  h = ⌊(N+1)/2⌋
-# via triangular numbers in wide integers. The rationals W = Σ c1·S/t
-# and Q = Σ S²/t ride the r10 trunc-division ladder (S = s_q·t + s_r
-# with the quotient ≤ (N+1)/2 always int64): floor parts are exact
-# wide sums, only [0,1) remainders cross as floats at dsum scale 12.
-# Documented bounds: s_r² < t² needs t < 3.04e9 tied rows per value;
-# c1·s_r < c1·t < 2⁶³.
+# via triangular numbers in wide integers — computed with the r11
+# even-factor-first split (x(x+1) is always even, so halve the even
+# factor BEFORE widening: every `div` operand stays int64, because
+# Spark's IntegralDivide returns BIGINT whatever the input type and
+# the naive (x·(x+1)) div 2 would wrap past N ≈ 4.3e9 pooled rows).
+# The rationals W = Σ c1·S/t and Q = Σ S²/t ride the r10 trunc-
+# division ladder (S = s_q·t + s_r with the quotient ≤ (N+1)/2 always
+# int64; the s_q·t remainder product computed wide for the same
+# reason): floor parts are exact wide sums, only [0,1) remainders
+# cross as floats at dsum scale 12. Documented bounds: s_r² < t²
+# needs t < 3.04e9 tied rows per value; c1·s_r < c1·t < 2⁶³.
 #
 # Scale: Mann-Whitney's envelope — one cents aggregate, one bounded-
 # domain cumulative window, a 1-row finish.
 
 
+def _tri_expr(x: str, idiv: str, w19: str, naive: bool = False) -> str:
+    """Triangular number T(x) = x(x+1)/2 as exact SQL.
+
+    The default form never integral-divides the wide product: Spark
+    `div` is IntegralDivide and always returns BIGINT, so the naive
+    `(x·(x+1)) div 2` wraps once T(x) leaves int64 — past x ≈ 4.3e9 —
+    while DuckDB's HUGEINT `//` stays int128 (r11 ADVICE item).
+    x(x+1) is always even, so halve the even factor FIRST (each div
+    operand stays int64 since x < 2⁶³) and widen only the product;
+    trunc-vs-floor is moot because the halved factor is even. The
+    naive form is kept for the overflow regression test only.
+    """
+    if naive:
+        return f"(CAST({x} AS {w19}) * ({x} + 1) {idiv} 2)"
+    return (
+        f"(CASE WHEN ({x}) % 2 = 0"
+        f" THEN CAST(({x}) {idiv} 2 AS {w19}) * (({x}) + 1)"
+        f" ELSE CAST(({x}) AS {w19}) * ((({x}) + 1) {idiv} 2) END)"
+    )
+
+
 def _ab_sql(idiv: str, w19: str) -> str:
     from posting_lines_spark.queries.parity import dsum_expr
 
-    T = lambda x: f"(CAST({x} AS {w19}) * ({x} + 1) {idiv} 2)"  # noqa: E731
+    T = lambda x: _tri_expr(x, idiv, w19)  # noqa: E731
     return f"""
 WITH scored AS (
   SELECT CAST(round(value * 100e0) AS BIGINT) AS v,
@@ -4916,9 +4942,12 @@ bscore AS (
   FROM blocks
 ),
 ladder AS (
+  -- s_q ≤ (N+1)/2 is always int64, but s_q·t tracks s itself, so the
+  -- remainder's product must be computed WIDE (BIGINT s_q·t wraps
+  -- exactly when s > 2⁶³ — same envelope the T(x) split just fixed).
   SELECT c1, t, n, n1, n2, s,
          CAST(s {idiv} t AS BIGINT) AS s_q,
-         CAST(s - (s {idiv} t) * t AS BIGINT) AS s_r
+         CAST(s - CAST(s {idiv} t AS {w19}) * t AS BIGINT) AS s_r
   FROM bscore
 ),
 terms AS (
@@ -4981,24 +5010,41 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs fixed-width cents decile (0–9). Concordant/discordant pair counts
 # come from the ≤240-cell grid's self-join — never a row-level pair
 # join: C = Σ n_xy·n_x'y' over (x'>x, y'>y), D over (x'>x, y'<y),
-# γ = (C−D)/(C+D). Products ride wide integers; C and D are emitted
-# through the exact STRING→DOUBLE route (they exceed int64 past ~4e9
-# rows; the double carries their exact leading digits either way).
+# γ = (C−D)/(C+D). Products ride wide integers — DECIMAL(38,0) on the
+# engine so the envelope matches the oracle's HUGEINT (an r11 ADVICE
+# fix: a DECIMAL(19,0) outer cast capped C/D at ~1e19, barely above
+# int64, diverging from the oracle past ~4.5e9 rows) — and C and D
+# are emitted through the exact STRING→DOUBLE route (they exceed
+# int64 past ~4e9 rows; the double carries their exact leading
+# digits either way).
 #
 # Scale: one grid aggregate with map-side combine (grid is constant-
 # size), a 240×240 broadcast self-join, a 1-row finish.
 
 
-def _gamma_sql(w19: str) -> str:
-    return f"""
-WITH scored AS (
-  SELECT CAST(({{us}} % 86400000000) {{idiv}} 3600000000 AS BIGINT)
+def _gamma_sql(w19: str, grid: str | None = None) -> str:
+    # `grid` overrides the events-derived grid CTE so the overflow
+    # regression test can inject cell counts no feasible local table
+    # could produce (C/D wrap is rowcount-driven, ≈4.5e9 rows).
+    g_body = (
+        grid
+        or "SELECT x, y, CAST(count(*) AS BIGINT) AS n "
+        "FROM scored GROUP BY x, y"
+    )
+    scored = (
+        ""
+        if grid
+        else """scored AS (
+  SELECT CAST(({us} % 86400000000) {idiv} 3600000000 AS BIGINT)
            AS x,
-         least(CAST(round(value * 100e0) AS BIGINT) {{idiv}} 2000,
+         least(CAST(round(value * 100e0) AS BIGINT) {idiv} 2000,
                CAST(9 AS BIGINT)) AS y
   FROM events
 ),
-g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY x, y),
+"""
+    )
+    return f"""
+WITH {scored}g AS ({g_body}),
 pairs AS (
   SELECT
     CAST(coalesce(sum(CASE WHEN b.y > a.y
@@ -5036,7 +5082,7 @@ FROM pairs p CROSS JOIN tot t
 def stats_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
-        _gamma_sql("DECIMAL(19,0)")
+        _gamma_sql("DECIMAL(38,0)")
         .replace("{idiv}", "div")
         .replace("{us}", "unix_micros(ts)")
     )
