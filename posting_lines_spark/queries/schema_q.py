@@ -412,6 +412,90 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JDBC connector round-trip (live embedded Derby) ---
+# The reference's primary source/sink is a live PostgreSQL over a DB
+# driver (sql_to_line.py:17-22 connect, 227-234 merge-back write).
+# No PG server exists in this sandbox, but Spark ships Apache Derby —
+# a real SQL database with a real JDBC driver, embedded in the same
+# JVM — so the connector path is exercised against a LIVE database,
+# not a mock: write_jdbc CREATEs and INSERTs a real table, load_jdbc
+# issues num_partitions range-predicated SELECTs in parallel
+# (partitionColumn/bounds — the at-scale posture: one connection per
+# partition, never a single-connection scan), and filter pushdown
+# into the database is plan-asserted in tests (PushedFilters shows
+# `*GreaterThan` — evaluated by the DB, not Spark). Derby differs
+# from PG only in dialect, which Spark's JdbcDialect layer owns —
+# the Spark-side contract (types, batching, partitioned reads,
+# pushdown) is identical.
+#
+# The aggregate includes per-nation min/max custkey so a dropped or
+# duplicated range partition cannot hash-match the parquet oracle.
+
+JDBC_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(min(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(max(c_custkey) AS BIGINT) AS max_custkey,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS total_acctbal,
+       min(md5(c_name)) AS min_digest
+FROM customer
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+@register(
+    "jdbc_roundtrip",
+    oracle=JDBC_ORACLE,
+    description="JDBC connector round-trip against a LIVE embedded Derby "
+    "database (reference O1/O5 parity, sql_to_line.py:17-22,227-234): "
+    "customer → write_jdbc (real CREATE + batched INSERTs) → load_jdbc "
+    "with partitionColumn/bounds (8 parallel range-predicated SELECTs) "
+    "→ aggregate; hash-equality with the parquet oracle proves lossless "
+    "DB interchange incl. double fidelity and range-read reassembly "
+    "(min/max custkey per group make partition gaps/overlaps visible)",
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from posting_lines_spark.sources import load_jdbc, write_jdbc
+
+    # Derby writes derby.log to derby.system.home (read at engine boot;
+    # point it at scratch so no artifact lands in the caller's cwd).
+    home = scratch_dir(prefix="pls_derby_home_")
+    spark.sparkContext._jvm.System.setProperty("derby.system.home", home)
+    url = f"jdbc:derby:{scratch_dir(prefix='pls_derby_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    c = load_table(spark, sf_dir, "customer")
+    write_jdbc(c, url, "customer_rt", mode="overwrite", driver=driver)
+    bounds = c.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).first()
+    back = load_jdbc(
+        spark,
+        url,
+        "customer_rt",
+        partition_column="c_custkey",
+        num_partitions=8,
+        lower_bound=bounds["lo"],
+        upper_bound=bounds["hi"],
+        driver=driver,
+    )
+    return (
+        back.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.min("c_custkey").cast("long").alias("min_custkey"),
+            F.max("c_custkey").cast("long").alias("max_custkey"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.min(F.md5("c_name")).alias("min_digest"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # --- equi-depth histogram (quantile binning) ---
 # The partner to profile_histogram's equi-width buckets: ntile(10) over
 # a TOTAL order (value, then PK — ties deterministic) gives each bucket

@@ -157,8 +157,12 @@ def write_jdbc(
 ) -> None:
     """JDBC sink (reference O5 parity: the merge-back writes to a PG table,
     sql_to_line.py:227-234; `merge_update` reproduces the semantics, this
-    completes the connector round-trip). Untestable in this environment —
-    no database server — covered by a unit test against the builder chain.
+    completes the connector round-trip). No PG server exists in this
+    environment, but the path is exercised LIVE against embedded Apache
+    Derby (a real database in the Spark JVM): see the registered
+    `jdbc_roundtrip` query (oracle-checked) and tests/test_round11.py's
+    pushdown/partitioned-read assertions; only the dialect differs from
+    PG, and Spark's JdbcDialect layer owns that.
 
     Scale notes: each of the DataFrame's partitions opens one connection
     and writes `batchsize` rows per round-trip; `num_partitions` caps the
