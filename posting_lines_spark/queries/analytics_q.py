@@ -5152,3 +5152,207 @@ FROM agg
 def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cliffs_sql("DECIMAL(19,0)"))
+
+
+# --- Somers' D (wave 20) ---
+# The ASYMMETRIC ordinal association gamma deliberately ignores:
+# gamma drops ALL tied pairs from its denominator, Somers' D keeps the
+# pairs tied only on the independent variable out (D_y|x) or only on
+# the dependent variable out (D_x|y) — the measure credit-risk uses
+# (D_y|x of score vs outcome ≡ the Gini/AUC identity), over the same
+# bounded hour-of-day × cents-decile grid as the gamma query. C and D
+# come from the ≤240-cell grid self-join; the tied-pair masses are
+# marginal triangular sums Σ T(n_x−1), Σ T(n_y−1) through the r11
+# even-factor-first _tri_expr (every div operand int64, products wide)
+# so the engine envelope matches the HUGEINT oracle everywhere.
+#
+# Scale: one constant-size grid aggregate with map-side combine, two
+# ≤24/≤10-row marginal aggregates, a 1-row finish.
+
+
+def _somers_sql(idiv: str, w19: str, us: str) -> str:
+    T = lambda x: _tri_expr(x, idiv, w19)  # noqa: E731
+    return f"""
+WITH scored AS (
+  SELECT CAST(({us} % 86400000000) {idiv} 3600000000 AS BIGINT) AS x,
+         least(CAST(round(value * 100e0) AS BIGINT) {idiv} 2000,
+               CAST(9 AS BIGINT)) AS y
+  FROM events
+),
+g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY x, y),
+pairs AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN b.y > a.y
+                           THEN CAST(a.n AS {w19}) * b.n END), 0)
+         AS {w19}) AS c_raw,
+    CAST(coalesce(sum(CASE WHEN b.y < a.y
+                           THEN CAST(a.n AS {w19}) * b.n END), 0)
+         AS {w19}) AS d_raw
+  FROM g a JOIN g b ON b.x > a.x
+),
+margx AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM g GROUP BY x),
+margy AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny FROM g GROUP BY y),
+tots AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM g),
+tx AS (SELECT CAST(sum({T("(nx - 1)")}) AS {w19}) AS tied_x FROM margx),
+ty AS (SELECT CAST(sum({T("(ny - 1)")}) AS {w19}) AS tied_y FROM margy),
+fin AS (
+  SELECT t.n_rows,
+         CAST(CAST(p.c_raw AS STRING) AS DOUBLE) AS c_pairs,
+         CAST(CAST(p.d_raw AS STRING) AS DOUBLE) AS d_pairs,
+         CAST(CAST({T("(t.n_rows - 1)")} - x.tied_x AS STRING) AS DOUBLE)
+           AS untied_x,
+         CAST(CAST({T("(t.n_rows - 1)")} - y.tied_y AS STRING) AS DOUBLE)
+           AS untied_y
+  FROM pairs p CROSS JOIN tots t CROSS JOIN tx x CROSS JOIN ty y
+)
+SELECT n_rows, c_pairs, d_pairs,
+       (c_pairs - d_pairs) / nullif(untied_x, 0e0) AS d_yx,
+       (c_pairs - d_pairs) / nullif(untied_y, 0e0) AS d_xy
+FROM fin
+"""
+
+
+@register(
+    "stats_somers_d",
+    oracle=_somers_sql("//", "HUGEINT", "epoch_us(ts)"),
+    description="Somers' D (both directions) between hour-of-day and "
+    "cents decile over the gamma query's ≤240-cell grid: C/D from the "
+    "grid self-join in wide integers, tied-pair masses as marginal "
+    "triangular sums through the r11 even-factor-first split (engine "
+    "envelope = HUGEINT oracle), D_y|x = (C−D)/(pairs untied on x) — "
+    "the asymmetric ordinal measure (credit-scoring Gini identity) "
+    "gamma and tau-b bracket; one constant-size grid aggregate + "
+    "marginal reductions + a 1-row finish",
+)
+def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_somers_sql("div", "DECIMAL(38,0)", "unix_micros(ts)"))
+
+
+# --- Jonckheere-Terpstra ordered-alternatives trend test (wave 20) ---
+# Kruskal-Wallis asks "do the k groups differ"; JT asks the sharper
+# ordered question "do values INCREASE along a stated group order"
+# (here: event types in lexical order — a fixed, engine-stable order).
+# JT = Σ_{i<j} U_ij sums pairwise Mann-Whitney counts (ties at ½), so
+# 2·JT is an exact integer: per (group, cents) counts on the bounded
+# cents domain, densified to the pooled distinct-value grid (k×|D|
+# rows), give every U_ij term from TWO window passes — a per-group
+# cumulative over v (values strictly below) and a per-value prefix
+# over the group order (groups strictly before) — never a pair join:
+#   2·JT = Σ_{j,v} c_j(v) · (2·Σ_{i<j} cumlt_i(v) + Σ_{i<j} c_i(v)).
+# Null moments under H0 with ties (permutation-exact — the replay test
+# VERIFIES the formula by exhaustive multiset permutation on a small
+# case, not by trusting a table):
+#   E[JT]  = (N² − Σnᵢ²)/4
+#   72·V₁  = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtᵥ(tᵥ−1)(2tᵥ+5)
+#   V₂     = [Σnᵢ(nᵢ−1)(nᵢ−2)]·[Σtᵥ(tᵥ−1)(tᵥ−2)] / (36·N(N−1)(N−2))
+#   V₃     = [Σnᵢ(nᵢ−1)]·[Σtᵥ(tᵥ−1)] / (8·N(N−1))
+#   Var    = V₁ + V₂ + V₃,  z = (JT − E)/√Var.
+# Every cubic-in-count product rides wide integers with int64-safe
+# factors ((CAST(n AS w19)·(n−1))·(2n+5) — each BIGINT factor < 2⁶³
+# for n < 4.6e18); wide sums emit via exact STRING→DOUBLE.
+#
+# Scale: one (type, cents) aggregate with map-side combine; the dense
+# grid is k×|D| (types × cents domain — bounded, never row-shaped);
+# two window passes over it; a 1-row finish.
+
+
+def _jt_sql(w19: str) -> str:
+    def cubic(n: str) -> str:
+        return f"(CAST({n} AS {w19}) * ({n} - 1)) * (2 * {n} + 5)"
+
+    def fall3(n: str) -> str:
+        return f"(CAST({n} AS {w19}) * ({n} - 1)) * ({n} - 2)"
+
+    def fall2(n: str) -> str:
+        return f"CAST({n} AS {w19}) * ({n} - 1)"
+
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    return f"""
+WITH pts AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100e0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(round(value * 100e0) AS BIGINT)
+),
+gs AS (
+  SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS gi
+  FROM (SELECT DISTINCT g FROM pts) z
+),
+vs AS (SELECT DISTINCT v FROM pts),
+dense AS (
+  SELECT gs.g, gs.gi, vs.v, CAST(coalesce(p.c, 0) AS BIGINT) AS c
+  FROM gs CROSS JOIN vs
+  LEFT JOIN pts p ON p.g = gs.g AND p.v = vs.v
+),
+cums AS (
+  SELECT g, gi, v, c,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) - c AS BIGINT)
+           AS cumlt
+  FROM dense
+),
+pref AS (
+  SELECT g, gi, v, c,
+         CAST(coalesce(sum(cumlt) OVER (PARTITION BY v ORDER BY gi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s_below,
+         CAST(coalesce(sum(c) OVER (PARTITION BY v ORDER BY gi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS t_before
+  FROM cums
+),
+jt2 AS (
+  SELECT CAST(sum(CAST(c AS {w19}) * (2 * s_below + t_before))
+              AS {w19}) AS jt_twice
+  FROM pref
+),
+groups AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(CAST(n AS {w19}) * n) AS {w19}) AS sum_n2,
+         CAST(sum({cubic("n")}) AS {w19}) AS sn1,
+         CAST(sum({fall3("n")}) AS {w19}) AS sn2,
+         CAST(sum({fall2("n")}) AS {w19}) AS sn3
+  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM pts GROUP BY g) z
+),
+tiesb AS (
+  SELECT CAST(sum({cubic("t")}) AS {w19}) AS st1,
+         CAST(sum({fall3("t")}) AS {w19}) AS st2,
+         CAST(sum({fall2("t")}) AS {w19}) AS st3
+  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM pts GROUP BY v) z
+),
+fin AS (
+  SELECT g.n, g.k,
+         {s2d("j.jt_twice")} / 2e0 AS jt,
+         ({s2d(f"CAST(g.n AS {w19}) * g.n - g.sum_n2")}) / 4e0 AS e_jt,
+         (({s2d(f'{cubic("g.n")} - g.sn1 - t.st1')}) / 72e0
+          + ({s2d("g.sn2")} * {s2d("t.st2")})
+            / (36e0 * (CAST(g.n AS DOUBLE) * (g.n - 1e0) * (g.n - 2e0)))
+          + ({s2d("g.sn3")} * {s2d("t.st3")})
+            / (8e0 * (CAST(g.n AS DOUBLE) * (g.n - 1e0)))) AS var_jt
+  FROM jt2 j CROSS JOIN groups g CROSS JOIN tiesb t
+)
+SELECT n, k, jt, e_jt, var_jt,
+       (jt - e_jt) / nullif(sqrt(var_jt), 0e0) AS z_stat
+FROM fin
+"""
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    oracle=_jt_sql("HUGEINT"),
+    description="Jonckheere-Terpstra ordered-alternatives trend test "
+    "across event types (lexical group order): 2·JT exact via dense "
+    "(k×cents-domain) grid + two window passes (per-group value "
+    "cumulative, per-value group-order prefix) — never a pair join; "
+    "tie-corrected null moments from permutation theory (the replay "
+    "test verifies the variance formula by exhaustive multiset "
+    "permutation), cubic count products on int64-safe wide-integer "
+    "factors; the ordered sharpening of stats_kruskal_wallis",
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_jt_sql("DECIMAL(38,0)"))

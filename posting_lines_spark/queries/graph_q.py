@@ -711,7 +711,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINKPRED_COOC = 2
 
 
-def _linkpred_core(lineitem_src: str) -> str:
+def _copurchase_graph(lineitem_src: str) -> str:
+    """Shared co-purchase graph CTEs (nodes/edges/adjacency/degrees) —
+    the common prefix of the CN/Jaccard and Adamic-Adar scorers."""
     return f"""
 b AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem_src}
@@ -726,7 +728,11 @@ e AS (
 adj AS (
   SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
 ),
-deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u)"""
+
+
+def _linkpred_core(lineitem_src: str) -> str:
+    return f"""{_copurchase_graph(lineitem_src)},
 wedge AS (
   SELECT w1.u AS a, w2.v AS c
   FROM adj w1 JOIN adj w2 ON w2.u = w1.v AND w1.u < w2.v
@@ -754,6 +760,72 @@ LIMIT 20
 
 
 LINKPRED_ORACLE = "WITH " + _linkpred_core("lineitem")
+
+
+# --- Adamic-Adar link prediction ---
+# The frequency-weighted refinement of graph_link_prediction: a shared
+# neighbor that is itself a hub says little (everything co-occurs with
+# it), so each common neighbor z contributes 1/ln(deg z) instead of 1
+# (Adamic & Adar 2003). Same co-purchase wedge join, but the wedge
+# keeps its MIDPOINT, joins its degree, and runs the deterministic
+# integer-ln kernel (functions/dmath.py — bit-identical Spark/DuckDB/
+# Python) per wedge row; the per-pair score is a decimal-routed sum of
+# 1/ln terms. Midpoints always have deg ≥ 2 (they touch both endpoints
+# of the wedge), so ln > 0 — no guard needed. Existing edges excluded;
+# top 20 under a total order.
+#
+# Scale: identical envelope to graph_link_prediction — wedge work is
+# Σ deg² (cap neighbors per node for hub-heavy graphs); the ln stack
+# stays in whole-stage codegen; the final top-k is
+# TakeOrderedAndProject, never a global sort.
+
+
+def _adamic_adar_sql(lineitem_src: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    layers, last = dln_int_cte_layers([("dz", "aa")], "wz", "aal")
+    return f"""WITH {_copurchase_graph(lineitem_src)},
+wedge AS (
+  SELECT w1.u AS a, w2.v AS c, w1.v AS z
+  FROM adj w1 JOIN adj w2 ON w2.u = w1.v AND w1.u < w2.v
+),
+wz AS (
+  SELECT w.a, w.c, d.d AS dz
+  FROM wedge w JOIN deg d ON d.u = w.z
+),
+{layers},
+cand AS (
+  SELECT a, c, CAST(count(*) AS BIGINT) AS cn,
+         {dsum_expr("1e0 / aa_ln", 12)} AS aa
+  FROM {last} GROUP BY a, c
+),
+nonedge AS (
+  SELECT cand.a, cand.c, cand.cn, cand.aa
+  FROM cand LEFT JOIN e ON e.a = cand.a AND e.b = cand.c
+  WHERE e.a IS NULL
+)
+SELECT a AS id_a, c AS id_b, cn AS common_neighbors, aa AS adamic_adar
+FROM nonedge
+ORDER BY adamic_adar DESC, common_neighbors DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=_adamic_adar_sql("lineitem"),
+    description="Adamic-Adar link prediction over the co-purchase "
+    "graph: each common neighbor z weighs 1/ln(deg z) (hubs discount "
+    "— the Adamic & Adar 2003 refinement of graph_link_prediction\'s "
+    "raw CN/Jaccard), ln through the deterministic integer-ln kernel, "
+    "scores decimal-routed; wedge-with-midpoint join minus existing "
+    "edges, top 20 under a total order; wedge work Σ deg² with the "
+    "same per-node cap mitigation at scale",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_adamic_adar_sql("lineitem"))
 
 
 @register(

@@ -267,3 +267,193 @@ def test_jdbc_roundtrip_matches_oracle(spark, duck):
     """The registered jdbc_roundtrip query (write → partitioned read →
     aggregate) hash-matches the parquet-side oracle at sf0.001."""
     _assert_query_matches_oracle(spark, duck, "jdbc_roundtrip")
+
+
+# ---- wave-20 replay tests (engine and oracle share SQL text, so only
+# independent Python re-derivations prove the statistics) ----
+
+
+def test_somers_d_matches_python(spark):
+    """Brute-force C/D/tied-pair masses from the raw rows and replay
+    both D directions."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    grid = {}
+    for r in _events_rows():
+        x = (r["ts_us"] % 86_400_000_000) // 3_600_000_000
+        y = min(r["cents"] // 2000, 9)
+        grid[(x, y)] = grid.get((x, y), 0) + 1
+    cells = list(grid.items())
+    c = d = 0
+    for (x1, y1), n1 in cells:
+        for (x2, y2), n2 in cells:
+            if x2 > x1 and y2 > y1:
+                c += n1 * n2
+            elif x2 > x1 and y2 < y1:
+                d += n1 * n2
+    n = sum(grid.values())
+    total = n * (n - 1) // 2
+    nx, ny = {}, {}
+    for (x, y), m in grid.items():
+        nx[x] = nx.get(x, 0) + m
+        ny[y] = ny.get(y, 0) + m
+    tied_x = sum(m * (m - 1) // 2 for m in nx.values())
+    tied_y = sum(m * (m - 1) // 2 for m in ny.values())
+
+    got = load_all()["stats_somers_d"].fn(spark, SF0001).collect()[0]
+    assert got["n_rows"] == n
+    assert got["c_pairs"] == float(c) and got["d_pairs"] == float(d)
+    assert abs(got["d_yx"] - (c - d) / (total - tied_x)) < 1e-12
+    assert abs(got["d_xy"] - (c - d) / (total - tied_y)) < 1e-12
+    # non-vacuous: the two directions actually differ on this data
+    assert abs(got["d_yx"] - got["d_xy"]) > 1e-9
+
+
+def _jt_python(groups):
+    """2·JT over ordered groups (lists of ints), via sorted bisect."""
+    import bisect
+
+    ordered = [sorted(v) for v in groups]
+    jt2 = 0
+    for i in range(len(ordered)):
+        for j in range(i + 1, len(ordered)):
+            for v in ordered[j]:
+                lo = bisect.bisect_left(ordered[i], v)
+                hi = bisect.bisect_right(ordered[i], v)
+                jt2 += 2 * lo + (hi - lo)
+    return jt2
+
+
+def _jt_moments(groups):
+    """Tie-corrected null moments (the formula the permutation test
+    below verifies from first principles)."""
+    ns = [len(v) for v in groups]
+    n = sum(ns)
+    pooled = [x for v in groups for x in v]
+    tb = {}
+    for x in pooled:
+        tb[x] = tb.get(x, 0) + 1
+    ts = list(tb.values())
+    e = (n * n - sum(m * m for m in ns)) / 4.0
+    v1 = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ts)
+    ) / 72.0
+    v2 = (
+        sum(m * (m - 1) * (m - 2) for m in ns)
+        * sum(t * (t - 1) * (t - 2) for t in ts)
+    ) / (36.0 * n * (n - 1) * (n - 2))
+    v3 = (
+        sum(m * (m - 1) for m in ns) * sum(t * (t - 1) for t in ts)
+    ) / (8.0 * n * (n - 1))
+    return e, v1 + v2 + v3
+
+
+def test_jt_variance_formula_by_exhaustive_permutation():
+    """First-principles verification of the tie-corrected JT null
+    moments: enumerate ALL distinct label arrangements of a tied pooled
+    multiset and compare the exact permutation mean/variance to the
+    closed form. This is what makes the formula replayable rather than
+    a trusted table."""
+    import itertools
+    from fractions import Fraction
+
+    values = [1, 1, 2, 2, 3, 3, 3, 4]
+    labels = "aaabbbcc"  # n = (3, 3, 2)
+    stats = []
+    for arr in set(itertools.permutations(labels)):
+        groups = {g: [] for g in "abc"}
+        for g, v in zip(arr, values):
+            groups[g].append(v)
+        stats.append(Fraction(_jt_python([groups[g] for g in "abc"]), 2))
+    m = sum(stats) / len(stats)
+    var = sum((s - m) ** 2 for s in stats) / len(stats)
+    groups0 = {"a": values[:3], "b": values[3:6], "c": values[6:]}
+    e, v = _jt_moments([groups0[g] for g in "abc"])
+    assert abs(float(m) - e) < 1e-12
+    assert abs(float(var) - v) < 1e-12 * max(1.0, v)
+
+
+def test_jonckheere_terpstra_matches_python(spark):
+    """Replay 2·JT and the (permutation-verified) moments over the
+    real sf0.001 rows."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    by_g = {}
+    for r in _events_rows():
+        by_g.setdefault(r["event_type"], []).append(r["cents"])
+    groups = [by_g[g] for g in sorted(by_g)]
+    jt = _jt_python(groups) / 2.0
+    e, v = _jt_moments(groups)
+    z = (jt - e) / v**0.5
+
+    got = load_all()["stats_jonckheere_terpstra"].fn(
+        spark, SF0001
+    ).collect()[0]
+    assert (got["n"], got["k"]) == (sum(len(g) for g in groups), len(groups))
+    assert got["jt"] == jt
+    assert got["e_jt"] == e
+    assert abs(got["var_jt"] - v) < 1e-9 * v
+    assert abs(got["z_stat"] - z) < 1e-9 * max(1.0, abs(z))
+
+
+def test_adamic_adar_matches_python(spark):
+    """Independent graph replay: rebuild the co-purchase graph in pure
+    Python, score non-edge pairs with 1/ln(deg z) via the kernel's
+    Python mirror, and compare the full top-20."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import LINKPRED_COOC
+
+    t = pq.read_table(
+        SF0001 + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    baskets = {}
+    for ok, pk in set(
+        zip(t.column("l_orderkey").to_pylist(), t.column("l_partkey").to_pylist())
+    ):
+        baskets.setdefault(ok, set()).add(pk)
+    cooc = {}
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            cooc[(a, b)] = cooc.get((a, b), 0) + 1
+    edges = {p for p, c in cooc.items() if c >= LINKPRED_COOC}
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scores = {}
+    for z, nz in nbrs.items():
+        w = 1.0 / dln_int_py(len(nz))
+        for a, c in itertools.combinations(sorted(nz), 2):
+            if (a, c) not in edges:
+                cn, aa = scores.get((a, c), (0, 0.0))
+                scores[(a, c)] = (cn + 1, aa + w)
+    want = sorted(
+        ((a, c, cn, aa) for (a, c), (cn, aa) in scores.items()),
+        key=lambda r: (-r[3], -r[2], r[0], r[1]),
+    )[:20]
+
+    got = [
+        (r["id_a"], r["id_b"], r["common_neighbors"], r["adamic_adar"])
+        for r in load_all()["graph_adamic_adar"].fn(spark, SF0001).collect()
+    ]
+    assert [(a, c, cn) for a, c, cn, _ in got] == [
+        (a, c, cn) for a, c, cn, _ in want
+    ]
+    for (_, _, _, g), (_, _, _, w) in zip(got, want):
+        assert abs(g - w) < 1e-9
+    # non-vacuous: AA reorders vs raw CN somewhere in the top 20
+    assert [(a, c) for a, c, _, _ in want] != [
+        (a, c)
+        for a, c, _, _ in sorted(
+            want, key=lambda r: (-r[2], r[0], r[1])
+        )
+    ]
