@@ -5356,3 +5356,70 @@ FROM fin
 def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_jt_sql("DECIMAL(38,0)"))
+
+
+# --- HBOS: histogram-based outlier score (wave 20) ---
+# The anomaly family's MULTIVARIATE member: anomaly_zscore/mad/esd
+# score one series; HBOS (Goldstein & Dengel 2012) scores each event
+# by how RARE its feature combination is under independent per-feature
+# histograms: score = Σ_f −ln(p_f) with p_f the event's bin mass in
+# feature f — here hour-of-day (24 bins) and cents decile (10 bins,
+# the gamma grid's axes). ln runs on INTEGER bin counts through the
+# deterministic integer-ln kernel (score = 2·ln N − ln c_hour − ln
+# c_decile), so the whole chain is bit-identical across engines with
+# no per-row transcendentals — the ln stack is evaluated on the 24-
+# and 10-row bin tables, never per event. Top 20 under a total order
+# (score ties share a bin pair; event_id breaks them).
+#
+# Scale: two bounded-bin aggregates (map-side combine), two broadcast
+# joins of events against ≤24/≤10-row bin tables, a TakeOrdered top-k
+# — linear scan work, constant state; the textbook reason HBOS is the
+# anomaly detector that survives 100 TB while kNN/LOF variants don't.
+
+
+def _hbos_sql(idiv: str, us: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    hl, h_last = dln_int_cte_layers([("ch", "hb")], "hb", "hbl")
+    dl, d_last = dln_int_cte_layers([("cd", "db")], "db", "dbl")
+    nl, n_last = dln_int_cte_layers([("n", "nb")], "tot", "ntl")
+    return f"""
+WITH feat AS (
+  SELECT event_id,
+         CAST(({us} % 86400000000) {idiv} 3600000000 AS BIGINT) AS hh,
+         least(CAST(round(value * 100e0) AS BIGINT) {idiv} 2000,
+               CAST(9 AS BIGINT)) AS dd
+  FROM events
+),
+hb AS (SELECT hh, CAST(count(*) AS BIGINT) AS ch FROM feat GROUP BY hh),
+db AS (SELECT dd, CAST(count(*) AS BIGINT) AS cd FROM feat GROUP BY dd),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+{hl},
+{dl},
+{nl}
+SELECT f.event_id, f.hh AS hour_bin, f.dd AS decile_bin,
+       h.ch AS n_hour_bin, d.cd AS n_decile_bin,
+       (2e0 * t.nb_ln) - (h.hb_ln + d.db_ln) AS hbos_score
+FROM feat f
+JOIN {h_last} h ON h.hh = f.hh
+JOIN {d_last} d ON d.dd = f.dd
+CROSS JOIN {n_last} t
+ORDER BY hbos_score DESC, event_id
+LIMIT 20
+"""
+
+
+@register(
+    "anomaly_hbos",
+    oracle=_hbos_sql("//", "epoch_us(ts)"),
+    description="HBOS multivariate outlier score (Goldstein & Dengel "
+    "2012) over hour-of-day × cents-decile histograms: score = "
+    "2·ln N − ln c_hour − ln c_decile via the deterministic integer-ln "
+    "kernel evaluated on the ≤24/≤10-row BIN tables (never per event), "
+    "two broadcast joins, top-20 total order — the density-based "
+    "anomaly detector that stays linear-scan at 100 TB where kNN/LOF "
+    "can't",
+)
+def anomaly_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hbos_sql("div", "unix_micros(ts)"))

@@ -1072,3 +1072,75 @@ FROM ap
 def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_map_sql())
+
+
+# --- group fairness audit (wave 20) ---
+# Before a score ships, the fairness questions are asked PER GROUP:
+# does the model select group members at similar rates (demographic
+# parity / the 80% rule), and does it err at similar rates given the
+# truth (equalized odds: TPR/FPR gaps)? The protected attribute here
+# is a synthetic cohort (user_id % 4 — the corpus has no demographics;
+# the metric plumbing is the product, the attribute is a stand-in and
+# says so), score/label are the ml-family conventions (cents vs
+# purchase), decision threshold fixed at τ = {FAIR_TAU} cents.
+# Emits one row per group: base rate, predicted-positive rate, TPR,
+# FPR, the parity ratio ppr/max(ppr) (0.8-rule readout), and
+# equalized-odds gaps vs the best group. Counts are exact integers;
+# every rate is one double division; the cross-group normalizers are
+# 4-row window maxima — all engine-identical.
+#
+# Scale: one group aggregate with map-side combine (state = 4 groups ×
+# 5 counters), a 4-row window, an ordered 4-row emit.
+
+FAIR_TAU = 10_000
+FAIR_GROUPS = 4
+
+_FAIR_SQL = f"""
+WITH scored AS (
+  SELECT user_id % {FAIR_GROUPS} AS grp,
+         CAST(round(value * 100e0) AS BIGINT) AS s,
+         CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per_g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN s >= {FAIR_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS pred_pos,
+         CAST(sum(CASE WHEN s >= {FAIR_TAU} AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= {FAIR_TAU} AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM scored GROUP BY grp
+),
+rates AS (
+  SELECT grp, n, n_pos, pred_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS prevalence,
+         CAST(pred_pos AS DOUBLE) / CAST(n AS DOUBLE) AS ppr,
+         CAST(tp AS DOUBLE) / nullif(CAST(n_pos AS DOUBLE), 0e0) AS tpr,
+         CAST(fp AS DOUBLE) / nullif(CAST(n - n_pos AS DOUBLE), 0e0) AS fpr
+  FROM per_g
+)
+SELECT grp, n, n_pos, pred_pos, prevalence, ppr, tpr, fpr,
+       ppr / nullif(max(ppr) OVER (), 0e0) AS dp_ratio,
+       max(tpr) OVER () - tpr AS eo_tpr_gap,
+       fpr - min(fpr) OVER () AS eo_fpr_gap
+FROM rates
+ORDER BY grp
+"""
+
+
+@register(
+    "ml_fairness_parity",
+    oracle=_FAIR_SQL,
+    description=f"group fairness audit at τ = {FAIR_TAU} cents over "
+    f"{FAIR_GROUPS} synthetic cohorts (user_id mod {FAIR_GROUPS} — a "
+    "documented stand-in, the corpus has no demographics): per-group "
+    "base rate, predicted-positive rate, TPR/FPR, demographic-parity "
+    "ratio ppr/max(ppr) (the 80% rule) and equalized-odds gaps vs the "
+    "best group; exact integer counts, one aggregate + a 4-row window",
+)
+def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_FAIR_SQL)

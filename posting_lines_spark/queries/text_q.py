@@ -2210,3 +2210,91 @@ def text_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             hint="/*+ BROADCAST(p) */ ",
         )
     )
+
+
+# --- Good-Turing frequency smoothing (wave 20) ---
+# The count-of-counts table and Simple Good-Turing's exact core: for
+# token-TRIGRAM types seen r times, N_r = |{types: count = r}| and the
+# Turing estimate r* = (r+1)·N_{r+1}/N_r reassigns mass downward so
+# unseen events get p₀ = N₁/T — the classical LM smoothing step
+# (Good 1953) a corpus pipeline runs before estimating n-gram models,
+# and a direct vocabulary-health readout (a heavy singleton mass means
+# the corpus is far from lexical saturation — the Heaps-law view,
+# text_heaps_law, in probability form). Trigrams, not unigrams: the
+# synthetic corpus has a closed ~31-word vocabulary whose every
+# unigram saturates (min count 29 even at sf0.001), while the trigram
+# type space keeps real singletons at every SF — and trigram models
+# are where GT smoothing is actually applied. Low ranks only
+# (r ≤ {GT_MAX_R}; beyond that N_{r+1} sparsity makes raw r* noisy
+# and SGT switches to a fitted law — out of replay scope, documented).
+#
+# Exactness: counts are integers end-to-end; (r+1)·N_{r+1} rides wide
+# integers (r and N_r are both ≤ T, so the product wraps int64 past
+# T ≈ 3e9 tokens — DECIMAL(38,0)/HUGEINT, STRING→DOUBLE emit); the
+# two divisions are single double ops on exactly-represented values.
+#
+# Scale: one token aggregate (map-side combine), one |{r}|-bounded
+# count-of-counts aggregate (≤ max count distinct values), a self-join
+# on r+1 over that bounded table, a scalar total.
+
+GT_MAX_R = 15
+
+
+def _good_turing_sql(toks_src: str, w19: str) -> str:
+    return f"""
+WITH toks AS ({toks_src}),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY tok),
+coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS v_types
+  FROM toks
+),
+n1 AS (SELECT CAST(coalesce(max(n_r), 0) AS BIGINT) AS n_1 FROM coc WHERE r = 1)
+SELECT a.r, a.n_r,
+       CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+       CASE WHEN b.n_r IS NOT NULL
+            THEN CAST(CAST(CAST(a.r + 1 AS {w19}) * b.n_r AS STRING)
+                      AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+       END AS r_star,
+       t.t_tokens, t.v_types,
+       CAST(n1.n_1 AS DOUBLE) / CAST(t.t_tokens AS DOUBLE) AS p0_mass
+FROM coc a
+LEFT JOIN coc b ON b.r = a.r + 1
+CROSS JOIN tot t CROSS JOIN n1
+WHERE a.r <= {GT_MAX_R}
+ORDER BY a.r
+"""
+
+
+def _gt_toks_spark() -> str:
+    from posting_lines_spark.operators.dedup import shingle_array_spark
+
+    return (
+        f"SELECT explode({shingle_array_spark('text', k=3)}) AS tok "
+        "FROM documents"
+    )
+
+
+def _gt_toks_duck() -> str:
+    from posting_lines_spark.queries.dedup_q import shingle_sql_duck
+
+    return (
+        f"SELECT unnest({shingle_sql_duck('text', k=3)}) AS tok "
+        "FROM documents"
+    )
+
+
+@register(
+    "text_good_turing",
+    oracle=_good_turing_sql(_gt_toks_duck(), "HUGEINT"),
+    description=f"Good-Turing count-of-counts smoothing over token-"
+    f"trigram types (r ≤ {GT_MAX_R}): N_r table, Turing estimate "
+    "r* = (r+1)·N_{r+1}/N_r on wide-integer products, unseen mass "
+    "p₀ = N₁/T — the classical LM smoothing core and a vocabulary-"
+    "saturation readout beside text_heaps_law; one token aggregate + "
+    "a count-bounded self-join",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_good_turing_sql(_gt_toks_spark(), "DECIMAL(38,0)"))

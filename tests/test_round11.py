@@ -457,3 +457,128 @@ def test_adamic_adar_matches_python(spark):
             want, key=lambda r: (-r[2], r[0], r[1])
         )
     ]
+
+
+def test_good_turing_matches_python(spark):
+    """Trigram count-of-counts and the Turing estimates re-derived in
+    pure Python."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import GT_MAX_R
+
+    texts = pq.read_table(
+        SF0001 + "/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    counts = {}
+    total = 0
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i : i + 3])
+            counts[g] = counts.get(g, 0) + 1
+            total += 1
+    coc = {}
+    for r in counts.values():
+        coc[r] = coc.get(r, 0) + 1
+
+    rows = load_all()["text_good_turing"].fn(spark, SF0001).collect()
+    want_rs = sorted(r for r in coc if r <= GT_MAX_R)
+    assert [r["r"] for r in rows] == want_rs
+    for row in rows:
+        r = row["r"]
+        assert row["n_r"] == coc[r]
+        assert row["n_r_next"] == coc.get(r + 1, 0)
+        if coc.get(r + 1):
+            assert abs(
+                row["r_star"] - (r + 1) * coc[r + 1] / coc[r]
+            ) < 1e-12 * max(1.0, row["r_star"])
+        else:
+            assert row["r_star"] is None
+        assert row["t_tokens"] == total
+        assert row["v_types"] == len(counts)
+        assert abs(row["p0_mass"] - coc.get(1, 0) / total) < 1e-15
+    # non-vacuous: singleton mass exists (else GT has nothing to smooth)
+    assert coc.get(1, 0) > 0
+
+
+def test_fairness_parity_matches_python(spark):
+    """Per-cohort confusion counts and all derived rates/gaps replayed
+    from the raw rows."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.ml_q import FAIR_GROUPS, FAIR_TAU, _POS
+
+    agg = {g: [0, 0, 0, 0, 0] for g in range(FAIR_GROUPS)}  # n,pos,pred,tp,fp
+    for r in _events_rows():
+        g = r["user_id"] % FAIR_GROUPS
+        y = 1 if r["event_type"] == _POS else 0
+        pred = 1 if r["cents"] >= FAIR_TAU else 0
+        a = agg[g]
+        a[0] += 1
+        a[1] += y
+        a[2] += pred
+        a[3] += pred & y
+        a[4] += pred & (1 - y)
+    rates = {
+        g: (
+            a[1] / a[0],
+            a[2] / a[0],
+            a[3] / a[1] if a[1] else None,
+            a[4] / (a[0] - a[1]) if a[0] - a[1] else None,
+        )
+        for g, a in agg.items()
+    }
+    max_ppr = max(v[1] for v in rates.values())
+    max_tpr = max(v[2] for v in rates.values())
+    min_fpr = min(v[3] for v in rates.values())
+
+    rows = load_all()["ml_fairness_parity"].fn(spark, SF0001).collect()
+    assert [r["grp"] for r in rows] == list(range(FAIR_GROUPS))
+    for row in rows:
+        a = agg[row["grp"]]
+        prev, ppr, tpr, fpr = rates[row["grp"]]
+        assert (row["n"], row["n_pos"], row["pred_pos"]) == (a[0], a[1], a[2])
+        assert abs(row["prevalence"] - prev) < 1e-15
+        assert abs(row["ppr"] - ppr) < 1e-15
+        assert abs(row["tpr"] - tpr) < 1e-15
+        assert abs(row["fpr"] - fpr) < 1e-15
+        assert abs(row["dp_ratio"] - ppr / max_ppr) < 1e-15
+        assert abs(row["eo_tpr_gap"] - (max_tpr - tpr)) < 1e-15
+        assert abs(row["eo_fpr_gap"] - (fpr - min_fpr)) < 1e-15
+    # non-vacuous: groups actually differ
+    assert any(r["dp_ratio"] < 1.0 - 1e-9 for r in rows)
+
+
+def test_hbos_matches_python(spark):
+    """HBOS scores re-derived with the ln kernel's Python mirror; the
+    full top-20 (ids and scores) must match."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+
+    feats = []
+    hb, db = {}, {}
+    for r in _events_rows():
+        hh = (r["ts_us"] % 86_400_000_000) // 3_600_000_000
+        dd = min(r["cents"] // 2000, 9)
+        feats.append((r["event_id"], hh, dd))
+        hb[hh] = hb.get(hh, 0) + 1
+        db[dd] = db.get(dd, 0) + 1
+    n = len(feats)
+    ln_n = dln_int_py(n)
+    scored = sorted(
+        (
+            (eid, hh, dd, 2.0 * ln_n - (dln_int_py(hb[hh]) + dln_int_py(db[dd])))
+            for eid, hh, dd in feats
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+
+    got = load_all()["anomaly_hbos"].fn(spark, SF0001).collect()
+    assert [(r["event_id"], r["hour_bin"], r["decile_bin"]) for r in got] == [
+        (e, h, d) for e, h, d, _ in scored
+    ]
+    for row, (_, hh, dd, s) in zip(got, scored):
+        assert (row["n_hour_bin"], row["n_decile_bin"]) == (hb[hh], db[dd])
+        assert row["hbos_score"] == s
