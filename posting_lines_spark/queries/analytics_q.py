@@ -5423,3 +5423,266 @@ LIMIT 20
 def anomaly_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hbos_sql("div", "unix_micros(ts)"))
+
+
+# --- Quade test (wave 21) ---
+# Friedman (stats_friedman_test) treats every block as equally
+# informative; Quade (1979) weights each block by the RANGE of its
+# observations — blocks where treatments actually differ carry more
+# evidence — which makes it the more powerful choice at small k.
+# Blocks are days, treatments the k event types, the observation the
+# daily cents TOTAL (an exact integer, so tie structure is engine-
+# stable by construction); only COMPLETE blocks (all k types present)
+# enter, the standard requirement. Within-block midranks R_ij and
+# block-range midranks Q_i come from rank windows over exact values
+# (midrank = rank + (ties−1)/2 — halves exact in doubles); then
+#   S_ij = Q_i·(R_ij − (k+1)/2),  S_j = Σ_i S_ij,
+#   A = Σ S_ij²,  B = (Σ_j S_j²)/n,  F = (n−1)·B/(A−B)
+# with df (k−1, (n−1)(k−1)). All cross-block sums decimal-routed
+# (|S_ij| ≤ n·k/2 keeps scale-6 routing far inside the parity
+# magnitude rule).
+#
+# Scale: one (day, type) aggregate, rank windows PARTITIONed by day
+# (k rows each) and one n-bounded range-rank window (n ≤ calendar
+# days), decimal-routed reductions, a 1-row finish.
+
+
+def _quade_sql(us: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY {day}, event_type
+),
+kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+complete AS (
+  SELECT d.day, d.event_type, d.x
+  FROM daily d
+  JOIN (SELECT day FROM daily GROUP BY day
+        HAVING count(*) = (SELECT max(k) FROM kk)) c ON c.day = d.day
+),
+ranked AS (
+  SELECT day, event_type, x,
+         CAST(rank() OVER (PARTITION BY day ORDER BY x) AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY day, x) AS DOUBLE) - 1e0)
+             / 2e0 AS r_ij
+  FROM complete
+),
+ranges AS (
+  SELECT day, CAST(max(x) - min(x) AS BIGINT) AS rng
+  FROM complete GROUP BY day
+),
+qweights AS (
+  SELECT day,
+         CAST(rank() OVER (ORDER BY rng) AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY rng) AS DOUBLE) - 1e0)
+             / 2e0 AS q_i
+  FROM ranges
+),
+sij AS (
+  SELECT r.event_type,
+         q.q_i * (r.r_ij
+                  - (CAST((SELECT max(k) FROM kk) AS DOUBLE) + 1e0) / 2e0)
+           AS s_ij
+  FROM ranked r JOIN qweights q ON q.day = r.day
+),
+perj AS (
+  SELECT event_type, {dsum_expr("s_ij", 6)} AS s_j,
+         {dsum_expr("s_ij * s_ij", 6)} AS a_j
+  FROM sij GROUP BY event_type
+),
+agg AS (
+  SELECT {dsum_expr("a_j", 6)} AS a_stat,
+         {dsum_expr("s_j * s_j", 6)} AS b_num,
+         CAST(count(*) AS BIGINT) AS k
+  FROM perj
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qweights)
+SELECT nn.n, agg.k, agg.a_stat,
+       agg.b_num / CAST(nn.n AS DOUBLE) AS b_stat,
+       ((CAST(nn.n AS DOUBLE) - 1e0) * (agg.b_num / CAST(nn.n AS DOUBLE)))
+         / nullif(agg.a_stat - agg.b_num / CAST(nn.n AS DOUBLE), 0e0)
+         AS f_stat,
+       agg.k - 1 AS df1,
+       (nn.n - 1) * (agg.k - 1) AS df2
+FROM agg CROSS JOIN nn
+"""
+
+
+@register(
+    "stats_quade_test",
+    oracle=_quade_sql("epoch_us(ts)"),
+    description="Quade test (range-weighted Friedman) over day blocks "
+    "× event-type treatments on daily cents totals: within-block and "
+    "block-range midranks from rank windows over EXACT integers (tie "
+    "structure engine-stable), S_ij = Q_i·(R_ij − (k+1)/2), "
+    "F = (n−1)B/(A−B) with decimal-routed reductions — the powerful "
+    "small-k sibling of stats_friedman_test; complete blocks only, "
+    "calendar-bounded windows, a 1-row finish",
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_quade_sql("unix_micros(ts)"))
+
+
+# --- residual diagnostics: Durbin-Watson + Breusch-Pagan (wave 21) ---
+# stats_regression fits the line but never asks whether its residuals
+# are USABLE: serially-correlated errors (Durbin-Watson) invalidate
+# the OLS standard errors in one way, heteroscedastic errors
+# (Breusch-Pagan) in another — the two post-fit gates every regression
+# pipeline runs. Both work per event type on the daily cents-total
+# series regressed on the day index: slope/intercept come from EXACT
+# wide-integer cross sums (x and t are integers; the one division per
+# coefficient happens in doubles on exactly-emitted operands), so the
+# residuals e_t = x_t − a − b·t are the same doubles on both engines.
+#
+# CROSS-ENGINE DISCIPLINE (learned in THIS wave, the parity.py per-row
+# rounding bound in action): a first draft decimal-routed Σe², Σt·e²,
+# Σ(e²)² — but e⁴ reaches ~1e20 already at sf0.01, so the expected
+# double→DECIMAL coin flips n·v·2.2e-16·10^scale ≈ 1e5 ≫ 1, and the
+# sf0.01 sweep failed exactly there (and Σe² itself would fail by
+# sf10). The fix removes EVERY double→decimal cast: residuals are
+# quantized to integer cents ONCE — eq = round(e), half away from
+# zero, engine-identical per the lsum_expr note — and every sum
+# (Σ(Δeq)², Σeq², Σt, Σt², Σt·eq², Σ(eq²)²) is then an exact wide
+# integer emitted via STRING→DOUBLE into one shared double chain.
+# The emitted statistic is BY DEFINITION the DW/BP of the quantized
+# series (1-cent resolution; relative perturbation ~1/|e|, negligible
+# at any data scale that makes these tests meaningful). Envelope:
+# Σ(eq²)² needs n·eq⁴ < 1e38 ⇒ |e| ≲ 7e8 cents daily deviation at
+# n = 366 — an sf≈50-per-type bound, documented.
+#
+# Scale: one (type, day) aggregate, one k-group exact-sum reduce, a
+# calendar-bounded lag window, k-row emits.
+
+
+def _resid_ctes(us: str, w19: str) -> str:
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, {day}
+),
+base AS (
+  SELECT event_type, x,
+         day - min(day) OVER (PARTITION BY event_type) AS t
+  FROM daily
+),
+csums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(t AS {w19}) * t) AS {w19}) AS stt,
+         CAST(sum(CAST(t AS {w19}) * x) AS {w19}) AS stx
+  FROM base GROUP BY event_type
+),
+coefs AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(CAST(stx AS STRING) AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) * CAST(CAST(stt AS STRING) AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0e0) AS b
+  FROM csums
+),
+resid AS (
+  SELECT base.event_type, base.t,
+         CAST(round(CAST(base.x AS DOUBLE)
+              - ((CAST(c2.sx AS DOUBLE)
+                  - c.b * CAST(c2.st AS DOUBLE)) / CAST(c2.n AS DOUBLE))
+              - c.b * CAST(base.t AS DOUBLE)) AS BIGINT) AS eq
+  FROM base
+  JOIN coefs c ON c.event_type = base.event_type
+  JOIN csums c2 ON c2.event_type = base.event_type
+)"""
+
+
+def _dw_sql(us: str, w19: str) -> str:
+    s2d = lambda x: f"CAST(CAST({x} AS STRING) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH {_resid_ctes(us, w19)},
+lagged AS (
+  SELECT event_type, eq,
+         lag(eq) OVER (PARTITION BY event_type ORDER BY t) AS eq_prev
+  FROM resid
+),
+sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN eq_prev IS NOT NULL
+              THEN CAST(eq - eq_prev AS {w19}) * (eq - eq_prev) END), 0)
+              AS {w19}) AS num,
+         CAST(sum(CAST(eq AS {w19}) * eq) AS {w19}) AS den
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n,
+       {s2d("num")} / nullif({s2d("den")}, 0e0) AS dw_stat
+FROM sums
+ORDER BY event_type
+"""
+
+
+def _bp_sql(us: str, w19: str) -> str:
+    s2d = lambda x: f"CAST(CAST({x} AS STRING) AS DOUBLE)"  # noqa: E731
+    g = f"(CAST(eq AS {w19}) * eq)"
+    return f"""
+WITH {_resid_ctes(us, w19)},
+gsums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(CAST(t AS {w19}) * t) AS {w19}) AS stt,
+         CAST(sum({g}) AS {w19}) AS sg,
+         CAST(sum({g} * t) AS {w19}) AS stg,
+         CAST(sum({g} * {g}) AS {w19}) AS sgg
+  FROM resid GROUP BY event_type
+),
+emitted AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+         {s2d("stt")} AS sttd, {s2d("sg")} AS sgd,
+         {s2d("stg")} AS stgd, {s2d("sgg")} AS sggd
+  FROM gsums
+)
+SELECT event_type, n,
+       ((nd * stgd - std * sgd) * (nd * stgd - std * sgd))
+         / nullif((nd * sttd - std * std) * (nd * sggd - sgd * sgd), 0e0)
+         AS r2_aux,
+       nd * ((nd * stgd - std * sgd) * (nd * stgd - std * sgd))
+         / nullif((nd * sttd - std * std) * (nd * sggd - sgd * sgd), 0e0)
+         AS lm_stat
+FROM emitted
+ORDER BY event_type
+"""
+
+
+@register(
+    "stats_durbin_watson",
+    oracle=_dw_sql("epoch_us(ts)", "HUGEINT"),
+    description="Durbin-Watson serial-correlation test on the daily "
+    "cents-vs-day-index OLS residuals per event type, quantized to "
+    "integer cents so every sum is an EXACT wide integer (no "
+    "double→decimal cast anywhere — the parity coin-flip class is "
+    "structurally absent): DW = Σ(Δeq)²/Σeq² via one lag window in "
+    "observed-day order; the post-fit gate stats_regression's "
+    "standard errors assume",
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dw_sql("unix_micros(ts)", "DECIMAL(38,0)"))
+
+
+@register(
+    "stats_breusch_pagan",
+    oracle=_bp_sql("epoch_us(ts)", "HUGEINT"),
+    description="Breusch-Pagan heteroscedasticity LM = n·R²(eq² on t) "
+    "on the same cent-quantized per-type daily OLS residuals as "
+    "stats_durbin_watson: every auxiliary sum an exact wide integer "
+    "(Σ(eq²)² needs n·eq⁴ < 1e38 — documented ~sf50 envelope), one "
+    "shared closed-form double chain; the variance-stability gate of "
+    "the regression family",
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bp_sql("unix_micros(ts)", "DECIMAL(38,0)"))

@@ -1071,3 +1071,88 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in {c[0] for c in _FD_CANDIDATES}:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_fd_sql())
+
+
+# --- per-column Shannon entropy profile (wave 21) ---
+# The profiling statistic NDV misses: two columns with equal distinct
+# counts can carry wildly different information (a 99%-constant flag
+# vs a uniform one), and entropy H = ln N − (Σ c·ln c)/N is what
+# cardinality estimators, dictionary-encoding pickers, and
+# feature-selection passes actually want. Exact on both engines: the
+# only transcendentals are ln of INTEGER counts through the
+# deterministic integer-ln kernel (functions/dmath.py), evaluated on
+# the per-column VALUE-COUNT tables (bounded by each column's domain
+# — flags/modes/quantities, never row-shaped); the Σ c·ln c reduction
+# is decimal-routed. norm_entropy = H/ln(NDV) ∈ [0,1] is the
+# uniformity readout (NULL where NDV = 1).
+#
+# Scale: per column one aggregate with map-side combine (state = that
+# column's domain), a domain-bounded ln stack, a 1-row finish; the
+# column set is a literal UNION ALL — six independent scans Catalyst
+# can't fuse, the documented cost of long-form output (same tradeoff
+# as profile_table's stack()).
+
+ENTROPY_COLS = [
+    "l_discount",
+    "l_linenumber",
+    "l_linestatus",
+    "l_quantity",
+    "l_returnflag",
+    "l_tax",
+]
+
+
+def _col_entropy_block(col: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    cl, c_last = dln_int_cte_layers([("c", "ce")], "cnt", "cel")
+    tl, t_last = dln_int_cte_layers([("n", "ne"), ("ndv", "ve")], "tot", "tel")
+    return f"""
+SELECT '{col}' AS col_name, n, ndv,
+       ne_ln - sc / CAST(n AS DOUBLE) AS entropy,
+       CASE WHEN ndv > 1
+            THEN (ne_ln - sc / CAST(n AS DOUBLE)) / ve_ln
+       END AS norm_entropy
+FROM (
+  WITH cnt AS (
+    SELECT {col} AS v, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY {col}
+  ),
+  tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv
+    FROM cnt
+  ),
+  {cl},
+  {tl},
+  sc AS (
+    SELECT {dsum_expr("CAST(c AS DOUBLE) * ce_ln", 6)} AS sc FROM {c_last}
+  )
+  SELECT t.n, t.ndv, t.ne_ln, t.ve_ln, sc.sc
+  FROM {t_last} t CROSS JOIN sc
+) z
+"""
+
+
+def _col_entropy_sql() -> str:
+    return (
+        " UNION ALL ".join(_col_entropy_block(c) for c in ENTROPY_COLS)
+        + " ORDER BY col_name"
+    )
+
+
+@register(
+    "profile_column_entropy",
+    oracle=_col_entropy_sql(),
+    description="per-column Shannon entropy profile over the "
+    f"{len(ENTROPY_COLS)} bounded-domain lineitem columns: "
+    "H = ln N − (Σ c·ln c)/N with ln on INTEGER counts through the "
+    "deterministic integer-ln kernel (evaluated on domain-bounded "
+    "value-count tables, never per row), decimal-routed reduction, "
+    "norm_entropy = H/ln NDV ∈ [0,1] — the information readout NDV "
+    "misses (dictionary-encoding / cardinality-estimation input); one "
+    "map-side-combined aggregate per column",
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_col_entropy_sql())

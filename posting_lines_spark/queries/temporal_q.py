@@ -2510,3 +2510,135 @@ ORDER BY event_type
 def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hurst_sql("unix_micros(ts)", "spark"))
+
+
+# --- spectral entropy (wave 21) ---
+# One number for "how concentrated is this series' rhythm": normalized
+# Shannon entropy of the periodogram mass, H = −Σ p̂·ln p̂ / ln m over
+# the direct-DFT powers at periods 2..30 days (a denser grid than
+# timeseries_periodogram's 3 calendar periods — entropy over 3 points
+# says little). H → 0 means one period dominates (strong seasonality),
+# H → 1 means white-noise-flat power — the regime feature forecasting
+# pipelines gate Holt-Winters vs flat models on. Powers reuse the
+# periodogram machinery verbatim (exact integer quadrant reduction +
+# deterministic sin/cos kernels, decimal-routed C/S sums); the ln of
+# the POSITIVE DOUBLE mass fractions rides the integer-ln kernel via
+# the Hurst 1e-9 quantization (ln x = dln(round(x·1e9)) − dln(1e9),
+# both args exact integers); fractions that quantize to 0 contribute
+# 0 — the x·ln x → 0 limit, documented and shared-text on both sides.
+#
+# Scale: one (type, day) aggregate, |periods|=29 literal fan-out over
+# the calendar-bounded series, a k×29-bounded ln stack, a k-row emit.
+
+SPECENT_PERIODS = tuple(range(2, 31))
+_SPECENT_Q = 1_000_000_000
+
+
+def _spectral_entropy_sql(epoch_us: str) -> str:
+    import math
+
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.functions.geo import dcos_sql, dlit, dsin_sql
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    periods = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS p" for p in SPECENT_PERIODS
+    )
+    half_pi = dlit(math.pi / 2.0)
+    c, s = dcos_sql("u"), dsin_sql("u")
+    cos_t = (
+        f"CASE q WHEN 0 THEN {c} WHEN 1 THEN -{s} "
+        f"WHEN 2 THEN -{c} ELSE {s} END"
+    )
+    sin_t = (
+        f"CASE q WHEN 0 THEN {s} WHEN 1 THEN {c} "
+        f"WHEN 2 THEN -{s} ELSE -{c} END"
+    )
+    layers, last = dln_int_cte_layers(
+        [("pq", "se"), (f"CAST({_SPECENT_Q} AS BIGINT)", "sq")],
+        "lnin",
+        "sel",
+    )
+    m = len(SPECENT_PERIODS)
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY event_type, {day}
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(min(day) AS BIGINT) AS d0
+  FROM daily GROUP BY event_type
+),
+base AS (
+  SELECT d.event_type, d.x, d.day - s.d0 AS t, s.n, s.sx
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+),
+ang1 AS (
+  SELECT event_type, x, n, sx, p,
+         CAST(floor(CAST(4 * (t % p) AS DOUBLE) / CAST(p AS DOUBLE))
+              AS BIGINT) AS q,
+         4 * (t % p) AS r4
+  FROM base CROSS JOIN ({periods}) pr
+),
+ang AS (
+  SELECT event_type, x, n, sx, p, q,
+         {half_pi} * (CAST(r4 - q * p AS DOUBLE) / CAST(p AS DOUBLE)) AS u
+  FROM ang1
+),
+terms AS (
+  SELECT event_type, p, n,
+         (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * ({cos_t}) AS xc,
+         (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           * ({sin_t}) AS xs
+  FROM ang
+),
+power AS (
+  SELECT event_type, p, CAST(max(n) AS BIGINT) AS n,
+         ({dsum_expr("xc", 2)} * {dsum_expr("xc", 2)}
+          + {dsum_expr("xs", 2)} * {dsum_expr("xs", 2)})
+           / CAST(max(n) AS DOUBLE) AS pw
+  FROM terms GROUP BY event_type, p
+),
+frac AS (
+  SELECT event_type, p, n, pw,
+         pw / nullif(sum(pw) OVER (PARTITION BY event_type), 0e0) AS ph
+  FROM power
+),
+lnin AS (
+  SELECT event_type, p, n, ph,
+         CAST(round(ph * {float(_SPECENT_Q)!r}e0) AS BIGINT) AS pq
+  FROM frac WHERE CAST(round(ph * {float(_SPECENT_Q)!r}e0) AS BIGINT) >= 1
+),
+{layers},
+ent AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         {dsum_expr("-ph * (se_ln - sq_ln)", 12)} AS h_raw
+  FROM {last} GROUP BY event_type
+)
+SELECT event_type, n_days, {m} AS n_periods, h_raw,
+       h_raw / {dlit(math.log(float(m)))} AS h_norm
+FROM ent
+ORDER BY event_type
+"""
+
+
+@register(
+    "timeseries_spectral_entropy",
+    oracle=_spectral_entropy_sql("epoch_us(ts)"),
+    description=f"normalized spectral entropy per event type over "
+    f"direct-DFT powers at periods {SPECENT_PERIODS[0]}–"
+    f"{SPECENT_PERIODS[-1]} days: periodogram machinery (integer "
+    "quadrant reduction + deterministic trig kernels, decimal-routed "
+    "C/S sums), mass fractions through the integer-ln kernel via the "
+    "Hurst 1e-9 quantization, H/ln m ∈ [0,1] — the seasonality-"
+    "concentration regime feature; calendar-bounded fan-out, k-row "
+    "emit",
+)
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_spectral_entropy_sql("unix_micros(ts)"))

@@ -582,3 +582,243 @@ def test_hbos_matches_python(spark):
     for row, (_, hh, dd, s) in zip(got, scored):
         assert (row["n_hour_bin"], row["n_decile_bin"]) == (hb[hh], db[dd])
         assert row["hbos_score"] == s
+
+
+# ---- wave-21 replay tests ----
+
+
+def test_spectral_entropy_matches_python(spark):
+    """Replay the 29-period deterministic-trig powers, the quantized-ln
+    mass fractions, and H/ln m with the kernel Python mirrors."""
+    import math
+
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.functions.geo import dcos_py, dsin_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import (
+        SPECENT_PERIODS,
+        _SPECENT_Q,
+    )
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        daily[(r["event_type"], day)] = (
+            daily.get((r["event_type"], day), 0) + r["cents"]
+        )
+    series = {}
+    for (et, day), x in daily.items():
+        series.setdefault(et, []).append((day, x))
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_periods"], r["h_raw"], r["h_norm"])
+        for r in load_all()["timeseries_spectral_entropy"]
+        .fn(spark, SF0001)
+        .collect()
+    }
+    ln_q = dln_int_py(_SPECENT_Q)
+    for et, pts in series.items():
+        pts.sort()
+        d0, n = pts[0][0], len(pts)
+        mu = sum(x for _, x in pts) / n
+        powers = []
+        for p in SPECENT_PERIODS:
+            c = s = 0.0
+            for day, x in pts:
+                t = day - d0
+                r_ = t % p
+                q = (4 * r_) // p
+                u = (math.pi / 2.0) * ((4 * r_ - q * p) / p)
+                cu, su = dcos_py(u), dsin_py(u)
+                c += round((x - mu) * [cu, -su, -cu, su][q], 2)
+                s += round((x - mu) * [su, cu, -su, -cu][q], 2)
+            powers.append((c * c + s * s) / n)
+        tot = sum(powers)
+        h = 0.0
+        for pw in powers:
+            ph = pw / tot
+            pq = round(ph * _SPECENT_Q)
+            if pq >= 1:
+                h += round(-ph * (dln_int_py(pq) - ln_q), 12)
+        gn, gm, gh, ghn = got[et]
+        assert (gn, gm) == (n, len(SPECENT_PERIODS))
+        assert abs(gh - h) < 1e-9
+        assert abs(ghn - h / math.log(len(SPECENT_PERIODS))) < 1e-9
+        assert 0.0 <= ghn <= 1.0
+
+
+def _midrank(values):
+    """value -> midrank over the list, ties averaged."""
+    s = sorted(values)
+    out = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return out
+
+
+def test_quade_matches_python(spark):
+    """Replay the range-weighted rank statistic end-to-end."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    daily = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        daily.setdefault(day, {})
+        daily[day][r["event_type"]] = (
+            daily[day].get(r["event_type"], 0) + r["cents"]
+        )
+    k = len({et for d in daily.values() for et in d})
+    blocks = {d: v for d, v in daily.items() if len(v) == k}
+    n = len(blocks)
+    rng_mr = _midrank([max(v.values()) - min(v.values()) for v in blocks.values()])
+    s_j, a_stat = {}, 0.0
+    for v in blocks.values():
+        q_i = rng_mr[max(v.values()) - min(v.values())]
+        mr = _midrank(list(v.values()))
+        for et, x in v.items():
+            s_ij = q_i * (mr[x] - (k + 1) / 2.0)
+            s_j[et] = s_j.get(et, 0.0) + round(s_ij, 6)
+            a_stat += round(s_ij * s_ij, 6)
+    b_stat = sum(round(sj * sj, 6) for sj in s_j.values()) / n
+    f_stat = (n - 1) * b_stat / (a_stat - b_stat)
+
+    got = load_all()["stats_quade_test"].fn(spark, SF0001).collect()[0]
+    assert (got["n"], got["k"], got["df1"], got["df2"]) == (
+        n, k, k - 1, (n - 1) * (k - 1)
+    )
+    assert abs(got["a_stat"] - a_stat) < 1e-6 * a_stat
+    assert abs(got["b_stat"] - b_stat) < 1e-6 * b_stat
+    assert abs(got["f_stat"] - f_stat) < 1e-6 * max(1.0, abs(f_stat))
+    # non-vacuous: a real block population with all 5 treatments
+    assert n >= 20 and k == 5
+
+
+def _resid_quantized(rows):
+    """Per-type day-ordered (t, eq) pairs mirroring the engine: exact
+    integer OLS sums, double coefficient chain, residual quantized to
+    integer cents with round-half-away (Spark/DuckDB round())."""
+    daily = {}
+    for r in rows:
+        day = r["ts_us"] // 86_400_000_000
+        daily[(r["event_type"], day)] = (
+            daily.get((r["event_type"], day), 0) + r["cents"]
+        )
+    series = {}
+    for (et, day), x in daily.items():
+        series.setdefault(et, []).append((day, x))
+    out = {}
+    for et, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        ts = [d - d0 for d, _ in pts]
+        xs = [x for _, x in pts]
+        n = len(ts)
+        st, sx = sum(ts), sum(xs)
+        stt = sum(t * t for t in ts)
+        stx = sum(t * x for t, x in zip(ts, xs))
+        b = (n * float(stx) - float(st) * float(sx)) / (
+            n * float(stt) - float(st) * float(st)
+        )
+        a = (float(sx) - b * float(st)) / n
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out[et] = [
+            (
+                t,
+                int(
+                    Decimal(repr(x - a - b * t)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
+            for t, x in zip(ts, xs)
+        ]
+    return out
+
+
+def test_durbin_watson_matches_python(spark):
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    res = _resid_quantized(_events_rows())
+    got = {
+        r["event_type"]: (r["n"], r["dw_stat"])
+        for r in load_all()["stats_durbin_watson"].fn(spark, SF0001).collect()
+    }
+    for et, pairs in res.items():
+        e = [eq for _, eq in pairs]
+        num = sum((a - b) ** 2 for a, b in zip(e[1:], e))
+        den = sum(x * x for x in e)
+        gn, gdw = got[et]
+        assert gn == len(e)
+        assert abs(gdw - num / den) < 1e-12
+        assert 0.0 < gdw < 4.0
+
+
+def test_breusch_pagan_matches_python(spark):
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    res = _resid_quantized(_events_rows())
+    got = {
+        r["event_type"]: (r["n"], r["r2_aux"], r["lm_stat"])
+        for r in load_all()["stats_breusch_pagan"].fn(spark, SF0001).collect()
+    }
+    for et, pairs in res.items():
+        n = len(pairs)
+        st = sum(t for t, _ in pairs)
+        stt = sum(t * t for t, _ in pairs)
+        sg = sum(eq * eq for _, eq in pairs)
+        stg = sum(t * eq * eq for t, eq in pairs)
+        sgg = sum((eq * eq) ** 2 for _, eq in pairs)
+        num = (n * float(stg) - float(st) * float(sg)) ** 2
+        den = (n * float(stt) - float(st) ** 2) * (
+            n * float(sgg) - float(sg) ** 2
+        )
+        r2 = num / den
+        gn, gr2, glm = got[et]
+        assert gn == n
+        assert abs(gr2 - r2) < 1e-9 * max(1.0, r2)
+        assert abs(glm - n * r2) < 1e-9 * max(1.0, n * r2)
+        assert 0.0 <= gr2 <= 1.0
+
+
+def test_column_entropy_matches_python(spark):
+    """Entropy per column re-derived with the ln kernel's Python
+    mirror over exact value counts."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.schema_q import ENTROPY_COLS
+
+    t = pq.read_table(SF0001 + "/lineitem.parquet", columns=ENTROPY_COLS)
+    got = {
+        r["col_name"]: (r["n"], r["ndv"], r["entropy"], r["norm_entropy"])
+        for r in load_all()["profile_column_entropy"]
+        .fn(spark, SF0001)
+        .collect()
+    }
+    assert sorted(got) == sorted(ENTROPY_COLS)
+    for col in ENTROPY_COLS:
+        counts = {}
+        for v in t.column(col).to_pylist():
+            counts[v] = counts.get(v, 0) + 1
+        n = sum(counts.values())
+        sc = sum(round(c * dln_int_py(c), 6) for c in counts.values())
+        h = dln_int_py(n) - sc / n
+        gn, gndv, gh, ghn = got[col]
+        assert (gn, gndv) == (n, len(counts))
+        assert abs(gh - h) < 1e-9
+        if len(counts) > 1:
+            assert abs(ghn - h / dln_int_py(len(counts))) < 1e-9
+            assert 0.0 <= ghn <= 1.0 + 1e-12
+    # non-vacuous: entropies differ across columns
+    assert len({round(v[2], 6) for v in got.values()}) > 2
