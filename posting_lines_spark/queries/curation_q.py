@@ -1490,3 +1490,103 @@ FROM agg
 def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_rand_response_sql(md5_int_spark("user_id", salt="rrflip")))
+
+
+# --- differential privacy: Gaussian mechanism under zCDP (wave 22) ---
+# privacy_dp_release is the ε-DP Laplace rung; modern DP accounting
+# composes through zero-concentrated DP, where the GAUSSIAN mechanism
+# with σ = Δ/√(2ρ) satisfies ρ-zCDP and composes additively in ρ (Bun
+# & Steinke 2016) — the mechanism DP-SGD-style pipelines actually
+# deploy. Determinism is again the engineering content: the standard
+# normal comes from Box-Muller z = √(−2 ln u₁)·cos(2π u₂) with BOTH
+# transcendentals on this repo's deterministic kernels —
+#   u₁ = k₁/2²⁰, k₁ ∈ [1, 2²⁰]:  ln u₁ = dln(k₁) − dln(2²⁰), exact
+#     integer args through the integer-ln kernel;
+#   u₂ = k₂/2²⁰: cos(2πu₂) via the periodogram's EXACT quadrant
+#     reduction (q = ⌊4k₂/2²⁰⌋, u = (π/2)(4k₂ − q·2²⁰)/2²⁰ ∈ [0,π/2))
+#     into the deterministic cos/sin kernels;
+# k₁, k₂ are two independent md5 slots keyed by the release label, so
+# the release is bit-identical across engines AND idempotent across
+# retries (no silent budget double-spend). n_true returned to pin the
+# mechanism end-to-end; production ships only the noised column.
+#
+# Scale: one cardinality-bounded hash-aggregate + per-row kernel math.
+
+DP_RHO = 0.125  # zCDP budget; sigma = 1/sqrt(2*rho) = 2.0 at delta=1
+_DP_K = 2**20
+
+
+def _dp_gauss_sql(h1: str, h2: str) -> str:
+    import math
+
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.functions.geo import dcos_sql, dlit, dsin_sql
+
+    layers, last = dln_int_cte_layers(
+        [("k1", "g1"), (f"CAST({_DP_K} AS BIGINT)", "gc")], "w0", "dpg"
+    )
+    sigma = dlit(1.0 / math.sqrt(2.0 * DP_RHO))
+    half_pi = dlit(math.pi / 2.0)
+    c, s = dcos_sql("u"), dsin_sql("u")
+    cos_t = (
+        f"CASE q WHEN 0 THEN {c} WHEN 1 THEN -{s} "
+        f"WHEN 2 THEN -{c} ELSE {s} END"
+    )
+    return f"""
+WITH base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_true
+  FROM documents GROUP BY source
+),
+w0 AS (
+  SELECT source, n_true,
+         CAST(({h1}) % {_DP_K} AS BIGINT) + 1 AS k1,
+         CAST(({h2}) % {_DP_K} AS BIGINT) AS k2
+  FROM base
+),
+{layers},
+ang AS (
+  SELECT source, n_true, g1_ln, gc_ln, k2,
+         CAST(floor(CAST(4 * k2 AS DOUBLE) / {float(_DP_K)!r}e0) AS BIGINT)
+           AS q
+  FROM {last}
+),
+bm AS (
+  SELECT source, n_true, g1_ln, gc_ln, q,
+         {half_pi} * (CAST(4 * k2 - q * {_DP_K} AS DOUBLE)
+                      / {float(_DP_K)!r}e0) AS u
+  FROM ang
+)
+SELECT source, n_true,
+       CAST(n_true AS DOUBLE)
+         + {sigma} * (sqrt(-2e0 * (g1_ln - gc_ln)) * ({cos_t}))
+         AS released_count,
+       {DP_RHO!r}e0 AS rho,
+       {sigma} AS sigma
+FROM bm
+ORDER BY source
+"""
+
+
+@register(
+    "privacy_dp_gaussian",
+    oracle=_dp_gauss_sql(
+        md5_int_duck("source", salt="dpgauss"),
+        md5_int_duck("source", salt="dpgauss", slot=1),
+    ),
+    description=f"ρ-zCDP Gaussian-mechanism count release (ρ={DP_RHO}, "
+    "σ=Δ/√(2ρ)=2.0) of per-source document counts: Box-Muller noise "
+    "with ln on exact-integer md5-uniform numerators (integer-ln "
+    "kernel) and cos through the exact quadrant reduction into the "
+    "deterministic trig kernels — bit-identical across engines, "
+    "idempotent across retries; the additive-composition sibling of "
+    "privacy_dp_release's Laplace rung; one cardinality-bounded "
+    "aggregate",
+)
+def privacy_dp_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _dp_gauss_sql(
+            md5_int_spark("source", salt="dpgauss"),
+            md5_int_spark("source", salt="dpgauss", slot=1),
+        )
+    )

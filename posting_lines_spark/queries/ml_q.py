@@ -1144,3 +1144,147 @@ ORDER BY grp
 def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_FAIR_SQL)
+
+
+# --- Harrell's C-index for survival risk scores (wave 22) ---
+# events_survival_km describes WHEN users convert; the C-index grades
+# a RISK SCORE against those outcomes under right-censoring — the
+# standard discrimination metric for churn/conversion models (Harrell
+# 1982): among comparable pairs, how often does the higher-score user
+# convert first? Comparable pairs are (a,b) with t_a < t_b and a an
+# observed event (any b), plus t_a = t_b with a an event and b
+# censored; concordant when s_a > s_b, score ties count ½. The (t, δ)
+# setup is events_survival_km's (signup → first purchase, censored at
+# last observed day); the score is the user's click count after
+# signup — a deliberately crude covariate (the METRIC is the product).
+#
+# Never a user-pair join: users collapse to the bounded
+# (t ≤ calendar days) × (s ≤ max clicks/user) grid with event/censored
+# counts, and every pair class is a 2-D dominance sum — a per-score
+# suffix window over t (users converting later at score s), then
+# per-t prefix/suffix windows over s (the JT-query discipline).
+# Pair-count products ride wide integers (n_ev·counts ≤ N² wraps
+# int64 past N ≈ 4.3e9 users); one double division at the end.
+#
+# Scale: one user aggregate, a grid aggregate with map-side combine,
+# three window passes over the bounded grid, a 1-row finish.
+
+
+def _cindex_sql(us: str, w19: str) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, {day} AS day FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN day END) AS s_day,
+         max(day) AS last_day
+  FROM ev GROUP BY user_id
+),
+purch AS (
+  SELECT e.user_id, min(e.day) AS p_day
+  FROM ev e JOIN per_user u ON u.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.day >= u.s_day
+  GROUP BY e.user_id
+),
+clicks AS (
+  SELECT e.user_id, CAST(count(*) AS BIGINT) AS s
+  FROM ev e JOIN per_user u ON u.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.day >= u.s_day
+  GROUP BY e.user_id
+),
+obs AS (
+  SELECT u.user_id,
+         CASE WHEN p.p_day IS NOT NULL THEN p.p_day - u.s_day
+              ELSE u.last_day - u.s_day END AS t,
+         CASE WHEN p.p_day IS NOT NULL THEN 1 ELSE 0 END AS ev_flag,
+         coalesce(c.s, 0) AS s
+  FROM per_user u
+  LEFT JOIN purch p ON p.user_id = u.user_id
+  LEFT JOIN clicks c ON c.user_id = u.user_id
+  WHERE u.s_day IS NOT NULL
+),
+cells AS (
+  SELECT t, s,
+         CAST(sum(ev_flag) AS BIGINT) AS n_ev,
+         CAST(count(*) - sum(ev_flag) AS BIGINT) AS n_cens,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM obs GROUP BY t, s
+),
+ts AS (SELECT DISTINCT t FROM cells),
+ss AS (SELECT DISTINCT s FROM cells),
+dense AS (
+  SELECT ts.t, ss.s,
+         CAST(coalesce(c.n_ev, 0) AS BIGINT) AS n_ev,
+         CAST(coalesce(c.n_cens, 0) AS BIGINT) AS n_cens,
+         CAST(coalesce(c.n_all, 0) AS BIGINT) AS n_all
+  FROM ts CROSS JOIN ss
+  LEFT JOIN cells c ON c.t = ts.t AND c.s = ss.s
+),
+later AS (
+  SELECT t, s, n_ev, n_cens,
+         CAST(coalesce(sum(n_all) OVER (PARTITION BY s ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS BIGINT) AS lat
+  FROM dense
+),
+doms AS (
+  SELECT t, s, n_ev, n_cens, lat,
+         CAST(coalesce(sum(lat) OVER (PARTITION BY t ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lat_below,
+         CAST(coalesce(sum(lat) OVER (PARTITION BY t ORDER BY s
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS BIGINT) AS lat_above,
+         CAST(coalesce(sum(n_cens) OVER (PARTITION BY t ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cens_below,
+         CAST(coalesce(sum(n_cens) OVER (PARTITION BY t ORDER BY s
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS BIGINT) AS cens_above
+  FROM later
+),
+sums AS (
+  SELECT
+    CAST(sum(CAST(n_ev AS {w19}) * (lat_below + cens_below)) AS {w19})
+      AS conc,
+    CAST(sum(CAST(n_ev AS {w19}) * (lat_above + cens_above)) AS {w19})
+      AS disc,
+    CAST(sum(CAST(n_ev AS {w19}) * (lat + n_cens)) AS {w19}) AS ties
+  FROM doms
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(ev_flag) AS BIGINT) AS n_events
+  FROM obs
+)
+SELECT t.n_users, t.n_events,
+       {s2d("s.conc")} AS conc,
+       {s2d("s.disc")} AS disc,
+       {s2d("s.ties")} AS ties_score,
+       ({s2d("s.conc")} + 0.5e0 * {s2d("s.ties")})
+         / nullif({s2d("s.conc")} + {s2d("s.disc")} + {s2d("s.ties")}, 0e0)
+         AS c_index
+FROM sums s CROSS JOIN tot t
+"""
+
+
+@register(
+    "ml_survival_cindex",
+    oracle=_cindex_sql("epoch_us(ts)", "HUGEINT"),
+    description="Harrell's C-index of a click-count risk score against "
+    "signup→purchase survival with right-censoring (the "
+    "events_survival_km setup): comparable pairs, score ties at ½, "
+    "computed as 2-D dominance sums over the bounded (days × score) "
+    "grid — per-score suffix windows over t, per-t prefix/suffix "
+    "windows over s, NEVER a user-pair join; wide-integer pair "
+    "products, one double division — the discrimination metric for "
+    "churn models at any N",
+)
+def ml_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cindex_sql("unix_micros(ts)", "DECIMAL(38,0)"))

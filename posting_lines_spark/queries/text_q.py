@@ -2298,3 +2298,83 @@ def _gt_toks_duck() -> str:
 def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_good_turing_sql(_gt_toks_spark(), "DECIMAL(38,0)"))
+
+
+# --- standardized type-token ratio (wave 22) ---
+# Raw TTR (distinct/total tokens) falls mechanically with document
+# length, so corpora are compared on the STANDARDIZED TTR: cut each
+# doc's token stream into fixed 50-token segments, take TTR per FULL
+# segment (partial tails dropped — the convention that makes scores
+# length-comparable), average per document, aggregate per source —
+# the lexical-diversity quality signal (template/boilerplate text
+# scores low at any length, where raw TTR would hide it behind
+# length effects). TTR per segment is an exact rational d/50; the
+# cross-doc mean is decimal-routed.
+#
+# Scale: one positional token explode, a (doc, segment) aggregate
+# with map-side combine, a doc then source rollup — all linear scan
+# work; segment ids come from integer division of the token position,
+# never a window.
+
+STTR_SEG = 50
+
+
+def _sttr_sql(toks_src: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    return f"""
+WITH toks AS ({toks_src}),
+segs AS (
+  SELECT doc_id, source,
+         CAST(floor(CAST(pos AS DOUBLE) / {float(STTR_SEG)!r}e0) AS BIGINT)
+           AS seg,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM toks
+  GROUP BY doc_id, source,
+           CAST(floor(CAST(pos AS DOUBLE) / {float(STTR_SEG)!r}e0) AS BIGINT)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_segs,
+         {dsum_expr(f"CAST(n_types AS DOUBLE) / {float(STTR_SEG)!r}e0", 6)}
+           / count(*) AS sttr
+  FROM segs WHERE n_tok = {STTR_SEG}
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_segs) AS BIGINT) AS n_segments,
+       {dsum_expr("sttr", 12)} / count(*) AS mean_sttr,
+       min(sttr) AS min_sttr,
+       max(sttr) AS max_sttr
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+_STTR_TOKS_SPARK = (
+    "SELECT doc_id, source, pos, tok FROM documents "
+    "LATERAL VIEW posexplode(split(text, ' ')) v AS pos, tok"
+)
+_STTR_TOKS_DUCK = (
+    "SELECT doc_id, source, "
+    "unnest(range(len(string_split(text, ' ')))) AS pos, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents"
+)
+
+
+@register(
+    "text_sttr",
+    oracle=_sttr_sql(_STTR_TOKS_DUCK),
+    description=f"standardized type-token ratio ({STTR_SEG}-token "
+    "segments, partial tails dropped): per-segment TTR as exact "
+    "rationals, per-doc then per-source decimal-routed means — the "
+    "length-comparable lexical-diversity signal raw TTR isn't "
+    "(boilerplate scores low at ANY doc length); one positional "
+    "explode + integer-division segment ids, never a window",
+)
+def text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_sttr_sql(_STTR_TOKS_SPARK))

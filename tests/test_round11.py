@@ -822,3 +822,151 @@ def test_column_entropy_matches_python(spark):
             assert 0.0 <= ghn <= 1.0 + 1e-12
     # non-vacuous: entropies differ across columns
     assert len({round(v[2], 6) for v in got.values()}) > 2
+
+
+# ---- wave-22 replay tests ----
+
+
+def test_dp_gaussian_matches_python(spark):
+    """Re-derive the Box-Muller release with the kernel Python mirrors
+    and check zCDP bookkeeping; noise must be nonzero and vary by
+    source (idempotence = same source, same noise)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.functions.dmath import dln_int_py
+    from posting_lines_spark.functions.geo import dcos_py, dsin_py
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.curation_q import _DP_K, DP_RHO
+
+    srcs = pq.read_table(
+        SF0001 + "/documents.parquet", columns=["source"]
+    ).column("source").to_pylist()
+    counts = {}
+    for s in srcs:
+        counts[s] = counts.get(s, 0) + 1
+
+    sigma = 1.0 / math.sqrt(2.0 * DP_RHO)
+    ln_k = dln_int_py(_DP_K)
+
+    def h(s, slot):
+        hx = hashlib.md5(f"dpgauss|{s}".encode()).hexdigest()
+        return int(hx[slot * 15 : slot * 15 + 15], 16)
+
+    got = {
+        r["source"]: r
+        for r in load_all()["privacy_dp_gaussian"].fn(spark, SF0001).collect()
+    }
+    noises = set()
+    for s, n in counts.items():
+        k1 = h(s, 0) % _DP_K + 1
+        k2 = h(s, 1) % _DP_K
+        q = (4 * k2) // _DP_K
+        u = (math.pi / 2.0) * ((4 * k2 - q * _DP_K) / _DP_K)
+        cu, su = dcos_py(u), dsin_py(u)
+        cos_t = [cu, -su, -cu, su][q]
+        z = math.sqrt(-2.0 * (dln_int_py(k1) - ln_k)) * cos_t
+        want = n + sigma * z
+        r = got[s]
+        assert r["n_true"] == n
+        assert abs(r["released_count"] - want) < 1e-9
+        assert (r["rho"], r["sigma"]) == (DP_RHO, sigma)
+        noises.add(round(r["released_count"] - n, 6))
+    assert len(noises) > 1 and all(abs(x) > 1e-9 for x in noises)
+
+
+def test_survival_cindex_matches_python(spark):
+    """Brute-force every comparable pair from the raw rows (the grid
+    dominance sums must equal the O(n²) census)."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    users = {}
+    for r in _events_rows():
+        day = r["ts_us"] // 86_400_000_000
+        u = users.setdefault(
+            r["user_id"], {"s": None, "last": day, "p": None, "clicks": []}
+        )
+        u["last"] = max(u["last"], day)
+        if r["event_type"] == "signup":
+            u["s"] = day if u["s"] is None else min(u["s"], day)
+        users[r["user_id"]].setdefault("evs", []).append(
+            (r["event_type"], day)
+        )
+    obs = []
+    for u in users.values():
+        if u["s"] is None:
+            continue
+        p_days = [d for et, d in u["evs"] if et == "purchase" and d >= u["s"]]
+        clicks = sum(
+            1 for et, d in u["evs"] if et == "click" and d >= u["s"]
+        )
+        if p_days:
+            obs.append((min(p_days) - u["s"], 1, clicks))
+        else:
+            obs.append((u["last"] - u["s"], 0, clicks))
+    conc = disc = ties = 0
+    for ta, da, sa in obs:
+        if da != 1:
+            continue
+        for tb, db, sb in obs:
+            if not (tb > ta or (tb == ta and db == 0)):
+                continue
+            if sa > sb:
+                conc += 1
+            elif sa < sb:
+                disc += 1
+            else:
+                ties += 1
+    got = load_all()["ml_survival_cindex"].fn(spark, SF0001).collect()[0]
+    assert got["n_users"] == len(obs)
+    assert got["n_events"] == sum(1 for _, d, _s in obs if d == 1)
+    assert (got["conc"], got["disc"], got["ties_score"]) == (
+        float(conc), float(disc), float(ties)
+    )
+    want_c = (conc + 0.5 * ties) / (conc + disc + ties)
+    assert abs(got["c_index"] - want_c) < 1e-12
+    assert conc and disc and ties  # all three pair classes non-vacuous
+
+
+def test_sttr_matches_python(spark):
+    """Re-derive segment TTRs and the per-source rollup."""
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import STTR_SEG
+
+    t = pq.read_table(
+        SF0001 + "/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    per_src = {}
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = text.split(" ")
+        ttrs = []
+        for i in range(len(toks) // STTR_SEG):
+            seg = toks[i * STTR_SEG : (i + 1) * STTR_SEG]
+            ttrs.append(round(len(set(seg)) / STTR_SEG, 6))
+        if ttrs:
+            per_src.setdefault(src, []).append(
+                (len(ttrs), round(sum(ttrs) / len(ttrs), 12))
+            )
+    got = {
+        r["source"]: r
+        for r in load_all()["text_sttr"].fn(spark, SF0001).collect()
+    }
+    assert sorted(got) == sorted(per_src)
+    for src, docs in per_src.items():
+        r = got[src]
+        assert r["n_docs"] == len(docs)
+        assert r["n_segments"] == sum(n for n, _ in docs)
+        mean = sum(s for _, s in docs) / len(docs)
+        assert abs(r["mean_sttr"] - mean) < 1e-9
+        assert abs(r["min_sttr"] - min(s for _, s in docs)) < 1e-9
+        assert abs(r["max_sttr"] - max(s for _, s in docs)) < 1e-9
+        assert 0.0 < r["mean_sttr"] <= 1.0
+    # non-vacuous: diversity varies across sources
+    assert len({round(v["mean_sttr"], 4) for v in got.values()}) > 1
