@@ -338,3 +338,85 @@ def frame_sads(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "sad"])
 
     return df.mapInPandas(per_batch, schema=SAD_SCHEMA)
+
+
+# --- OCR-box lane (fake text-region payloads, real plumbing) ---
+# Third modality lane beside audio VAD and video scene-cut: OCR/layout.
+# A scanned page arrives as a blob; the decode step (a real OCR engine
+# in production — same honestly-stubbed boundary as the other lanes)
+# yields TEXT REGIONS (x, y, w, h, token), and the genuinely fiddly
+# data-engineering op is READING ORDER: group boxes into lines by
+# vertical proximity, then left-to-right within a line — get it wrong
+# and the assembled training text interleaves columns. Payloads are
+# md5(doc_id:box:ocr) digests, 16 bytes per box; geometry and token
+# are hex-slice-derived so the DuckDB oracle regenerates every box
+# inside SQL (the VAD discipline). Payload bytes never shuffle.
+
+OCR_BOX_BYTES = 16
+OCR_NB_MOD = 17  # n_boxes = 3 + doc_id % 17 — bounded, always ≥ 3
+OCR_SCHEMA = "doc_id long, box_idx long, x long, y long, w long, h long, tok string"
+
+
+def attach_ocr(df: DataFrame) -> DataFrame:
+    """Simulated ingestion: per doc, n_boxes = 3 + doc_id % 17 records
+    of md5(doc_id:box:ocr) digest bytes concatenated into one binary
+    payload (with real scans this is the object-store image blob)."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nb = 3 + doc_id % OCR_NB_MOD
+                payload = b"".join(
+                    hashlib.md5(f"{doc_id}:{b}:ocr".encode()).digest()
+                    for b in range(nb)
+                )
+                rows.append((doc_id, nb, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_boxes", "scan"])
+
+    return df.select("doc_id").mapInPandas(
+        per_batch, schema="doc_id long, n_boxes long, scan binary"
+    )
+
+
+def ocr_boxes(df: DataFrame) -> DataFrame:
+    """The fake decode: slice the payload into 16-byte box records and
+    emit (x, y, w, h, token) per box — hex-slice geometry so the
+    oracle can regenerate it in SQL:
+      y = hx[0:4] % 240, x = hx[4:8] % 200,
+      w = 10 + hx[8:10] % 60, h = 8 + hx[10:12] % 8, tok = hx[12:18].
+    Arrow-batched; payload bytes never leave the scan side."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["scan"]):
+                doc_id = int(doc_id)
+                nb = len(payload) // OCR_BOX_BYTES
+                for b in range(nb):
+                    hx = payload[
+                        b * OCR_BOX_BYTES : (b + 1) * OCR_BOX_BYTES
+                    ].hex()
+                    rows.append(
+                        (
+                            doc_id,
+                            b,
+                            int(hx[4:8], 16) % 200,
+                            int(hx[0:4], 16) % 240,
+                            10 + int(hx[8:10], 16) % 60,
+                            8 + int(hx[10:12], 16) % 8,
+                            hx[12:18],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "box_idx", "x", "y", "w", "h", "tok"]
+            )
+
+    return df.mapInPandas(per_batch, schema=OCR_SCHEMA)

@@ -1685,3 +1685,116 @@ FROM agg
 def graph_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_powerlaw_sql())
+
+
+# --- quality-aware survivor selection (wave 23) ---
+# dedup_groups keeps the MIN-ID member of each near-dup component —
+# deterministic but arbitrary. Production curation keeps the BEST
+# copy: near-dups differ by truncation/boilerplate, and dropping the
+# long original in favor of a clipped copy loses data. Survivor =
+# argmax(text length, tie → min doc_id) over each component — the
+# keep-longest heuristic (the quality-model variant swaps the length
+# column for a model score; the plumbing is identical). Lengths join
+# the component table from the same doubled NEAR_BASE corpus the pair
+# fixture was built on; the winner is one row_number window per
+# component. The oracle replays components via the recursive-CTE
+# closure and the same window.
+#
+# Scale: components as in dedup_components (join+min-agg rounds);
+# the length join shuffles on doc_id; the survivor window partitions
+# by component — all keyed, no driver loops.
+
+KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, label) AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+docs AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+  FROM ({{base}})
+),
+ranked AS (
+  SELECT c.component, c.node, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node) AS rk
+  FROM comp c JOIN docs d ON d.doc_id = c.node
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS survivor,
+       CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+         AS survivor_chars,
+       CAST(count(*) - 1 AS BIGINT) AS n_drops
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+
+@register(
+    "curation_dedup_keep_best",
+    oracle=None,  # set below — needs dedup_q constants
+    description="quality-aware dedup survivor selection: each near-dup "
+    "component keeps its LONGEST member (tie → min id) instead of "
+    "dedup_groups' arbitrary min-id — the keep-longest heuristic that "
+    "stops truncated copies from outliving their originals (swap the "
+    "length column for a model score and the plumbing is the "
+    "quality-model variant); one length join + one per-component "
+    "window over the component table",
+)
+def curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.queries.dedup_q import NEAR_BASE_SPARK
+
+    comp = graph.connected_components(_spark_pairs(spark, sf_dir))
+    docs = spark.sql(NEAR_BASE_SPARK).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    ranked = (
+        comp.join(docs, comp.node == docs.doc_id)
+        .select("component", "node", "n_chars")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("n_chars").desc(), F.col("node")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("node")))
+            .cast("long")
+            .alias("survivor"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("survivor_chars"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_drops"),
+        )
+        .orderBy("component")
+    )
+
+
+def _set_keep_best_oracle() -> None:
+    from posting_lines_spark.queries import REGISTRY
+    from posting_lines_spark.queries.dedup_q import NEAR_BASE_DUCK
+
+    REGISTRY["curation_dedup_keep_best"].oracle = KEEP_BEST_ORACLE.format(
+        pairs=_PAIRS_DUCK, base=NEAR_BASE_DUCK
+    )
+
+
+_set_keep_best_oracle()

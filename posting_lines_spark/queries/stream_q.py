@@ -2182,3 +2182,109 @@ register(
     "— the shot-segmentation op a video curation pipeline runs first, "
     "with bounded fan-out and no payload shuffle",
 )(multimodal_video_scenecut)
+
+
+# --- OCR reading-order assembly over the box lane (wave 23) ---
+# The layout op that decides whether scanned-document training text is
+# usable: boxes group into LINES by vertical proximity (a new line
+# starts when the y-gap to the previous box exceeds OCR_LINE_GAP),
+# lines read top-to-bottom, boxes left-to-right within a line. The
+# line assignment is the sessionize pattern (lag + cumulative
+# new-line flags) over a per-doc window; the assembled text is an
+# ORDER-PINNED string fold (array_sort struct fold / list ORDER BY —
+# the _LM_FOLD discipline), emitted as a digest so the hash compare
+# pins every box's position. Decode is the honestly-stubbed
+# multimodal boundary (operators/multimodal.py::ocr_boxes); the
+# oracle regenerates every box from md5 hex inside SQL.
+#
+# Scale: bounded ≤19-box fan-out per doc; per-doc windows; payloads
+# never shuffle — the reading-order pass is linear in boxes.
+
+OCR_LINE_GAP = 12
+
+
+def _ocr_order_sql(boxes: str, fold: str) -> str:
+    return f"""
+WITH boxes AS ({boxes}),
+ordered AS (
+  SELECT doc_id, box_idx, x, y, tok,
+         lag(y) OVER (PARTITION BY doc_id
+                      ORDER BY y, x, box_idx) AS prev_y
+  FROM boxes
+),
+lines AS (
+  SELECT doc_id, box_idx, x, y, tok,
+         CAST(sum(CASE WHEN prev_y IS NULL
+                        OR y - prev_y > {OCR_LINE_GAP} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY y, x, box_idx
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS line_id
+  FROM ordered
+),
+ranked AS (
+  SELECT doc_id, tok, line_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY line_id, x, box_idx) AS BIGINT) AS rk
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(max(line_id) AS BIGINT) AS n_lines,
+       md5({fold}) AS reading_digest
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_OCR_FOLD_SPARK = (
+    "array_join(transform(array_sort(collect_list(struct(rk, tok))), "
+    "s -> s.tok), ' ')"
+)
+_OCR_FOLD_DUCK = "array_to_string(list(tok ORDER BY rk), ' ')"
+
+
+def _ocr_boxes_duck() -> str:
+    from posting_lines_spark.operators.multimodal import OCR_NB_MOD
+
+    h = (
+        "md5(CAST(d.doc_id AS VARCHAR) || ':' || "
+        "CAST(b.box_idx AS VARCHAR) || ':ocr')"
+    )
+    return f"""
+SELECT d.doc_id, b.box_idx,
+       CAST('0x' || substring({h}, 5, 4) AS BIGINT) % 200 AS x,
+       CAST('0x' || substring({h}, 1, 4) AS BIGINT) % 240 AS y,
+       10 + CAST('0x' || substring({h}, 9, 2) AS BIGINT) % 60 AS w,
+       8 + CAST('0x' || substring({h}, 11, 2) AS BIGINT) % 8 AS h,
+       substring({h}, 13, 6) AS tok
+FROM (SELECT doc_id, 3 + doc_id % {OCR_NB_MOD} AS nb FROM documents) d
+CROSS JOIN (SELECT unnest(range(0, {3 + OCR_NB_MOD - 1})) AS box_idx) b
+WHERE b.box_idx < d.nb
+"""
+
+
+def multimodal_ocr_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.multimodal import attach_ocr, ocr_boxes
+
+    docs = load_table(spark, sf_dir, "documents")
+    boxes = ocr_boxes(attach_ocr(docs))
+    boxes.createOrReplaceTempView("pls_ocr_boxes")
+    return spark.sql(
+        _ocr_order_sql(
+            "SELECT doc_id, box_idx, x, y, w, h, tok FROM pls_ocr_boxes",
+            _OCR_FOLD_SPARK,
+        )
+    )
+
+
+register(
+    "multimodal_ocr_reading_order",
+    oracle=_ocr_order_sql(_ocr_boxes_duck(), _OCR_FOLD_DUCK),
+    description="OCR/layout lane: text boxes decoded from the fake scan "
+    "payloads (Arrow mapInPandas, hex-slice geometry), grouped into "
+    "lines by y-gap sessionization, read top-to-bottom then "
+    "left-to-right, assembled text emitted as an order-pinning digest "
+    "— the layout step that decides whether scanned-document training "
+    "text interleaves columns; oracle regenerates every box from md5 "
+    "hex inside SQL; bounded ≤19-box fan-out, payloads never shuffle",
+)(multimodal_ocr_reading_order)

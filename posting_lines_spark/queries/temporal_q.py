@@ -2642,3 +2642,103 @@ ORDER BY event_type
 def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_spectral_entropy_sql("unix_micros(ts)"))
+
+
+# --- Engle-Granger cointegration step (wave 23) ---
+# Two trending series can correlate spuriously; the Engle-Granger test
+# asks whether a LINEAR COMBINATION is stationary — the spread that
+# pairs-trading / demand-transfer analyses act on. Step 1 regresses
+# daily purchase cents on daily click cents (same calendar day, exact
+# integer cross sums); step 2 runs the Dickey-Fuller regression
+# Δe_t = γ·e_{t−1} + ε on the residual and emits γ̂ and its t-statistic
+# (NO p-value: DF critical values are tabulated constants — out of
+# replay scope, documented; the t-stat itself is fully replayable).
+# The r11 DW/BP lesson applies verbatim: residuals quantize to integer
+# cents once (round half-away, engine-identical), after which every
+# regression sum — Σe², Σee', ΣΔe·e — is an EXACT wide integer and no
+# double→decimal cast exists anywhere.
+#
+# Scale: one (day, type) aggregate, one day-equi-join (calendar-
+# bounded), exact-sum reduces, a lag window, a 1-row finish.
+
+
+def _eg_sql(us: str, w19: str) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY {day}, event_type
+),
+pairs AS (
+  SELECT p.day, p.x AS y, c.x AS x
+  FROM daily p JOIN daily c
+    ON c.day = p.day AND p.event_type = 'purchase'
+   AND c.event_type = 'click'
+),
+csums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS {w19}) * x) AS {w19}) AS sxx,
+         CAST(sum(CAST(x AS {w19}) * y) AS {w19}) AS sxy
+  FROM pairs
+),
+coefs AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * {s2d("sxy")}
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) * {s2d("sxx")}
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0) AS b,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM csums
+),
+resid AS (
+  SELECT p.day,
+         CAST(round(CAST(p.y AS DOUBLE)
+              - ((c.syd - c.b * c.sxd) / CAST(c.n AS DOUBLE))
+              - c.b * CAST(p.x AS DOUBLE)) AS BIGINT) AS eq
+  FROM pairs p CROSS JOIN coefs c
+),
+lagged AS (
+  SELECT eq, lag(eq) OVER (ORDER BY day) AS ep FROM resid
+),
+dfsums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(ep AS {w19}) * ep) AS {w19}) AS spp,
+         CAST(sum(CAST(eq - ep AS {w19}) * ep) AS {w19}) AS sdp,
+         CAST(sum(CAST(eq - ep AS {w19}) * (eq - ep)) AS {w19}) AS sdd
+  FROM lagged WHERE ep IS NOT NULL
+),
+fin AS (
+  SELECT m,
+         {s2d("sdp")} / nullif({s2d("spp")}, 0e0) AS gamma,
+         ({s2d("sdd")}
+          - ({s2d("sdp")} / nullif({s2d("spp")}, 0e0)) * {s2d("sdp")})
+           / (CAST(m AS DOUBLE) - 1e0) AS s2
+  FROM dfsums
+)
+SELECT m AS n_diffs, gamma,
+       gamma / nullif(sqrt(s2 / {s2d("(SELECT spp FROM dfsums)")}), 0e0)
+         AS t_gamma
+FROM fin
+"""
+
+
+@register(
+    "timeseries_engle_granger",
+    oracle=_eg_sql("epoch_us(ts)", "HUGEINT"),
+    description="Engle-Granger cointegration step for daily purchase "
+    "vs click cents: exact wide-integer OLS, residuals quantized to "
+    "integer cents (the r11 DW/BP discipline — zero double→decimal "
+    "casts), Dickey-Fuller regression Δe on lag(e) with γ̂ and its "
+    "t-statistic from exact sums; no tabulated critical values "
+    "emitted (documented); calendar-bounded joins and windows, 1-row "
+    "finish",
+)
+def timeseries_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_eg_sql("unix_micros(ts)", "DECIMAL(38,0)"))

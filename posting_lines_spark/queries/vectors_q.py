@@ -1407,3 +1407,67 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- range (radius) similarity search (wave 23) ---
+# Top-k answers "the k nearest whatever their quality"; range search
+# answers "EVERYTHING at least τ-similar" — the primitive behind
+# near-dup candidate generation and retrieval-with-threshold, and a
+# different output contract (result size is data-driven, possibly
+# zero). Same 100 TB shape as sim_topk_ivf: deterministic
+# random-hyperplane buckets, candidates from the bucket equi-join
+# (never the n×q cross product), exact cosine inside the bucket,
+# WHERE cosine ≥ τ instead of a rank window (no per-query sort at
+# all — cheaper than top-k). Approximation contract is the IVF
+# family's: matches outside the probed bucket are missed;
+# sim_ivf_recall_audit quantifies that, and the oracle pins the SAME
+# algorithm (algorithm parity, not exhaustive parity — the
+# bruteforce query is the exact baseline).
+
+RANGE_TAU = 0.2
+
+RANGE_ORACLE = f"""
+WITH buckets AS ({_BUCKET_DUCK}),
+eb AS (SELECT b.vec_id, e.embedding, b.bucket FROM buckets b JOIN embeddings e USING (vec_id)),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id IN ({_QIDS})),
+scored AS (
+  SELECT qb.query_id, eb.vec_id, {cosine_duck('eb.embedding', 'qb.qv')} AS cosine
+  FROM eb JOIN qb USING (bucket)
+  WHERE eb.vec_id != qb.query_id
+)
+SELECT query_id, vec_id, cosine
+FROM scored WHERE cosine >= {RANGE_TAU!r}e0
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+@register(
+    "sim_range_search",
+    oracle=RANGE_ORACLE,
+    description=f"range (radius) similarity search at cosine ≥ "
+    f"{RANGE_TAU}: LSH bucket equi-join + exact in-bucket cosine + a "
+    "threshold filter — no rank window, result size data-driven (the "
+    "near-dup candidate-generation primitive); same bucket "
+    "approximation contract as sim_topk_ivf with the recall audit "
+    "quantifying misses",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
+    eb = sim.bucketize(emb, planes)
+    qb = sim.bucketize(queries, planes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    from posting_lines_spark.operators.similarity import cosine_spark
+
+    return (
+        eb.join(qb, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(cosine_spark("embedding", "qv")))
+        .filter(F.col("cosine") >= RANGE_TAU)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )

@@ -970,3 +970,212 @@ def test_sttr_matches_python(spark):
         assert 0.0 < r["mean_sttr"] <= 1.0
     # non-vacuous: diversity varies across sources
     assert len({round(v["mean_sttr"], 4) for v in got.values()}) > 1
+
+
+# ---- wave-23 replay tests ----
+
+
+def test_engle_granger_matches_python(spark):
+    """Replay both regressions with exact integer sums and the
+    quantized-residual discipline."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    daily = {}
+    for r in _events_rows():
+        if r["event_type"] not in ("purchase", "click"):
+            continue
+        day = r["ts_us"] // 86_400_000_000
+        daily.setdefault(day, {})
+        daily[day][r["event_type"]] = (
+            daily[day].get(r["event_type"], 0) + r["cents"]
+        )
+    pairs = sorted(
+        (d, v["purchase"], v["click"])
+        for d, v in daily.items()
+        if "purchase" in v and "click" in v
+    )
+    n = len(pairs)
+    sx = sum(x for _, _, x in pairs)
+    sy = sum(y for _, y, _ in pairs)
+    sxx = sum(x * x for _, _, x in pairs)
+    sxy = sum(x * y for _, y, x in pairs)
+    b = (n * float(sxy) - float(sx) * float(sy)) / (
+        n * float(sxx) - float(sx) * float(sx)
+    )
+    a = (float(sy) - b * float(sx)) / n
+    eq = [
+        int(
+            Decimal(repr(y - a - b * x)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        for _, y, x in pairs
+    ]
+    d_e = [(eq[i] - eq[i - 1], eq[i - 1]) for i in range(1, len(eq))]
+    m = len(d_e)
+    spp = sum(p * p for _, p in d_e)
+    sdp = sum(d * p for d, p in d_e)
+    sdd = sum(d * d for d, _ in d_e)
+    gamma = sdp / spp
+    s2 = (sdd - gamma * sdp) / (m - 1)
+    t = gamma / (s2 / spp) ** 0.5
+
+    got = load_all()["timeseries_engle_granger"].fn(spark, SF0001).collect()[0]
+    assert got["n_diffs"] == m
+    assert abs(got["gamma"] - gamma) < 1e-12
+    assert abs(got["t_gamma"] - t) < 1e-9 * max(1.0, abs(t))
+    assert got["t_gamma"] < 0  # residual mean-reverts on this data
+
+
+def test_keep_best_survivor_dominates(spark):
+    """The keep-best survivor must (a) belong to its component, (b) be
+    the argmax-length member with min-id tie-break — cross-checked
+    against the registered dedup_components and the NEAR_BASE corpus."""
+    from pyspark.sql import functions as F
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.dedup_q import NEAR_BASE_SPARK
+
+    load_all()  # ensure registration side effects
+    comp = {
+        r["node"]: r["component"]
+        for r in load_all()["dedup_components"].fn(spark, SF0001).collect()
+    }
+    load_all()["dedup_components"]  # no-op
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in spark.sql(NEAR_BASE_SPARK)
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    members = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    got = load_all()["curation_dedup_keep_best"].fn(spark, SF0001).collect()
+    assert len(got) == len(members)
+    changed = 0
+    for r in got:
+        ms = members[r["component"]]
+        best = min(ms, key=lambda m: (-lens[m], m))
+        assert r["survivor"] == best
+        assert r["survivor_chars"] == lens[best]
+        assert r["n_members"] == len(ms)
+        assert r["n_drops"] == len(ms) - 1
+        if best != min(ms):
+            changed += 1
+    # non-vacuous: keep-best differs from dedup_groups' min-id rule
+    assert changed > 0
+
+
+def test_range_search_matches_python(spark):
+    """Replay bucketization + threshold in Python over the raw
+    embeddings; also assert the subset relation vs brute force."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.vectors_q import (
+        DIMS,
+        NUM_PLANES,
+        QUERY_IDS,
+        RANGE_TAU,
+    )
+    import hashlib
+
+    def plane_weight(p, d):
+        h = int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:15], 16)
+        return ((h % 2001) - 1000) / 1000.0
+
+    t = pq.read_table(SF0001 + "/embeddings.parquet")
+    vecs = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    planes = [
+        [plane_weight(p, d) for d in range(1, DIMS + 1)]
+        for p in range(NUM_PLANES)
+    ]
+
+    def bucket(v):
+        return sum(
+            (1 << i)
+            for i, w in enumerate(planes)
+            if sum(a * b for a, b in zip(v, w)) > 0
+        )
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    want = set()
+    for q in QUERY_IDS:
+        for vid, v in vecs.items():
+            if vid != q and buckets[vid] == buckets[q]:
+                if cos(vecs[q], v) >= RANGE_TAU - 1e-12:
+                    want.add((q, vid))
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in load_all()["sim_range_search"].fn(spark, SF0001).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ocr_reading_order_matches_python(spark):
+    """Full-lane replay: regenerate boxes from md5, group lines by
+    y-gap, assemble reading order, compare digests for every doc."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.operators.multimodal import OCR_NB_MOD
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.stream_q import OCR_LINE_GAP
+
+    doc_ids = pq.read_table(
+        SF0001 + "/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    want = {}
+    for doc_id in doc_ids:
+        nb = 3 + doc_id % OCR_NB_MOD
+        boxes = []
+        for b in range(nb):
+            hx = hashlib.md5(f"{doc_id}:{b}:ocr".encode()).hexdigest()
+            boxes.append(
+                (
+                    int(hx[0:4], 16) % 240,  # y
+                    int(hx[4:8], 16) % 200,  # x
+                    b,
+                    hx[12:18],
+                )
+            )
+        boxes.sort()
+        line_id, prev_y = 0, None
+        lined = []
+        for y, x, b, tok in boxes:
+            if prev_y is None or y - prev_y > OCR_LINE_GAP:
+                line_id += 1
+            prev_y = y
+            lined.append((line_id, x, b, tok))
+        lined.sort()
+        text = " ".join(tok for _, _, _, tok in lined)
+        want[doc_id] = (
+            nb,
+            line_id,
+            hashlib.md5(text.encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_boxes"], r["n_lines"], r["reading_digest"])
+        for r in load_all()["multimodal_ocr_reading_order"]
+        .fn(spark, SF0001)
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: multi-line docs exist AND some line holds >1 box
+    assert any(v[1] > 1 for v in want.values())
+    assert any(v[0] > v[1] for v in want.values())
