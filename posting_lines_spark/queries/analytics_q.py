@@ -5686,3 +5686,183 @@ def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bp_sql("unix_micros(ts)", "DECIMAL(38,0)"))
+
+
+# --- DAU / WAU / MAU engagement rollup (wave 24) ---
+# The product-analytics staple: per calendar day, distinct active
+# users over the trailing 1-, 7-, and 30-day windows plus the
+# DAU/MAU stickiness ratio. Sliding COUNT(DISTINCT) isn't a window
+# Spark (or any engine) does cheaply, and the classic distributed
+# rewrite is used here: dedup to user-days once, then each user-day
+# CONTRIBUTES ITSELF to the k trailing report days via a bounded
+# 7-/30-row literal offset fan-out and one distinct-count aggregate
+# per grain — shuffle keyed on (report_day, user), never a range
+# join, never per-day re-scans. Report days clip to the observed
+# calendar (no phantom tail days past max(day)).
+#
+# Scale: one user-day dedup (map-side combinable), ≤37× bounded
+# fan-out of the DEDUPED user-days (not raw events), three
+# distinct-count aggregates, a ≤366-row join — the 100 TB shape for
+# rolling engagement; at extreme user counts swap exact distinct for
+# HLL sketches (sketch_hll_merge is the registered mergeable path).
+
+
+def _active_users_sql(us: str) -> str:
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    off7 = " UNION ALL ".join(f"SELECT {k} AS o" for k in range(7))
+    off30 = " UNION ALL ".join(f"SELECT {k} AS o" for k in range(30))
+    return f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, {day} AS day FROM events
+),
+cal AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM user_days),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM user_days GROUP BY day
+),
+wau AS (
+  SELECT ud.day + o.o AS day,
+         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+  FROM user_days ud CROSS JOIN ({off7}) o
+  GROUP BY ud.day + o.o
+),
+mau AS (
+  SELECT ud.day + o.o AS day,
+         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+  FROM user_days ud CROSS JOIN ({off30}) o
+  GROUP BY ud.day + o.o
+)
+SELECT d.day, d.dau, w.wau, m.mau,
+       CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+FROM dau d
+JOIN wau w ON w.day = d.day
+JOIN mau m ON m.day = d.day
+CROSS JOIN cal
+WHERE d.day <= cal.max_day
+ORDER BY d.day
+"""
+
+
+@register(
+    "events_active_users",
+    oracle=_active_users_sql("epoch_us(ts)"),
+    description="DAU/WAU/MAU + stickiness per calendar day via the "
+    "distributed rolling-distinct rewrite: dedup to user-days once, "
+    "bounded 7-/30-row offset fan-out of the DEDUPED rows into their "
+    "report days, one distinct-count aggregate per grain — never a "
+    "range join or per-day rescan; swap exact distinct for HLL "
+    "(sketch_hll_merge) at extreme user counts — the product-"
+    "analytics engagement staple",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_active_users_sql("unix_micros(ts)"))
+
+
+# --- Welch's heteroscedastic one-way ANOVA (wave 24) ---
+# stats_anova_oneway assumes equal group variances — exactly what
+# stats_levene_bf and stats_breusch_pagan exist to refute; Welch's
+# F* is the test to run when they do. Per event type, weights
+# w_i = n_i/s_i² from EXACT wide-integer moment sums (only the final
+# ratios are doubles), then the standard chain:
+#   x̄_w = Σw x̄/Σw,  A = Σw(x̄−x̄_w)²/(k−1),
+#   B = 2(k−2)/(k²−1) · Σ(1−w/W)²/(n−1),
+#   F* = A/(1+B),  df₂ = (k²−1)/(3·Σ(1−w/W)²/(n−1)).
+# The cross-group sums are over k=5 FULL-ENTROPY doubles — plain
+# sum() diverged in the last ulp between engines on first run
+# (partial-agg order), and decimal routing would hit the parity
+# coin-flip bound at these magnitudes — so every cross-group sum is
+# an ORDER-PINNED fold in group order (the _LM_FOLD / hurst idiom):
+# identical addition order ⇒ bit-identical, zero quantization, and
+# k-bounded so it scales trivially. No tabulated constants — every
+# emitted number replays from group moments (the CvM discipline).
+#
+# Scale: one k-group aggregate with map-side combine, k-row folds,
+# a 1-row finish.
+
+
+def _welch_fold_spark(col: str) -> str:
+    return (
+        f"aggregate(transform(array_sort(collect_list("
+        f"named_struct('g', g, 'x', {col}))), s -> s.x), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _welch_fold_duck(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({col} ORDER BY g)), (acc, v) -> acc + v)"
+    )
+
+
+def _welch_sql(w19: str, fold) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    return f"""
+WITH y AS (
+  SELECT event_type AS g, CAST(round(value * 100e0) AS BIGINT) AS v
+  FROM events
+),
+per_g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(CAST(v AS {w19}) * v) AS {w19}) AS svv
+  FROM y GROUP BY g
+),
+moments AS (
+  SELECT g, n,
+         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         ({s2d("svv")} - CAST(sv AS DOUBLE)
+            * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1e0) AS s2
+  FROM per_g
+),
+wts AS (
+  SELECT g, n, mean, s2, CAST(n AS DOUBLE) / s2 AS w FROM moments
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         {fold("w")} AS big_w,
+         {fold("w * mean")} AS swm
+  FROM wts
+),
+devs AS (
+  SELECT wt.g, t.k, t.big_w,
+         wt.w * (wt.mean - t.swm / t.big_w)
+              * (wt.mean - t.swm / t.big_w) AS adev,
+         (1e0 - wt.w / t.big_w) * (1e0 - wt.w / t.big_w)
+           / (CAST(wt.n AS DOUBLE) - 1e0) AS ldev
+  FROM wts wt CROSS JOIN tot t
+),
+core AS (
+  SELECT CAST(max(k) AS BIGINT) AS k,
+         {fold("adev")} / (CAST(max(k) AS DOUBLE) - 1e0) AS a_num,
+         {fold("ldev")} AS lam
+  FROM devs
+)
+SELECT k,
+       a_num / (1e0 + (2e0 * (CAST(k AS DOUBLE) - 2e0)
+                       / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0))
+                      * lam) AS f_star,
+       CAST(k AS DOUBLE) - 1e0 AS df1,
+       (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0) / (3e0 * lam) AS df2
+FROM core
+"""
+
+
+@register(
+    "stats_welch_anova",
+    oracle=_welch_sql("HUGEINT", _welch_fold_duck),
+    description="Welch's heteroscedastic one-way ANOVA across event "
+    "types (the test to run when stats_levene_bf rejects equal "
+    "variances): weights n/s² from exact wide-integer moment sums, "
+    "cross-group sums as ORDER-PINNED k-row folds (bit-identical, no "
+    "quantization — plain sum() lost the last ulp to partial-agg "
+    "order), F* and Welch-Satterthwaite df₂ — no tabulated constants; "
+    "one k-group aggregate + a 1-row finish",
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_welch_sql("DECIMAL(38,0)", _welch_fold_spark))

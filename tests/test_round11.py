@@ -1179,3 +1179,81 @@ def test_ocr_reading_order_matches_python(spark):
     # non-vacuous: multi-line docs exist AND some line holds >1 box
     assert any(v[1] > 1 for v in want.values())
     assert any(v[0] > v[1] for v in want.values())
+
+
+# ---- wave-24 replay tests ----
+
+
+def test_active_users_matches_python(spark):
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    user_days = set()
+    for r in _events_rows():
+        user_days.add((r["user_id"], r["ts_us"] // 86_400_000_000))
+    max_day = max(d for _, d in user_days)
+    dau, wau, mau = {}, {}, {}
+    for u, d in user_days:
+        dau.setdefault(d, set()).add(u)
+        for k in range(7):
+            wau.setdefault(d + k, set()).add(u)
+        for k in range(30):
+            mau.setdefault(d + k, set()).add(u)
+    got = load_all()["events_active_users"].fn(spark, SF0001).collect()
+    assert [r["day"] for r in got] == sorted(dau)
+    for r in got:
+        d = r["day"]
+        assert d <= max_day
+        assert r["dau"] == len(dau[d])
+        assert r["wau"] == len(wau[d])
+        assert r["mau"] == len(mau[d])
+        assert abs(r["stickiness"] - len(dau[d]) / len(mau[d])) < 1e-15
+    # non-vacuous: the weekly window genuinely widens past daily
+    # (sf0.001 has only ~15 users, so WAU saturates to MAU — the
+    # strict three-way split appears at larger SFs)
+    assert any(r["dau"] < r["wau"] for r in got)
+    assert all(r["dau"] <= r["wau"] <= r["mau"] for r in got)
+
+
+def test_welch_anova_matches_python(spark):
+    """Replay the full Welch chain with the same group-ordered fold."""
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+
+    by_g = {}
+    for r in _events_rows():
+        by_g.setdefault(r["event_type"], []).append(r["cents"])
+    gs = sorted(by_g)
+    k = len(gs)
+    stats = {}
+    for g in gs:
+        v = by_g[g]
+        n = len(v)
+        sv, svv = sum(v), sum(x * x for x in v)
+        mean = sv / n
+        s2 = (float(svv) - float(sv) * mean) / (n - 1)
+        stats[g] = (n, mean, n / s2)
+    big_w = 0.0
+    for g in gs:
+        big_w += stats[g][2]
+    swm = 0.0
+    for g in gs:
+        swm += stats[g][2] * stats[g][1]
+    xw = swm / big_w
+    a = 0.0
+    for g in gs:
+        _, m, w = stats[g]
+        a += w * (m - xw) * (m - xw)
+    a /= k - 1
+    lam = 0.0
+    for g in gs:
+        n, _, w = stats[g]
+        lam += (1.0 - w / big_w) ** 2 / (n - 1)
+    f_star = a / (1.0 + (2.0 * (k - 2) / (k * k - 1.0)) * lam)
+    df2 = (k * k - 1.0) / (3.0 * lam)
+
+    got = load_all()["stats_welch_anova"].fn(spark, SF0001).collect()[0]
+    assert got["k"] == k
+    assert abs(got["f_star"] - f_star) < 1e-12 * max(1.0, f_star)
+    assert got["df1"] == k - 1.0
+    assert abs(got["df2"] - df2) < 1e-9 * df2
