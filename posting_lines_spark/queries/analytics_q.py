@@ -5796,7 +5796,7 @@ def _welch_fold_duck(col: str) -> str:
     )
 
 
-def _welch_sql(w19: str, fold) -> str:
+def _welch_anova_sql(w19: str, fold) -> str:
     def s2d(x: str) -> str:
         return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
 
@@ -5854,7 +5854,7 @@ FROM core
 
 @register(
     "stats_welch_anova",
-    oracle=_welch_sql("HUGEINT", _welch_fold_duck),
+    oracle=_welch_anova_sql("HUGEINT", _welch_fold_duck),
     description="Welch's heteroscedastic one-way ANOVA across event "
     "types (the test to run when stats_levene_bf rejects equal "
     "variances): weights n/s² from exact wide-integer moment sums, "
@@ -5865,4 +5865,4 @@ FROM core
 )
 def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_welch_sql("DECIMAL(38,0)", _welch_fold_spark))
+    return spark.sql(_welch_anova_sql("DECIMAL(38,0)", _welch_fold_spark))
