@@ -1102,9 +1102,8 @@ ENTROPY_COLS = [
 ]
 
 
-def _col_entropy_block(col: str) -> str:
+def _col_entropy_block(col: str, fold) -> str:
     from posting_lines_spark.functions.dmath import dln_int_cte_layers
-    from posting_lines_spark.queries.parity import dsum_expr
 
     cl, c_last = dln_int_cte_layers([("c", "ce")], "cnt", "cel")
     tl, t_last = dln_int_cte_layers([("n", "ne"), ("ndv", "ve")], "tot", "tel")
@@ -1126,7 +1125,7 @@ FROM (
   {cl},
   {tl},
   sc AS (
-    SELECT {dsum_expr("CAST(c AS DOUBLE) * ce_ln", 6)} AS sc FROM {c_last}
+    SELECT {fold("CAST(c AS DOUBLE) * ce_ln")} AS sc FROM {c_last}
   )
   SELECT t.n, t.ndv, t.ne_ln, t.ve_ln, sc.sc
   FROM {t_last} t CROSS JOIN sc
@@ -1134,25 +1133,53 @@ FROM (
 """
 
 
-def _col_entropy_sql() -> str:
+# The Σ c·ln c reduction is over a DOMAIN-BOUNDED count table (≤ ~50
+# rows/column) but its addends grow with row count — c·ln c reaches
+# ~3e13 at c ≈ 1e12, where decimal routing at any useful scale hits
+# the parity.py per-row coin-flip bound (the r11 DW/BP lesson). The
+# fix is the Welch-ANOVA one: an ORDER-PINNED fold in (count, ln)
+# order — identical addition order on both engines, bit-identical at
+# ANY magnitude, and the fold length is the column's domain size.
+# (Ties in c carry identical addends, so tie order cannot change the
+# sum.)
+
+
+def _entropy_fold_spark(col: str) -> str:
     return (
-        " UNION ALL ".join(_col_entropy_block(c) for c in ENTROPY_COLS)
+        f"aggregate(transform(array_sort(collect_list("
+        f"named_struct('c', c, 'x', {col}))), s -> s.x), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _entropy_fold_duck(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({col} ORDER BY c)), (acc, v) -> acc + v)"
+    )
+
+
+def _col_entropy_sql(fold) -> str:
+    return (
+        " UNION ALL ".join(_col_entropy_block(c, fold) for c in ENTROPY_COLS)
         + " ORDER BY col_name"
     )
 
 
 @register(
     "profile_column_entropy",
-    oracle=_col_entropy_sql(),
+    oracle=_col_entropy_sql(_entropy_fold_duck),
     description="per-column Shannon entropy profile over the "
     f"{len(ENTROPY_COLS)} bounded-domain lineitem columns: "
     "H = ln N − (Σ c·ln c)/N with ln on INTEGER counts through the "
     "deterministic integer-ln kernel (evaluated on domain-bounded "
     "value-count tables, never per row), decimal-routed reduction, "
     "norm_entropy = H/ln NDV ∈ [0,1] — the information readout NDV "
-    "misses (dictionary-encoding / cardinality-estimation input); one "
-    "map-side-combined aggregate per column",
+    "misses (dictionary-encoding / cardinality-estimation input); the "
+    "Σ c·ln c reduction is an order-pinned domain-bounded fold "
+    "(bit-identical at any count magnitude — the r11 coin-flip "
+    "lesson); one map-side-combined aggregate per column",
 )
 def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_col_entropy_sql())
+    return spark.sql(_col_entropy_sql(_entropy_fold_spark))

@@ -812,7 +812,10 @@ def test_column_entropy_matches_python(spark):
         for v in t.column(col).to_pylist():
             counts[v] = counts.get(v, 0) + 1
         n = sum(counts.values())
-        sc = sum(round(c * dln_int_py(c), 6) for c in counts.values())
+        # mirror the order-pinned fold: add in ascending-count order
+        sc = 0.0
+        for c in sorted(counts.values()):
+            sc += c * dln_int_py(c)
         h = dln_int_py(n) - sc / n
         gn, gndv, gh, ghn = got[col]
         assert (gn, gndv) == (n, len(counts))
