@@ -5866,3 +5866,186 @@ FROM core
 def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_welch_anova_sql("DECIMAL(38,0)", _welch_fold_spark))
+
+
+# --- Kuiper two-sample test (wave 25) ---
+# KS's D = max|F1−F2| is least sensitive in the distribution TAILS
+# and not invariant under cyclic shifts; Kuiper's V = D⁺ + D⁻ (max
+# signed gap each way) fixes both — the right drift statistic for
+# periodic quantities and tail-sensitive monitoring, completing the
+# drift ladder beside stats_ks_test / profile_psi_drift. Same
+# engine-exactness story as the Mann-Whitney family: cents grouping
+# first bounds the working set to the VALUE DOMAIN (never row-shaped),
+# then one cumulative window over that bounded set; ECDF values are
+# single correctly-rounded divisions of exact integers; the
+# signed-gap/max/add chain is shared text.
+#
+# Scale: one cents aggregate with map-side combine, one value-domain-
+# bounded cumulative window, a 1-row finish.
+
+
+def _kuiper_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+  GROUP BY CAST(round(value * 100e0) AS BIGINT)
+),
+run AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS r1,
+         CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS r2
+  FROM pts
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM pts
+),
+gaps AS (
+  SELECT max(CAST(r.r1 AS DOUBLE) / t.n1
+             - CAST(r.r2 AS DOUBLE) / t.n2) AS d_plus,
+         max(CAST(r.r2 AS DOUBLE) / t.n2
+             - CAST(r.r1 AS DOUBLE) / t.n1) AS d_minus
+  FROM run r CROSS JOIN tot t
+)
+SELECT t.n1, t.n2,
+       greatest(g.d_plus, 0e0) AS d_plus,
+       greatest(g.d_minus, 0e0) AS d_minus,
+       greatest(g.d_plus, 0e0) + greatest(g.d_minus, 0e0) AS v_stat,
+       (greatest(g.d_plus, 0e0) + greatest(g.d_minus, 0e0))
+         * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2)) AS v_scaled
+FROM tot t CROSS JOIN gaps g
+"""
+
+
+@register(
+    "stats_kuiper",
+    oracle=_kuiper_sql(),
+    description=f"Kuiper two-sample test ({_MW_A} vs {_MW_B} cents): "
+    "V = D⁺ + D⁻ (max signed ECDF gap each way) — tail-sensitive and "
+    "cyclic-shift-invariant where KS's D is not, completing the drift "
+    "ladder beside stats_ks_test and profile_psi_drift; cents-domain-"
+    "bounded cumulative window, exact-integer ECDF numerators, 1-row "
+    "finish",
+)
+def stats_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kuiper_sql())
+
+
+# --- revenue concentration (Lorenz shares) (wave 25) ---
+# dq_skew_gini compresses inequality to one number; operations asks
+# the quantile question directly: what share of purchase revenue do
+# the top 1% / 10% / 50% of users hold? Users aggregate to exact
+# per-user cents totals; the ENGINE ranks them by (revenue DESC, user)
+# with the range-partitioned two-pass prefix machinery
+# (operators/ranking.global_running_sums + global row numbers — no
+# single-partition window on the user-shaped set); the oracle uses a
+# plain global window, tractable at oracle scale — different plan,
+# identical values (the stats_ks_test pattern). Cut ranks are
+# ceil(p·U) — exact integers; shares are single divisions of exact
+# wide sums.
+#
+# Scale: one user aggregate, one distributed range sort + two-pass
+# prefix sums, a 3-row literal join — the 100 TB shape for "top-p%"
+# questions.
+
+LORENZ_PCTS = (1, 10, 50)
+
+
+def _lorenz_oracle() -> str:
+    pcts = " UNION ALL ".join(f"SELECT {p} AS pct" for p in LORENZ_PCTS)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE event_type = '{_MW_A}'
+  GROUP BY user_id
+),
+ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, user_id) AS BIGINT)
+           AS rk,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, user_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crev
+  FROM per_user
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS u,
+         CAST(sum(rev) AS BIGINT) AS total_rev
+  FROM per_user
+)
+SELECT p.pct, t.u AS n_users,
+       CAST(ceil(CAST(p.pct AS DOUBLE) * t.u / 100e0) AS BIGINT)
+         AS n_top,
+       (SELECT max(crev) FROM ranked r
+        WHERE r.rk <= CAST(ceil(CAST(p.pct AS DOUBLE) * t.u / 100e0)
+                           AS BIGINT)) AS top_rev,
+       CAST((SELECT max(crev) FROM ranked r
+             WHERE r.rk <= CAST(ceil(CAST(p.pct AS DOUBLE) * t.u / 100e0)
+                                AS BIGINT)) AS DOUBLE)
+         / CAST(t.total_rev AS DOUBLE) AS rev_share
+FROM ({pcts}) p CROSS JOIN tot t
+ORDER BY p.pct
+"""
+
+
+@register(
+    "events_revenue_concentration",
+    oracle=_lorenz_oracle(),
+    description=f"Lorenz revenue-concentration shares at the top "
+    f"{LORENZ_PCTS}% of purchase users: exact per-user cents totals, "
+    "ENGINE ranking via the range-partitioned two-pass prefix "
+    "machinery (no single-partition window on the user-shaped set; "
+    "oracle uses a plain window — the stats_ks_test different-plan/"
+    "same-values pattern), cut ranks ceil(p·U) exact — the quantile "
+    "question dq_skew_gini's single number compresses away",
+)
+def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.ranking import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    per_user = spark.sql(
+        f"""
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT)
+                 AS rev
+        FROM events WHERE event_type = '{_MW_A}' GROUP BY user_id
+        """
+    )
+    order = [F.col("rev").desc(), F.col("user_id")]
+    ranked = global_running_sums(
+        global_row_number(per_user, order, "rk"), order, ["rev"]
+    )
+    ranked.createOrReplaceTempView("pls_lorenz_ranked")
+    pcts = " UNION ALL ".join(f"SELECT {p} AS pct" for p in LORENZ_PCTS)
+    return spark.sql(
+        f"""
+        WITH tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS u,
+                 CAST(sum(rev) AS BIGINT) AS total_rev
+          FROM pls_lorenz_ranked
+        )
+        SELECT p.pct, t.u AS n_users,
+               CAST(ceil(CAST(p.pct AS DOUBLE) * t.u / 100e0) AS BIGINT)
+                 AS n_top,
+               (SELECT max(run_rev) FROM pls_lorenz_ranked r
+                WHERE r.rk <= CAST(ceil(CAST(p.pct AS DOUBLE) * t.u
+                                        / 100e0) AS BIGINT)) AS top_rev,
+               CAST((SELECT max(run_rev) FROM pls_lorenz_ranked r
+                     WHERE r.rk <= CAST(ceil(CAST(p.pct AS DOUBLE) * t.u
+                                             / 100e0) AS BIGINT)) AS DOUBLE)
+                 / CAST(t.total_rev AS DOUBLE) AS rev_share
+        FROM ({pcts}) p CROSS JOIN tot t
+        ORDER BY p.pct
+        """
+    )

@@ -1260,3 +1260,67 @@ def test_welch_anova_matches_python(spark):
     assert abs(got["f_star"] - f_star) < 1e-12 * max(1.0, f_star)
     assert got["df1"] == k - 1.0
     assert abs(got["df2"] - df2) < 1e-9 * df2
+
+
+# ---- wave-25 replay tests ----
+
+
+def test_kuiper_matches_python(spark):
+    """Replay D+, D-, V from sorted cents samples; cross-check against
+    the registered KS result (V >= D always, equality only if one
+    signed gap is ~0)."""
+    from tests.test_round9 import _events_rows
+    from tests.test_round10 import _mw_groups
+    from posting_lines_spark.queries import load_all
+
+    a, b = _mw_groups(_events_rows())
+    vs = sorted(set(a) | set(b))
+    import bisect
+
+    n1, n2 = len(a), len(b)
+    d_plus = d_minus = 0.0
+    for v in vs:
+        f1 = bisect.bisect_right(a, v) / n1
+        f2 = bisect.bisect_right(b, v) / n2
+        d_plus = max(d_plus, f1 - f2)
+        d_minus = max(d_minus, f2 - f1)
+    got = load_all()["stats_kuiper"].fn(spark, SF0001).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["d_plus"] - d_plus) < 1e-12
+    assert abs(got["d_minus"] - d_minus) < 1e-12
+    assert abs(got["v_stat"] - (d_plus + d_minus)) < 1e-12
+    ks = load_all()["stats_ks_test"].fn(spark, SF0001).collect()[0]
+    assert got["v_stat"] >= ks["d_stat"] - 1e-12
+    assert d_plus > 0 and d_minus > 0  # non-vacuous: both gaps real
+
+
+def test_revenue_concentration_matches_python(spark):
+    from tests.test_round9 import _events_rows
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import _MW_A, LORENZ_PCTS
+
+    rev = {}
+    for r in _events_rows():
+        if r["event_type"] == _MW_A:
+            rev[r["user_id"]] = rev.get(r["user_id"], 0) + r["cents"]
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    u = len(ordered)
+    total = sum(v for _, v in ordered)
+    got = load_all()["events_revenue_concentration"].fn(
+        spark, SF0001
+    ).collect()
+    assert [r["pct"] for r in got] == sorted(LORENZ_PCTS)
+    import math
+
+    prev_share = 0.0
+    for r in got:
+        n_top = math.ceil(r["pct"] * u / 100)
+        top = sum(v for _, v in ordered[:n_top])
+        assert r["n_users"] == u
+        assert r["n_top"] == n_top
+        assert r["top_rev"] == top
+        assert abs(r["rev_share"] - top / total) < 1e-15
+        assert r["rev_share"] >= prev_share
+        prev_share = r["rev_share"]
+    # non-vacuous concentration: top 1% holds more than 1% of revenue
+    assert got[0]["rev_share"] > 0.01
