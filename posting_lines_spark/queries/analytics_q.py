@@ -5816,11 +5816,16 @@ moments AS (
          CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
          ({s2d("svv")} - CAST(sv AS DOUBLE)
             * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
-           / (CAST(n AS DOUBLE) - 1e0) AS s2
+           / nullif(CAST(n AS DOUBLE) - 1e0, 0e0) AS s2
   FROM per_g
 ),
 wts AS (
-  SELECT g, n, mean, s2, CAST(n AS DOUBLE) / s2 AS w FROM moments
+  -- nullif guards (ADVICE r11): a constant-valued group has s2 = 0 and
+  -- a singleton group has n−1 = 0; without the guard Spark emits NULL
+  -- while DuckDB emits inf/NaN, breaking engine/oracle parity. With it
+  -- both engines emit NULL identically on degenerate inputs.
+  SELECT g, n, mean, s2, CAST(n AS DOUBLE) / nullif(s2, 0e0) AS w
+  FROM moments
 ),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS k,
@@ -5830,24 +5835,28 @@ tot AS (
 ),
 devs AS (
   SELECT wt.g, t.k, t.big_w,
-         wt.w * (wt.mean - t.swm / t.big_w)
-              * (wt.mean - t.swm / t.big_w) AS adev,
-         (1e0 - wt.w / t.big_w) * (1e0 - wt.w / t.big_w)
-           / (CAST(wt.n AS DOUBLE) - 1e0) AS ldev
+         wt.w * (wt.mean - t.swm / nullif(t.big_w, 0e0))
+              * (wt.mean - t.swm / nullif(t.big_w, 0e0)) AS adev,
+         (1e0 - wt.w / nullif(t.big_w, 0e0))
+           * (1e0 - wt.w / nullif(t.big_w, 0e0))
+           / nullif(CAST(wt.n AS DOUBLE) - 1e0, 0e0) AS ldev
   FROM wts wt CROSS JOIN tot t
 ),
 core AS (
   SELECT CAST(max(k) AS BIGINT) AS k,
-         {fold("adev")} / (CAST(max(k) AS DOUBLE) - 1e0) AS a_num,
+         {fold("adev")} / nullif(CAST(max(k) AS DOUBLE) - 1e0, 0e0)
+           AS a_num,
          {fold("ldev")} AS lam
   FROM devs
 )
 SELECT k,
-       a_num / (1e0 + (2e0 * (CAST(k AS DOUBLE) - 2e0)
-                       / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0))
-                      * lam) AS f_star,
+       a_num / nullif(1e0 + (2e0 * (CAST(k AS DOUBLE) - 2e0)
+                       / nullif(CAST(k AS DOUBLE)
+                                * CAST(k AS DOUBLE) - 1e0, 0e0))
+                      * lam, 0e0) AS f_star,
        CAST(k AS DOUBLE) - 1e0 AS df1,
-       (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0) / (3e0 * lam) AS df2
+       (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0)
+         / nullif(3e0 * lam, 0e0) AS df2
 FROM core
 """
 

@@ -1173,7 +1173,7 @@ def _col_entropy_sql(fold) -> str:
     f"{len(ENTROPY_COLS)} bounded-domain lineitem columns: "
     "H = ln N − (Σ c·ln c)/N with ln on INTEGER counts through the "
     "deterministic integer-ln kernel (evaluated on domain-bounded "
-    "value-count tables, never per row), decimal-routed reduction, "
+    "value-count tables, never per row), "
     "norm_entropy = H/ln NDV ∈ [0,1] — the information readout NDV "
     "misses (dictionary-encoding / cardinality-estimation input); the "
     "Σ c·ln c reduction is an order-pinned domain-bounded fold "

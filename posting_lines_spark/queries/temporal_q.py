@@ -2616,14 +2616,13 @@ lnin AS (
 ),
 {layers},
 ent AS (
-  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-         {dsum_expr("-ph * (se_ln - sq_ln)", 12)} AS h_raw
+  SELECT event_type, {dsum_expr("-ph * (se_ln - sq_ln)", 12)} AS h_raw
   FROM {last} GROUP BY event_type
 )
-SELECT event_type, n_days, {m} AS n_periods, h_raw,
-       h_raw / {dlit(math.log(float(m)))} AS h_norm
-FROM ent
-ORDER BY event_type
+SELECT s.event_type, s.n AS n_days, {m} AS n_periods, e.h_raw,
+       e.h_raw / {dlit(math.log(float(m)))} AS h_norm
+FROM stats s LEFT JOIN ent e ON e.event_type = s.event_type
+ORDER BY s.event_type
 """
 
 
@@ -2636,8 +2635,10 @@ ORDER BY event_type
     "quadrant reduction + deterministic trig kernels, decimal-routed "
     "C/S sums), mass fractions through the integer-ln kernel via the "
     "Hurst 1e-9 quantization, H/ln m ∈ [0,1] — the seasonality-"
-    "concentration regime feature; calendar-bounded fan-out, k-row "
-    "emit",
+    "concentration regime feature; a constant (zero mean-removed "
+    "power) series emits an explicit NULL-entropy row via the "
+    "stats left-join, never silently vanishing (ADVICE r11); "
+    "calendar-bounded fan-out, k-row emit",
 )
 def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -1,0 +1,220 @@
+"""Round-12 regression tests.
+
+ADVICE-r11 items — all three are degenerate-input envelope issues:
+
+1. (low) stats_welch_anova lacked the repo's usual zero-denominator
+   nullif guards: a constant-valued group (s2 = 0), a singleton group
+   (n − 1 = 0), or a vanishing weight total (big_w = 0) made Spark emit
+   NULL while DuckDB emitted inf/NaN — an engine/oracle parity break on
+   degenerate data. Fixed with nullif(...) on every such denominator so
+   BOTH engines emit NULL identically; these tests drive the exact
+   degenerate shapes through the shared builder on both engines.
+
+2. (low) profile_column_entropy's description said "decimal-routed
+   reduction" three lines before describing the order-pinned fold that
+   replaced decimal routing — stale text deleted (description-only; the
+   test pins the current wording).
+
+3. (low) timeseries_spectral_entropy silently DROPPED an event type
+   whose mean-removed power sums to zero (constant daily series): ph
+   went NULL via nullif, every row failed the pq >= 1 integer-ln gate,
+   and the group vanished from the per-type profile. Fixed by
+   left-joining the entropy stack back onto the per-type stats so a
+   constant series emits an explicit NULL-entropy row.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF0001
+
+
+def _canon_rows(rows, cols):
+    from tools.check_oracle import rows_canon
+
+    return rows_canon([tuple(r) for r in rows], [c.lower() for c in cols])
+
+
+# ---- ADVICE 1: Welch ANOVA degenerate-group guards ----
+
+# (event_type, cents) rows: group 'c0' is constant-valued (s2 = 0),
+# group 's1' is a singleton (n - 1 = 0), 'g1'/'g2' are healthy. Any one
+# degenerate group must poison the k-row folds into NULL on BOTH
+# engines rather than inf/NaN on one side only.
+_WELCH_DEGEN = (
+    [("c0", 500)] * 4
+    + [("s1", 123)]
+    + [("g1", 100), ("g1", 200), ("g1", 350), ("g1", 410)]
+    + [("g2", 90), ("g2", 260), ("g2", 330)]
+)
+
+_WELCH_HEALTHY = [
+    (g, c)
+    for g, c in _WELCH_DEGEN
+    if g in ("g1", "g2")
+] + [("g3", 55), ("g3", 170), ("g3", 290), ("g3", 400)]
+
+
+def _run_welch_both(spark, rows):
+    """Run the shared Welch builder on Spark and DuckDB over the same
+    literal rows; return (spark_rows, duck_rows, columns)."""
+    from posting_lines_spark.queries.analytics_q import (
+        _welch_anova_sql,
+        _welch_fold_duck,
+        _welch_fold_spark,
+    )
+
+    spark.createDataFrame(
+        [(g, c / 100.0) for g, c in rows], "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    sdf = spark.sql(_welch_anova_sql("DECIMAL(38,0)", _welch_fold_spark))
+    got = sdf.collect()
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+        con.executemany(
+            "INSERT INTO events VALUES (?, ?)",
+            [(g, c / 100.0) for g, c in rows],
+        )
+        res = con.execute(_welch_anova_sql("HUGEINT", _welch_fold_duck))
+        dcols = [d[0] for d in res.description]
+        want = res.fetchall()
+    finally:
+        con.close()
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in dcols]
+    return got, want, sdf.columns
+
+
+def test_welch_anova_degenerate_groups_null_on_both_engines(spark):
+    got, want, cols = _run_welch_both(spark, _WELCH_DEGEN)
+    assert _canon_rows(got, cols) == _canon_rows(
+        want, [c.lower() for c in cols]
+    )
+    (row,) = got
+    assert row["k"] == 4
+    assert row["df1"] == 3.0
+    # the degenerate groups must surface as NULL, never inf/NaN
+    assert row["f_star"] is None
+    assert row["df2"] is None
+
+
+def test_welch_anova_all_singletons_null_on_both_engines(spark):
+    rows = [("a", 10), ("b", 20), ("c", 30)]
+    got, want, cols = _run_welch_both(spark, rows)
+    assert _canon_rows(got, cols) == _canon_rows(
+        want, [c.lower() for c in cols]
+    )
+    (row,) = got
+    assert row["f_star"] is None and row["df2"] is None
+
+
+def test_welch_anova_healthy_groups_unaffected_by_guards(spark):
+    """nullif guards must be inert on non-degenerate data: finite
+    statistics, still engine/oracle identical."""
+    got, want, cols = _run_welch_both(spark, _WELCH_HEALTHY)
+    assert _canon_rows(got, cols) == _canon_rows(
+        want, [c.lower() for c in cols]
+    )
+    (row,) = got
+    assert row["k"] == 3
+    assert row["f_star"] is not None and row["f_star"] > 0.0
+    assert row["df2"] is not None and row["df2"] > 0.0
+
+
+def test_welch_anova_registered_query_still_matches_oracle(spark, duck):
+    from posting_lines_spark.queries import load_all
+
+    q = load_all()["stats_welch_anova"]
+    df = q.fn(spark, SF0001)
+    res = duck.execute(q.oracle)
+    dcols = [d[0].lower() for d in res.description]
+    assert _canon_rows(df.collect(), df.columns) == _canon_rows(
+        res.fetchall(), dcols
+    )
+
+
+# ---- ADVICE 2: profile_column_entropy description de-staled ----
+
+
+def test_column_entropy_description_no_stale_decimal_routing():
+    from posting_lines_spark.queries import load_all
+
+    desc = load_all()["profile_column_entropy"].description
+    assert "decimal-routed" not in desc
+    assert "order-pinned" in desc
+
+
+# ---- ADVICE 3: spectral entropy constant-series explicit row ----
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _specent_rows():
+    """One constant daily series ('flat': same cents total every day →
+    zero mean-removed power at every period) plus one varying series."""
+    rows = []
+    for d in range(12):
+        rows.append(("flat", d * _US_PER_DAY + 3_600_000_000, 7.00))
+        rows.append(("wave", d * _US_PER_DAY + 7_200_000_000, float(1 + (d % 4))))
+    return rows
+
+
+def test_spectral_entropy_constant_series_emits_explicit_null_row(spark):
+    from posting_lines_spark.queries.temporal_q import _spectral_entropy_sql
+
+    spark.createDataFrame(
+        [(t, ts, v) for t, ts, v in _specent_rows()],
+        "event_type string, ts_us long, value double",
+    ).createOrReplaceTempView("events")
+    got = {
+        r["event_type"]: r
+        for r in spark.sql(_spectral_entropy_sql("ts_us")).collect()
+    }
+    # the constant series no longer vanishes: explicit NULL-entropy row
+    assert set(got) == {"flat", "wave"}
+    assert got["flat"]["n_days"] == 12
+    assert got["flat"]["h_raw"] is None
+    assert got["flat"]["h_norm"] is None
+    # the varying series keeps a real entropy in [0, ln m] normalized
+    assert got["wave"]["h_raw"] is not None
+    assert 0.0 < got["wave"]["h_norm"] <= 1.0
+
+
+def test_spectral_entropy_constant_series_parity_with_duckdb(spark):
+    from posting_lines_spark.queries.temporal_q import _spectral_entropy_sql
+
+    rows = _specent_rows()
+    spark.createDataFrame(
+        rows, "event_type string, ts_us long, value double"
+    ).createOrReplaceTempView("events")
+    sdf = spark.sql(_spectral_entropy_sql("ts_us"))
+    got = sdf.collect()
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE events (event_type VARCHAR, ts_us BIGINT, "
+            "value DOUBLE)"
+        )
+        con.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+        res = con.execute(_spectral_entropy_sql("ts_us"))
+        dcols = [d[0].lower() for d in res.description]
+        want = res.fetchall()
+    finally:
+        con.close()
+    assert _canon_rows(got, sdf.columns) == _canon_rows(want, dcols)
+
+
+def test_spectral_entropy_registered_query_still_matches_oracle(spark, duck):
+    from posting_lines_spark.queries import load_all
+
+    q = load_all()["timeseries_spectral_entropy"]
+    df = q.fn(spark, SF0001)
+    res = duck.execute(q.oracle)
+    dcols = [d[0].lower() for d in res.description]
+    assert _canon_rows(df.collect(), df.columns) == _canon_rows(
+        res.fetchall(), dcols
+    )
