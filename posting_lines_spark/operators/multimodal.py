@@ -420,3 +420,274 @@ def ocr_boxes(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(per_batch, schema=OCR_SCHEMA)
+
+
+# --- REAL decode: pure-Python uncompressed containers (round 12) ---
+# The honestly-stubbed decode boundary shrinks: BMP (BI_RGB 24-bit) and
+# WAV (RIFF PCM16 mono) are uncompressed containers parseable with
+# struct/int arithmetic alone — no codec library — so their decode is
+# REAL here (header/chunk walking, bottom-up row order, 4-byte row
+# padding, chunk-skipping), and `NotImplementedError` now covers only
+# genuinely compressed formats (JPEG/PNG/MP3/H.264), where a codec is
+# unavoidable. Encoders exist so tests and lanes can generate real
+# container bytes deterministically.
+
+import struct
+
+
+def encode_wav(samples: list[int], rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE container: PCM16 mono little-endian."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """REAL RIFF parser: validates the WAVE magic, walks chunks (odd
+    sizes padded per spec, unknown chunks skipped), reads fmt, returns
+    (sample_rate, samples). PCM16 mono only — compressed codecs raise."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, fmt_code, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[0:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            "only uncompressed PCM16 mono is decodable without codec "
+            f"libraries (got fmt={fmt_code}, bits={bits}, ch={channels})"
+        )
+    n = len(data) // 2
+    return rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def encode_bmp(pixel_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal BMP: BITMAPINFOHEADER, BI_RGB 24-bit, bottom-up rows,
+    each row padded to a 4-byte boundary. pixel_rows is top-down,
+    each pixel an (r, g, b) tuple."""
+    h, w = len(pixel_rows), len(pixel_rows[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        + b"\x00" * (stride - w * 3)
+        for row in reversed(pixel_rows)  # bottom-up storage
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return header + info + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """REAL BMP parser: validates the magic, reads BITMAPINFOHEADER,
+    honors the pixel-data offset, strips per-row padding, flips the
+    bottom-up raster back to top-down, splits BGR triples into (r,g,b).
+    BI_RGB 24-bit only — compressed/paletted BMPs raise."""
+    if payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            "only uncompressed (BI_RGB) 24-bit BMP is decodable without "
+            f"codec libraries (got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for stored in range(h):
+        off = data_off + stored * stride
+        row = [
+            (payload[off + 3 * p + 2], payload[off + 3 * p + 1], payload[off + 3 * p])
+            for p in range(w)
+        ]
+        rows.append(row)
+    if bottom_up:
+        rows.reverse()
+    return w, h, rows
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode dispatch over binary payloads (Arrow-batched): BMP →
+    (kind='bmp', dim1=width, dim2=height, checksum=Σ all channel bytes),
+    WAV → (kind='wav', dim1=rate, dim2=n_samples, checksum=Σ|sample|).
+    Compressed formats (anything else) raise NotImplementedError — the
+    residual stub boundary."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[0:2] == b"BM":
+                    w, h, px = decode_bmp(bytes(payload))
+                    csum = sum(c for row in px for p in row for c in p)
+                    rows.append((int(doc_id), "bmp", w, h, csum))
+                elif payload[0:4] == b"RIFF":
+                    rate, samples = decode_wav(bytes(payload))
+                    rows.append(
+                        (int(doc_id), "wav", rate, len(samples),
+                         sum(abs(s) for s in samples))
+                    )
+                else:
+                    raise NotImplementedError(
+                        "compressed media formats require codec libraries "
+                        "not present in this environment; BMP/WAV decode "
+                        "is real (decode_bmp/decode_wav)"
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "dim1", "dim2", "checksum"]
+            )
+
+    return df.mapInPandas(
+        per_batch,
+        schema="doc_id long, kind string, dim1 long, dim2 long, checksum long",
+    )
+
+
+def attach_wav(df: DataFrame) -> DataFrame:
+    """REAL-container twin of attach_audio: the same md5-derived sample
+    values (8 per md5(doc_id:f:vad) digest, big-endian uint16 − 32768),
+    but packaged as an actual RIFF/WAVE PCM16 file — so the audio-VAD
+    oracle's hex regeneration applies unchanged while the engine path
+    exercises a real encoder AND parser."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 1 + doc_id % AUDIO_NF_MOD
+                samples = []
+                for f in range(nf):
+                    dg = hashlib.md5(f"{doc_id}:{f}:vad".encode()).digest()
+                    samples.extend(
+                        int.from_bytes(dg[2 * s : 2 * s + 2], "big") - 32768
+                        for s in range(AUDIO_SAMPLES_PER_FRAME)
+                    )
+                rows.append((doc_id, nf, encode_wav(samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "wav"])
+
+    return df.select("doc_id").mapInPandas(
+        per_batch, schema="doc_id long, n_frames long, wav binary"
+    )
+
+
+def wav_frame_energies(df: DataFrame) -> DataFrame:
+    """REAL decode: parse the RIFF/WAVE container (decode_wav — chunk
+    walk, fmt validation), slice the PCM stream into 8-sample frames,
+    emit exact-integer per-frame energy Σs² — same ENERGY_SCHEMA as the
+    fake lane, so the downstream VAD SQL and oracle are unchanged."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                doc_id = int(doc_id)
+                _, samples = decode_wav(bytes(payload))
+                for f in range(len(samples) // AUDIO_SAMPLES_PER_FRAME):
+                    fr = samples[
+                        f * AUDIO_SAMPLES_PER_FRAME : (f + 1) * AUDIO_SAMPLES_PER_FRAME
+                    ]
+                    rows.append((doc_id, f, sum(v * v for v in fr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    return df.mapInPandas(per_batch, schema=ENERGY_SCHEMA)
+
+
+BMP_W, BMP_H = 5, 8  # 5 px × 3 B = 15-byte rows -> stride 16: real padding
+
+
+def attach_bmp(df: DataFrame) -> DataFrame:
+    """Real-container image ingestion: per doc an 8×5 24-bit BMP whose
+    top-down row r takes its 15 pixel bytes from md5(doc_id:r:bmp)
+    (bytes 3p, 3p+1, 3p+2 = B, G, R of pixel p — matching BMP's on-disk
+    channel order so the oracle's hex slices line up). The encoder
+    stores rows bottom-up with 1 pad byte each; the decoder must undo
+    both — which is exactly what the weighted checksum query pins."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                px = []
+                for r in range(BMP_H):
+                    dg = hashlib.md5(f"{doc_id}:{r}:bmp".encode()).digest()
+                    px.append(
+                        [
+                            (dg[3 * p + 2], dg[3 * p + 1], dg[3 * p])
+                            for p in range(BMP_W)
+                        ]
+                    )
+                rows.append((doc_id, encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "bmp"])
+
+    return df.select("doc_id").mapInPandas(
+        per_batch, schema="doc_id long, bmp binary"
+    )
+
+
+def bmp_luma_stats(df: DataFrame) -> DataFrame:
+    """REAL decode: parse each BMP (decode_bmp — header, offset, pad
+    strip, bottom-up flip) and emit exact integer per-image stats:
+    channel sums plus a position-weighted luma checksum
+    Σ (r+1)·(p+1)·(2R+5G+B) over TOP-DOWN coordinates — any row-order
+    or padding bug in the parser shifts the weights and breaks it."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, px = decode_bmp(bytes(payload))
+                sr = sum(p[0] for row in px for p in row)
+                sg = sum(p[1] for row in px for p in row)
+                sb = sum(p[2] for row in px for p in row)
+                wsum = sum(
+                    (r + 1) * (p + 1) * (2 * px[r][p][0] + 5 * px[r][p][1] + px[r][p][2])
+                    for r in range(h)
+                    for p in range(w)
+                )
+                rows.append((int(doc_id), w, h, sr, sg, sb, wsum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                    "weighted_luma",
+                ],
+            )
+
+    return df.mapInPandas(
+        per_batch,
+        schema="doc_id long, width long, height long, sum_r long, "
+        "sum_g long, sum_b long, weighted_luma long",
+    )

@@ -315,3 +315,133 @@ def test_uncapped_sql_text_unchanged_by_cap_parameter():
     assert "adjr" not in _copurchase_graph("lineitem")
     assert "capstat" not in _linkpred_core("lineitem")
     assert "capped_nodes" not in _linkpred_core("lineitem")
+
+
+# ---- real BMP/WAV decode (VERDICT r11 item 5: the codec stub shrinks
+# to compressed formats only) ----
+
+
+def test_bmp_roundtrip_with_padding_and_flip():
+    from posting_lines_spark.operators import multimodal as mm
+
+    # width 3 -> 9-byte rows padded to 12: pad bytes must be stripped
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    blob = mm.encode_bmp(px)
+    w, h, out = mm.decode_bmp(blob)
+    assert (w, h) == (3, 2)
+    assert out == px  # top-down order restored from bottom-up storage
+    # the stored raster really is bottom-up: first stored pixel is the
+    # LAST top-down row's first pixel, as B,G,R
+    import struct
+
+    (off,) = struct.unpack("<I", blob[10:14])
+    assert blob[off : off + 3] == bytes((3, 2, 1))
+
+
+def test_bmp_decode_rejects_compressed():
+    import struct
+
+    from posting_lines_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_bmp([[(0, 0, 0)]]))
+    blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(bytes(blob))
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG....")
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    from posting_lines_spark.operators import multimodal as mm
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    blob = mm.encode_wav(samples, rate=8000)
+    assert mm.decode_wav(blob) == (8000, samples)
+
+    # real parsers must SKIP unknown chunks (word-aligned): splice an
+    # odd-sized LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = blob[:fmt_end] + junk + blob[fmt_end:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert mm.decode_wav(spliced) == (8000, samples)
+
+
+def test_wav_decode_rejects_compressed():
+    import struct
+
+    from posting_lines_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_wav([1, 2, 3]))
+    blob[20:22] = struct.pack("<H", 85)  # fmt code 85 = MP3
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(blob))
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"OggS....")
+
+
+def test_decode_media_dispatch_real_formats(spark):
+    from posting_lines_spark.operators import multimodal as mm
+
+    bmp = mm.encode_bmp([[(10, 20, 30), (1, 2, 3)]])
+    wav = mm.encode_wav([100, -200, 300])
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.decode_media(df).collect()}
+    assert got[1]["kind"] == "bmp"
+    assert (got[1]["dim1"], got[1]["dim2"]) == (2, 1)
+    assert got[1]["checksum"] == 10 + 20 + 30 + 1 + 2 + 3
+    assert got[2]["kind"] == "wav"
+    assert (got[2]["dim1"], got[2]["dim2"]) == (16000, 3)
+    assert got[2]["checksum"] == 600
+
+
+def test_decode_media_compressed_still_stubbed(spark):
+    from posting_lines_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        mm.decode_media(df).collect()
+    assert "NotImplementedError" in str(ei.value)
+
+
+def test_wav_vad_lane_equals_fake_pcm_lane(spark):
+    """The real-WAV lane carries the same sample values as the fake-PCM
+    lane, so the full VAD outputs must be identical — proving the
+    container round-trip is lossless end-to-end."""
+    from posting_lines_spark.queries import load_all
+
+    reg = load_all()
+    fake = [tuple(r) for r in reg["multimodal_audio_vad"].fn(spark, SF0001).collect()]
+    real = [tuple(r) for r in reg["multimodal_wav_vad"].fn(spark, SF0001).collect()]
+    assert real == fake and len(real) == 500
+
+
+def test_bmp_luma_weighted_checksum_detects_row_flip(spark):
+    """If the decoder forgot the bottom-up flip, sum_r/g/b would still
+    match (order-invariant) but weighted_luma would not — verify the
+    weights genuinely distinguish orientations."""
+    from posting_lines_spark.operators import multimodal as mm
+
+    px = [[(9, 0, 0)], [(1, 0, 0)]]  # 1×2: top row != bottom row
+    w, h, out = mm.decode_bmp(mm.encode_bmp(px))
+    top_down = sum(
+        (r + 1) * 1 * (2 * out[r][0][0]) for r in range(h)
+    )
+    flipped = sum(
+        (r + 1) * 1 * (2 * out[h - 1 - r][0][0]) for r in range(h)
+    )
+    assert top_down != flipped
