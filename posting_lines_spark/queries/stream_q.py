@@ -1529,24 +1529,38 @@ register(
 # Before a streaming job picks `withWatermark(delay)`, the question is
 # empirical: at THIS delay, how many events would arrive behind the
 # watermark and be dropped from stateful aggregations? This audit
-# replays the stream's arrival order (event_id — the synthetic monotone
-# arrival key, the same convention the incremental/CDC family uses) and
-# computes, per event type, how many events are late against the
-# running high-water-mark minus WM_DELAY_US, and the worst lateness.
+# replays the stream's ARRIVAL order and computes, per event type, how
+# many events are late against the running high-water-mark minus
+# WM_DELAY_US, and the worst lateness.
+#
+# Arrival model (r12, closing a vacuity the degeneracy gate surfaced):
+# the synthetic corpus is PERFECTLY time-ordered by event_id — running
+# max minus event time is 0 for every event at every SF, so the
+# original event_id-ordered audit had n_late ≡ 0 and an all-NULL
+# max_lateness column: the late branch was dead code against the real
+# data (parity green on both engines — exactly the shared-blindness
+# the gate exists to catch). Arrival is now simulated as
+# ts + md5-derived jitter (deterministic per event_id, engine-neutral,
+# ≤ WM_JITTER_US — the standard network-delay model), which creates
+# genuine out-of-order arrivals: an event held back ~2 h while a
+# later-timestamped neighbor arrives promptly IS late at a 1 h
+# watermark. n_late > 0 at every SF is test-asserted.
+#
 # Spark computes the global running max WITHOUT a single-partition
 # window via operators/ranking.global_running_max (two-pass range
-# partition — the prefix-sum machinery's max sibling, new this round);
-# the oracle uses a plain global window (the oracle needn't scale).
-# Inclusive-vs-exclusive prefix max cannot differ here: only the event
-# that RAISES the max sees a different watermark, and that event is
-# never late under either convention. Exact integers throughout; one
-# final division per group.
+# partition — the prefix-sum machinery's max sibling); the oracle uses
+# a plain global window (the oracle needn't scale). Inclusive-vs-
+# exclusive prefix max cannot differ here: only the event that RAISES
+# the max sees a different watermark, and that event is never late
+# under either convention. Exact integers throughout; one final
+# division per group.
 #
 # Scale: repartitionByRange on arrival key + per-partition window + a
 # partition-count-bounded offset collect, then one map-side-combinable
 # (event_type) aggregate.
 
 WM_DELAY_US = 3_600_000_000  # 1 h allowed lateness
+WM_JITTER_US = 7_200_000_000  # simulated arrival delay < 2 h
 
 
 def _wm_audit_final(src: str) -> str:
@@ -1565,14 +1579,33 @@ ORDER BY event_type
 """
 
 
+def _wm_arrival_expr(md5_int_fn, us: str) -> str:
+    """Simulated arrival time: event time + deterministic md5 jitter
+    (< WM_JITTER_US) keyed on event_id — identical on both engines."""
+    j = md5_int_fn("CAST(event_id AS STRING)", salt="wmj")
+    return f"{us} + ({j}) % {WM_JITTER_US}"
+
+
 def _wm_audit_oracle() -> str:
+    from posting_lines_spark.functions.hashing import md5_int_duck
+
+    def duck_md5(expr: str, salt: str) -> str:
+        # DuckDB CAST(x AS STRING) is CAST(x AS VARCHAR)
+        return md5_int_duck(expr.replace("AS STRING", "AS VARCHAR"), salt=salt)
+
+    arrival = _wm_arrival_expr(
+        lambda e, salt: duck_md5(e, salt), "epoch_us(ts)"
+    )
     return f"""
 WITH arr AS (
-  SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST({arrival} AS BIGINT) AS arrival_us
+  FROM events
 ),
 wm AS (
   SELECT event_type, event_id, ts_us,
-         CAST(max(ts_us) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+         CAST(max(ts_us) OVER (ORDER BY arrival_us, event_id
+                               ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS runmax_ts_us
   FROM arr
 )
@@ -1581,12 +1614,19 @@ wm AS (
 
 
 def stream_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.functions.hashing import md5_int_spark
     from posting_lines_spark.operators.ranking import global_running_max
 
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", F.expr("unix_micros(ts)").alias("ts_us")
+    arrival = _wm_arrival_expr(
+        lambda e, salt: md5_int_spark(e, salt=salt), "unix_micros(ts)"
     )
-    r = global_running_max(e, ["event_id"], ["ts_us"])
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.expr(arrival).cast("long").alias("arrival_us"),
+    )
+    r = global_running_max(e, ["arrival_us", "event_id"], ["ts_us"])
     r.createOrReplaceTempView("pls_wm_audit")
     return spark.sql(_wm_audit_final("pls_wm_audit"))
 
@@ -1598,9 +1638,13 @@ register(
     f"{WM_DELAY_US // 1_000_000} s): per event type, events that would "
     "arrive behind the running high-water-mark minus the delay and be "
     "dropped by a stateful streaming aggregation, plus worst lateness — "
-    "the empirical input to choosing withWatermark; global running max "
-    "via the two-pass range-partitioned operator (no single-partition "
-    "window), exact integers, one division per group",
+    "the empirical input to choosing withWatermark; arrival simulated "
+    "as ts + deterministic md5 jitter (< 2 h network-delay model — the "
+    "r12 de-vacuization: the raw corpus is perfectly ordered, so the "
+    "late branch was dead code; n_late > 0 now test-asserted at every "
+    "SF); global running max over arrival order via the two-pass "
+    "range-partitioned operator (no single-partition window), exact "
+    "integers, one division per group",
 )(stream_watermark_late_audit)
 
 

@@ -94,13 +94,22 @@ def _load_manifest() -> dict:
         return json.load(fh)
 
 
-def pin() -> int:
+def pin(only: list[str] | None = None) -> int:
+    """Full pin, or — with `only` — an incremental pin that merges the
+    named queries into the existing manifest (for new/changed queries;
+    still prints the review report for the merged entries)."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from posting_lines_spark.queries import load_all
     from posting_lines_spark.session import get_spark
 
     spark = get_spark(app="degeneracy-pin")
     registry = load_all()
+    if only:
+        unknown = sorted(set(only) - set(registry))
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        registry = {k: registry[k] for k in only}
     out: dict[str, dict] = {}
     review: list[str] = []
     for name, q in registry.items():
@@ -144,6 +153,10 @@ def pin() -> int:
         print(f"pinned {done}/{len(registry)}  {name}: "
               f"{ns} -> {nb} rows", flush=True)
     spark.stop()
+    if only and os.path.exists(MANIFEST):
+        merged = _load_manifest()["queries"]
+        merged.update(out)
+        out = merged
     with open(MANIFEST, "w") as fh:
         json.dump({"sf_dirs": SF_DIRS, "queries": out}, fh, indent=1,
                   sort_keys=True)
@@ -220,7 +233,8 @@ def check(sf_label: str, only: list[str]) -> int:
 def main() -> int:
     args = sys.argv[1:]
     if "--pin" in args:
-        return pin()
+        args.remove("--pin")
+        return pin([a for a in args if not a.startswith("-")] or None)
     sf_label = "sf0001"
     if "--sf" in args:
         i = args.index("--sf")
