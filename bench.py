@@ -39,6 +39,28 @@ HEADLINE = [
 ]
 
 
+def tier2_names(n: int = 10) -> list[str]:
+    """Second bench tier (VERDICT r11 item 7): the N registry queries
+    with the largest MEASURED shuffle volume, parsed from the current
+    PLANS.md — the frozen headline set covers 4% of the registry, so
+    regressions in the heavy tail were invisible to BENCH. Membership
+    is recomputed from PLANS.md each time, so the tier ROTATES as the
+    registry grows and plans change; the headline set stays frozen for
+    round-over-round comparability. Run with SPARK_GRAFT_BENCH_TIER=2
+    (the closing SCALE.md entry reports both tiers)."""
+    import re
+
+    rows = []
+    plans = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    with open(plans) as fh:
+        for line in fh:
+            m = re.match(r"\| ([a-z_0-9]+) \|.*\| ([0-9.]+|<0\.01|\?) \|$", line.strip())
+            if m and m.group(2) not in ("?", "<0.01"):
+                rows.append((float(m.group(2)), m.group(1)))
+    rows.sort(reverse=True)
+    return [name for _, name in rows[:n]]
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from posting_lines_spark.session import get_spark
@@ -73,7 +95,9 @@ def main() -> None:
 
     spark = get_spark(app="bench")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] or list(qs)
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "1")
+    roster = tier2_names() if tier == "2" else HEADLINE
+    names = [n for n in roster if n in qs] or list(qs)
 
     # warm the JVM + parquet footer cache once with a trivial action
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
@@ -117,7 +141,11 @@ def main() -> None:
     # a high 1-min load at entry means the timings are contended.
     contended = load_before[0] > threshold
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": (
+            "tier2_heavy_queries_total_wall"
+            if tier == "2"
+            else "headline_queries_total_wall"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -6145,3 +6145,193 @@ def events_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.pct
         """
     )
+
+
+# --- Theil's U (uncertainty coefficient) — wave 26 ---
+# The association ladder (χ² → Cramér's V → MI/NMI) is symmetric; the
+# feature-selection question usually isn't ("how much does PRIORITY
+# tell me about STATUS?" ≠ the reverse when the marginals differ).
+# Theil's U is the asymmetric normalization of the same mutual
+# information: U(Y|X) = I(X;Y)/H(Y), U(X|Y) = I(X;Y)/H(X) — each in
+# [0,1], each answering one direction. Same exact-integer discipline
+# as stats_mutual_information, on the orders (priority × status)
+# table: every ln argument is an integer through the deterministic
+# kernel (c·N ≤ N² stays BIGINT-exact at sf10), every cross-cell sum
+# of doubles is a cell-ordered fold, degenerate single-value marginals
+# nullif to NULL on both engines.
+#
+# Scale: one (priority, status) count aggregate sees data; everything
+# downstream is |cells| + |marginals| rows of kernel math.
+
+
+def _theil_u_sql(fold_cells: str, fold_x: str, fold_y: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    ln_c, last_c = dln_int_cte_layers(
+        [("o * nn", "num"), ("rt * ct", "den")], "cellsx", "tuc"
+    )
+    ln_x, last_x = dln_int_cte_layers([("rt", "lr")], "rows_m2", "tux")
+    ln_y, last_y = dln_int_cte_layers([("ct", "lc")], "cols_m2", "tuy")
+    ln_n, last_n = dln_int_cte_layers([("n", "ln_")], "tot", "tun_")
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority AS xv, o_orderstatus AS yv,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rows_m AS (SELECT xv, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY xv),
+cols_m AS (SELECT yv, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY yv),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+{ln_n},
+cellsx AS (
+  SELECT c.xv, c.yv, c.o, r.rt, m.ct, t.n AS nn
+  FROM cells c
+  JOIN rows_m r ON r.xv = c.xv
+  JOIN cols_m m ON m.yv = c.yv
+  CROSS JOIN tot t
+),
+{ln_c},
+miterms AS (
+  SELECT xv, yv,
+         (CAST(o AS DOUBLE) / CAST(nn AS DOUBLE)) * (num_ln - den_ln) AS term
+  FROM {last_c}
+),
+rows_m2 AS (SELECT xv, rt FROM rows_m),
+{ln_x},
+xterms AS (SELECT xv, CAST(rt AS DOUBLE) * lr_ln AS term FROM {last_x}),
+cols_m2 AS (SELECT yv, ct FROM cols_m),
+{ln_y},
+yterms AS (SELECT yv, CAST(ct AS DOUBLE) * lc_ln AS term FROM {last_y}),
+agg AS (
+  SELECT
+    (SELECT {fold_cells} FROM miterms) AS mi,
+    (SELECT ln__ln FROM {last_n}) AS ln_n,
+    (SELECT CAST(n AS DOUBLE) FROM tot) AS nd,
+    (SELECT {fold_x} FROM xterms) AS sx,
+    (SELECT {fold_y} FROM yterms) AS sy
+)
+SELECT mi AS mi_nats,
+       ln_n - sx / nd AS h_priority,
+       ln_n - sy / nd AS h_status,
+       mi / nullif(ln_n - sy / nd, 0.0e0) AS u_status_given_priority,
+       mi / nullif(ln_n - sx / nd, 0.0e0) AS u_priority_given_status
+FROM agg
+"""
+
+
+_TU_FOLD_SPARK_CELLS = (
+    "aggregate(transform(array_sort(collect_list(struct(xv, yv, term))), "
+    "s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_TU_FOLD_DUCK_CELLS = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(term ORDER BY xv, yv)), (acc, v) -> acc + v)"
+)
+_TU_FOLD_SPARK_X = (
+    "aggregate(transform(array_sort(collect_list(struct(xv, term))), "
+    "s -> s.term), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_TU_FOLD_DUCK_X = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(term ORDER BY xv)), (acc, v) -> acc + v)"
+)
+_TU_FOLD_SPARK_Y = _TU_FOLD_SPARK_X.replace("xv", "yv")
+_TU_FOLD_DUCK_Y = _TU_FOLD_DUCK_X.replace("xv", "yv")
+
+
+@register(
+    "stats_theil_u",
+    oracle=_theil_u_sql(_TU_FOLD_DUCK_CELLS, _TU_FOLD_DUCK_X, _TU_FOLD_DUCK_Y),
+    description="Theil's U uncertainty coefficients on the order "
+    "priority × status table — the ASYMMETRIC rung of the association "
+    "ladder (U(status|priority) = I/H(status) ≠ U(priority|status) "
+    "when the marginals differ — the direction-aware feature-selection "
+    "readout MI/NMI can't give): every ln argument an exact integer "
+    "through the deterministic kernel, cell-ordered folds for all "
+    "double sums, nullif-guarded degenerate marginals; one aggregate "
+    "sees data",
+)
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _theil_u_sql(_TU_FOLD_SPARK_CELLS, _TU_FOLD_SPARK_X, _TU_FOLD_SPARK_Y)
+    )
+
+
+# --- time-to-convert distribution (wave 26) ---
+# funnel_analysis counts WHO converts; the growth question behind SLAs
+# and attribution windows is HOW FAST: the latency from a user's first
+# view to their first subsequent purchase. Percentiles on doubles are
+# interpolation-convention quicksand across engines, so latency is
+# bucketed to integer minutes and percentiles are defined by the exact
+# integer cumulative-count threshold (p_q = smallest bucket whose
+# running count satisfies q·n, cross-multiplied in integers — no
+# division, no interpolation, bit-identical by construction).
+#
+# Scale: two user-grain aggregates + one user equi-join; the quantile
+# pass runs on the minute-bucket table, whose size is bounded by the
+# observed calendar span (≤ ~44k rows/month) — the window there is
+# single-partition but constant-bounded, same class as the k-row
+# calendar frames elsewhere (documented; at unbounded spans swap in
+# the range-partitioned prefix machinery).
+
+_US_MIN = 60_000_000
+
+
+def _time_to_convert_sql(us: str) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT user_id, CAST(min({us}) AS BIGINT) AS v0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.v0, CAST(min({us.replace("ts", "e.ts")}) AS BIGINT) AS p0
+  FROM firsts f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND {us.replace("ts", "e.ts")} >= f.v0
+  GROUP BY f.user_id, f.v0
+),
+lat AS (
+  SELECT CAST(floor(CAST(p0 - v0 AS DOUBLE) / {float(_US_MIN)!r}e0)
+              AS BIGINT) AS lat_min
+  FROM conv
+),
+counts AS (
+  SELECT lat_min, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY lat_min
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM firsts) AS n_viewers,
+         (SELECT CAST(count(*) AS BIGINT) FROM lat) AS n_converted
+),
+cum AS (
+  SELECT lat_min,
+         CAST(sum(c) OVER (ORDER BY lat_min
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rc
+  FROM counts
+)
+SELECT t.n_viewers, t.n_converted,
+       CAST(t.n_converted AS DOUBLE) / CAST(t.n_viewers AS DOUBLE)
+         AS conversion_rate,
+       (SELECT min(lat_min) FROM cum WHERE 2 * rc >= t.n_converted)
+         AS p50_minutes,
+       (SELECT min(lat_min) FROM cum WHERE 10 * rc >= 9 * t.n_converted)
+         AS p90_minutes,
+       (SELECT max(lat_min) FROM cum) AS max_minutes
+FROM tot t
+"""
+
+
+@register(
+    "events_time_to_convert",
+    oracle=_time_to_convert_sql("epoch_us(ts)"),
+    description="first-view → first-subsequent-purchase latency "
+    "distribution (the HOW-FAST companion to funnel_analysis's "
+    "who-converts): per-user min-timestamp aggregates + one user "
+    "equi-join, latency bucketed to integer minutes, p50/p90 by exact "
+    "integer cumulative-count thresholds (cross-multiplied — no "
+    "percentile interpolation convention to diverge between engines); "
+    "quantile pass bounded by the calendar span",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_time_to_convert_sql("unix_micros(ts)"))

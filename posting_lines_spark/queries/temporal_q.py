@@ -2743,3 +2743,118 @@ FROM fin
 def timeseries_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_eg_sql("unix_micros(ts)", "DECIMAL(38,0)"))
+
+
+# --- Granger causality step (wave 26) ---
+# timeseries_engle_granger asks whether click/purchase share a common
+# stochastic trend (cointegration); the OTHER question pairs analyses
+# ask is PREDICTIVE: does yesterday's click level improve today's
+# purchase forecast beyond purchase's own history? That is Granger
+# causality at lag 1 — restricted AR(1) y_t ~ y_{t−1} vs unrestricted
+# y_t ~ y_{t−1} + x_{t−1}, F = (SSR_r − SSR_u)(n−3)/SSR_u (NO p-value:
+# F critical values are tabulated constants, out of replay scope; the
+# statistic replays exactly).
+#
+# Exactness: daily series quantize to integer cents once; triples come
+# from an explicit day−1 self-join (true consecutive days, never
+# lag-over-gaps); every first-order moment (10 sums) and every
+# CENTERED second-order term n·Sab − Sa·Sb is an EXACT wide integer
+# (≤ ~2.4e19 at sf10 — inside DECIMAL(38)/HUGEINT); only the final
+# rational forms (2×2 Cramer solve, SSRs, F) are doubles, computed
+# from string-routed exact casts in shared text — deterministic on
+# both engines (the DW/BP/EG discipline; squaring the centered terms
+# would pass 1e40 and overflow int128, so the ratio layer is where
+# doubles begin, documented).
+#
+# Scale: one (day, type) aggregate, one day−1 equi-join (calendar-
+# bounded), one 10-sum reduce, a 1-row finish.
+
+
+def _granger_sql(us: str, w19: str) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    # centered-scaled second-order exact terms: C_ab = n·S_ab − S_a·S_b
+    def cen(sab: str, sa: str, sb: str) -> str:
+        return (
+            f"CAST(CAST(n AS {w19}) * {sab} "
+            f"- CAST({sa} AS {w19}) * {sb} AS {w19})"
+        )
+
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, event_type,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY {day}, event_type
+),
+pairs AS (
+  SELECT p.day, p.v AS y, c.v AS x
+  FROM daily p JOIN daily c
+    ON c.day = p.day AND p.event_type = 'purchase'
+   AND c.event_type = 'click'
+),
+trip AS (
+  SELECT cur.y AS yt, prv.y AS y1, prv.x AS x1
+  FROM pairs cur JOIN pairs prv ON prv.day = cur.day - 1
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yt) AS BIGINT) AS sy,
+         CAST(sum(y1) AS BIGINT) AS sy1,
+         CAST(sum(x1) AS BIGINT) AS sx1,
+         CAST(sum(CAST(yt AS {w19}) * yt) AS {w19}) AS syy,
+         CAST(sum(CAST(y1 AS {w19}) * y1) AS {w19}) AS sy1y1,
+         CAST(sum(CAST(x1 AS {w19}) * x1) AS {w19}) AS sx1x1,
+         CAST(sum(CAST(y1 AS {w19}) * x1) AS {w19}) AS sy1x1,
+         CAST(sum(CAST(yt AS {w19}) * y1) AS {w19}) AS syy1,
+         CAST(sum(CAST(yt AS {w19}) * x1) AS {w19}) AS syx1
+  FROM trip
+),
+cen AS (
+  SELECT n,
+         {s2d(cen("syy", "sy", "sy"))} AS cyy,
+         {s2d(cen("sy1y1", "sy1", "sy1"))} AS a11,
+         {s2d(cen("sx1x1", "sx1", "sx1"))} AS a22,
+         {s2d(cen("sy1x1", "sy1", "sx1"))} AS a12,
+         {s2d(cen("syy1", "sy", "sy1"))} AS b1,
+         {s2d(cen("syx1", "sy", "sx1"))} AS b2
+  FROM sums
+),
+fit AS (
+  SELECT n, cyy, a11, a22, a12, b1, b2,
+         a11 * a22 - a12 * a12 AS det,
+         (cyy - b1 * b1 / nullif(a11, 0e0)) / CAST(n AS DOUBLE) AS ssr_r,
+         (cyy - (b1 * (a22 * b1 - a12 * b2) + b2 * (a11 * b2 - a12 * b1))
+                  / nullif(a11 * a22 - a12 * a12, 0e0))
+           / CAST(n AS DOUBLE) AS ssr_u
+  FROM cen
+)
+SELECT n AS n_triples,
+       (a22 * b1 - a12 * b2) / nullif(det, 0e0) AS beta_y_lag,
+       (a11 * b2 - a12 * b1) / nullif(det, 0e0) AS beta_x_lag,
+       ssr_r, ssr_u,
+       (ssr_r - ssr_u) * (CAST(n AS DOUBLE) - 3e0)
+         / nullif(ssr_u, 0e0) AS f_granger
+FROM fit
+"""
+
+
+@register(
+    "timeseries_granger",
+    oracle=_granger_sql("epoch_us(ts)", "HUGEINT"),
+    description="Granger causality at lag 1 (does yesterday's click "
+    "level improve today's purchase forecast beyond purchase's own "
+    "history? — the PREDICTIVE counterpart to engle_granger's common-"
+    "trend test): restricted AR(1) vs unrestricted 2-regressor OLS, "
+    "F = (SSR_r−SSR_u)(n−3)/SSR_u; cents quantized once, consecutive-"
+    "day triples from an explicit day−1 self-join, all 10 moments and "
+    "every centered n·Sab−Sa·Sb term EXACT wide integers, doubles only "
+    "at the final rational layer (string-routed casts, shared text — "
+    "int128 would overflow at the squared-centered layer, documented); "
+    "no tabulated constants; one aggregate + calendar-bounded join",
+)
+def timeseries_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_granger_sql("unix_micros(ts)", "DECIMAL(38,0)"))

@@ -556,3 +556,133 @@ def test_watermark_audit_matches_python_replay(spark):
         assert r["n_late"] == nl
         assert r["max_lateness_us"] == mx
         assert r["late_frac"] == nl / n
+
+
+# ---- wave-26 replays (stats_theil_u, timeseries_granger,
+# events_time_to_convert) ----
+
+
+def _events_pylist():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF0001}/events.parquet").to_pylist()
+
+
+def _us(e):
+    from datetime import datetime
+
+    return int((e["ts"] - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def test_theil_u_matches_python(spark):
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from posting_lines_spark.queries import load_all
+
+    orders = pq.read_table(f"{SF0001}/orders.parquet").to_pylist()
+    cells = Counter((o["o_orderpriority"], o["o_orderstatus"]) for o in orders)
+    n = sum(cells.values())
+    rx = Counter()
+    ry = Counter()
+    for (x, y), c in cells.items():
+        rx[x] += c
+        ry[y] += c
+    hx = math.log(n) - sum(c * math.log(c) for c in rx.values()) / n
+    hy = math.log(n) - sum(c * math.log(c) for c in ry.values()) / n
+    mi = sum(
+        (c / n) * (math.log(c * n) - math.log(rx[x] * ry[y]))
+        for (x, y), c in cells.items()
+    )
+    (r,) = load_all()["stats_theil_u"].fn(spark, SF0001).collect()
+    assert abs(r["mi_nats"] - mi) < 1e-9
+    assert abs(r["h_priority"] - hx) < 1e-9
+    assert abs(r["h_status"] - hy) < 1e-9
+    assert abs(r["u_status_given_priority"] - mi / hy) < 1e-9
+    assert abs(r["u_priority_given_status"] - mi / hx) < 1e-9
+    # the asymmetry is the point: both directions present and distinct
+    assert r["u_status_given_priority"] != r["u_priority_given_status"]
+    assert 0.0 <= r["u_status_given_priority"] <= 1.0
+
+
+def test_granger_matches_python(spark):
+    from collections import defaultdict
+
+    from posting_lines_spark.queries import load_all
+
+    daily = defaultdict(int)
+    for e in _events_pylist():
+        if e["event_type"] in ("purchase", "click"):
+            daily[(_us(e) // 86_400_000_000, e["event_type"])] += round(
+                e["value"] * 100
+            )
+    days = sorted({d for d, _ in daily})
+    trips = []
+    for d in days:
+        keys = [(d, "purchase"), (d - 1, "purchase"), (d - 1, "click")]
+        if all(k in daily for k in keys):
+            trips.append(tuple(daily[k] for k in keys))
+    n = len(trips)
+    sy = sum(t[0] for t in trips)
+    sy1 = sum(t[1] for t in trips)
+    sx1 = sum(t[2] for t in trips)
+    cyy = float(n * sum(t[0] * t[0] for t in trips) - sy * sy)
+    a11 = float(n * sum(t[1] * t[1] for t in trips) - sy1 * sy1)
+    a22 = float(n * sum(t[2] * t[2] for t in trips) - sx1 * sx1)
+    a12 = float(n * sum(t[1] * t[2] for t in trips) - sy1 * sx1)
+    b1 = float(n * sum(t[0] * t[1] for t in trips) - sy * sy1)
+    b2 = float(n * sum(t[0] * t[2] for t in trips) - sy * sx1)
+    det = a11 * a22 - a12 * a12
+    ssr_r = (cyy - b1 * b1 / a11) / n
+    ssr_u = (cyy - (b1 * (a22 * b1 - a12 * b2) + b2 * (a11 * b2 - a12 * b1)) / det) / n
+    f = (ssr_r - ssr_u) * (n - 3) / ssr_u
+    (r,) = load_all()["timeseries_granger"].fn(spark, SF0001).collect()
+    assert r["n_triples"] == n >= 10
+    assert r["beta_y_lag"] == pytest.approx((a22 * b1 - a12 * b2) / det, rel=1e-9)
+    assert r["beta_x_lag"] == pytest.approx((a11 * b2 - a12 * b1) / det, rel=1e-9)
+    assert r["ssr_r"] == pytest.approx(ssr_r, rel=1e-9)
+    assert r["ssr_u"] == pytest.approx(ssr_u, rel=1e-9)
+    assert r["f_granger"] == pytest.approx(f, rel=1e-9)
+    assert ssr_u < ssr_r  # adding a regressor can only reduce SSR
+
+
+def test_time_to_convert_matches_python(spark):
+    from posting_lines_spark.queries import load_all
+
+    ev = _events_pylist()
+    v0 = {}
+    for e in ev:
+        if e["event_type"] == "view":
+            u = e["user_id"]
+            v0[u] = min(v0.get(u, _us(e)), _us(e))
+    lat = {}
+    for e in ev:
+        u = e["user_id"]
+        if e["event_type"] == "purchase" and u in v0 and _us(e) >= v0[u]:
+            lat[u] = min(lat.get(u, _us(e)), _us(e))
+    mins = sorted((lat[u] - v0[u]) // 60_000_000 for u in lat)
+    n = len(mins)
+
+    def pctl(q_num, q_den):
+        # smallest bucket whose cumulative count rc satisfies
+        # q_den*rc >= q_num*n  (exact integer threshold)
+        run = 0
+        from collections import Counter
+
+        cnt = Counter(mins)
+        for m in sorted(cnt):
+            run += cnt[m]
+            if q_den * run >= q_num * n:
+                return m
+        return None
+
+    (r,) = load_all()["events_time_to_convert"].fn(spark, SF0001).collect()
+    assert r["n_viewers"] == len(v0) > 0
+    assert r["n_converted"] == n > 0
+    assert r["conversion_rate"] == n / len(v0)
+    assert r["p50_minutes"] == pctl(1, 2)
+    assert r["p90_minutes"] == pctl(9, 10)
+    assert r["max_minutes"] == mins[-1]
+    assert r["p50_minutes"] <= r["p90_minutes"] <= r["max_minutes"]
