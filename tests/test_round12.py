@@ -686,3 +686,42 @@ def test_time_to_convert_matches_python(spark):
     assert r["p90_minutes"] == pctl(9, 10)
     assert r["max_minutes"] == mins[-1]
     assert r["p50_minutes"] <= r["p90_minutes"] <= r["max_minutes"]
+
+
+# ---- sf1 capped-vs-uncapped proof (VERDICT r11 item 3's scale leg) ----
+
+import os
+
+SF1 = "/root/repo/.benchdata/sf1"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF1), reason="sf1 benchdata not generated")
+def test_capped_top20_identical_to_uncapped_at_sf1():
+    """At sf1 (6M lineitem) the shared builders run on DuckDB (the
+    ranking property is engine-independent — both engines execute this
+    exact text): cap=8 must leave both scorers' top-20 unchanged."""
+    from posting_lines_spark.queries.graph_q import (
+        GRAPH_NEIGHBOR_CAP,
+        _adamic_adar_sql,
+        _linkpred_core,
+    )
+
+    con = duckdb.connect()
+    try:
+        # make_sf writes Spark-layout directories of part files
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF1}/lineitem.parquet/*.parquet')"
+        )
+        lp = con.execute("WITH " + _linkpred_core("lineitem")).fetchall()
+        lpc = con.execute(
+            "WITH " + _linkpred_core("lineitem", GRAPH_NEIGHBOR_CAP)
+        ).fetchall()
+        assert [r[:6] for r in lpc] == lp
+        aa = con.execute(_adamic_adar_sql("lineitem")).fetchall()
+        aac = con.execute(
+            _adamic_adar_sql("lineitem", GRAPH_NEIGHBOR_CAP)
+        ).fetchall()
+        assert [r[:4] for r in aac] == aa
+    finally:
+        con.close()
