@@ -2796,7 +2796,10 @@ pairs AS (
    AND c.event_type = 'click'
 ),
 trip AS (
-  SELECT cur.y AS yt, prv.y AS y1, prv.x AS x1
+  -- pairs is calendar-bounded (one row per day), so the day−1 self-
+  -- join must broadcast, never SortMergeJoin; the hint is a no-op
+  -- comment on DuckDB
+  SELECT /*+ BROADCAST(prv) */ cur.y AS yt, prv.y AS y1, prv.x AS x1
   FROM pairs cur JOIN pairs prv ON prv.day = cur.day - 1
 ),
 sums AS (
