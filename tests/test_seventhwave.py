@@ -587,10 +587,23 @@ def test_motif_discovery_matches_python(spark):
 
 
 def test_watermark_audit_matches_python(spark):
-    from posting_lines_spark.queries import load_all
-    from posting_lines_spark.queries.stream_q import WM_DELAY_US
+    # r12: arrival is simulated as ts + md5 jitter (the raw corpus is
+    # perfectly ordered, so the original event_id-ordered audit's late
+    # branch was dead code — caught by the degeneracy gate); the replay
+    # mirrors the jittered arrival order.
+    import hashlib
 
-    rows = sorted(_events(), key=lambda r: r["event_id"])
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.stream_q import WM_DELAY_US, WM_JITTER_US
+
+    def arrival(r):
+        h = hashlib.md5(f"wmj|{r['event_id']}".encode()).hexdigest()
+        return (
+            int(r["ts"].timestamp() * 1e6) + int(h[:15], 16) % WM_JITTER_US,
+            r["event_id"],
+        )
+
+    rows = sorted(_events(), key=arrival)
     runmax = None
     stats = defaultdict(lambda: [0, 0, None])  # n, late, max_lateness
     for r in rows:
