@@ -6335,3 +6335,112 @@ FROM tot t
 def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_time_to_convert_sql("unix_micros(ts)"))
+
+
+# --- one-sample Kolmogorov-Smirnov vs a uniform reference (wave 27) ---
+# stats_ks_test compares two SAMPLES; the drift-to-SPEC question is
+# one-sample: do the purchase amounts still follow the flat generator
+# they were provisioned with? D⁺/D⁻/D against Uniform[a,b] with a,b
+# the observed cents min/max (parameters estimated from the sample —
+# the Lilliefors caveat on critical values, documented; the STATISTIC
+# is exact and fully replayable, and p-value tables are out of replay
+# scope repo-wide). On the distinct-value grid:
+#   D⁺ = max( cum_through(x)/n − F(x) ),  D⁻ = max( F(x) − cum_below(x)/n ),
+# F(x) = (x−a)/(b−a) — every term a ratio of exact integers, the
+# max/abs chain shared text. One value-grid aggregate + a domain-
+# bounded window (swap in the range-partitioned prefix machinery for
+# an unbounded value domain — here cents are domain-bounded).
+
+KSU_TYPE = "purchase"
+
+KS_UNIFORM_SQL = f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = '{KSU_TYPE}'
+  GROUP BY 1
+),
+cum AS (
+  SELECT x, c,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS thru,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM vals
+),
+ab AS (SELECT min(x) AS a, max(x) AS b FROM vals),
+gaps AS (
+  SELECT cum.x, cum.n,
+         CAST(cum.thru AS DOUBLE) / cum.n
+           - CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a) AS gp,
+         CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a)
+           - CAST(cum.thru - cum.c AS DOUBLE) / cum.n AS gm
+  FROM cum CROSS JOIN ab
+)
+SELECT max(n) AS n,
+       (SELECT CAST(a AS DOUBLE) / 100e0 FROM ab) AS ref_lo,
+       (SELECT CAST(b AS DOUBLE) / 100e0 FROM ab) AS ref_hi,
+       max(gp) AS d_plus,
+       max(gm) AS d_minus,
+       greatest(max(gp), max(gm)) AS d_stat,
+       greatest(max(gp), max(gm)) * sqrt(CAST(max(n) AS DOUBLE))
+         AS d_scaled
+FROM gaps
+"""
+
+
+@register(
+    "stats_ks_uniform",
+    oracle=KS_UNIFORM_SQL,
+    description="one-sample Kolmogorov-Smirnov against the Uniform[min,"
+    "max] reference on purchase cents — the drift-to-SPEC companion of "
+    "the two-sample stats_ks_test (did the generator's flat "
+    "distribution survive the pipeline?): D⁺/D⁻/D and √n·D from exact "
+    "integer ECDF/CDF ratios on the distinct-value grid; parameters "
+    "estimated from the sample (Lilliefors caveat documented — "
+    "critical-value tables are out of replay scope repo-wide); "
+    "domain-bounded window",
+)
+def stats_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine side follows the stats_ks_test discipline: the global ECDF
+    # comes from the range-partitioned two-pass prefix operator, never a
+    # single-partition window (the oracle keeps the plain window — it
+    # needn't scale). Identical values, different plan.
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    vals = (
+        e.filter(F.col("event_type") == KSU_TYPE)
+        .groupBy(F.expr("CAST(round(value * 100e0) AS BIGINT)").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    run = global_running_sums(vals, ["x"], ["c"])
+    ab = vals.agg(
+        F.min("x").alias("a"),
+        F.max("x").alias("b"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    gaps = run.crossJoin(F.broadcast(ab)).select(
+        "n",
+        "a",
+        "b",
+        (
+            F.col("run_c").cast("double") / F.col("n")
+            - (F.col("x") - F.col("a")).cast("double") / (F.col("b") - F.col("a"))
+        ).alias("gp"),
+        (
+            (F.col("x") - F.col("a")).cast("double") / (F.col("b") - F.col("a"))
+            - (F.col("run_c") - F.col("c")).cast("double") / F.col("n")
+        ).alias("gm"),
+    )
+    return gaps.agg(
+        F.max("n").alias("n"),
+        (F.max("a").cast("double") / F.lit(100.0)).alias("ref_lo"),
+        (F.max("b").cast("double") / F.lit(100.0)).alias("ref_hi"),
+        F.max("gp").alias("d_plus"),
+        F.max("gm").alias("d_minus"),
+        F.greatest(F.max("gp"), F.max("gm")).alias("d_stat"),
+        (
+            F.greatest(F.max("gp"), F.max("gm"))
+            * F.sqrt(F.max("n").cast("double"))
+        ).alias("d_scaled"),
+    )

@@ -1590,3 +1590,101 @@ def privacy_dp_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_int_spark("source", salt="dpgauss", slot=1),
         )
     )
+
+
+# --- differential privacy: exponential-mechanism median (wave 27) ---
+# The Laplace/Gaussian rungs release COUNTS; the third classic
+# mechanism releases a NON-NUMERIC-utility statistic: the exponential
+# mechanism (McSherry & Talwar 2007) picks candidate v with probability
+# ∝ exp(ε·u(v)/2Δu). For the median over the doc-length domain,
+# u(v) = −|rank_below(v) + c(v)/2 − n/2| has sensitivity 1/... kept in
+# INTEGERS as u2(v) = |2·below(v) + c(v) − n| (twice the rank distance,
+# Δu2 = 2), so the score weight is ε·(−u2)/4. Sampling is the
+# Gumbel-max trick — argmax(score + g_v) with g_v = −ln(−ln U_v) — and
+# every transcendental is deterministic:
+#   U_v = k/2²⁰, k = md5(v) % (2²⁰−1) + 1 ∈ [1, 2²⁰−1]:
+#     −ln U = dln(2²⁰) − dln(k)      (exact integer args);
+#   −ln(−ln U) via the Hurst 1e-9 quantization: qt = round(t·1e9) ≥ 954
+#     for every representable t, then ln t = dln(qt) − dln(1e9).
+# Deterministic ⇒ bit-identical across engines AND idempotent across
+# retries (no budget double-spend on re-run); the true median rides
+# along as the utility audit (production ships only the release).
+#
+# Scale: one |domain|-bounded value aggregate, a domain-bounded window,
+# kernel math per candidate, a top-1. Nothing data-shaped after the
+# first aggregate.
+
+DP_EM_EPS = 1.0
+_EM_K = 2**20
+
+
+def _dp_median_sql(h_v: str) -> str:
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+
+    l1, last1 = dln_int_cte_layers(
+        [("k", "mk"), (f"CAST({_EM_K} AS BIGINT)", "mc")], "u0", "em1"
+    )
+    l2, last2 = dln_int_cte_layers(
+        [("qt", "mt"), ("CAST(1000000000 AS BIGINT)", "mb")], "tq", "em2"
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM vals
+),
+u0 AS (
+  SELECT v, c, below, n,
+         abs(2 * below + c - n) AS u2,
+         CAST(({h_v}) % {_EM_K - 1} AS BIGINT) + 1 AS k
+  FROM cum
+),
+{l1},
+tq AS (
+  SELECT v, u2, n,
+         CAST(round((mc_ln - mk_ln) * 1000000000.0e0) AS BIGINT) AS qt
+  FROM {last1}
+),
+{l2},
+scored AS (
+  SELECT v, u2, n,
+         -({DP_EM_EPS!r}e0 / 4.0e0) * CAST(u2 AS DOUBLE)
+           - (mt_ln - mb_ln) AS score
+  FROM {last2}
+),
+sel AS (
+  SELECT v AS released_median, score, n FROM scored
+  ORDER BY score DESC, v LIMIT 1
+),
+truem AS (
+  SELECT min(v) AS true_median FROM cum WHERE 2 * (below + c) >= n
+)
+SELECT s.n, t.true_median, s.released_median,
+       abs(s.released_median - t.true_median) AS abs_err,
+       {DP_EM_EPS!r}e0 AS epsilon
+FROM sel s CROSS JOIN truem t
+"""
+
+
+@register(
+    "privacy_dp_median_em",
+    oracle=_dp_median_sql(md5_int_duck("CAST(v AS VARCHAR)", salt="dpem")),
+    description=f"ε-DP median release (ε={DP_EM_EPS}) via the "
+    "exponential mechanism — the third mechanism rung beside Laplace "
+    "and zCDP-Gaussian, for statistics with non-additive utility: "
+    "integer rank utility u2=|2·below+c−n| (Δ=2), Gumbel-max sampling "
+    "with BOTH transcendentals on deterministic kernels (integer-ln on "
+    "md5 uniforms; −ln(−ln U) through the Hurst 1e-9 quantization) — "
+    "bit-identical across engines, idempotent across retries; true "
+    "median rides along as the utility audit; domain-bounded "
+    "throughout",
+)
+def privacy_dp_median_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_dp_median_sql(md5_int_spark("CAST(v AS STRING)", salt="dpem")))
