@@ -6444,3 +6444,83 @@ def stats_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(F.max("n").cast("double"))
         ).alias("d_scaled"),
     )
+
+
+# --- TOST equivalence test (wave 28) ---
+# stats_welch_ttest asks "are the groups DIFFERENT?"; launch reviews
+# usually need the opposite: "are they the SAME within a margin?" —
+# and absence of significance is NOT evidence of equivalence. TOST
+# (two one-sided tests, Schuirmann 1987) does it right: declare
+# equivalence iff BOTH t_lower = (Δ−(−δ))/se and t_upper = (δ−Δ)/se
+# clear the threshold. δ here is 5% of the pooled mean (a relative
+# margin — the usual A/B guardrail form). Same exact-moment discipline
+# as stats_welch_ttest (decimal-routed Σx/Σx², fixed double chain,
+# degenerate guards); NO p-value (t-quantiles are tabulated constants,
+# out of replay scope repo-wide) — both t's and the margin are the
+# replayable readout, with t > 2 ≈ the usual gate.
+#
+# Scale: one two-group map-side-combinable aggregate, 1-row finish.
+
+TOST_MARGIN_FRAC = 0.05
+
+
+def _tost_sql() -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    stats = """
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         {sx} AS sx,
+         {sxx} AS sxx
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type
+""".format(sx=dsum_expr("value"), sxx=dsum_expr("value * value"))
+    return f"""
+WITH stats AS ({stats}),
+wide AS (
+  SELECT
+    max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+    max(CASE WHEN event_type = 'purchase' THEN sx END) AS sx1,
+    max(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx1,
+    max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+    max(CASE WHEN event_type = 'click' THEN sx END) AS sx2,
+    max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx2
+  FROM stats
+),
+m AS (
+  SELECT n1, n2,
+         sx1 / n1 AS mean1, sx2 / n2 AS mean2,
+         (greatest(sxx1 - (sx1 * sx1) / n1, 0.0e0) / nullif(n1 - 1, 0)) / n1 AS se1sq,
+         (greatest(sxx2 - (sx2 * sx2) / n2, 0.0e0) / nullif(n2 - 1, 0)) / n2 AS se2sq
+  FROM wide
+),
+d AS (
+  SELECT n1, n2, mean1, mean2,
+         mean1 - mean2 AS delta,
+         sqrt(se1sq + se2sq) AS se,
+         {TOST_MARGIN_FRAC!r}e0 * ((mean1 + mean2) / 2.0e0) AS margin
+  FROM m
+)
+SELECT n1, n2, mean1, mean2, delta, margin,
+       (delta + margin) / nullif(se, 0.0e0) AS t_lower,
+       (margin - delta) / nullif(se, 0.0e0) AS t_upper,
+       least((delta + margin) / nullif(se, 0.0e0),
+             (margin - delta) / nullif(se, 0.0e0)) AS t_tost
+FROM d
+"""
+
+
+@register(
+    "stats_tost_equivalence",
+    oracle=_tost_sql(),
+    description=f"TOST equivalence test (Schuirmann's two one-sided "
+    f"tests, ±{TOST_MARGIN_FRAC:.0%}-of-pooled-mean margin) between "
+    "purchase and click values — the 'are they the SAME within δ?' "
+    "complement of stats_welch_ttest (non-significance is not "
+    "equivalence): both one-sided t's plus their min (the TOST "
+    "statistic), exact decimal moments, degenerate guards; no "
+    "tabulated quantiles — one two-row aggregate, 1-row finish",
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_tost_sql())

@@ -2861,3 +2861,109 @@ FROM fit
 def timeseries_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_granger_sql("unix_micros(ts)", "DECIMAL(38,0)"))
+
+
+# --- Newey-West HAC standard error (wave 28) ---
+# timeseries_durbin_watson DETECTS serial correlation in a daily
+# series; the inference consequence is that the iid standard error of
+# the mean is wrong. Newey-West (1987) fixes it: long-run variance
+# lrv = γ₀ + 2·Σ_{l=1..L} (1 − l/(L+1))·γ_l (Bartlett weights, L=5),
+# se_NW = √(lrv/n) — the HAC correction every "did the daily mean
+# move?" readout should use when DW fires. Exactness discipline:
+# daily cents quantize once; for every lag the n²-scaled centered
+# autocovariance n²·Σ(x_t−x̄)(x_{t−l}−x̄) = n²·S_l − n·Sy·(A_l+B_l)
+# + m_l·Sy² is an EXACT wide integer (≈5e23 at sf10, ≈5e29 at 100 TB —
+# inside DECIMAL(38)/int128), string-cast to double only at the γ_l =
+# C_l/n³ ratio layer; the lag pivot is L-bounded (max(CASE WHEN l=…)),
+# so no cross-row double sum exists at all.
+#
+# Scale: one (day) aggregate, an L-bounded day−l self-join fan-out
+# against the calendar-bounded daily table, one 6-row pivot, a 1-row
+# finish.
+
+NW_LAGS = 5
+
+
+def _newey_west_sql(us: str, w19: str) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    lags = " UNION ALL ".join(
+        f"SELECT CAST({l} AS BIGINT) AS l" for l in range(1, NW_LAGS + 1)
+    )
+    gcol = lambda l: f"max(CASE WHEN l = {l} THEN g END)"  # noqa: E731
+    bartlett = " + ".join(
+        f"2.0e0 * (1.0e0 - {l}.0e0 / {NW_LAGS + 1}.0e0) * {gcol(l)}"
+        for l in range(1, NW_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY {day}
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS {w19}) * x) AS {w19}) AS syy
+  FROM daily
+),
+lagsums AS (
+  SELECT g.l,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(cur.x AS {w19}) * prv.x) AS {w19}) AS sl,
+         CAST(sum(cur.x) AS BIGINT) AS al,
+         CAST(sum(prv.x) AS BIGINT) AS bl
+  FROM ({lags}) g
+  JOIN daily cur ON TRUE
+  JOIN daily prv ON prv.day = cur.day - g.l
+  GROUP BY g.l
+),
+cg AS (
+  SELECT l.l,
+         {s2d(
+             f"CAST(CAST(b.n AS {w19}) * b.n * l.sl "
+             f"- CAST(b.n AS {w19}) * b.sy * (l.al + l.bl) "
+             f"+ CAST(l.m AS {w19}) * b.sy * b.sy AS {w19})"
+         )}
+           / (CAST(b.n AS DOUBLE) * b.n * b.n) AS g
+  FROM lagsums l CROSS JOIN base b
+),
+g0 AS (
+  -- n·Σx² − Sy² is the n¹-scaled centered sum (the lag terms carry an
+  -- n² scale), so γ₀ divides by n², not n³
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(sy AS DOUBLE) / n AS mean_cents,
+         ({s2d(f"CAST(CAST(n AS {w19}) * syy - CAST(sy AS {w19}) * sy AS {w19})")})
+           / (CAST(n AS DOUBLE) * n) AS gamma0
+  FROM base
+),
+piv AS (
+  SELECT (SELECT gamma0 FROM g0) + {bartlett} AS lrv
+  FROM cg
+)
+SELECT g0.n, g0.mean_cents / 100e0 AS daily_mean,
+       g0.gamma0, p.lrv,
+       sqrt(p.lrv / g0.n) / 100e0 AS se_nw,
+       sqrt(g0.gamma0 / g0.n) / 100e0 AS se_iid,
+       sqrt(p.lrv / nullif(g0.gamma0, 0e0)) AS nw_inflation
+FROM g0 CROSS JOIN piv p
+"""
+
+
+@register(
+    "timeseries_newey_west",
+    oracle=_newey_west_sql("epoch_us(ts)", "HUGEINT"),
+    description=f"Newey-West HAC standard error of the daily purchase "
+    f"mean (Bartlett weights, L={NW_LAGS}) — the inference correction "
+    "durbin_watson's serial-correlation detection calls for: every "
+    "n²-scaled centered autocovariance an EXACT wide integer (doubles "
+    "only at the γ=C/n³ ratio layer), the lag pivot L-bounded so no "
+    "cross-row double sum exists; reports se_nw vs se_iid and the "
+    "inflation ratio; calendar-bounded join fan-out",
+)
+def timeseries_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_newey_west_sql("unix_micros(ts)", "DECIMAL(38,0)"))

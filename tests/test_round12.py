@@ -803,3 +803,75 @@ def test_ks_uniform_matches_python(spark):
     assert r["d_stat"] == max(dplus, dminus)
     assert r["d_scaled"] == max(dplus, dminus) * math.sqrt(n)
     assert 0.0 < r["d_stat"] < 1.0
+
+
+# ---- wave-28 replays (stats_tost_equivalence, timeseries_newey_west) ----
+
+
+def test_tost_matches_python(spark):
+    import math
+
+    from tests.test_replays_r12 import _dsum, _tbl
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.analytics_q import TOST_MARGIN_FRAC
+
+    g1 = [e["value"] for e in _tbl("events") if e["event_type"] == "purchase"]
+    g2 = [e["value"] for e in _tbl("events") if e["event_type"] == "click"]
+    n1, n2 = len(g1), len(g2)
+    m1 = _dsum(g1) / n1
+    m2 = _dsum(g2) / n2
+    v1 = max(_dsum([v * v for v in g1]) - (_dsum(g1) * _dsum(g1)) / n1, 0.0) / (n1 - 1) / n1
+    v2 = max(_dsum([v * v for v in g2]) - (_dsum(g2) * _dsum(g2)) / n2, 0.0) / (n2 - 1) / n2
+    se = math.sqrt(v1 + v2)
+    delta = m1 - m2
+    margin = TOST_MARGIN_FRAC * ((m1 + m2) / 2.0)
+    (r,) = load_all()["stats_tost_equivalence"].fn(spark, SF0001).collect()
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["delta"] == delta and r["margin"] == margin
+    assert r["t_lower"] == (delta + margin) / se
+    assert r["t_upper"] == (margin - delta) / se
+    assert r["t_tost"] == min(r["t_lower"], r["t_upper"])
+    # directionality: the two one-sided stats straddle the difference
+    assert r["t_lower"] != r["t_upper"]
+
+
+def test_newey_west_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from tests.test_replays_r12 import _tbl
+    from datetime import datetime
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.temporal_q import NW_LAGS
+
+    ep = datetime(1970, 1, 1)
+    daily = defaultdict(int)
+    for e in _tbl("events"):
+        if e["event_type"] == "purchase":
+            d = int((e["ts"] - ep).total_seconds() * 1e6) // 86_400_000_000
+            daily[d] += round(e["value"] * 100)
+    days = sorted(daily)
+    n = len(days)
+    sy = sum(daily.values())
+    # exact integer n^k-scaled centered sums, doubles only at the ratio
+    g0 = float(n * sum(x * x for x in daily.values()) - sy * sy) / (n * n)
+    lrv = g0
+    for l in range(1, NW_LAGS + 1):
+        pairs = [(daily[d], daily[d - l]) for d in days if (d - l) in daily]
+        m = len(pairs)
+        sl = sum(a * b for a, b in pairs)
+        al = sum(a for a, _ in pairs)
+        bl = sum(b for _, b in pairs)
+        g = float(n * n * sl - n * sy * (al + bl) + m * sy * sy) / (n**3)
+        lrv += 2.0 * (1.0 - l / (NW_LAGS + 1)) * g
+    (r,) = load_all()["timeseries_newey_west"].fn(spark, SF0001).collect()
+    assert r["n"] == n
+    assert r["daily_mean"] == (sy / n) / 100.0
+    assert r["gamma0"] == g0
+    assert r["lrv"] == pytest.approx(lrv, rel=1e-12)
+    assert r["se_nw"] == pytest.approx(math.sqrt(lrv / n) / 100.0, rel=1e-12)
+    assert r["se_iid"] == math.sqrt(g0 / n) / 100.0
+    assert r["nw_inflation"] == pytest.approx(math.sqrt(lrv / g0), rel=1e-12)
+    # serial structure is real: the correction is not a no-op
+    assert abs(r["nw_inflation"] - 1.0) > 1e-3
