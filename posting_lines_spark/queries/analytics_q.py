@@ -6524,3 +6524,95 @@ FROM d
 def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_tost_sql())
+
+
+# --- one-sample Cramér-von Mises vs the uniform reference (wave 29) ---
+# stats_ks_uniform reads the WORST ECDF gap; CvM integrates ALL of it:
+# T = n·ω² = 1/(12n) + Σ_i (F(x_i) − (2i−1)/(2n))² — more powerful against
+# diffuse drift that never produces one big gap. With tied values the
+# rank block lo+1..lo+c contributes a CLOSED FORM per distinct value:
+#   c·F² − F·S1/n + S2/(4n²),
+#   S1 = Σ(2k−1) = hi² − lo²           (exact BIGINT),
+#   S2 = Σ(2k−1)² = 4ΣK² − 4ΣK + c    (exact wide ints via the
+#        telescoped k(k+1)(2k+1)/6 and k(k+1)/2 sums — divisions exact
+#        by construction, ≈1.7e30 at 1e10 rows: inside int128),
+# so the only doubles are the per-value assembled terms, reduced with
+# a scale-10 decimal route (coin-flip estimate ≪ 1 on the ≤ ~50k-value
+# cents grid). Same Lilliefors caveat as stats_ks_uniform; no critical
+# tables — T = n·ω² and ω² are the replayable readout.
+#
+# Scale: one value-grid aggregate + the range-partitioned prefix
+# operator on the engine side (oracle keeps its plain window).
+
+CVM_TYPE = "purchase"
+
+
+def _cvm_uniform_sql(w19: str) -> str:
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    # division-free telescoped sums (DuckDB HUGEINT `/` is FLOAT
+    # division — lossy past 2⁵³, i.e. from sf10 up; so S2 is carried
+    # ×3: 3·S2 = 2·ΔT2 − 6·ΔT1 + 3c with T2 = v(v+1)(2v+1),
+    # T1 = v(v+1), and the final divisor becomes 12n² instead of 4n²)
+    def t1(v: str) -> str:
+        return f"(CAST({v} AS {w19}) * ({v} + 1))"
+
+    def t2(v: str) -> str:
+        return f"(CAST({v} AS {w19}) * ({v} + 1) * (2 * {v} + 1))"
+
+    return f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = '{CVM_TYPE}'
+  GROUP BY 1
+),
+cum AS (
+  SELECT x, c,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS hi,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM vals
+),
+ab AS (SELECT min(x) AS a, max(x) AS b FROM vals),
+terms AS (
+  SELECT cum.x, cum.n,
+         CAST(cum.c AS DOUBLE)
+             * (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
+             * (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
+         - (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
+             * {s2d(f"CAST(CAST(cum.hi AS {w19}) * cum.hi - CAST(cum.hi - cum.c AS {w19}) * (cum.hi - cum.c) AS {w19})")}
+             / CAST(cum.n AS DOUBLE)
+         + {s2d(
+             f"CAST(2 * ({t2('cum.hi')} - {t2('(cum.hi - cum.c)')}) "
+             f"- 6 * ({t1('cum.hi')} - {t1('(cum.hi - cum.c)')}) "
+             f"+ 3 * cum.c AS {w19})"
+         )}
+             / (12e0 * CAST(cum.n AS DOUBLE) * cum.n) AS term
+  FROM cum CROSS JOIN ab
+)
+SELECT max(n) AS n,
+       1e0 / (12e0 * max(n)) + {dsum_expr("term", 10)} AS cvm_t,
+       (1e0 / (12e0 * max(n)) + {dsum_expr("term", 10)}) / max(n) AS omega2
+FROM terms
+"""
+
+
+@register(
+    "stats_cvm_uniform",
+    oracle=_cvm_uniform_sql("HUGEINT"),
+    description="one-sample Cramér-von Mises T = n·ω² against the Uniform"
+    "[min,max] reference — integrates the WHOLE ECDF gap where "
+    "stats_ks_uniform reads only its max (more powerful against "
+    "diffuse drift): tied-rank blocks in closed form from exact "
+    "telescoped Σk/Σk² wide-integer sums (int128-safe to 1e10 rows), "
+    "doubles only at the per-value term, scale-10 decimal reduction; "
+    "Lilliefors caveat as documented for the KS sibling; "
+    "domain-bounded grid",
+)
+def stats_cvm_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cvm_uniform_sql("DECIMAL(38,0)"))

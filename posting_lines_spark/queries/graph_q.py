@@ -1909,3 +1909,125 @@ def _set_keep_best_oracle() -> None:
 
 
 _set_keep_best_oracle()
+
+
+# --- k-truss peeling (wave 29) ---
+# The cohesion rung ABOVE graph_kcore: a k-core only needs degree, so
+# chains of weakly-attached nodes survive; the k-truss requires every
+# EDGE to sit in ≥ k−2 triangles, peeling exactly the chain-similarity
+# edges threshold dedup should distrust (the edge-level version of the
+# triangles-vs-wedges contrast graph_triangles draws). Each round:
+# per-edge triangle support from the ordered wedge join (a<b<c — each
+# triangle found once, supporting all three of its edges), drop edges
+# below support, repeat TRUSS_ROUNDS fixed rounds (peeling is monotone,
+# post-convergence rounds are no-ops; convergence itself is
+# test-asserted like kcore's).
+#
+# Scale: each round is one ordered triangle join (O(m^1.5) under
+# degree-ordering — the graph_triangles note) + one 3-role support
+# union + a semi-join; rounds shrink the edge set monotonically, and
+# the Spark side cycles lazy checkpoints so peak footprint is ~2
+# rounds' blocks (the kcore discipline).
+
+TRUSS_K = 3  # edge support >= 1 triangle
+TRUSS_ROUNDS = 4
+
+
+def _truss_round_duck(prev: str, cur: str) -> str:
+    return f"""t_{cur} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s_{cur} AS MATERIALIZED (
+  SELECT a AS ea, b AS eb FROM t_{cur}
+  UNION ALL SELECT a, c FROM t_{cur}
+  UNION ALL SELECT b, c FROM t_{cur}
+),
+{cur} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN (
+    SELECT ea, eb, count(*) AS sup FROM s_{cur} GROUP BY ea, eb
+    HAVING count(*) >= {TRUSS_K - 2}
+  ) s ON s.ea = e.a AND s.eb = e.b
+)"""
+
+
+def _ktruss_oracle() -> str:
+    parts = [
+        f"pairs AS MATERIALIZED ({_PAIRS_DUCK})",
+        "g0 AS MATERIALIZED (SELECT least(id_a, id_b) AS a,"
+        " greatest(id_a, id_b) AS b FROM pairs)",
+    ]
+    for r in range(1, TRUSS_ROUNDS + 1):
+        parts.append(_truss_round_duck(f"g{r - 1}", f"g{r}"))
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS truss_degree
+FROM (
+  SELECT a AS node FROM g{TRUSS_ROUNDS}
+  UNION ALL SELECT b FROM g{TRUSS_ROUNDS}
+)
+GROUP BY node
+ORDER BY node"""
+    )
+
+
+@register(
+    "graph_ktruss",
+    oracle=_ktruss_oracle(),
+    description=f"{TRUSS_K}-truss of the near-dup graph by iterative "
+    f"edge peeling ({TRUSS_ROUNDS} fixed rounds, convergence test-"
+    "asserted): every surviving edge sits in ≥ "
+    f"{TRUSS_K - 2} triangle(s) — the EDGE-level cohesion rung above "
+    "graph_kcore's degree test, peeling exactly the chain-similarity "
+    "edges threshold dedup should distrust; per round one ordered "
+    "triangle join (O(m^1.5) under degree ordering) + a 3-role support "
+    "union + a semi-join, with the kcore checkpoint-cycling discipline "
+    "on the Spark side",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _spark_pairs(spark, sf_dir)
+    cycler = graph.CheckpointCycler(spark)
+    edges = cycler.step(
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+    )
+    for _ in range(TRUSS_ROUNDS):
+        e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+        e2 = edges.select(F.col("a").alias("u2"), F.col("b").alias("t_c"))
+        e3 = edges.select(F.col("a").alias("u3"), F.col("b").alias("v3"))
+        tri = (
+            e1.join(e2, e1.t_b == e2.u2)
+            .join(e3, (F.col("t_a") == F.col("u3")) & (F.col("t_c") == F.col("v3")))
+            .select("t_a", "t_b", "t_c")
+        )
+        support = (
+            tri.select(F.col("t_a").alias("ea"), F.col("t_b").alias("eb"))
+            .unionAll(tri.select(F.col("t_a").alias("ea"), F.col("t_c").alias("eb")))
+            .unionAll(tri.select(F.col("t_b").alias("ea"), F.col("t_c").alias("eb")))
+            .groupBy("ea", "eb")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= TRUSS_K - 2)
+        )
+        edges = cycler.step(
+            edges.join(
+                support,
+                (edges.a == support.ea) & (edges.b == support.eb),
+                "left_semi",
+            )
+        )
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("truss_degree"))
+        .orderBy("node")
+    )
