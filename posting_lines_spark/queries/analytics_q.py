@@ -6616,3 +6616,52 @@ FROM terms
 def stats_cvm_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_cvm_uniform_sql("DECIMAL(38,0)"))
+
+
+# --- period-over-period change report (wave 30) ---
+# The first dashboard every metrics stack ships: per event type and
+# day, revenue with day-over-day and week-over-week deltas. The lag
+# values come from explicit day−1 / day−7 self-joins (true calendar
+# offsets — never lag() over a gapped row sequence, the same
+# correctness point timeseries_granger makes), LEFT so the leading
+# days still report with NULL deltas; cents totals are exact BIGINTs
+# and each pct is one guarded division.
+#
+# Scale: one (type, day) aggregate + two calendar-bounded equi-joins;
+# report size = types × days.
+
+
+def _pop_sql(us: str) -> str:
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY event_type, {day}
+)
+SELECT c.event_type, c.day,
+       CAST(c.cents AS DOUBLE) / 100e0 AS revenue,
+       CAST(c.cents - d.cents AS DOUBLE) / nullif(CAST(d.cents AS DOUBLE), 0e0)
+         AS dod_pct,
+       CAST(c.cents - w.cents AS DOUBLE) / nullif(CAST(w.cents AS DOUBLE), 0e0)
+         AS wow_pct
+FROM daily c
+LEFT JOIN daily d ON d.event_type = c.event_type AND d.day = c.day - 1
+LEFT JOIN daily w ON w.event_type = c.event_type AND w.day = c.day - 7
+ORDER BY c.event_type, c.day
+"""
+
+
+@register(
+    "events_period_over_period",
+    oracle=_pop_sql("epoch_us(ts)"),
+    description="period-over-period change report (per type and day: "
+    "revenue, day-over-day %, week-over-week %): lags from explicit "
+    "day−1/day−7 calendar self-joins — never lag() over a gapped row "
+    "sequence — LEFT so leading days report NULL deltas; exact cents "
+    "totals, guarded divisions; two calendar-bounded equi-joins",
+)
+def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_pop_sql("unix_micros(ts)"))

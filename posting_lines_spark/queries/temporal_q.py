@@ -2967,3 +2967,91 @@ FROM g0 CROSS JOIN piv p
 def timeseries_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_newey_west_sql("unix_micros(ts)", "DECIMAL(38,0)"))
+
+
+# --- seasonal Mann-Kendall (wave 30) ---
+# timeseries_mann_kendall assumes one homogeneous series; metrics with
+# a weekly cycle (the corpus's event stream has one) violate that —
+# Monday-vs-Friday pairs carry the CYCLE, not the trend. The seasonal
+# variant (Hirsch & Slack 1984) compares only WITHIN-season pairs
+# (season = day-of-week here): S = Σ_seasons S_season,
+# Var·18 = Σ_seasons [n_s(n_s−1)(2n_s+5) − ties_s], z continuity-
+# corrected — the trend readout that survives seasonality. Same exact
+# discipline as the parent: decimal-routed daily means, S and the
+# 18-scaled variance exact BIGINTs, one fixed IEEE chain for z.
+#
+# Scale: the pair join is within-(type, season) — calendar-bounded
+# per season (n_s ≈ days/7), strictly smaller than the parent's.
+
+
+def _seasonal_mk_sql(epoch_us: str) -> str:
+    from posting_lines_spark.queries.parity import davg_expr
+
+    day = f"CAST(floor({epoch_us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day, {day} % 7 AS season, {davg_expr("value")} AS v
+  FROM events
+  GROUP BY event_type, {day}, {day} % 7
+),
+idx AS (
+  SELECT event_type, season, v,
+         CAST(row_number() OVER (PARTITION BY event_type, season
+                                 ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM idx a
+  JOIN idx b ON b.event_type = a.event_type AND b.season = a.season
+            AND b.i > a.i
+  GROUP BY a.event_type
+),
+per_season AS (
+  SELECT event_type, season, CAST(count(*) AS BIGINT) AS ns
+  FROM idx GROUP BY event_type, season
+),
+ties AS (
+  SELECT event_type,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (
+    SELECT event_type, season, v, CAST(count(*) AS BIGINT) AS t
+    FROM idx GROUP BY event_type, season, v
+  ) g
+  WHERE t > 1
+  GROUP BY event_type
+),
+var18 AS (
+  SELECT p.event_type,
+         CAST(sum(p.ns * (p.ns - 1) * (2 * p.ns + 5)) AS BIGINT)
+           - CAST(coalesce(max(t.tie18), 0) AS BIGINT) AS v18,
+         CAST(sum(p.ns) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) AS n_seasons
+  FROM per_season p LEFT JOIN ties t ON t.event_type = p.event_type
+  GROUP BY p.event_type
+)
+SELECT s.event_type, v.n_days, v.n_seasons, s.s_stat, v.v18 AS var18,
+       CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+            WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+            ELSE 0e0 END
+         / nullif(sqrt(CAST(v.v18 AS DOUBLE) / 18.0e0), 0e0) AS z_smk
+FROM s JOIN var18 v ON v.event_type = s.event_type
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "timeseries_seasonal_mann_kendall",
+    oracle=_seasonal_mk_sql("epoch_us(ts)"),
+    description="seasonal Mann-Kendall (Hirsch-Slack, season = day-of-"
+    "week): within-season pairs only, so a weekly cycle can't "
+    "masquerade as (or mask) a trend — S and the per-season-summed "
+    "tie-corrected 18-scaled variance exact BIGINTs, continuity-"
+    "corrected z one fixed IEEE chain; within-season pair join is "
+    "calendar-bounded and ~7× smaller than the parent's",
+)
+def timeseries_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonal_mk_sql("unix_micros(ts)"))

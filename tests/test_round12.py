@@ -999,3 +999,80 @@ def test_ktruss_converges_and_matches_python_peel(spark):
     assert {(r["node"], r["truss_degree"]) for r in got} == set(deg.items())
     # the truss genuinely prunes: strictly fewer edges than the raw graph
     assert 0 < len(edges) < len(pairs)
+
+
+# ---- wave-30 replays ----
+
+
+def test_seasonal_mk_matches_python(spark):
+    from collections import defaultdict
+
+    from tests.test_replays_r12 import _dsum, _tbl
+    from posting_lines_spark.queries import load_all
+
+    sums = defaultdict(list)
+    for e in _tbl("events"):
+        sums[(e["event_type"], _us(e) // 86_400_000_000)].append(e["value"])
+    daily = {k: _dsum(v) / len(v) for k, v in sums.items()}
+    by_ts = defaultdict(list)
+    for (t, d), v in daily.items():
+        by_ts[(t, d % 7)].append((d, v))
+    stats = defaultdict(lambda: [0, 0, 0, set()])  # s, var18, n, seasons
+    for (t, s_), dv in by_ts.items():
+        dv.sort()
+        vs = [v for _, v in dv]
+        ns = len(vs)
+        st = stats[t]
+        for i in range(ns):
+            for j in range(i + 1, ns):
+                st[0] += (vs[j] > vs[i]) - (vs[j] < vs[i])
+        ties = defaultdict(int)
+        for v in vs:
+            ties[v] += 1
+        st[1] += ns * (ns - 1) * (2 * ns + 5) - sum(
+            c * (c - 1) * (2 * c + 5) for c in ties.values() if c > 1
+        )
+        st[2] += ns
+        st[3].add(s_)
+    got = {r["event_type"]: r for r in load_all()["timeseries_seasonal_mann_kendall"].fn(spark, SF0001).collect()}
+    assert set(got) == set(stats)
+    import math
+
+    for t, (s, v18, n, seasons) in stats.items():
+        r = got[t]
+        assert r["s_stat"] == s
+        assert r["var18"] == v18
+        assert r["n_days"] == n
+        assert r["n_seasons"] == len(seasons) == 7
+        cc = s - 1 if s > 0 else s + 1 if s < 0 else 0
+        assert r["z_smk"] == cc / math.sqrt(v18 / 18.0)
+
+
+def test_period_over_period_matches_python(spark):
+    from collections import defaultdict
+
+    from tests.test_replays_r12 import _tbl
+    from posting_lines_spark.queries import load_all
+
+    cents = defaultdict(int)
+    for e in _tbl("events"):
+        cents[(e["event_type"], _us(e) // 86_400_000_000)] += round(e["value"] * 100)
+    got = load_all()["events_period_over_period"].fn(spark, SF0001).collect()
+    assert len(got) == len(cents)
+    n_null_dod = 0
+    for r in got:
+        k = (r["event_type"], r["day"])
+        assert r["revenue"] == cents[k] / 100.0
+        prev = cents.get((r["event_type"], r["day"] - 1))
+        week = cents.get((r["event_type"], r["day"] - 7))
+        if prev is None:
+            assert r["dod_pct"] is None
+            n_null_dod += 1
+        else:
+            assert r["dod_pct"] == (cents[k] - prev) / prev
+        if week is None:
+            assert r["wow_pct"] is None
+        else:
+            assert r["wow_pct"] == (cents[k] - week) / week
+    # leading days genuinely report NULL deltas (LEFT-join contract)
+    assert n_null_dod > 0
