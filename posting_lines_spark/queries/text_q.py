@@ -2378,3 +2378,98 @@ _STTR_TOKS_DUCK = (
 def text_sttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_sttr_sql(_STTR_TOKS_SPARK))
+
+
+# --- per-source tokenizer fertility (wave 31) ---
+# text_bpe_tokenize_apply reports CORPUS-level compression; tokenizer
+# commit decisions are made per STRATUM: fertility (BPE tokens per
+# whitespace word) by source is how under-served slices show up —
+# the source whose fertility is 2× the corpus mean is the one the
+# vocab shortchanges. The merge table is trained GLOBALLY (same
+# tokenizer everywhere — the honest setup), then each source's word
+# frequencies weight the per-word token counts; tokens per word =
+# (length(seq) − length(replace(seq,'|','')))/2, the wrapped-sentinel
+# count established by the apply query — exact integers throughout,
+# one guarded division per source.
+#
+# Scale: trainer is distinct-word-bounded; the per-source rollup is a
+# (source, word) aggregate joined to the word-bounded seq table.
+
+
+def _fertility_duck_sql() -> str:
+    body = _bpe_duck_sql()
+    cut = body.rindex("\nSELECT CAST(round AS INT)")
+    with_chain = body[:cut]
+    last_seq = f"seq{BPE_ROUNDS + 1}"
+    return f"""{with_chain},
+src_freq AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+  GROUP BY source, word
+)
+SELECT sf.source,
+       CAST(sum(sf.freq) AS BIGINT) AS n_words,
+       CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                AS BIGINT)) AS DOUBLE)
+         / nullif(CAST(sum(sf.freq) AS DOUBLE), 0e0) AS fertility,
+       CAST(sum(sf.freq * length(sf.word)) AS DOUBLE)
+         / nullif(CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                           AS BIGINT)) AS DOUBLE), 0e0) AS chars_per_token
+FROM src_freq sf JOIN {last_seq} s ON s.word = sf.word
+GROUP BY sf.source
+ORDER BY sf.source
+"""
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=_fertility_duck_sql(),
+    description=f"per-source tokenizer fertility after the "
+    f"{BPE_ROUNDS} globally-trained BPE merge rounds: BPE tokens per "
+    "whitespace word and chars-per-token by source — the per-stratum "
+    "readout that exposes which slice the vocabulary shortchanges "
+    "(corpus-level compression can hide a 2× outlier); exact "
+    "sentinel-count integers, guarded divisions; trainer "
+    "distinct-word-bounded, rollup one (source, word) aggregate "
+    "joined to the word-bounded seq table",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    w0 = spark.sql(
+        """
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
+WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+GROUP BY word
+"""
+    )
+    _, seq = _bpe_train(spark, w0, return_seq=True)
+    seq.createOrReplaceTempView("pls_fert_seq")
+    return spark.sql(
+        """
+WITH src_freq AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents) t
+  WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+  GROUP BY source, word
+)
+SELECT sf.source,
+       CAST(sum(sf.freq) AS BIGINT) AS n_words,
+       CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                AS BIGINT)) AS DOUBLE)
+         / nullif(CAST(sum(sf.freq) AS DOUBLE), 0e0) AS fertility,
+       CAST(sum(sf.freq * length(sf.word)) AS DOUBLE)
+         / nullif(CAST(sum(sf.freq * CAST((length(s.seq) - length(replace(s.seq, '|', ''))) / 2
+                           AS BIGINT)) AS DOUBLE), 0e0) AS chars_per_token
+FROM src_freq sf JOIN pls_fert_seq s ON s.word = sf.word
+GROUP BY sf.source
+ORDER BY sf.source
+"""
+    )

@@ -1076,3 +1076,56 @@ def test_period_over_period_matches_python(spark):
             assert r["wow_pct"] == (cents[k] - week) / week
     # leading days genuinely report NULL deltas (LEFT-join contract)
     assert n_null_dod > 0
+
+
+# ---- wave-31 replay (text_tokenizer_fertility) ----
+
+
+def test_tokenizer_fertility_matches_python(spark):
+    """Replay the per-source rollup over the ENGINE's trained seq table
+    (the trainer itself has its own oracle-paired queries + replays):
+    word freqs per source, sentinel token counts, both ratios."""
+    from collections import Counter, defaultdict
+
+    from tests.test_replays_r12 import _tbl
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.text_q import BPE_ROUNDS, _bpe_train
+
+    from posting_lines_spark.sources import load_table
+
+    load_table(spark, SF0001, "documents").createOrReplaceTempView("documents")
+    w0 = spark.sql(
+        """
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT explode(split(text, ' ')) AS word FROM documents) toks
+WHERE length(word) >= 2 AND word NOT LIKE '%|%'
+GROUP BY word
+"""
+    )
+    _, seq = _bpe_train(spark, w0, return_seq=True)
+    toks = {
+        r["word"]: (len(r["seq"]) - len(r["seq"].replace("|", ""))) // 2
+        for r in seq.collect()
+    }
+    freq = defaultdict(Counter)
+    for d in _tbl("documents"):
+        for w in d["text"].split(" "):
+            if len(w) >= 2 and "|" not in w:
+                freq[d["source"]][w] += 1
+    got = {r["source"]: r for r in load_all()["text_tokenizer_fertility"].fn(spark, SF0001).collect()}
+    assert set(got) == set(freq)
+    ferts = []
+    for src, words in freq.items():
+        n_words = sum(words.values())
+        n_tokens = sum(c * toks[w] for w, c in words.items())
+        n_chars = sum(c * len(w) for w, c in words.items())
+        r = got[src]
+        assert r["n_words"] == n_words
+        assert r["n_tokens"] == n_tokens
+        assert r["fertility"] == n_tokens / n_words
+        assert r["chars_per_token"] == n_chars / n_tokens
+        ferts.append(n_tokens / n_words)
+        # after 3 merges fertility sits between 1 (fully merged) and
+        # the mean word length (no merges)
+        assert 1.0 <= r["fertility"] <= r["chars_per_token"] * 10
+    assert len(set(round(f, 6) for f in ferts)) > 1  # strata differ
