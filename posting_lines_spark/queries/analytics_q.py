@@ -5766,13 +5766,20 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimates are engine-specific (Spark HLL++ vs DuckDB's HLL differ),
 # so the parity contract is the sketch_hll_merge one: emit the exact
 # values plus a boolean asserting the estimate lands within the
-# documented bound (rsd=0.02 → |est−exact| ≤ 3σ ≈ 6%); the oracle
-# computes the exact counts and TRUE literals. At extreme user counts
-# drop the exact aggregate and keep the HLL column — the state per
-# (day, grain) becomes a constant 2^lgK bytes instead of the user set.
+# documented bound; the oracle computes the exact counts and TRUE
+# literals. The PINNED bound is 5σ (rsd=0.02 → 10%) so the TRUE
+# contract is robust on any new SF/dataset (ADVICE r12: at 3σ ~0.3%
+# of cells are EXPECTED outside the bound even when the sketch is
+# correct — a pinned-TRUE oracle must sit beyond the expected tail);
+# the tight 3σ ≈ 6% empirical check lives in tests/test_round13.py
+# against the fixed sf0.001/sf0.01 corpora where it is deterministic.
+# At extreme user counts drop the exact aggregate and keep the HLL
+# column — the state per (day, grain) becomes a constant 2^lgK bytes
+# instead of the user set.
 
 _AU_RSD = 0.02
-_AU_BOUND = 0.06  # 3 × rsd
+_AU_BOUND = 0.10  # 5 × rsd — beyond the expected 3σ tail (parity pin)
+_AU_TIGHT = 0.06  # 3 × rsd — asserted in tests on the fixed corpora
 
 
 def _active_users_hll_sql(us: str, engine: bool) -> str:
@@ -5836,8 +5843,11 @@ ORDER BY d.day
     f"(HLL++, rsd={_AU_RSD}) computed alongside the exact count at "
     "every grain — proving the swap is a one-function substitution; "
     "parity follows the sketch_hll_merge contract (exact values + "
-    f"3σ≈{_AU_BOUND:.0%} bound booleans; sketch estimates are engine-"
-    "specific, the bound is not); at extreme user counts the exact "
+    f"5σ≈{_AU_BOUND:.0%} bound booleans — pinned beyond the expected "
+    f"3σ tail so TRUE is robust on any dataset; the tight "
+    f"{_AU_TIGHT:.0%} check is test-side on the fixed corpora; sketch "
+    "estimates are engine-specific, the bound is not); at extreme "
+    "user counts the exact "
     "aggregate drops and per-(day,grain) state becomes constant "
     "2^lgK bytes",
 )
@@ -6310,7 +6320,8 @@ cum AS (
   FROM counts
 )
 SELECT t.n_viewers, t.n_converted,
-       CAST(t.n_converted AS DOUBLE) / CAST(t.n_viewers AS DOUBLE)
+       CAST(t.n_converted AS DOUBLE) / nullif(CAST(t.n_viewers AS DOUBLE),
+                                              0e0)
          AS conversion_rate,
        (SELECT min(lat_min) FROM cum WHERE 2 * rc >= t.n_converted)
          AS p50_minutes,
@@ -6371,8 +6382,8 @@ ab AS (SELECT min(x) AS a, max(x) AS b FROM vals),
 gaps AS (
   SELECT cum.x, cum.n,
          CAST(cum.thru AS DOUBLE) / cum.n
-           - CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a) AS gp,
-         CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a)
+           - CAST(cum.x - ab.a AS DOUBLE) / nullif(ab.b - ab.a, 0) AS gp,
+         CAST(cum.x - ab.a AS DOUBLE) / nullif(ab.b - ab.a, 0)
            - CAST(cum.thru - cum.c AS DOUBLE) / cum.n AS gm
   FROM cum CROSS JOIN ab
 )
@@ -6419,16 +6430,21 @@ def stats_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("b"),
         F.sum("c").cast("long").alias("n"),
     )
+    # nullif guard (r12 ADVICE): on a degenerate single-value grid b == a
+    # and DuckDB would emit inf/NaN from x/0 while Spark emits NULL —
+    # nullif makes both engines emit NULL identically (same class as the
+    # stats_welch_anova guard).
+    span = F.expr("nullif(b - a, 0)")
     gaps = run.crossJoin(F.broadcast(ab)).select(
         "n",
         "a",
         "b",
         (
             F.col("run_c").cast("double") / F.col("n")
-            - (F.col("x") - F.col("a")).cast("double") / (F.col("b") - F.col("a"))
+            - (F.col("x") - F.col("a")).cast("double") / span
         ).alias("gp"),
         (
-            (F.col("x") - F.col("a")).cast("double") / (F.col("b") - F.col("a"))
+            (F.col("x") - F.col("a")).cast("double") / span
             - (F.col("run_c") - F.col("c")).cast("double") / F.col("n")
         ).alias("gm"),
     )
@@ -6581,9 +6597,9 @@ ab AS (SELECT min(x) AS a, max(x) AS b FROM vals),
 terms AS (
   SELECT cum.x, cum.n,
          CAST(cum.c AS DOUBLE)
-             * (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
-             * (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
-         - (CAST(cum.x - ab.a AS DOUBLE) / (ab.b - ab.a))
+             * (CAST(cum.x - ab.a AS DOUBLE) / nullif(ab.b - ab.a, 0))
+             * (CAST(cum.x - ab.a AS DOUBLE) / nullif(ab.b - ab.a, 0))
+         - (CAST(cum.x - ab.a AS DOUBLE) / nullif(ab.b - ab.a, 0))
              * {s2d(f"CAST(CAST(cum.hi AS {w19}) * cum.hi - CAST(cum.hi - cum.c AS {w19}) * (cum.hi - cum.c) AS {w19})")}
              / CAST(cum.n AS DOUBLE)
          + {s2d(

@@ -1083,7 +1083,8 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic integer-ln kernel (functions/dmath.py), evaluated on
 # the per-column VALUE-COUNT tables (bounded by each column's domain
 # — flags/modes/quantities, never row-shaped); the Σ c·ln c reduction
-# is decimal-routed. norm_entropy = H/ln(NDV) ∈ [0,1] is the
+# is an order-pinned fold in value order (identical addition order on
+# both engines ⇒ bit-identical). norm_entropy = H/ln(NDV) ∈ [0,1] is the
 # uniformity readout (NULL where NDV = 1).
 #
 # Scale: per column one aggregate with map-side combine (state = that

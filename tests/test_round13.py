@@ -1,0 +1,173 @@
+"""Round-13 regression tests.
+
+ADVICE-r12 items — the same degenerate-input parity class as r11/r12:
+
+1. (medium) stats_ks_uniform / stats_cvm_uniform divided by
+   (ab.b - ab.a) unguarded: a single-value purchase grid has b = a, so
+   Spark emitted NULL while DuckDB emitted inf/NaN from x/0 — the
+   engine/oracle divergence the welch_anova nullif guards exist to
+   prevent. Fixed with nullif(ab.b - ab.a, 0) in the shared SQL and
+   the Spark DataFrame path; these tests drive the degenerate grid
+   through the FULL registered queries on both engines.
+
+2. (low) events_time_to_convert computed n_converted / n_viewers
+   without a zero guard — zero 'view' events diverged the same way.
+   Fixed with nullif(CAST(n_viewers AS DOUBLE), 0e0).
+
+3. (low) events_active_users_hll's oracle pinned TRUE bound booleans
+   at 3σ, where ~0.3% of cells are EXPECTED outside the bound on any
+   new dataset even when the sketch is correct. The pinned parity
+   bound is now 5σ (10%); the tight 3σ (6%) check moved HERE, where
+   the corpus is fixed and the check deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import SF0001
+
+
+def _canon_rows(rows, cols):
+    from tools.check_oracle import rows_canon
+
+    return rows_canon([tuple(r) for r in rows], [c.lower() for c in cols])
+
+
+def _write_events_parquet(tmpdir: str, rows) -> str:
+    """Write a minimal events.parquet (full production schema) from
+    (event_id, ts_us, user_id, event_type, value) tuples; return the
+    directory usable as an sf_dir for load_table and DuckDB alike."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+def _run_both(spark, name: str, sf_dir: str):
+    """Run registered query `name`'s engine fn AND its DuckDB oracle on
+    the same sf_dir; return (spark_rows, duck_rows, columns)."""
+    from posting_lines_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = spec.fn(spark, sf_dir)
+    got = sdf.collect()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        want = res.fetchall()
+    finally:
+        con.close()
+    assert [c.lower() for c in sdf.columns] == [c.lower() for c in dcols]
+    return got, want, sdf.columns
+
+
+# Ten purchases all at exactly one value: the Uniform[min,max] reference
+# degenerates to a point (b = a).
+_DEGEN_GRID = [
+    (i, 86_400_000_000 + i * 1_000_000, i % 3, "purchase", 5.00)
+    for i in range(10)
+]
+
+
+def test_ks_uniform_single_value_grid_null_on_both_engines(spark, tmp_path):
+    sf = _write_events_parquet(str(tmp_path), _DEGEN_GRID)
+    got, want, cols = _run_both(spark, "stats_ks_uniform", sf)
+    assert _canon_rows(got, cols) == _canon_rows(want, cols)
+    (row,) = got
+    assert row["n"] == 10
+    assert row["ref_lo"] == row["ref_hi"] == 5.00
+    # the degenerate span surfaces as NULL, never inf/NaN
+    for c in ("d_plus", "d_minus", "d_stat", "d_scaled"):
+        assert row[c] is None
+
+
+def test_cvm_uniform_single_value_grid_null_on_both_engines(spark, tmp_path):
+    sf = _write_events_parquet(str(tmp_path), _DEGEN_GRID)
+    got, want, cols = _run_both(spark, "stats_cvm_uniform", sf)
+    assert _canon_rows(got, cols) == _canon_rows(want, cols)
+    (row,) = got
+    assert row["n"] == 10
+    assert row["cvm_t"] is None and row["omega2"] is None
+
+
+def test_time_to_convert_zero_viewers_null_on_both_engines(spark, tmp_path):
+    # purchases only — no 'view' events, so n_viewers = 0
+    rows = [
+        (i, 86_400_000_000 + i * 60_000_000, i, "purchase", 1.0 + i)
+        for i in range(5)
+    ]
+    sf = _write_events_parquet(str(tmp_path), rows)
+    got, want, cols = _run_both(spark, "events_time_to_convert", sf)
+    assert _canon_rows(got, cols) == _canon_rows(want, cols)
+    (row,) = got
+    assert row["n_viewers"] == 0 and row["n_converted"] == 0
+    assert row["conversion_rate"] is None
+
+
+def test_ks_cvm_guards_inert_on_healthy_data(spark, duck):
+    """The nullif guards must be no-ops on real (multi-valued) data:
+    finite statistics, engine/oracle exact-identical at sf0.001."""
+    from posting_lines_spark.queries import load_all
+
+    for name in ("stats_ks_uniform", "stats_cvm_uniform"):
+        spec = load_all()[name]
+        sdf = spec.fn(spark, SF0001)
+        got = sdf.collect()
+        res = duck.execute(spec.oracle)
+        want = res.fetchall()
+        cols = [c.lower() for c in sdf.columns]
+        assert _canon_rows(got, cols) == _canon_rows(want, cols)
+        (row,) = got
+        key = "d_stat" if name == "stats_ks_uniform" else "omega2"
+        assert row[key] is not None and row[key] > 0.0
+
+
+def test_active_users_hll_tight_bound_on_fixed_corpus(spark):
+    """The registered parity contract pins the bound booleans at 5σ
+    (robust to the expected 3σ tail on ANY dataset); the tight 3σ check
+    belongs here, where the corpus is fixed and the result is
+    deterministic: every (day, grain) HLL estimate at sf0.001 must land
+    within 6% of the exact distinct count."""
+    import re
+
+    from posting_lines_spark.queries.analytics_q import (
+        _AU_BOUND,
+        _AU_TIGHT,
+        _active_users_hll_sql,
+    )
+    from posting_lines_spark.sources.tables import load_table
+
+    assert _AU_BOUND > _AU_TIGHT  # the pin must sit beyond the test bound
+    sql = _active_users_hll_sql("unix_micros(ts)", engine=True)
+    tight = re.sub(
+        rf"{_AU_BOUND}e0", f"{_AU_TIGHT}e0", sql
+    )
+    assert tight != sql
+    load_table(spark, SF0001, "events").createOrReplaceTempView("events")
+    rows = spark.sql(tight).collect()
+    assert rows
+    for r in rows:
+        assert r["dau_ok"] and r["wau_ok"] and r["mau_ok"], (
+            f"day {r['day']}: HLL estimate outside the tight "
+            f"{_AU_TIGHT:.0%} bound"
+        )

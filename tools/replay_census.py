@@ -43,7 +43,7 @@ TESTS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tests")
 # mirror, not an independent replay.
 _ORACLE_MARKERS = re.compile(r"\.oracle\b|duck\.execute|_assert_query_matches_oracle")
 
-# DuckDB-only tokens: if the oracle contains any, the engine必然 runs a
+# DuckDB-only tokens: if the oracle contains any, the engine necessarily runs a
 # DIFFERENT text, so engine/oracle parity is already an independent
 # two-formulation check.
 _DIVERGENT = re.compile(
