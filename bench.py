@@ -2,6 +2,13 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+By default BOTH bench tiers run in the one session and the one JSON
+line carries both (VERDICT r12 item 2 — tier 2 previously lived only
+in SCALE.md prose, so heavy-tail regressions were invisible to the
+driver's BENCH_r{N}.json): the top-level metric/value/queries stay the
+frozen tier-1 headline set for round-over-round comparability, and a
+`tier2` object carries the 10 heaviest-shuffle registry queries.
+
 Each query is forced end-to-end with a noop write (full computation on
 executors, no driver collect — measures the plan, not the pickle).
 """
@@ -46,8 +53,7 @@ def tier2_names(n: int = 10) -> list[str]:
     regressions in the heavy tail were invisible to BENCH. Membership
     is recomputed from PLANS.md each time, so the tier ROTATES as the
     registry grows and plans change; the headline set stays frozen for
-    round-over-round comparability. Run with SPARK_GRAFT_BENCH_TIER=2
-    (the closing SCALE.md entry reports both tiers)."""
+    round-over-round comparability."""
     import re
 
     rows = []
@@ -59,6 +65,40 @@ def tier2_names(n: int = 10) -> list[str]:
                 rows.append((float(m.group(2)), m.group(1)))
     rows.sort(reverse=True)
     return [name for _, name in rows[:n]]
+
+
+def _time_set(spark, qs, names: list[str], runs: int):
+    """Warmup + p50-of-N timed noop-write runs per query. Returns
+    (timings, errors); failed queries are EXCLUDED from totals and
+    reported so a crash can't flatter the headline number."""
+    # Warmup pass (untimed): compiles codegen, JITs the hot loops, and
+    # materializes per-process fixtures, so the timed pass measures
+    # steady-state operator throughput — the number that scales to a real
+    # cluster — rather than one-time driver-side compilation.
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        for name in names:
+            try:
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001
+                pass
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+                print(f"# bench error in {name}: {e}", flush=True)
+                errors[name] = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                break
+        if samples:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+    return timings, errors
 
 
 def main() -> None:
@@ -95,44 +135,31 @@ def main() -> None:
 
     spark = get_spark(app="bench")
     qs = entrymod.queries()
-    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "1")
-    roster = tier2_names() if tier == "2" else HEADLINE
-    names = [n for n in roster if n in qs] or list(qs)
+    # SPARK_GRAFT_BENCH_TIER: "both" (default) | "1" (headline only) |
+    # "2" (heavy tier only — kept for iterating on one heavy query).
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "both")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # warm the JVM + parquet footer cache once with a trivial action
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).count()
 
-    # Warmup pass (untimed): compiles codegen, JITs the hot loops, and
-    # materializes per-process fixtures, so the timed pass measures
-    # steady-state operator throughput — the number that scales to a real
-    # cluster — rather than one-time driver-side compilation.
-    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
-        for name in names:
-            try:
-                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            except Exception:  # noqa: BLE001
-                pass
-
-    # p50 of N timed runs per query so round-over-round trends aren't
-    # single-sample noise; failed queries are EXCLUDED from the total and
-    # reported in `errors` so a crash can't flatter the headline number.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    t1_names = [n for n in HEADLINE if n in qs] or list(qs)
+    t2_names = [n for n in tier2_names() if n in qs]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        samples: list[float] = []
-        for _ in range(runs):
-            t0 = time.time()
-            try:
-                df = qs[name](spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-            except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-                print(f"# bench error in {name}: {e}", flush=True)
-                errors[name] = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
-                break
-        if samples:
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+    tier2: dict | None = None
+    if tier in ("1", "both"):
+        timings, errors = _time_set(spark, qs, t1_names, runs)
+    if tier in ("2", "both"):
+        t2_timings, t2_errors = _time_set(spark, qs, t2_names, runs)
+        tier2 = {
+            "metric": "tier2_heavy_queries_total_wall",
+            "value": round(sum(t2_timings.values()), 3),
+            "queries": t2_timings,
+            "errors": t2_errors,
+        }
+        if tier == "2":  # tier-2-only run: promote it to the top level
+            timings, errors = t2_timings, t2_errors
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_after = os.getloadavg()
@@ -159,6 +186,8 @@ def main() -> None:
         "cpus": cpus,
         "contended": contended,
     }
+    if tier == "both" and tier2 is not None:
+        out["tier2"] = tier2
     if contended:
         print(
             f"# WARNING: pre-existing host load {load_before[0]:.1f} > "
