@@ -2427,3 +2427,62 @@ register(
     "breaks parity; oracle regenerates every pixel from md5 hex and "
     "never sees a BMP byte",
 )(multimodal_bmp_luma)
+
+
+def _png_luma_duck() -> str:
+    from posting_lines_spark.operators.multimodal import PNG_H, PNG_W
+
+    h = "md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR) || ':png')"
+
+    def byte_at(i: int) -> str:  # digest byte i as BIGINT from hex
+        return f"CAST('0x' || substring({h}, {2 * i + 1}, 2) AS BIGINT)"
+
+    # PNG channel order: R = digest byte 3p, G = 3p+1, B = 3p+2 (the BMP
+    # lane's BGR is reversed — the two oracles differ exactly there)
+    sr = " + ".join(byte_at(3 * p) for p in range(PNG_W))
+    sg = " + ".join(byte_at(3 * p + 1) for p in range(PNG_W))
+    sb = " + ".join(byte_at(3 * p + 2) for p in range(PNG_W))
+    wl = " + ".join(
+        f"(r.r + 1) * {p + 1} * (2 * {byte_at(3 * p)} + "
+        f"5 * {byte_at(3 * p + 1)} + {byte_at(3 * p + 2)})"
+        for p in range(PNG_W)
+    )
+    return f"""
+SELECT d.doc_id, CAST({PNG_W} AS BIGINT) AS width,
+       CAST({PNG_H} AS BIGINT) AS height,
+       CAST(sum({sr}) AS BIGINT) AS sum_r,
+       CAST(sum({sg}) AS BIGINT) AS sum_g,
+       CAST(sum({sb}) AS BIGINT) AS sum_b,
+       CAST(sum({wl}) AS BIGINT) AS weighted_luma
+FROM documents d
+CROSS JOIN (SELECT unnest(range(0, {PNG_H})) AS r) r
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def multimodal_png_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.multimodal import (
+        attach_png,
+        png_luma_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_luma_stats(attach_png(docs)).orderBy("doc_id")
+
+
+register(
+    "multimodal_png_luma",
+    oracle=_png_luma_duck(),
+    description="image stats through a REAL PNG container (round 13 — "
+    "the codec stub shrinks again): the engine encodes md5-derived "
+    "pixels into actual 8-bit truecolor PNGs (struct-built chunks with "
+    "CRC32, stdlib-zlib DEFLATE, scanline filter r%5 so every image "
+    "carries ALL FIVE PNG filters) and decodes them with a real "
+    "pure-Python parser (chunk walk + CRC verify, inflate, unfilter "
+    "None/Sub/Up/Average/Paeth); the position-weighted luma checksum "
+    "Σ(r+1)(p+1)(2R+5G+B) breaks if ANY unfilter path is wrong; "
+    "oracle regenerates every pixel from md5 hex and never sees a PNG "
+    "byte; NotImplementedError now covers only formats with no stdlib "
+    "codec (JPEG/MP3/H.264) and non-8-bit-truecolor PNG shapes",
+)(multimodal_png_luma)
