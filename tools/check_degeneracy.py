@@ -35,8 +35,12 @@ green.
 
 Usage:
   python tools/check_degeneracy.py --pin            # regenerate + review
+  python tools/check_degeneracy.py --pin q1 q2      # incremental pin
+  python tools/check_degeneracy.py --pin-sf01       # sf0.1 pins for the
+                                                    # bench tier-2 heavies
   python tools/check_degeneracy.py                  # gate at sf0.001
   python tools/check_degeneracy.py --sf sf001       # gate at sf0.01
+  python tools/check_degeneracy.py --sf sf01        # gate the sf01 pins
   python tools/check_degeneracy.py --sf sf001 q1 q2 # subset gate
 """
 
@@ -51,6 +55,12 @@ SF_DIRS = {
     "sf0001": "/root/testdata/sf0.001",
     "sf001": "/root/testdata/sf0.01",
 }
+# sf0.1 pins exist ONLY for the tier-2 heavy-shuffle queries (VERDICT
+# r12 item 5): those are exactly the queries whose row counts could
+# silently collapse at larger SFs without parity noticing (band-sweep
+# census cap, DBSCAN grid, modularity rounds). Pinned via --pin-sf01;
+# checked via --sf sf01 (covers only queries that carry an sf01 entry).
+SF01_DIR = "/root/testdata/sf0.1"
 # Queries whose engine side is legitimately nondeterministic in row
 # count (none today — parity discipline forbids it). Kept explicit so
 # any future exception is a reviewed one-liner, not a silent skip.
@@ -153,17 +163,57 @@ def pin(only: list[str] | None = None) -> int:
         print(f"pinned {done}/{len(registry)}  {name}: "
               f"{ns} -> {nb} rows", flush=True)
     spark.stop()
-    if only and os.path.exists(MANIFEST):
-        merged = _load_manifest()["queries"]
-        merged.update(out)
-        out = merged
+    sf_dirs = dict(SF_DIRS)
+    if os.path.exists(MANIFEST):
+        old = _load_manifest()
+        sf_dirs.update(old.get("sf_dirs", {}))
+        # sf01 pins (--pin-sf01, tier-2 heavies) survive a re-pin: the
+        # sf0001/sf001 profile refresh must not silently drop them
+        for name, prof in out.items():
+            if "sf01" in old.get("queries", {}).get(name, {}):
+                prof["sf01"] = old["queries"][name]["sf01"]
+        if only:
+            merged = old["queries"]
+            merged.update(out)
+            out = merged
     with open(MANIFEST, "w") as fh:
-        json.dump({"sf_dirs": SF_DIRS, "queries": out}, fh, indent=1,
+        json.dump({"sf_dirs": sf_dirs, "queries": out}, fh, indent=1,
                   sort_keys=True)
     print(f"\nwrote {MANIFEST} ({len(out)} queries)")
     print(f"\n=== REVIEW REPORT ({len(review)} items) ===")
     for line in review:
         print(line)
+    return 0
+
+
+def pin_sf01(names: list[str]) -> int:
+    """Merge sf0.1 profiles for `names` (default: the current bench
+    tier-2 membership) into the existing manifest as an `sf01` section
+    per query."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.session import get_spark
+
+    if not names:
+        from bench import tier2_names
+
+        names = tier2_names()
+    registry = load_all()
+    unknown = sorted(set(names) - set(registry))
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 1
+    manifest = _load_manifest()
+    spark = get_spark(app="degeneracy-pin-sf01")
+    for name in names:
+        prof = _profile(spark, registry[name].fn, SF01_DIR)
+        manifest["queries"].setdefault(name, {})["sf01"] = prof
+        print(f"pinned sf01 {name}: {prof['rows']} rows", flush=True)
+    spark.stop()
+    manifest.setdefault("sf_dirs", dict(SF_DIRS))["sf01"] = SF01_DIR
+    with open(MANIFEST, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"wrote {MANIFEST} (+sf01 for {len(names)} queries)")
     return 0
 
 
@@ -184,8 +234,15 @@ def check(sf_label: str, only: list[str]) -> int:
     if extra:
         fails.append(f"manifest has unregistered queries: {extra}")
 
-    names = only or sorted(set(registry) & set(manifest))
-    sf_dir = SF_DIRS[sf_label]
+    if sf_label == "sf01":
+        # the sf01 tier covers only queries that carry an sf01 pin
+        names = only or sorted(
+            n for n, m in manifest.items() if "sf01" in m and n in registry
+        )
+        sf_dir = SF01_DIR
+    else:
+        names = only or sorted(set(registry) & set(manifest))
+        sf_dir = SF_DIRS[sf_label]
     spark = get_spark(app="degeneracy-check")
     npass = 0
     for name in names:
@@ -232,6 +289,9 @@ def check(sf_label: str, only: list[str]) -> int:
 
 def main() -> int:
     args = sys.argv[1:]
+    if "--pin-sf01" in args:
+        args.remove("--pin-sf01")
+        return pin_sf01([a for a in args if not a.startswith("-")])
     if "--pin" in args:
         args.remove("--pin")
         return pin([a for a in args if not a.startswith("-")] or None)

@@ -1,0 +1,140 @@
+"""One-command round-closing gate (VERDICT r12 item 7): the close
+ritual was six manual invocations documented in prose — full oracle
+sweep at two SFs, degeneracy check, replay census, ledger-priority
+drift check, both bench tiers, full pytest. This runs all of them as
+subprocesses (each step's stdout tail is captured), writes ONE
+CLOSING.json artifact the next judge can diff, and exits non-zero if
+any gate fails.
+
+  python tools/close_round.py              # everything (~45-60 min)
+  python tools/close_round.py --skip-sf01-sweep --skip-bench   # quick
+
+Steps (name, command, pass criterion):
+  oracle_sf001   check_oracle.py /root/testdata/sf0.01   "ALL PASS"
+  oracle_sf01    check_oracle.py /root/testdata/sf0.1    "ALL PASS"
+  degeneracy     check_degeneracy.py (sf0001) + --sf sf001   "ALL PASS"
+  replay_census  replay_census.py                        risk == 0
+  ledger         ledger_priority.py --check              exit 0
+  bench          bench.py (both tiers)                   valid JSON, no errors
+  pytest         python -m pytest tests/ -q              exit 0
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLOSING = os.path.join(REPO, "CLOSING.json")
+
+
+def _run(cmd: list[str], timeout: int = 7200) -> tuple[int, str]:
+    p = subprocess.run(
+        [sys.executable] + cmd,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    return p.returncode, (p.stdout or "") + ("\n" + p.stderr if p.returncode else "")
+
+
+def main() -> int:
+    args = set(sys.argv[1:])
+    results: dict[str, dict] = {}
+    ok_all = True
+
+    def step(name: str, fn):
+        nonlocal ok_all
+        t0 = time.time()
+        try:
+            ok, detail = fn()
+        except Exception as e:  # noqa: BLE001
+            ok, detail = False, f"exception: {e}"
+        results[name] = {
+            "pass": ok,
+            "sec": round(time.time() - t0, 1),
+            "detail": detail,
+        }
+        ok_all = ok_all and ok
+        print(f"[close_round] {name}: {'PASS' if ok else 'FAIL'} "
+              f"({results[name]['sec']}s) {str(detail)[:150]}", flush=True)
+
+    def sweep(sf_dir: str):
+        rc, out = _run(["tools/check_oracle.py", sf_dir])
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        fails = len(re.findall(r"^FAIL", out, re.M))
+        return rc == 0 and "ALL PASS" in out, f"{tail} ({fails} FAIL lines)"
+
+    if "--skip-sf001-sweep" not in args:
+        step("oracle_sf001", lambda: sweep("/root/testdata/sf0.01"))
+    if "--skip-sf01-sweep" not in args:
+        step("oracle_sf01", lambda: sweep("/root/testdata/sf0.1"))
+
+    def degeneracy():
+        rc1, o1 = _run(["tools/check_degeneracy.py"])
+        rc2, o2 = _run(["tools/check_degeneracy.py", "--sf", "sf001"])
+        ok = rc1 == 0 and rc2 == 0 and "ALL PASS" in o1 and "ALL PASS" in o2
+        return ok, (o1.strip().splitlines()[-1:] + o2.strip().splitlines()[-1:])
+
+    if "--skip-degeneracy" not in args:
+        step("degeneracy", degeneracy)
+
+    def census():
+        rc, out = _run(["tools/replay_census.py"])
+        m = re.search(r"NO REPLAY \(risk\): (\d+)", out)
+        risk = int(m.group(1)) if m else -1
+        return rc == 0 and risk == 0, out.strip().splitlines()[-5:]
+
+    step("replay_census", census)
+
+    def ledger():
+        rc, out = _run(["tools/ledger_priority.py", "--check"])
+        return rc == 0, out.strip().splitlines()[-1:]
+
+    step("ledger", ledger)
+
+    if "--skip-bench" not in args:
+        def bench():
+            rc, out = _run(["bench.py"])
+            line = next(
+                (l for l in reversed(out.strip().splitlines())
+                 if l.startswith("{")), None
+            )
+            if rc != 0 or line is None:
+                return False, out.strip().splitlines()[-3:]
+            d = json.loads(line)
+            ok = not d.get("errors") and not d.get("tier2", {}).get("errors")
+            return ok, {
+                "headline": d.get("value"),
+                "tier2": d.get("tier2", {}).get("value"),
+                "contended": d.get("contended"),
+            }
+
+        step("bench", bench)
+
+    if "--skip-pytest" not in args:
+        def pytest_step():
+            rc, out = _run(["-m", "pytest", "tests/", "-q"])
+            return rc == 0, out.strip().splitlines()[-1:]
+
+        step("pytest", pytest_step)
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    with open(CLOSING, "w") as fh:
+        json.dump(
+            {"head": head, "all_pass": ok_all, "steps": results}, fh, indent=1
+        )
+    print(f"[close_round] wrote {CLOSING} — "
+          f"{'ALL GATES PASS' if ok_all else 'GATE FAILURES PRESENT'}")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
