@@ -1292,3 +1292,136 @@ def dedup_lsh_band_sweep(
         )
         .orderBy(F.col("bands").desc())
     )
+
+
+# --- hot-band salting under the correctness gate (wave 32) ---
+# The boilerplate-bucket lever (lsh_candidate_pairs hot_width) has been
+# output-equivalence-tested on fixtures and measured on the round-13
+# skew corpora — but the driver's oracle gate never EXECUTED the hot
+# path, because the shipped corpus has no bucket wider than hot_width.
+# This query builds a boilerplate cluster in-query (every doc gains a
+# disclaimer twin: 13 shared words + one of 7 variant suffixes — the
+# legal-footer shape real corpora drown in), arms a deliberately small
+# hot_width=32 so the cluster's band buckets are ALL hot, and emits a
+# bucket census + the candidate-pair count. The ORACLE computes the
+# pair set with the PLAIN band self-join — so every driver round now
+# proves the blocked (salted) pair generation ≡ the naive quadratic
+# one on a corpus where the hot path genuinely runs.
+#
+# Scale: the blocked join bounds per-key width at w·hot_width; the
+# bucket census is a band-key window (bucket-count-bounded).
+
+HOT_WIDTH = 32
+
+_BOIL_TEXT = (
+    "standard disclaimer boilerplate text all rights reserved "
+    "contact support for assistance version"
+)
+
+_BOIL_SPARK = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       concat('{_BOIL_TEXT} ', CAST(doc_id % 7 AS STRING)) AS text
+FROM documents
+"""
+_BOIL_DUCK = _BOIL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _hot_salted_oracle() -> str:
+    from posting_lines_spark.functions.hashing import cw_mix_sql, md5_limb_duck
+
+    limbs = [f"l{i}" for i in range(4)]
+    limb_cols = ", ".join(f"{md5_limb_duck('d', i)} AS l{i}" for i in range(4))
+    mins = ",\n       ".join(
+        f"min({cw_mix_sql(limbs, j)}) AS mh{j}" for j in range(NUM_HASHES)
+    )
+    rows = NUM_HASHES // BANDS
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(BANDS)
+    )
+    sh = f"""
+SELECT DISTINCT doc_id, unnest({shingle_sql_duck('text')}) AS shingle
+FROM ({_BOIL_DUCK})
+"""
+    return f"""
+WITH sh AS ({sh}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, {limb_cols}
+    FROM (SELECT doc_id, md5(concat('mh|', shingle)) AS d FROM sh)
+  )
+  GROUP BY doc_id
+),
+bands AS ({band_selects}),
+widths AS (
+  SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS w
+  FROM bands GROUP BY band_idx, band_key
+),
+census AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN w > {HOT_WIDTH} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hot_buckets,
+         CAST(max(w) AS BIGINT) AS max_bucket_width
+  FROM widths
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ({_BOIL_DUCK}))
+SELECT nd.n_docs, c.n_buckets, c.n_hot_buckets, c.max_bucket_width,
+       CAST({HOT_WIDTH} AS BIGINT) AS hot_width, np.n_candidate_pairs
+FROM nd CROSS JOIN census c CROSS JOIN np
+"""
+
+
+@register(
+    "dedup_lsh_hot_salted",
+    oracle=_hot_salted_oracle(),
+    description="LSH hot-band salting EXECUTED under the oracle gate: "
+    "an in-query boilerplate cluster (each doc gains a 13-word "
+    f"disclaimer twin, 7 suffix variants) with hot_width={HOT_WIDTH} "
+    "forces every cluster bucket through the blocked self-join "
+    "(_blocked_self_pairs — per-key width bounded at w·hot_width, not "
+    "w²); the oracle computes the pair set with the PLAIN quadratic "
+    "band self-join, so each driver round re-proves the salted pair "
+    "generation output-identical on a corpus where the hot path "
+    "genuinely runs; bucket census (n_hot_buckets ≥ 1 by construction) "
+    "reported in-band",
+)
+def dedup_lsh_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(_BOIL_SPARK).localCheckpoint(eager=False)
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    ).localCheckpoint(eager=False)
+    bands = dedup.band_signatures(sig, "doc_id", NUM_HASHES, BANDS)
+    widths = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    census = widths.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("w") > HOT_WIDTH, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot_buckets"),
+        F.max("w").cast("long").alias("max_bucket_width"),
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, "doc_id", NUM_HASHES, BANDS, hot_width=HOT_WIDTH
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    nd = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        nd.crossJoin(F.broadcast(census))
+        .withColumn("hot_width", F.lit(HOT_WIDTH).cast("long"))
+        .crossJoin(F.broadcast(np_))
+    )

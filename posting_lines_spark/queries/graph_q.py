@@ -2031,3 +2031,108 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("truss_degree"))
         .orderBy("node")
     )
+
+
+# --- neighbor-cap sensitivity census (wave 32) ---
+# The round-13 skew corpus showed the wedge cap's sharp edge: on a
+# hub-heavy graph the parity-demo cap=8 prunes the candidate set to
+# intra-clique pairs (0 survivors), while cap=64 keeps candidates AND
+# the |V|·cap² bound (SCALE.md round-13 rows). Production needs the
+# operating point chosen from DATA, so this query emits the cap-sweep
+# census the guidance reads from: per cap ∈ {4,8,16,32,64}, how many
+# nodes truncate, how many wedges survive (share of uncapped), and how
+# many non-edge candidate pairs remain. ONE uncapped wedge join carries
+# every answer: a wedge survives cap c iff greatest(rnk_1, rnk_2) ≤ c,
+# so the sweep is a cap-bounded fan-out over the wedge stream — never
+# five wedge joins.
+#
+# Scale: the single wedge join is the uncapped Σ deg² term (this is a
+# CENSUS of that term — on hub-heavy data run it on a sampled subgraph
+# or at the capped default and sweep downward); everything after is
+# cap-bounded (×5) plus one distinct.
+
+CAP_SWEEP = (4, 8, 16, 32, 64)
+
+
+def _cap_sweep_sql(lineitem_src: str) -> str:
+    caps = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS cap" for c in CAP_SWEEP
+    )
+    return f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem_src}
+),
+e AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING count(*) >= {LINKPRED_COOC}
+),
+adj0 AS (
+  SELECT a AS u, b AS v, w FROM e
+  UNION ALL SELECT b AS u, a AS v, w FROM e
+),
+adjr AS (
+  SELECT u, v,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY w DESC, v)
+              AS BIGINT) AS rnk
+  FROM adj0
+),
+maxr AS (SELECT u, CAST(max(rnk) AS BIGINT) AS mr FROM adjr GROUP BY u),
+wedge AS (
+  SELECT w1.u AS a, w2.v AS c,
+         CAST(greatest(w1.rnk, w2.rnk) AS BIGINT) AS eff
+  FROM adjr w1 JOIN adjr w2 ON w2.u = w1.v AND w1.u < w2.v
+),
+caps AS ({caps}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM wedge),
+wcnt AS (
+  SELECT cp.cap, CAST(count(w.a) AS BIGINT) AS n_wedges
+  FROM caps cp LEFT JOIN wedge w ON w.eff <= cp.cap
+  GROUP BY cp.cap
+),
+ccnt AS (
+  SELECT cp.cap, CAST(count(m.u) AS BIGINT) AS capped_nodes
+  FROM caps cp LEFT JOIN maxr m ON m.mr > cp.cap
+  GROUP BY cp.cap
+),
+cand AS (
+  SELECT cap, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM (
+    SELECT DISTINCT cp.cap, w.a, w.c
+    FROM caps cp
+    JOIN wedge w ON w.eff <= cp.cap
+    LEFT JOIN e ON e.a = w.a AND e.b = w.c
+    WHERE e.a IS NULL
+  ) t
+  GROUP BY cap
+)
+SELECT w.cap, c.capped_nodes, w.n_wedges,
+       CAST(w.n_wedges AS DOUBLE) / nullif(CAST(t.nw AS DOUBLE), 0e0)
+         AS wedge_share,
+       CAST(coalesce(cd.n_candidates, 0) AS BIGINT) AS n_candidates
+FROM wcnt w
+JOIN ccnt c ON c.cap = w.cap
+LEFT JOIN cand cd ON cd.cap = w.cap
+CROSS JOIN tot t
+ORDER BY w.cap
+"""
+
+
+@register(
+    "graph_linkpred_cap_sweep",
+    oracle=_cap_sweep_sql("lineitem"),
+    description="neighbor-cap sensitivity census for the wedge family "
+    f"(caps {CAP_SWEEP}): per cap, truncated-node count, surviving "
+    "wedges (share of uncapped), and non-edge candidate pairs — the "
+    "data a production deployment reads to pick the cap (round-13 skew "
+    "rows: cap=8 empties the candidate set on hub graphs, cap=64 keeps "
+    "both the bound and the candidates); ONE uncapped wedge join "
+    "carries the whole sweep via eff = greatest(rnk_1, rnk_2) ≤ cap — "
+    "a cap-bounded fan-out, never five wedge joins",
+)
+def graph_linkpred_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_cap_sweep_sql("lineitem"))

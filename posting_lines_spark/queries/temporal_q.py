@@ -3055,3 +3055,156 @@ ORDER BY s.event_type
 def timeseries_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_seasonal_mk_sql("unix_micros(ts)"))
+
+
+# --- CUSUM mean-shift drift detector (wave 32) ---
+# The change-POINT companion of timeseries_newey_west (which asks "how
+# uncertain is the mean?"): did the daily purchase level SHIFT
+# somewhere inside the window, and where? The Brownian-bridge CUSUM
+# statistic (Page 1954 / the KS-style bridge form):
+#   S_i  = prefix sum of daily cents in day order,
+#   D_i  = n·S_i − i·S_n            (the n-scaled bridge — EXACT integer),
+#   B*   = max_i |D_i| / sqrt(n · (n·Σx² − S_n²))  (σ̂-standardized),
+# with the argmax day reported as the shift-point estimate (earliest
+# day on ties — a total order). All prefix math is exact integers
+# (D_i is int64-safe through sf100; Σx² rides the wide-integer type),
+# doubles appear only in the final three ratios — the KS/CvM
+# discipline. No tabulated thresholds emitted (B* ≈ 1.36 is the usual
+# 95% gate; critical values are out of replay scope repo-wide).
+#
+# Scale: one day-grain aggregate (map-side combine), the global prefix
+# via the two-pass range-partitioned operator on the engine side
+# (calendar-bounded rows; the oracle keeps a plain window — it needn't
+# scale), a 1-row finish.
+
+CUSUM_TYPE = "purchase"
+
+
+def _cusum_sql(us: str, w19: str) -> str:
+    def s2d(x: str) -> str:
+        return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
+
+    day = f"CAST(floor({us} / 86400000000.0e0) AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = '{CUSUM_TYPE}'
+  GROUP BY {day}
+),
+run AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s
+  FROM daily
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sn,
+         CAST(sum(CAST(x AS {w19}) * x) AS {w19}) AS sxx
+  FROM daily
+),
+dev AS (
+  SELECT r.day,
+         CAST(b.n AS BIGINT) AS n,
+         CAST(b.n * r.s - r.i * b.sn AS BIGINT) AS d,
+         {s2d(f"CAST(CAST(b.n AS {w19}) * b.sxx - CAST(b.sn AS {w19}) * b.sn AS {w19})")}
+           AS varsum
+  FROM run r CROSS JOIN base b
+),
+peak AS (
+  SELECT n, varsum,
+         CAST(max(abs(d)) AS BIGINT) AS max_abs_dev,
+         CAST(max(d) AS BIGINT) AS max_pos_dev,
+         CAST(min(d) AS BIGINT) AS max_neg_dev
+  FROM dev GROUP BY n, varsum
+)
+SELECT p.n AS n_days,
+       p.max_abs_dev,
+       (SELECT min(day) FROM dev WHERE abs(d) = p.max_abs_dev)
+         AS shift_day,
+       CAST(p.max_abs_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_stat,
+       CAST(p.max_pos_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_up,
+       CAST(-p.max_neg_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_down
+FROM peak p
+"""
+
+
+@register(
+    "timeseries_cusum_drift",
+    oracle=_cusum_sql("epoch_us(ts)", "HUGEINT"),
+    description="Brownian-bridge CUSUM mean-shift detector on daily "
+    "purchase cents (the change-POINT companion of timeseries_newey_"
+    "west): D_i = n·S_i − i·S_n from exact integer prefix sums, "
+    "B* = max|D|/√(n·(nΣx²−S²)) with the argmax day as the shift-point "
+    "estimate (earliest on ties); engine prefix via the two-pass "
+    "range-partitioned running-sum operator, oracle keeps a plain "
+    "window; doubles only in the final ratios, no tabulated critical "
+    "values (B*≈1.36 is the usual 95% gate, out of replay scope)",
+)
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine formulation: the global prefix comes from the range-
+    # partitioned two-pass operator (never a single-partition window);
+    # identical values, different plan — the stats_ks_uniform split.
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == CUSUM_TYPE)
+        .groupBy(
+            F.expr(
+                "CAST(floor(unix_micros(ts) / 86400000000.0e0) AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100e0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    run = global_running_sums(daily, ["day"], ["x", "one"])
+    base = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sn"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    dev = run.crossJoin(F.broadcast(base)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("run_x") - F.col("run_one") * F.col("sn"))
+        .cast("long")
+        .alias("d"),
+        F.expr(
+            "CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sn AS DECIMAL(38,0)) * sn AS DECIMAL(38,0))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("varsum"),
+    )
+    dev.createOrReplaceTempView("pls_cusum_dev")
+    return spark.sql(
+        """
+WITH peak AS (
+  SELECT n, varsum,
+         CAST(max(abs(d)) AS BIGINT) AS max_abs_dev,
+         CAST(max(d) AS BIGINT) AS max_pos_dev,
+         CAST(min(d) AS BIGINT) AS max_neg_dev
+  FROM pls_cusum_dev GROUP BY n, varsum
+)
+SELECT p.n AS n_days,
+       p.max_abs_dev,
+       (SELECT min(day) FROM pls_cusum_dev WHERE abs(d) = p.max_abs_dev)
+         AS shift_day,
+       CAST(p.max_abs_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_stat,
+       CAST(p.max_pos_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_up,
+       CAST(-p.max_neg_dev AS DOUBLE)
+         / nullif(sqrt(CAST(p.n AS DOUBLE) * p.varsum), 0e0) AS bridge_down
+FROM peak p
+"""
+    )

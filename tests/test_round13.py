@@ -276,3 +276,139 @@ def test_png_luma_query_matches_python_replay(spark):
             for r in range(8)
             for p in range(5)
         )
+
+
+# ---- wave-32 replays (timeseries_cusum_drift, graph_linkpred_cap_sweep,
+# dedup_lsh_hot_salted) ----
+
+
+def test_cusum_drift_matches_python(spark):
+    import math
+    from collections import defaultdict
+
+    from tests.test_replays_r12 import _tbl
+    from posting_lines_spark.queries import load_all
+
+    daily = defaultdict(int)
+    for e in _tbl("events"):
+        if e["event_type"] == "purchase":
+            from datetime import datetime
+
+            us = int((e["ts"] - datetime(1970, 1, 1)).total_seconds() * 1e6)
+            daily[us // 86_400_000_000] += round(e["value"] * 100)
+    days = sorted(daily)
+    n = len(days)
+    sn = sum(daily.values())
+    sxx = sum(x * x for x in daily.values())
+    varsum = float(n * sxx - sn * sn)
+    s = 0
+    devs = []
+    for i, d in enumerate(days, 1):
+        s += daily[d]
+        devs.append((d, n * s - i * sn))
+    max_abs = max(abs(d) for _, d in devs)
+    shift_day = min(day for day, d in devs if abs(d) == max_abs)
+    denom = math.sqrt(float(n) * varsum)
+    (r,) = load_all()["timeseries_cusum_drift"].fn(spark, SF0001).collect()
+    assert r["n_days"] == n
+    assert r["max_abs_dev"] == max_abs
+    assert r["shift_day"] == shift_day
+    assert r["bridge_stat"] == max_abs / denom
+    assert r["bridge_up"] == max(d for _, d in devs) / denom
+    assert r["bridge_down"] == -min(d for _, d in devs) / denom
+    # the bridge endpoints are exactly zero: D_n = n·S_n − n·S_n
+    assert devs[-1][1] == 0
+    assert 0.0 < r["bridge_stat"]
+
+
+def test_cap_sweep_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    from tests.test_replays_r12 import _tbl
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.graph_q import CAP_SWEEP, LINKPRED_COOC
+
+    baskets = {(e["l_orderkey"], e["l_partkey"]) for e in _tbl("lineitem")}
+    per_order = defaultdict(list)
+    for o, p in baskets:
+        per_order[o].append(p)
+    cooc = Counter()
+    for parts in per_order.values():
+        parts.sort()
+        for i, a in enumerate(parts):
+            for c in parts[i + 1 :]:
+                cooc[(a, c)] += 1
+    edges = {p for p, w in cooc.items() if w >= LINKPRED_COOC}
+    adj = defaultdict(list)  # u -> [(w desc, v asc)]
+    for (a, c) in edges:
+        w = cooc[(a, c)]
+        adj[a].append((-w, c))
+        adj[c].append((-w, a))
+    rnk = {}
+    maxr = {}
+    for u, nbrs in adj.items():
+        nbrs.sort()
+        for i, (_, v) in enumerate(nbrs, 1):
+            rnk[(u, v)] = i
+        maxr[u] = len(nbrs)
+    wedges = []  # (a, c, eff) — the SQL's w1=(a→z), w2=(z→c) rank pair:
+    # eff = max(rank of z within a's list, rank of c within z's list)
+    for z, nbrs in adj.items():
+        vs = [v for _, v in nbrs]
+        for a in vs:
+            for c in vs:
+                if a < c:
+                    wedges.append((a, c, max(rnk[(a, z)], rnk[(z, c)])))
+    nw = len(wedges)
+    rows = load_all()["graph_linkpred_cap_sweep"].fn(spark, SF0001).collect()
+    assert [r["cap"] for r in rows] == list(CAP_SWEEP)
+    for r in rows:
+        cap = r["cap"]
+        surv = [(a, c) for a, c, eff in wedges if eff <= cap]
+        assert r["n_wedges"] == len(surv)
+        assert r["capped_nodes"] == sum(1 for m in maxr.values() if m > cap)
+        cands = {
+            (a, c) for a, c in surv
+            if (a, c) not in edges
+        }
+        assert r["n_candidates"] == len(cands)
+        assert r["wedge_share"] == len(surv) / float(nw)
+    # monotone: a larger cap never loses wedges or candidates
+    for r0, r1 in zip(rows, rows[1:]):
+        assert r1["n_wedges"] >= r0["n_wedges"]
+        assert r1["n_candidates"] >= r0["n_candidates"]
+        assert r1["capped_nodes"] <= r0["capped_nodes"]
+
+
+def test_hot_salted_lsh_census_and_equivalence(spark):
+    """The hot path must genuinely run (buckets wider than hot_width by
+    construction) and the blocked pair set must equal the plain
+    quadratic one computed engine-side with hot_width=None."""
+    from posting_lines_spark.operators import dedup
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.dedup_q import (
+        _BOIL_SPARK,
+        BANDS,
+        HOT_WIDTH,
+        NUM_HASHES,
+    )
+    from posting_lines_spark.sources import load_table
+
+    (r,) = load_all()["dedup_lsh_hot_salted"].fn(spark, SF0001).collect()
+    assert r["n_hot_buckets"] >= 1
+    assert r["max_bucket_width"] > HOT_WIDTH
+    assert r["n_docs"] == 1000  # every doc gains a boilerplate twin
+
+    load_table(spark, SF0001, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(_BOIL_SPARK)
+    sig = dedup.minhash_signature(
+        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+    ).localCheckpoint()
+    blocked = dedup.lsh_candidate_pairs(
+        sig, "doc_id", NUM_HASHES, BANDS, hot_width=HOT_WIDTH
+    )
+    plain = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=None)
+    b = {(x["id_a"], x["id_b"]) for x in blocked.collect()}
+    p = {(x["id_a"], x["id_b"]) for x in plain.collect()}
+    assert b == p
+    assert r["n_candidate_pairs"] == len(p)
