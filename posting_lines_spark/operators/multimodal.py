@@ -910,3 +910,39 @@ def png_luma_stats(df: DataFrame) -> DataFrame:
         schema="doc_id long, width long, height long, sum_r long, "
         "sum_g long, sum_b long, weighted_luma long",
     )
+
+
+def png_phash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the DECODED PNG raster — the real-
+    codec completion of phash48 (whose docstring promises: 'on real
+    images the same hash runs over the decoded luma raster'). Each PNG
+    is parsed (decode_png — CRC walk, inflate, all five unfilters),
+    per-pixel luma L = 2R+5G+B is computed on top-down row-major
+    coordinates, and bit k = r·W+p is set iff L_k·(W·H) > ΣL (the
+    integer-exact average rule shared with phash48); packed
+    little-endian into a BIGINT with the popcount alongside."""
+
+    def per_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+                w, h, px = decode_png(bytes(payload))
+                lum = [
+                    2 * px[r][p][0] + 5 * px[r][p][1] + px[r][p][2]
+                    for r in range(h)
+                    for p in range(w)
+                ]
+                total = sum(lum)
+                nbits = w * h
+                hsh = 0
+                for k, v in enumerate(lum):
+                    if v * nbits > total:
+                        hsh |= 1 << k
+                rows.append((int(doc_id), hsh, bin(hsh).count("1")))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash", "n_set_bits"])
+
+    return df.mapInPandas(
+        per_batch, schema="doc_id long, phash long, n_set_bits long"
+    )

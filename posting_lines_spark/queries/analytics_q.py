@@ -6681,3 +6681,125 @@ ORDER BY c.event_type, c.day
 def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_pop_sql("unix_micros(ts)"))
+
+
+# --- one-sample Anderson-Darling vs a uniform reference (wave 33) ---
+# Completes the one-sample GoF trio: KS reads the max ECDF gap, CvM
+# integrates the squared gap, AD re-weights that integral by
+# 1/(F(1−F)) — maximal sensitivity in the TAILS, which is where
+# pipeline truncation/clipping bugs live. A² from the order statistics:
+#   A² = −n − (1/n)·Σᵢ (2i−1)·[ln F(x₍ᵢ₎) + ln(1−F(x₍ₙ₊₁₋ᵢ₎))]
+# on the distinct-value grid in tied-block closed form (the CvM
+# discipline): a block with exclusive/inclusive cumulative bounds
+# (lo, hi] contributes (hi²−lo²) to Σ(2i−1) and 2n(hi−lo)−(hi²−lo²)
+# to the reversed-index weight. The reference is Uniform on
+# [a−½, b+½] (continuity correction on the cents grid — the endpoints
+# then have F ∈ (0,1) strictly, so ln never sees 0; the plain [a,b]
+# reference is undefined at its own sample extremes). Every ln is the
+# deterministic integer-ln kernel over EXACT integers:
+#   ln F(x)    = dln(2x−2a+1) − dln(2(b−a+1)),
+#   ln(1−F(x)) = dln(2b−2x+1) − dln(2(b−a+1)),
+# term sums decimal-routed. Parameters estimated from the sample
+# (same Lilliefors caveat as stats_ks_uniform, documented; critical
+# values are tabulated constants, out of replay scope repo-wide).
+#
+# Scale: one value-grid aggregate + a domain-bounded prefix (engine:
+# the range-partitioned two-pass operator; oracle: a plain window),
+# grid-bounded ln stages, a 1-row finish.
+
+ADU_TYPE = "purchase"
+
+
+def _ad_uniform_final(src: str) -> str:
+    """Shared finish over `src(x, c, hi, n, a, b)`: tied-block A²."""
+    from posting_lines_spark.functions.dmath import dln_int_cte_layers
+    from posting_lines_spark.queries.parity import dsum_expr
+
+    layers, last = dln_int_cte_layers(
+        [("fa", "fa"), ("fb", "fb"), ("fd", "fd")], "adargs", "adl"
+    )
+    return f"""
+WITH adargs AS (
+  SELECT x, c, hi, CAST(hi - c AS BIGINT) AS lo, n, a, b,
+         CAST(2 * x - 2 * a + 1 AS BIGINT) AS fa,
+         CAST(2 * b - 2 * x + 1 AS BIGINT) AS fb,
+         CAST(2 * (b - a + 1) AS BIGINT) AS fd
+  FROM {src}
+),
+{layers},
+terms AS (
+  SELECT n,
+         (CAST(hi AS DOUBLE) * hi - CAST(lo AS DOUBLE) * lo)
+             * (fa_ln - fd_ln)
+           + (2.0e0 * n * (hi - lo)
+              - (CAST(hi AS DOUBLE) * hi - CAST(lo AS DOUBLE) * lo))
+             * (fb_ln - fd_ln) AS t
+  FROM {last}
+)
+SELECT max(n) AS n,
+       (SELECT CAST(min(a) AS DOUBLE) / 100e0 FROM adargs) AS ref_lo,
+       (SELECT CAST(min(b) AS DOUBLE) / 100e0 FROM adargs) AS ref_hi,
+       -CAST(max(n) AS DOUBLE)
+         - {dsum_expr("t", 6)} / CAST(max(n) AS DOUBLE) AS a2
+FROM terms
+"""
+
+
+def _ad_uniform_oracle() -> str:
+    return f"""
+WITH vals AS (
+  SELECT CAST(round(value * 100e0) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = '{ADU_TYPE}'
+  GROUP BY 1
+),
+cum AS (
+  SELECT x, c,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS hi,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM vals
+),
+ab AS (SELECT min(x) AS a, max(x) AS b FROM vals),
+grid AS (
+  SELECT cum.x, cum.c, cum.hi, cum.n, ab.a, ab.b FROM cum CROSS JOIN ab
+),
+final AS ({_ad_uniform_final("grid")})
+SELECT * FROM final
+"""
+
+
+@register(
+    "stats_ad_uniform",
+    oracle=_ad_uniform_oracle(),
+    description="one-sample Anderson-Darling against the continuity-"
+    "corrected Uniform[min−½,max+½] reference on purchase cents — the "
+    "TAIL-weighted member of the GoF trio (KS max gap / CvM integrated "
+    "gap / AD 1/(F(1−F))-weighted): tied-block closed form on the "
+    "distinct-value grid, every ln the deterministic integer-ln kernel "
+    "over exact integers (ln F = dln(2x−2a+1) − dln(2(b−a+1))), term "
+    "sums decimal-routed; the ½-grid correction keeps F strictly "
+    "inside (0,1) so the sample extremes never hit ln 0; Lilliefors "
+    "caveat documented, critical values out of replay scope",
+)
+def stats_ad_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine: the global cumulative count comes from the two-pass
+    # range-partitioned prefix operator (the stats_ks_uniform split);
+    # the tied-block finish is the shared text over a temp view.
+    from posting_lines_spark.operators.ranking import global_running_sums
+
+    e = load_table(spark, sf_dir, "events")
+    vals = (
+        e.filter(F.col("event_type") == ADU_TYPE)
+        .groupBy(F.expr("CAST(round(value * 100e0) AS BIGINT)").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    run = global_running_sums(vals, ["x"], ["c"]).withColumnRenamed("run_c", "hi")
+    ab = vals.agg(
+        F.min("x").alias("a"),
+        F.max("x").alias("b"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    grid = run.crossJoin(F.broadcast(ab)).select("x", "c", "hi", "n", "a", "b")
+    grid.createOrReplaceTempView("pls_ad_grid")
+    return spark.sql(_ad_uniform_final("pls_ad_grid"))

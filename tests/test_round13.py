@@ -412,3 +412,75 @@ def test_hot_salted_lsh_census_and_equivalence(spark):
     p = {(x["id_a"], x["id_b"]) for x in plain.collect()}
     assert b == p
     assert r["n_candidate_pairs"] == len(p)
+
+
+# ---- wave-33 replays (multimodal_png_phash, stats_ad_uniform) ----
+
+
+def test_png_phash_matches_python_replay(spark):
+    """Regenerate pixels from md5 (never touching PNG bytes), replay the
+    average-hash bit rule, compare engine rows exactly."""
+    from posting_lines_spark.queries import load_all
+
+    rows = load_all()["multimodal_png_phash"].fn(spark, SF0001).collect()
+    assert len(rows) == 500
+    nonzero = 0
+    for row in rows[:25] + rows[-5:]:
+        px = _md5_png_pixels(row["doc_id"])
+        lum = [2 * p[0] + 5 * p[1] + p[2] for r_ in px for p in r_]
+        total = sum(lum)
+        h = 0
+        for k, v in enumerate(lum):
+            if v * len(lum) > total:
+                h |= 1 << k
+        assert row["phash"] == h
+        assert row["n_set_bits"] == bin(h).count("1")
+        nonzero += h != 0
+    assert nonzero > 0  # the hash is not vacuously zero
+
+
+def test_ad_uniform_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from tests.test_replays_r12 import _tbl
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.functions.dmath import dln_int_py
+
+    counts = Counter(
+        round(e["value"] * 100) for e in _tbl("events")
+        if e["event_type"] == "purchase"
+    )
+    n = sum(counts.values())
+    a, b = min(counts), max(counts)
+    ln_den = dln_int_py(2 * (b - a + 1))
+    hi = 0
+    t_sum = 0.0
+    for x in sorted(counts):
+        lo = hi
+        hi += counts[x]
+        w1 = float(hi) * hi - float(lo) * lo
+        w2 = 2.0 * n * (hi - lo) - w1
+        t_sum += w1 * (dln_int_py(2 * x - 2 * a + 1) - ln_den) + w2 * (
+            dln_int_py(2 * b - 2 * x + 1) - ln_den
+        )
+    (r,) = load_all()["stats_ad_uniform"].fn(spark, SF0001).collect()
+    assert r["n"] == n
+    assert (r["ref_lo"], r["ref_hi"]) == (a / 100.0, b / 100.0)
+    # replay sums in float order (engine decimal-routes): 1e-9 rel
+    assert r["a2"] == pytest.approx(-n - t_sum / n, rel=1e-9)
+    assert r["a2"] > 0.0
+    # definitional direct replay (per-occurrence order statistics) —
+    # independently verifies the tied-block algebra
+    xs = sorted(
+        x for x, c in counts.items() for _ in range(c)
+    )
+    a2 = -n - (1.0 / n) * sum(
+        (2 * i - 1)
+        * (
+            math.log((2 * xs[i - 1] - 2 * a + 1) / (2.0 * (b - a + 1)))
+            + math.log((2 * b - 2 * xs[n - i] + 1) / (2.0 * (b - a + 1)))
+        )
+        for i in range(1, n + 1)
+    )
+    assert r["a2"] == pytest.approx(a2, rel=1e-6)
