@@ -1318,12 +1318,21 @@ _BOIL_TEXT = (
     "contact support for assistance version"
 )
 
+# The boilerplate cluster is SF-INDEPENDENT (the 96 lowest doc_ids):
+# wide enough that every cluster bucket is hot (96 > hot_width=32) at
+# any scale factor, but bounded so the query itself stays linear — a
+# corpus-proportional cluster would make the candidate-pair set (and
+# the oracle's quadratic self-join) grow as corpus², which is the
+# disease this lever treats, not a fixture to ship (first cut did
+# exactly that: at sf1 the 50k-wide twin cluster meant 1.25e9 pairs).
+_BOIL_N = 96
+
 _BOIL_SPARK = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
 SELECT doc_id + 100000 AS doc_id,
        concat('{_BOIL_TEXT} ', CAST(doc_id % 7 AS STRING)) AS text
-FROM documents
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_BOIL_N}) t
 """
 _BOIL_DUCK = _BOIL_SPARK.replace("AS STRING", "AS VARCHAR")
 

@@ -394,10 +394,14 @@ def test_hot_salted_lsh_census_and_equivalence(spark):
     )
     from posting_lines_spark.sources import load_table
 
+    from posting_lines_spark.queries.dedup_q import _BOIL_N
+
     (r,) = load_all()["dedup_lsh_hot_salted"].fn(spark, SF0001).collect()
     assert r["n_hot_buckets"] >= 1
     assert r["max_bucket_width"] > HOT_WIDTH
-    assert r["n_docs"] == 1000  # every doc gains a boilerplate twin
+    # the boilerplate cluster is SF-independent and wider than hot_width
+    assert _BOIL_N > HOT_WIDTH
+    assert r["n_docs"] == 500 + _BOIL_N
 
     load_table(spark, SF0001, "documents").createOrReplaceTempView("documents")
     base = spark.sql(_BOIL_SPARK)
