@@ -33,6 +33,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn):
+        # Duplicate registration is a silent OVERWRITE of an existing
+        # query — round 13 nearly shipped one (a second
+        # "stats_runs_test" shadowed the round-8 original and the
+        # registry count quietly stayed flat). Fail loudly instead.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered ({REGISTRY[name].fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, description=description)
         return fn
 

@@ -6803,3 +6803,100 @@ def stats_ad_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = run.crossJoin(F.broadcast(ab)).select("x", "c", "hi", "n", "a", "b")
     grid.createOrReplaceTempView("pls_ad_grid")
     return spark.sql(_ad_uniform_final("pls_ad_grid"))
+
+
+# --- Wald-Wolfowitz runs test on the daily series (wave 34) ---
+# The randomness companion of timeseries_cusum_drift: CUSUM asks "did
+# the MEAN shift?"; the runs test asks "is the sequence of days even
+# RANDOM around its median?" — too few runs = positive serial
+# dependence (regimes), too many = oscillation. Dichotomize the daily
+# purchase-cents series against its exact median (2·median =
+# x₍⌈n/2⌉₎ + x₍n+1−⌈n/2⌉₎ — integer; days equal to the median are
+# dropped, the standard convention), count runs R in day order, and
+#   E[R] = 1 + 2·n1·n2/(n1+n2),
+#   Var  = 2·n1·n2·(2·n1·n2 − n1 − n2) / ((n1+n2)²·(n1+n2−1)),
+#   z    = (R − E[R]) / √Var
+# — every input an exact integer, doubles only in the final three
+# expressions, nullif-guarded (an all-above or all-below split has
+# Var = 0 and both engines emit NULL identically). No p-value (normal
+# quantiles are tabulated, out of replay scope repo-wide).
+#
+# Scale: the day grid is calendar-bounded, so the rank/lag windows are
+# bounded rows at any corpus size — the daily-series discipline shared
+# with timeseries_newey_west.
+
+RUNS_TYPE = "purchase"
+
+RUNS_TEST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor({{us}} / 86400000000.0e0) AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = '{RUNS_TYPE}'
+  GROUP BY 1
+),
+ranked AS (
+  SELECT day, x,
+         CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+med AS (
+  -- 2·median of the sorted values (rank-indexed; ties irrelevant to
+  -- the two middle positions). floor(x/2e0) not x/2: bare `/` is
+  -- DOUBLE division on BOTH engines, so `rk = (n+1)/2` matched no row
+  -- at even n and the whole test went NULL — vacuously parity-green;
+  -- the wave-34 Python replay caught it (the degeneracy-gate class).
+  SELECT CAST(sum(CASE WHEN rk = CAST(floor((n + 1) / 2.0e0) AS BIGINT)
+                       THEN x END)
+              + sum(CASE WHEN rk = CAST(floor(n / 2.0e0) AS BIGINT) + 1
+                         THEN x END) AS BIGINT) AS med2
+  FROM ranked
+),
+signs AS (
+  SELECT d.day, CASE WHEN 2 * d.x > m.med2 THEN 1 ELSE 0 END AS s
+  FROM daily d CROSS JOIN med m
+  WHERE 2 * d.x <> m.med2
+),
+runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+              OR s <> lag(s) OVER (ORDER BY day)
+         THEN 1 ELSE 0 END AS is_new
+  FROM signs
+),
+agg AS (
+  SELECT CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(sum(is_new) AS BIGINT) AS r
+  FROM runs
+)
+SELECT n1, n2, r,
+       1.0e0 + 2.0e0 * n1 * n2 / nullif(CAST(n1 + n2 AS DOUBLE), 0e0)
+         AS expected_runs,
+       (CAST(r AS DOUBLE)
+          - (1.0e0 + 2.0e0 * n1 * n2 / nullif(CAST(n1 + n2 AS DOUBLE), 0e0)))
+         / nullif(sqrt(
+             (2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2))
+             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                * nullif(CAST(n1 + n2 - 1 AS DOUBLE), 0e0))
+           ), 0e0) AS z_stat
+FROM agg
+"""
+
+
+@register(
+    "stats_runs_median",
+    oracle=RUNS_TEST_SQL.format(us="epoch_us(ts)"),
+    description="Wald-Wolfowitz MEDIAN-dichotomized runs test on daily "
+    "purchase cents — the level-randomness companion of the existing "
+    "up/down-sign stats_runs_test (that one reads successive-difference "
+    "signs; this one reads above/below the exact median, the two "
+    "classic dichotomizations catching different dependence shapes): "
+    "exact-integer 2·median (equal-to-median days dropped), run count "
+    "from a calendar-bounded lag window, closed-form E[R]/Var/z with "
+    "nullif guards so degenerate splits emit NULL on both engines; "
+    "normal quantiles out of replay scope",
+)
+def stats_runs_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(RUNS_TEST_SQL.format(us="unix_micros(ts)"))

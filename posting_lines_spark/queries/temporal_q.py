@@ -3208,3 +3208,85 @@ SELECT p.n AS n_days,
 FROM peak p
 """
     )
+
+
+# --- Pettitt change-point test (wave 34) ---
+# The RANK-based change-point companion of timeseries_cusum_drift:
+# CUSUM detects a MEAN shift and is variance-sensitive; Pettitt (1979)
+# is the Mann-Whitney form — distribution-free, robust to outliers.
+#   U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),   K = max_t |U_t|,
+# computed exactly via the tied-rank identity U_t = 2·S_t − t(n+1)
+# with S_t the prefix sum of AVERAGE ranks: a tied block with
+# exclusive/inclusive cumulative bounds (lo, hi] has average rank
+# (lo+hi+1)/2, so carrying R2 = lo+hi+1 = 2·avgrank keeps everything
+# integer — U_t = Σ_{i≤t} R2_i − t(n+1) exactly (sgn ties = 0 match
+# average ranks). The change-day estimate is the argmax (earliest on
+# ties). The significance approximation p ≈ 2·exp(−6K²/(n³+n²)) needs
+# a transcendental, so the EXPONENT −6K²/(n³+n²) is emitted instead
+# (pure rational → double, fully replayable; exp is a tabulated-
+# constant class repo-wide).
+#
+# Scale: value-grid tied ranks (domain-bounded) joined back to the
+# calendar-bounded daily series; windows are day-count-shaped.
+
+PETTITT_TYPE = "purchase"
+
+PETTITT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor({{us}} / 86400000000.0e0) AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100e0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = '{PETTITT_TYPE}'
+  GROUP BY 1
+),
+grid AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY x
+),
+cumg AS (
+  SELECT x,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS hi,
+         CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS lo
+  FROM grid
+),
+r2 AS (
+  SELECT d.day, CAST(g.lo + g.hi + 1 AS BIGINT) AS r2
+  FROM daily d JOIN cumg g ON g.x = d.x
+),
+pre AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(r2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s2,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM r2
+),
+u AS (
+  SELECT day, t, n, CAST(s2 - t * (n + 1) AS BIGINT) AS ut
+  FROM pre WHERE t < n
+),
+peak AS (SELECT CAST(max(abs(ut)) AS BIGINT) AS k, max(n) AS n FROM u)
+SELECT p.n AS n_days, p.k AS k_stat,
+       (SELECT min(day) FROM u WHERE abs(ut) = p.k) AS change_day,
+       -6.0e0 * p.k * p.k
+         / nullif(CAST(p.n AS DOUBLE) * p.n * p.n
+                  + CAST(p.n AS DOUBLE) * p.n, 0e0) AS log_p_over_2
+FROM peak p
+"""
+
+
+@register(
+    "timeseries_pettitt",
+    oracle=PETTITT_SQL.format(us="epoch_us(ts)"),
+    description="Pettitt rank-based change-point test on daily purchase "
+    "cents — the distribution-free companion of timeseries_cusum_drift "
+    "(Mann-Whitney form, robust to outliers): exact tied-rank identity "
+    "U_t = Σ R2 − t(n+1) with R2 = lo+hi+1 from the value grid (2× "
+    "average rank, integer), K = max|U_t| with the earliest argmax day "
+    "as the change-point estimate; the exp() of the significance "
+    "approximation is out of replay scope so its EXPONENT "
+    "−6K²/(n³+n²) is emitted instead",
+)
+def timeseries_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(PETTITT_SQL.format(us="unix_micros(ts)"))

@@ -488,3 +488,87 @@ def test_ad_uniform_matches_python(spark):
         for i in range(1, n + 1)
     )
     assert r["a2"] == pytest.approx(a2, rel=1e-6)
+
+
+# ---- wave-34 replays (stats_runs_test, timeseries_pettitt) ----
+
+
+def _daily_cents():
+    from collections import defaultdict
+    from datetime import datetime
+
+    from tests.test_replays_r12 import _tbl
+
+    daily = defaultdict(int)
+    for e in _tbl("events"):
+        if e["event_type"] == "purchase":
+            us = int((e["ts"] - datetime(1970, 1, 1)).total_seconds() * 1e6)
+            daily[us // 86_400_000_000] += round(e["value"] * 100)
+    return daily
+
+
+def test_runs_median_matches_python(spark):
+    import math
+
+    from posting_lines_spark.queries import load_all
+
+    daily = _daily_cents()
+    days = sorted(daily)
+    vals = sorted(daily.values())
+    n = len(days)
+    med2 = vals[(n + 1) // 2 - 1] + vals[n // 2]  # 2·median, rank-indexed
+    signs = [1 if 2 * daily[d] > med2 else 0 for d in days if 2 * daily[d] != med2]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    r = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    e_r = 1.0 + 2.0 * n1 * n2 / float(n1 + n2)
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (
+        float(n1 + n2) * (n1 + n2) * float(n1 + n2 - 1)
+    )
+    (row,) = load_all()["stats_runs_median"].fn(spark, SF0001).collect()
+    assert (row["n1"], row["n2"], row["r"]) == (n1, n2, r)
+    assert row["expected_runs"] == e_r
+    assert row["z_stat"] == (float(r) - e_r) / math.sqrt(var)
+    assert abs(row["z_stat"]) < 10.0  # sane magnitude
+
+
+def test_pettitt_matches_python(spark):
+    from collections import Counter
+
+    from posting_lines_spark.queries import load_all
+
+    daily = _daily_cents()
+    days = sorted(daily)
+    n = len(days)
+    counts = Counter(daily.values())
+    # value -> R2 = lo + hi + 1 (2x average rank)
+    r2 = {}
+    hi = 0
+    for x in sorted(counts):
+        lo = hi
+        hi += counts[x]
+        r2[x] = lo + hi + 1
+    s2 = 0
+    us = []
+    for t, d in enumerate(days, 1):
+        s2 += r2[daily[d]]
+        if t < n:
+            us.append((d, s2 - t * (n + 1)))
+    k = max(abs(u) for _, u in us)
+    change_day = min(d for d, u in us if abs(u) == k)
+    (row,) = load_all()["timeseries_pettitt"].fn(spark, SF0001).collect()
+    assert row["n_days"] == n
+    assert row["k_stat"] == k
+    assert row["change_day"] == change_day
+    assert row["log_p_over_2"] == -6.0 * k * k / (
+        float(n) * n * n + float(n) * n
+    )
+    # definitional direct replay: U_t = sum_{i<=t} sum_{j>t} sgn(x_i-x_j)
+    xs = [daily[d] for d in days]
+    for t in (1, n // 3, n // 2, n - 1):
+        u_direct = sum(
+            (xs[i] > xs[j]) - (xs[i] < xs[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        assert u_direct == dict(us)[days[t - 1]]
