@@ -3080,7 +3080,7 @@ def timeseries_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFr
 CUSUM_TYPE = "purchase"
 
 
-def _cusum_sql(us: str, w19: str) -> str:
+def _cusum_drift_sql(us: str, w19: str) -> str:
     def s2d(x: str) -> str:
         return f"CAST(CAST({x} AS STRING) AS DOUBLE)"
 
@@ -3136,7 +3136,7 @@ FROM peak p
 
 @register(
     "timeseries_cusum_drift",
-    oracle=_cusum_sql("epoch_us(ts)", "HUGEINT"),
+    oracle=_cusum_drift_sql("epoch_us(ts)", "HUGEINT"),
     description="Brownian-bridge CUSUM mean-shift detector on daily "
     "purchase cents (the change-POINT companion of timeseries_newey_"
     "west): D_i = n·S_i − i·S_n from exact integer prefix sums, "

@@ -572,3 +572,36 @@ def test_pettitt_matches_python(spark):
             for j in range(t, n)
         )
         assert u_direct == dict(us)[days[t - 1]]
+
+
+def test_no_duplicate_toplevel_defs_in_query_modules():
+    """A later same-named module-level function silently SHADOWS an
+    earlier one — round 13 hit this live: a second _cusum_sql broke the
+    round-8 timeseries_changepoint_cusum at runtime while every
+    individually-targeted check stayed green (only the full-registry
+    sweep caught it). AST-scan every queries module for duplicate
+    top-level def names; registration-name duplicates are separately
+    guarded in register() itself."""
+    import ast
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "posting_lines_spark",
+        "queries",
+    )
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(qdir, fname)).read())
+        seen: dict[str, int] = {}
+        dupes = []
+        for node in tree.body:  # top level only — nested defs are fine
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name in seen:
+                    dupes.append(
+                        f"{fname}:{node.lineno} def {node.name} shadows "
+                        f"line {seen[node.name]}"
+                    )
+                seen[node.name] = node.lineno
+        assert not dupes, dupes

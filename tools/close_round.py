@@ -66,9 +66,13 @@ def main() -> int:
 
     def sweep(sf_dir: str):
         rc, out = _run(["tools/check_oracle.py", sf_dir])
-        tail = out.strip().splitlines()[-1] if out.strip() else ""
-        fails = len(re.findall(r"^FAIL", out, re.M))
-        return rc == 0 and "ALL PASS" in out, f"{tail} ({fails} FAIL lines)"
+        # report the FAIL lines themselves, not the raw tail — on rc!=0
+        # stderr is appended and its last line is WARN noise
+        fail_lines = re.findall(r"^FAIL.*", out, re.M)
+        ok = rc == 0 and "ALL PASS" in out
+        return ok, fail_lines[:10] if fail_lines else (
+            "ALL PASS" if ok else out.strip().splitlines()[-3:]
+        )
 
     if "--skip-sf001-sweep" not in args:
         step("oracle_sf001", lambda: sweep("/root/testdata/sf0.01"))
