@@ -131,6 +131,14 @@ def main() -> int:
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
+    if "--merge" in args and os.path.exists(CLOSING):
+        # re-run of a subset after a fix: keep the prior run's passed
+        # steps, overwrite the re-run ones, recompute all_pass
+        with open(CLOSING) as fh:
+            prior = json.load(fh).get("steps", {})
+        prior.update(results)
+        results = prior
+        ok_all = all(s.get("pass") for s in results.values())
     with open(CLOSING, "w") as fh:
         json.dump(
             {"head": head, "all_pass": ok_all, "steps": results}, fh, indent=1
