@@ -6737,8 +6737,8 @@ terms AS (
   FROM {last}
 )
 SELECT max(n) AS n,
-       (SELECT CAST(min(a) AS DOUBLE) / 100e0 FROM adargs) AS ref_lo,
-       (SELECT CAST(min(b) AS DOUBLE) / 100e0 FROM adargs) AS ref_hi,
+       (SELECT CAST(2 * min(a) - 1 AS DOUBLE) / 200e0 FROM adargs) AS ref_lo,
+       (SELECT CAST(2 * min(b) + 1 AS DOUBLE) / 200e0 FROM adargs) AS ref_hi,
        -CAST(max(n) AS DOUBLE)
          - {dsum_expr("t", 6)} / CAST(max(n) AS DOUBLE) AS a2
 FROM terms

@@ -1327,10 +1327,17 @@ _BOIL_TEXT = (
 # exactly that: at sf1 the 50k-wide twin cluster meant 1.25e9 pairs).
 _BOIL_N = 96
 
+# Twin ids are offset by max(doc_id)+1 DERIVED FROM THE DATA (not a
+# fixed constant): a fixed +100000 collides with real doc_ids on
+# corpora with >100k docs or non-zero-based ids, silently merging
+# shingle sets per doc_id (parity would still hold — both sides share
+# the union — but the "every cluster bucket hot" property could
+# degrade unnoticed). A scalar subquery works identically in Spark
+# SQL and DuckDB.
 _BOIL_SPARK = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
-SELECT doc_id + 100000 AS doc_id,
+SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
        concat('{_BOIL_TEXT} ', CAST(doc_id % 7 AS STRING)) AS text
 FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_BOIL_N}) t
 """

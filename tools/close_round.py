@@ -15,7 +15,12 @@ Steps (name, command, pass criterion):
   degeneracy     check_degeneracy.py (sf0001) + --sf sf001   "ALL PASS"
   replay_census  replay_census.py                        risk == 0
   ledger         ledger_priority.py --check              exit 0
-  bench          bench.py (both tiers)                   valid JSON, no errors
+  bench          bench.py (both tiers)                   valid JSON, no errors,
+                 per-query p50s recorded; >1.5x vs prior uncontended
+                 reading requires a `regression: <name>` line in SCALE.md
+  skew_parity    make_skew.py (hub+order from sf0.1) then
+                 check_oracle.py on a pinned skew-sensitive subset
+                                                         both ALL PASS
   pytest         python -m pytest tests/ -q              exit 0
 """
 
@@ -43,10 +48,17 @@ def _run(cmd: list[str], timeout: int = 7200) -> tuple[int, str]:
     return p.returncode, (p.stdout or "") + ("\n" + p.stderr if p.returncode else "")
 
 
+def _git_head() -> str:
+    return subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+
 def main() -> int:
     args = set(sys.argv[1:])
     results: dict[str, dict] = {}
     ok_all = True
+    run_head = _git_head()
 
     def step(name: str, fn):
         nonlocal ok_all
@@ -59,6 +71,10 @@ def main() -> int:
             "pass": ok,
             "sec": round(time.time() - t0, 1),
             "detail": detail,
+            # per-step head (ADVICE r13): --merge keeps prior steps, so
+            # without this a step run against an older commit would be
+            # certified under the merged artifact's newer head
+            "head": run_head,
         }
         ok_all = ok_all and ok
         print(f"[close_round] {name}: {'PASS' if ok else 'FAIL'} "
@@ -113,13 +129,116 @@ def main() -> int:
                 return False, out.strip().splitlines()[-3:]
             d = json.loads(line)
             ok = not d.get("errors") and not d.get("tier2", {}).get("errors")
-            return ok, {
+            # Per-query p50s recorded IN THE ARTIFACT (VERDICT r13 item
+            # 1): BENCH_r{N}.json is driver-taken and can be
+            # contention-poisoned (r13: graph_label_propagation read
+            # 1.56x its r12 value at loadavg 3.3), while tier TOTALS
+            # alone can't adjudicate the ">1.5x gets a named
+            # explanation" rule. These numbers come from bench.py's
+            # loadavg-guarded run; `contended` records whether the
+            # guard lost.
+            detail = {
                 "headline": d.get("value"),
                 "tier2": d.get("tier2", {}).get("value"),
                 "contended": d.get("contended"),
+                "loadavg_before": d.get("loadavg_before"),
+                "runs_per_query": d.get("runs_per_query"),
+                "queries_tier1": d.get("queries"),
+                "queries_tier2": d.get("tier2", {}).get("queries"),
             }
+            # Regression rule: vs the PRIOR close's uncontended
+            # per-query readings, any query >1.5x (and above the 0.2 s
+            # noise floor) must be named in SCALE.md with a line
+            # containing `regression: <query_name>` — unexplained
+            # regressions FAIL the gate. Both sides must be
+            # uncontended; the comparison self-bootstraps (first run
+            # after this lands has no prior per-query record).
+            prior_q: dict[str, float] = {}
+            if os.path.exists(CLOSING):
+                with open(CLOSING) as fh:
+                    pb = json.load(fh).get("steps", {}).get("bench", {})
+                pdet = pb.get("detail")
+                if isinstance(pdet, dict) and not pdet.get("contended"):
+                    for k in ("queries_tier1", "queries_tier2"):
+                        prior_q.update(pdet.get(k) or {})
+            cur_q = {
+                **(d.get("queries") or {}),
+                **(d.get("tier2", {}).get("queries") or {}),
+            }
+            regressions = []
+            if not d.get("contended"):
+                for qn, t in cur_q.items():
+                    p = prior_q.get(qn)
+                    if p is not None and p >= 0.2 and t > 1.5 * p:
+                        regressions.append(
+                            {"query": qn, "prior": p, "now": t,
+                             "ratio": round(t / p, 2)}
+                        )
+            if regressions:
+                try:
+                    with open(os.path.join(REPO, "SCALE.md")) as fh:
+                        scale_txt = fh.read()
+                except OSError:
+                    scale_txt = ""
+                unexplained = [
+                    r["query"] for r in regressions
+                    if f"regression: {r['query']}" not in scale_txt
+                ]
+                detail["regressions"] = regressions
+                detail["unexplained_regressions"] = unexplained
+                if unexplained:
+                    ok = False
+            return ok, detail
 
         step("bench", bench)
+
+    # Skew-parity gate (VERDICT r13 item 2): the r13 skew-lever
+    # measurements were one-off SCALE.md rows — nothing re-verified
+    # correctness ON SKEW afterwards. Regenerate both fixtures from
+    # sf0.1 (deterministic: uniforms are xxhash64 of the pre-remap
+    # row, so same input -> same corpus) and exact-compare a pinned
+    # skew-sensitive subset against the DuckDB oracle on them.
+    SKEW_SRC = "/root/testdata/sf0.1"
+    SKEW_HUB_SUBSET = [
+        "dedup_minhash_lsh",        # hot LSH buckets genuinely engage
+        "dedup_lsh_hot_salted",     # blocked self-join under real skew
+        "graph_linkpred_capped",    # wedge cap binds on real hubs
+        "graph_linkpred_cap64",     # production cap: non-empty on hubs
+        "window_sessionize",        # hot users -> skewed session keys
+        "curation_domain_cap",      # dominant-domain cap engages
+    ]
+    SKEW_ORDER_SUBSET = [
+        "join_salted",              # one order = ~10% of lineitems
+        "q1_pricing_summary",       # AQE skew path on the hot shuffle
+    ]
+
+    if "--skip-skew" not in args:
+        def skew_parity():
+            tails = []
+            for mode, rel, subset in (
+                ("hub", ".benchdata/skew01", SKEW_HUB_SUBSET),
+                ("order", ".benchdata/skeworder01", SKEW_ORDER_SUBSET),
+            ):
+                dst = os.path.join(REPO, rel)
+                cmd = ["tools/make_skew.py", SKEW_SRC, dst]
+                if mode == "order":
+                    cmd += ["--mode", "order"]
+                rc, out = _run(cmd)
+                if rc != 0:
+                    return False, (
+                        [f"make_skew {mode} failed"]
+                        + out.strip().splitlines()[-3:]
+                    )
+                rc, out = _run(["tools/check_oracle.py", dst] + subset)
+                fail_lines = re.findall(r"^FAIL.*", out, re.M)
+                if rc != 0 or "ALL PASS" not in out:
+                    return False, [f"{mode}:"] + (
+                        fail_lines[:8] or out.strip().splitlines()[-3:]
+                    )
+                tails.append(f"{mode}: ALL PASS ({len(subset)} queries)")
+            return True, tails
+
+        step("skew_parity", skew_parity)
 
     if "--skip-pytest" not in args:
         def pytest_step():
@@ -128,20 +247,46 @@ def main() -> int:
 
         step("pytest", pytest_step)
 
-    head = subprocess.run(
-        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
+    head = _git_head()
     if "--merge" in args and os.path.exists(CLOSING):
         # re-run of a subset after a fix: keep the prior run's passed
-        # steps, overwrite the re-run ones, recompute all_pass
+        # steps, overwrite the re-run ones, recompute all_pass. Each
+        # kept step RETAINS the head it actually ran against (ADVICE
+        # r13: stamping the current head over prior steps certified
+        # them against a commit they never saw); a head mismatch is
+        # warned loudly and recorded in the artifact.
         with open(CLOSING) as fh:
-            prior = json.load(fh).get("steps", {})
+            prior_doc = json.load(fh)
+        prior = prior_doc.get("steps", {})
+        prior_head = prior_doc.get("head", "")
+        for s in prior.values():
+            s.setdefault("head", prior_head)
+        stale = sorted(
+            {s["head"] for n, s in prior.items()
+             if n not in results and s.get("head") and s["head"] != head}
+        )
+        if stale:
+            print(
+                f"[close_round] WARNING: --merge keeps steps from "
+                f"other head(s) {[h[:9] for h in stale]} != current "
+                f"{head[:9]} — those steps certify the OLDER commit; "
+                "re-run them for a single-head artifact",
+                flush=True,
+            )
         prior.update(results)
         results = prior
         ok_all = all(s.get("pass") for s in results.values())
+    mixed = sorted({s.get("head", head) for s in results.values()})
     with open(CLOSING, "w") as fh:
         json.dump(
-            {"head": head, "all_pass": ok_all, "steps": results}, fh, indent=1
+            {
+                "head": head,
+                "single_head": mixed == [head],
+                "all_pass": ok_all,
+                "steps": results,
+            },
+            fh,
+            indent=1,
         )
     print(f"[close_round] wrote {CLOSING} — "
           f"{'ALL GATES PASS' if ok_all else 'GATE FAILURES PRESENT'}")

@@ -46,18 +46,28 @@ CAP_TIMEOUT_DEFAULT = 900.0
 
 def _timed(spark, label: str, action, timeout_s: float | None = None):
     """Run `action()` under a job group; cancel at timeout. Returns
-    (seconds_or_None, result_or_None, timed_out)."""
+    (seconds_or_None, result_or_None, timed_out). timed_out is True
+    ONLY when the timer actually fired — a genuinely failing
+    measurement re-raises instead of masquerading as a cancellation."""
     sc = spark.sparkContext
     sc.setJobGroup(label, label)
-    cancel = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(label)) if timeout_s else None
+    fired = threading.Event()
+
+    def _cancel():
+        fired.set()
+        sc.cancelJobGroup(label)
+
+    cancel = threading.Timer(timeout_s, _cancel) if timeout_s else None
     t0 = time.time()
     try:
         if cancel:
             cancel.start()
         res = action()
         return round(time.time() - t0, 2), res, False
-    except Exception:  # noqa: BLE001 — cancelled (or genuinely failed late)
-        return None, None, True
+    except Exception:  # noqa: BLE001
+        if fired.is_set():
+            return None, None, True
+        raise  # genuine failure — surface it, don't report a timeout
     finally:
         if cancel:
             cancel.cancel()
