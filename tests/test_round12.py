@@ -408,26 +408,28 @@ def test_decode_media_dispatch_real_formats(spark):
 
 
 def test_decode_media_compressed_still_stubbed(spark):
-    # r13 update: PNG moved behind the REAL-decode boundary (stdlib
-    # zlib), so the stub assertion now uses JPEG — a format with no
-    # stdlib codec. A PNG magic with a garbage body is a PARSE error
-    # (the real decoder rejecting bad chunks), not a stub.
+    # r14 update: baseline JPEG moved behind the REAL-decode boundary
+    # (canonical Huffman + IDCT), so the stub assertion now uses MP3 —
+    # a format whose codec genuinely has no pure-Python path here. A
+    # JPEG or PNG magic with a garbage body is a PARSE error (the real
+    # decoder rejecting bad bytes), not a stub.
     from posting_lines_spark.operators import multimodal as mm
 
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0....jpeg...."))],
+        [(1, bytearray(b"ID3\x04\x00...mp3 frames..."))],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception) as ei:
         mm.decode_media(df).collect()
     assert "NotImplementedError" in str(ei.value)
 
-    bad_png = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n...."))], "doc_id long, payload binary"
-    )
-    with pytest.raises(Exception) as ei:
-        mm.decode_media(bad_png).collect()
-    assert "NotImplementedError" not in str(ei.value)  # real parser path
+    for bad in (b"\x89PNG\r\n\x1a\n....", b"\xff\xd8\xff\xe0....jpeg...."):
+        bad_df = spark.createDataFrame(
+            [(1, bytearray(bad))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception) as ei:
+            mm.decode_media(bad_df).collect()
+        assert "NotImplementedError" not in str(ei.value)  # real parser path
 
 
 def test_wav_vad_lane_equals_fake_pcm_lane(spark):

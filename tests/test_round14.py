@@ -177,3 +177,159 @@ def test_ad_uniform_ref_bounds_are_continuity_corrected(spark):
     ).fetchone()
     assert row["ref_lo"] == (2 * a - 1) / 200.0
     assert row["ref_hi"] == (2 * b + 1) / 200.0
+
+
+# ---- baseline JPEG codec (VERDICT r13 item 4: the boundary shrinks
+# to MP3/H.264) ----
+
+
+def _rand_coeff_blocks(seed: int, n_mcu: int, ncomp: int):
+    """Deterministic pseudo-random quantized coefficient blocks that
+    exercise every entropy path: DC diffs across categories, AC values,
+    zero runs > 16 (ZRL), trailing zeros (EOB), and full-density blocks
+    (no EOB)."""
+    import random
+
+    rng = random.Random(seed)
+    comp_blocks = []
+    for c in range(ncomp):
+        blocks = []
+        for m in range(n_mcu):
+            block = [0] * 64
+            block[0] = rng.randint(-500, 500)  # DC categories up to 9
+            style = (m + c) % 4
+            if style == 0:
+                pass  # DC-only: immediate EOB
+            elif style == 1:
+                block[63] = rng.choice([-1, 1])  # 62-zero run: 3x ZRL
+            elif style == 2:
+                for k in range(1, 64):  # dense: no EOB emitted
+                    block[k] = rng.randint(-255, 255) or 1
+            else:
+                for _ in range(8):
+                    block[rng.randint(1, 63)] = rng.randint(-1023, 1023)
+            blocks.append(block)
+        comp_blocks.append(blocks)
+    return comp_blocks
+
+
+def test_jpeg_coefficient_roundtrip_all_entropy_paths():
+    """encode -> parse recovers every quantized coefficient exactly —
+    the Huffman layer (categories, ZRL, EOB, byte stuffing, DC
+    prediction per component) is lossless by construction."""
+    from posting_lines_spark.operators import multimodal as mm
+
+    for seed in (1, 2, 3):
+        blocks = _rand_coeff_blocks(seed, n_mcu=6 * 4, ncomp=3)
+        payload = mm.encode_jpeg_baseline(blocks, 48, 32)
+        w, h, ncomp, quant, got = mm.parse_jpeg(payload)
+        assert (w, h, ncomp) == (48, 32, 3)
+        assert all(q == [1] * 64 for q in quant)
+        assert got == blocks
+
+
+def test_jpeg_grayscale_roundtrip():
+    from posting_lines_spark.operators import multimodal as mm
+
+    blocks = [_rand_coeff_blocks(9, 4, 1)[0]]
+    payload = mm.encode_jpeg_baseline(blocks, 16, 16)
+    w, h, ncomp, _, got = mm.parse_jpeg(payload)
+    assert (w, h, ncomp) == (16, 16, 1)
+    assert got == blocks
+    # full decode emits (L,L,L) and a DC-only block is pixel-exact
+    dc = [[0] * 64 for _ in range(4)]
+    dc[0][0] = 40  # dequant 40, IDCT plane 5.0, +128 -> 133
+    w, h, px = mm.decode_jpeg(mm.encode_jpeg_baseline([dc], 16, 16))
+    assert px[0][0] == (133, 133, 133)
+
+
+def test_jpeg_dc_only_lane_is_pixel_exact():
+    """The registered lane's contract: decode(encode(md5 blocks))
+    equals the closed-form YCbCr->RGB of the md5 values — the exact
+    arithmetic the DuckDB oracle replays."""
+    import hashlib
+    import math
+
+    from posting_lines_spark.operators import multimodal as mm
+
+    def conv(y, cb, cr):
+        r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+        return (cl(r), cl(g), cl(b))
+
+    for doc_id in (0, 7, 123456789):
+        comp_blocks, vals = [[], [], []], []
+        for b in range(4):
+            dg = hashlib.md5(f"{doc_id}:{b}:jpg".encode()).digest()
+            vals.append((dg[0], dg[1], dg[2]))
+            for c in range(3):
+                block = [0] * 64
+                block[0] = dg[c] - 128
+                comp_blocks[c].append(block)
+        payload = mm.encode_jpeg_baseline(
+            comp_blocks, mm.JPG_W, mm.JPG_H, mm._JPG_QL, mm._JPG_QL
+        )
+        w, h, px = mm.decode_jpeg(payload)
+        assert (w, h) == (mm.JPG_W, mm.JPG_H)
+        for r in range(h):
+            for p in range(w):
+                assert px[r][p] == conv(*vals[(r // 8) * 2 + (p // 8)])
+
+
+def test_jpeg_corrupt_and_nonbaseline_failures():
+    import pytest as _pytest
+
+    from posting_lines_spark.operators import multimodal as mm
+
+    # garbage bytes after a JPEG magic: PARSE error, never the stub
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg(b"\xff\xd8\xff\xe0....jpeg....")
+    # flipped entropy bytes: Huffman/structure error, loud not silent
+    blocks = _rand_coeff_blocks(4, 4, 3)
+    payload = bytearray(mm.encode_jpeg_baseline(blocks, 16, 16))
+    payload[-10] ^= 0x55
+    with _pytest.raises(ValueError):
+        mm.parse_jpeg(bytes(payload))
+    # progressive (SOF2) is the residual documented stub
+    good = mm.encode_jpeg_baseline(blocks, 16, 16)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # truncated scan
+    with _pytest.raises(ValueError):
+        mm.parse_jpeg(good[: len(good) // 2])
+
+
+def test_replay_multimodal_jpeg_rgb(spark):
+    """Pure-Python replay of the registered lane at sf0.001: re-derive
+    every doc's stats from md5 directly (no JPEG bytes, no SQL) and
+    compare to the lane output exactly."""
+    import hashlib
+    import math
+
+    from posting_lines_spark.queries import load_all
+
+    def conv(y, cb, cr):
+        r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+        return (cl(r), cl(g), cl(b))
+
+    got = load_all()["multimodal_jpeg_rgb"].fn(spark, SF0001).collect()
+    span = [sum(range(lo + 1, lo + 9)) for lo in (0, 8)]
+    for row in got:
+        doc_id = row["doc_id"]
+        sr = sg = sb = wl = 0
+        for b in range(4):
+            dg = hashlib.md5(f"{doc_id}:{b}:jpg".encode()).digest()
+            r, g, bl = conv(dg[0], dg[1], dg[2])
+            sr += 64 * r
+            sg += 64 * g
+            sb += 64 * bl
+            wl += span[b // 2] * span[b % 2] * (2 * r + 5 * g + bl)
+        assert (
+            row["width"], row["height"], row["sum_r"], row["sum_g"],
+            row["sum_b"], row["weighted_luma"],
+        ) == (16, 16, sr, sg, sb, wl)
