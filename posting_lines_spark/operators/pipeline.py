@@ -65,9 +65,35 @@ def enrich_segments(df: DataFrame, srid: int = 3005) -> DataFrame:
 
     Idempotent: a second run is a no-op because no row has NULL geom
     afterwards (golden test §5.2). Stale-but-non-null rows never refresh —
-    preserved reference quirk Q5 (self-acknowledged at S1:38,43).
+    preserved reference quirk Q5 (self-acknowledged at S1:38,43); the
+    documented extension is `refresh_stale` below.
     """
-    out = clean_zero_duration(df).withColumn("__todo", F.col("geom").isNull())
+    return _enrich_where(
+        clean_zero_duration(df), F.col("geom").isNull(), srid
+    )
+
+
+def refresh_stale(df: DataFrame, since, srid: int = 3005) -> DataFrame:
+    """The Q5 EXTENSION (SURVEY.md Q5: "document lastChange-based refresh
+    as extension"; reference blind spot self-acknowledged at S1:38,43):
+    recompute the derived columns not only where `geom IS NULL` but ALSO
+    where `last_change > since` — rows whose source fields changed after
+    they were processed. v1 semantics never refresh those (quirk Q5,
+    preserved verbatim in `enrich_segments` for parity); this operator is
+    the documented fix, kept SEPARATE so the parity path stays untouched.
+
+    `since` is the processed-at watermark of the last pipeline run (a
+    date/timestamp literal or Column). Same shuffle-free map-only plan as
+    `enrich_segments`; idempotent at a fixed `since` — refreshed rows
+    recompute to the same values on a second pass."""
+    todo = F.col("geom").isNull() | (F.col("last_change") > F.lit(since))
+    return _enrich_where(clean_zero_duration(df), todo, srid)
+
+
+def _enrich_where(df: DataFrame, todo, srid: int) -> DataFrame:
+    """Shared enrichment body: recompute geom/len_m/sog_kt where `todo`,
+    preserve everything else. One fused scan→project plan (P3)."""
+    out = df.withColumn("__todo", todo)
     out = geo.with_albers(out, _ENRICH_POINTS)
     new_len = geo.line_length_m("x_new1", "y_new1", "x_new2", "y_new2")
     # Merge per SCALAR, then assemble the struct from the merged scalars:

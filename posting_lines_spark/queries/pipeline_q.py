@@ -130,3 +130,68 @@ ORDER BY 1
 )
 def pipeline_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.daily_counts(enrich_all_df(spark, sf_dir))
+
+
+# --- Q5 extension: lastChange-based stale refresh (round 14) ---
+# The reference's self-acknowledged blind spot (S1:38,43; SURVEY.md Q5):
+# a row whose source fields changed AFTER it was processed keeps its
+# stale len_m/sog_kt forever, because the v1 incrementality predicate is
+# `geom IS NULL` alone. `pipeline_enrich` preserves that quirk verbatim
+# for parity; this query runs the DOCUMENTED extension
+# (operators/pipeline.py refresh_stale): recompute derived columns where
+# geom IS NULL OR last_change > since. On the state fixture last_change
+# is start_time (exactly the reference schema, where lastChange and the
+# segment date both derive from l_shipdate); `since` is a fixed
+# mid-range watermark so both refresh populations are non-trivial. The
+# output makes the semantics observable per row: refreshed rows (NULL
+# geom OR changed-after-watermark) carry full-precision recomputed
+# values, preserved rows stay quantized.
+
+REFRESH_SINCE = "1995-06-17"
+
+REFRESH_ORACLE = f"""
+SELECT segment_id, duration,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN x1 ELSE {_Q.format(c='x1')} END AS x1,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN y1 ELSE {_Q.format(c='y1')} END AS y1,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN x2 ELSE {_Q.format(c='x2')} END AS x2,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN y2 ELSE {_Q.format(c='y2')} END AS y2,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN len_m ELSE {_Q.format(c='len_m')} END AS len_m,
+       CASE WHEN needs_geom OR start_time > DATE '{REFRESH_SINCE}'
+            THEN sog_kt ELSE {_Q.format(c='sog_kt')} END AS sog_kt
+FROM ({enriched_sql()})
+WHERE duration != 0
+"""
+
+
+@register(
+    "pipeline_refresh_stale",
+    oracle=REFRESH_ORACLE,
+    description="the Q5 EXTENSION (VERDICT r13 item 5; reference blind "
+    "spot self-acknowledged at sql_to_line.py:38,43): refresh_stale "
+    "recomputes geom/len_m/sog_kt where geom IS NULL OR last_change > "
+    "since — stale-but-processed rows finally refresh, which v1 never "
+    "does; same shuffle-free fused scan→project plan as pipeline_enrich "
+    "(the parity path, which stays quirk-faithful and untouched); "
+    "per-row output proves the split: refreshed rows full-precision, "
+    "kept rows quantized; idempotent at a fixed watermark (tested)",
+)
+def pipeline_refresh_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = segments_state_parquet(spark, sf_dir).withColumn(
+        "last_change", F.col("start_time")
+    )
+    out = pipeline.refresh_stale(state, REFRESH_SINCE)
+    return out.select(
+        "segment_id",
+        "duration",
+        F.col("geom.x1").alias("x1"),
+        F.col("geom.y1").alias("y1"),
+        F.col("geom.x2").alias("x2"),
+        F.col("geom.y2").alias("y2"),
+        "len_m",
+        "sog_kt",
+    )

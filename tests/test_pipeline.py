@@ -142,3 +142,75 @@ def test_observe_enrich_reports_engine_side_metrics(spark):
     )
     assert m["rows_to_enrich"] == expected_todo
     assert out.filter("geom IS NULL").count() == 0
+
+
+# --- Q5 extension: refresh_stale (round 14, VERDICT r13 item 5) ---
+
+
+def _state_with_change(spark):
+    return _state(spark).withColumn("last_change", F.col("start_time"))
+
+
+def test_refresh_stale_recomputes_changed_rows(spark):
+    """Rows with last_change > since refresh EVEN IF geom is non-null —
+    exactly the population v1's quirk Q5 leaves stale forever. The
+    fixture's preserved values are quantized (floor(x*1000)/1000), so a
+    refreshed row is observable: its len_m regains full precision."""
+    since = "1995-06-17"
+    state = _state_with_change(spark).cache()
+    out = pipeline.refresh_stale(state, since).cache()
+
+    # the stale population is non-trivial on the fixture
+    stale = state.filter(
+        f"geom IS NOT NULL AND last_change > DATE '{since}' AND duration != 0"
+    )
+    n_stale = stale.count()
+    assert n_stale > 0
+
+    # v1 enrich leaves every stale row's quantized value in place;
+    # refresh_stale recomputes it (full precision != quantized except on
+    # the measure-zero grid points — assert the populations differ)
+    v1 = pipeline.enrich_segments(state)
+    joined = (
+        out.filter(f"NOT needs_geom AND last_change > DATE '{since}'")
+        .select("segment_id", "start_time", F.col("len_m").alias("len_new"))
+        .join(
+            v1.filter(f"NOT needs_geom AND last_change > DATE '{since}'")
+            .select("segment_id", "start_time", F.col("len_m").alias("len_old")),
+            ["segment_id", "start_time"],
+        )
+    )
+    n_changed = joined.filter("len_new != len_old").count()
+    assert n_changed > 0, "refresh must actually recompute stale rows"
+
+    # rows at or before the watermark stay exactly as v1 leaves them
+    kept_cols = ["segment_id", "start_time", "len_m", "sog_kt"]
+    kept_new = out.filter(f"last_change <= DATE '{since}'").select(kept_cols)
+    kept_old = v1.filter(f"start_time <= DATE '{since}'").select(kept_cols)
+    assert kept_new.exceptAll(kept_old).count() == 0
+    assert kept_old.exceptAll(kept_new).count() == 0
+    out.unpersist()
+    state.unpersist()
+
+
+def test_refresh_stale_idempotent(spark):
+    """The §5.2 idempotence contract extended to the refresh path: at a
+    fixed watermark a second refresh recomputes the same rows to the
+    same values — output is a fixed point."""
+    since = "1995-06-17"
+    once = pipeline.refresh_stale(_state_with_change(spark), since).cache()
+    twice = pipeline.refresh_stale(once, since)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+    once.unpersist()
+
+
+def test_refresh_stale_with_null_geom_matches_enrich_when_nothing_stale(spark):
+    """With `since` past every last_change, refresh_stale degenerates to
+    exactly enrich_segments (the v1 parity path)."""
+    state = _state_with_change(spark).cache()
+    ref = pipeline.refresh_stale(state, "2999-01-01").drop("last_change")
+    v1 = pipeline.enrich_segments(state).drop("last_change")
+    assert ref.exceptAll(v1).count() == 0
+    assert v1.exceptAll(ref).count() == 0
+    state.unpersist()
