@@ -110,15 +110,72 @@ def make_clustered(spark) -> str:
     return CLUSTERED_DIR
 
 
+SKEWCLUSTERED_DIR = "/root/repo/.benchdata/emb_skewclustered"
+SKEWC_N = 4000
+SKEWC_C = 25
+SKEWC_ALPHA = 1.1
+SKEWC_SIGMA = 0.25
+
+
+def make_skew_clustered(spark) -> str:
+    """SKEWED clustered embeddings (VERDICT r13 item 7): the balanced
+    fixture above gives every IVF cell the same population, so probe
+    cost is uniform and the recall-vs-cost frontier hides the hot-cell
+    regime. Real corpora are dominated by a few dense modes (majority
+    languages, boilerplate domains): here cluster sizes follow
+    Zipf(alpha=1.1) over the same 25 unit-norm Gaussian centers — the
+    head cluster holds ~23% of all points, the tail clusters ~1% each —
+    so cell-routed variants pay wildly different candidate counts
+    depending on which cell the query lands in. Same schema + seed
+    discipline as make_clustered; the other testdata tables are
+    symlinked from sf0.01 so every registered audit query runs on this
+    dir unchanged (the re-certification path)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(SKEWCLUSTERED_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        rng = np.random.RandomState(20260816)
+        centers = rng.randn(SKEWC_C, DIMS)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        w = 1.0 / np.arange(1, SKEWC_C + 1) ** SKEWC_ALPHA
+        sizes = np.maximum(1, np.round(w / w.sum() * SKEWC_N)).astype(int)
+        labels = np.repeat(np.arange(SKEWC_C), sizes)
+        pts = centers[labels] + SKEWC_SIGMA * rng.randn(len(labels), DIMS)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(len(labels), dtype=np.int64),
+                "embedding": [row.astype(np.float32) for row in pts],
+                "label": labels.astype(np.int32),
+            }
+        )
+        os.makedirs(SKEWCLUSTERED_DIR, exist_ok=True)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+        # symlink the sibling tables so oracle-paired queries (e.g.
+        # sim_ivf_recall_audit) run against this dir via check_oracle
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            link = os.path.join(SKEWCLUSTERED_DIR, f"{t}.parquet")
+            if not os.path.exists(link):
+                os.symlink(f"/root/testdata/sf0.01/{t}.parquet", link)
+    return SKEWCLUSTERED_DIR
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:]]
     clustered = "--clustered" in argv
+    skew_clustered = "--skew-clustered" in argv
     argv = [a for a in argv if not a.startswith("--")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     n_queries = int(argv[1]) if len(argv) > 1 else 20
     spark = get_spark(app="ann_recall")
     if clustered:
         sf_dir = make_clustered(spark)
+    if skew_clustered:
+        sf_dir = make_skew_clustered(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("embeddings")
     n = emb.count()
@@ -129,12 +186,16 @@ def main() -> int:
     }
     planes = sim.hyperplanes(spark, NUM_PLANES, DIMS)
 
+    import time as _time
+
     rows = []
     for probes in (0, 1, 2):
         got_df = sim.ivf_topk(
             emb, queries, planes, k=K, probes=probes, num_planes=NUM_PLANES
         )
+        _t0 = _time.time()
         got = {(r.query_id, r.vec_id) for r in got_df.collect()}
+        wall = _time.time() - _t0
         n_buckets = len(sim.probe_masks(NUM_PLANES, probes))
         # candidate count: emb joined on probed buckets
         eb = sim.bucketize(emb, planes)
@@ -159,9 +220,11 @@ def main() -> int:
                 f"({n_buckets}/{2**NUM_PLANES} buckets)",
                 len(got & truth) / len(truth),
                 n_cand / (n_queries * (n - 1)),
+                wall,
             )
         )
 
+    _t0 = _time.time()
     r, n_cand = bucket_recall(
         emb, queries, truth, kmeans_assignment(spark), n_queries
     )
@@ -170,6 +233,7 @@ def main() -> int:
             f"kmeans IVF K={KM_K} cells probes=0",
             r,
             n_cand / (n_queries * (n - 1)),
+            _time.time() - _t0,
         )
     )
 
@@ -193,19 +257,22 @@ def main() -> int:
         .select("query_id", "m", "code",
                 F.expr(sim.l2sq_spark("sub", "cent")).alias("qd"))
     )
-    got = {
-        (r.query_id, r.vec_id)
-        for r in sim.pq_adc_topk(
-            codes, dtable, emb, queries, K, PQ_RERANK
-        ).collect()
-    }
-    rows.append(
-        (
-            f"PQ M={PQ_M} K'={PQ_KPRIME} ADC rerank={PQ_RERANK}",
-            len(got & truth) / len(truth),
-            PQ_RERANK / (n - 1),
+    for rr in (16, PQ_RERANK, 64):
+        _t0 = _time.time()
+        got = {
+            (r.query_id, r.vec_id)
+            for r in sim.pq_adc_topk(
+                codes, dtable, emb, queries, K, rr
+            ).collect()
+        }
+        rows.append(
+            (
+                f"PQ M={PQ_M} K'={PQ_KPRIME} ADC rerank={rr}",
+                len(got & truth) / len(truth),
+                rr / (n - 1),
+                _time.time() - _t0,
+            )
         )
-    )
 
     # IVF-PQ composite: kmeans cells route, PQ codes rank, exact rerank.
     # Recall is CAPPED by the cell router (a neighbor outside the query's
@@ -224,7 +291,8 @@ def main() -> int:
         .select("query_id", "vec_id")
     )
     n_cand = cand0.count()
-    for rerank in (IVFPQ_RERANK, PQ_RERANK):
+    for rerank in (16, IVFPQ_RERANK, PQ_RERANK, 64):
+        _t0 = _time.time()
         got = {
             (r.query_id, r.vec_id)
             for r in sim.pq_adc_topk(
@@ -236,18 +304,13 @@ def main() -> int:
                 f"IVF-PQ K={KM_K} cells, ADC rerank={rerank}",
                 len(got & truth) / len(truth),
                 n_cand / (n_queries * (n - 1)),
+                _time.time() - _t0,
             )
         )
 
     # JL random projection: rerank-budget candidates by projected cosine
     from posting_lines_spark.queries.vectors_q import RP_DIM
 
-    proj = sim.rp_project(emb, sim.rp_matrix(spark, RP_DIM, DIMS))
-    qp = proj.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        F.col("proj").alias("q_proj"),
-    )
     from pyspark.sql import Window as W
 
     wp = W.partitionBy("query_id").orderBy(
@@ -256,32 +319,43 @@ def main() -> int:
     we = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
-    got = {
-        (r.query_id, r.vec_id)
-        for r in proj.crossJoin(F.broadcast(qp))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_proj", F.expr(sim.cosine_spark("proj", "q_proj")))
-        .withColumn("prank", F.row_number().over(wp))
-        .filter(F.col("prank") <= PQ_RERANK)
-        .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "q_embedding")))
-        .withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= K)
-        .collect()
-    }
-    rows.append(
-        (
-            f"JL projection {DIMS}->{RP_DIM} rerank={PQ_RERANK}",
-            len(got & truth) / len(truth),
-            PQ_RERANK / (n - 1),
+    for rp_dim in (8, RP_DIM):
+        proj = sim.rp_project(emb, sim.rp_matrix(spark, rp_dim, DIMS))
+        qp = proj.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("proj").alias("q_proj"),
         )
-    )
+        _t0 = _time.time()
+        got = {
+            (r.query_id, r.vec_id)
+            for r in proj.crossJoin(F.broadcast(qp))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine_proj", F.expr(sim.cosine_spark("proj", "q_proj")))
+            .withColumn("prank", F.row_number().over(wp))
+            .filter(F.col("prank") <= PQ_RERANK)
+            .withColumn("cosine", F.expr(sim.cosine_spark("embedding", "q_embedding")))
+            .withColumn("rank", F.row_number().over(we))
+            .filter(F.col("rank") <= K)
+            .collect()
+        }
+        rows.append(
+            (
+                f"JL projection {DIMS}->{rp_dim} rerank={PQ_RERANK}",
+                len(got & truth) / len(truth),
+                PQ_RERANK / (n - 1),
+                _time.time() - _t0,
+            )
+        )
 
     print(f"\nANN recall@{K} vs candidate budget — {sf_dir}, n={n}, "
           f"{n_queries} queries")
-    print(f"{'variant':<46} {'recall@10':>9} {'cand_frac':>10} {'ratio':>6}")
-    for name, rec, frac in rows:
+    print(f"{'variant':<46} {'recall@10':>9} {'cand_frac':>10} "
+          f"{'ratio':>6} {'wall_s':>7}")
+    for name, rec, frac, wall in rows:
         ratio = rec / frac if frac else float("nan")
-        print(f"{name:<46} {rec:>9.3f} {frac:>10.3f} {ratio:>6.2f}")
+        print(f"{name:<46} {rec:>9.3f} {frac:>10.3f} {ratio:>6.2f} "
+              f"{wall:>7.2f}")
     spark.stop()
     return 0
 
