@@ -101,12 +101,22 @@ def measure_wedge(spark, sf_dir: str, timeout_s: float) -> dict:
     out["cap64_rows"] = len(rows_w) if rows_w is not None else None
     out["cap64_capped_nodes"] = rows_w[0]["capped_nodes"] if rows_w else None
 
-    t_unc, rows_unc, timed_out = _timed(
-        spark,
-        "uncapped",
-        lambda: reg["graph_link_prediction"].fn(spark, sf_dir).collect(),
-        timeout_s=timeout_s,
-    )
+    # The uncapped run is the one that EXPLODES on hub corpora — that is
+    # the point of the cap. It can die faster than the timeout fires
+    # (skew10: the uncapped wedge join filled 56 GiB of spill at ~10 min
+    # < the 900 s cap). A genuine failure here is a RESULT (the uncapped
+    # path is infeasible), not a reason to lose the capped rows — record
+    # the exception instead of propagating it.
+    try:
+        t_unc, rows_unc, timed_out = _timed(
+            spark,
+            "uncapped",
+            lambda: reg["graph_link_prediction"].fn(spark, sf_dir).collect(),
+            timeout_s=timeout_s,
+        )
+    except Exception as e:  # noqa: BLE001
+        t_unc, rows_unc, timed_out = None, None, False
+        out["uncapped_error"] = str(e).splitlines()[0][:200]
     out["uncapped_wall_sec"] = t_unc
     out["uncapped_rows"] = len(rows_unc) if rows_unc is not None else None
     out["uncapped_timeout"] = timed_out
