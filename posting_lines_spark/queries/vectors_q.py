@@ -1471,3 +1471,75 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine")
         .orderBy("query_id", F.col("cosine").desc(), "vec_id")
     )
+
+
+# --- hot-cell-balanced kmeans-IVF search (round 14) ---
+# The round-14 ANN frontier measurement (SCALE.md, emb_skewclustered)
+# named the kmeans-IVF weakness at scale: probes=0 cost is the QUERY'S
+# cell size, not n/K — on a Zipf-clustered corpus the head cell holds
+# ~23% of all vectors, so in a distributed run ONE task owns the hot
+# cell's entire probe×index join while every other task idles. This
+# query is the fix, and it is the dedup_lsh_hot_salted pattern applied
+# to IVF: the (cell) equi-join between index vectors and probing
+# queries runs SALTED (operators/skew.salted_join — index side
+# scattered deterministically across salt_n replicas of the query
+# side), so per-task width is bounded at |cell|/salt_n while the
+# candidate SET — and therefore the top-k — is provably identical.
+# The ORACLE is the plain unsalted cell join (the sim_topk_ivf_kmeans
+# text), so every driver round re-proves salted ≡ plain on real data.
+#
+# Scale: query side is K rows (replicated salt_n× = still tiny); index
+# side gains one int column; the join shuffles on (cell, salt) instead
+# of (cell) — same volume, salt_n× more keys, hot-cell task width
+# ÷ salt_n. Output ordering pinned by (cosine DESC, vec_id).
+
+IVF_SALT_N = 8
+
+
+def sim_topk_ivf_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from posting_lines_spark.operators.skew import salted_join
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    assign = spark.sql(
+        f"""{_km_chain(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))}
+SELECT vec_id, cluster_id FROM a2"""
+    )
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    eb = assign.join(emb, "vec_id")
+    qb = eb.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cluster_id",
+    )
+    cand = salted_join(eb, qb, "cluster_id", salt_n=IVF_SALT_N).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cosine", F.expr(sim.cosine_spark("embedding", "qv")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+register(
+    "sim_topk_ivf_hotsplit",
+    oracle=_kmeans_search_sql(
+        _KM_LONG_DUCK,
+        md5_int_duck("CAST(vec_id AS VARCHAR)", salt="kmeans"),
+        cosine_duck,
+    ),
+    description="hot-cell-BALANCED kmeans-IVF top-k (the fix for the "
+    "round-14 frontier finding that probes=0 cost is the query's cell "
+    "size): the probe×index cell join runs salted "
+    f"(salt_n={IVF_SALT_N}, index side scattered deterministically, "
+    "query side replicated) so one hot cell splits across salt_n tasks "
+    "— per-task width |cell|/salt_n — while the candidate set and "
+    "top-k are identical; the oracle is the PLAIN unsalted cell join "
+    "(the sim_topk_ivf_kmeans text), so each driver round re-proves "
+    "salted ≡ plain; same train→index→search chain otherwise",
+)(sim_topk_ivf_hotsplit)

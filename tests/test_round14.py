@@ -333,3 +333,63 @@ def test_replay_multimodal_jpeg_rgb(spark):
             row["width"], row["height"], row["sum_r"], row["sum_g"],
             row["sum_b"], row["weighted_luma"],
         ) == (16, 16, sr, sg, sb, wl)
+
+
+# ---- hot-cell-balanced kmeans-IVF (the fix for the round-14 ANN
+# frontier finding) ----
+
+
+def test_ivf_hotsplit_identical_to_plain_on_skewed_cells(spark):
+    """On the Zipf-clustered fixture (head cell ~23% of vectors — the
+    hot-cell regime the salting targets) the salted cell join must
+    return the EXACT top-k of the plain join, while bounding per-task
+    width: the widest (cell, salt) group is a fraction of the widest
+    (cell) group."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    from ann_recall import make_skew_clustered
+
+    from posting_lines_spark.queries import load_all
+    from posting_lines_spark.queries.vectors_q import (
+        _KM_LONG_SPARK,
+        IVF_SALT_N,
+        _km_chain,
+    )
+    from posting_lines_spark.functions.hashing import md5_int_spark
+
+    sf_dir = make_skew_clustered(spark)
+    reg = load_all()
+    key = lambda rows: [  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in rows
+    ]
+    plain = reg["sim_topk_ivf_kmeans"].fn(spark, sf_dir).collect()
+    salted = reg["sim_topk_ivf_hotsplit"].fn(spark, sf_dir).collect()
+    assert key(salted) == key(plain)
+
+    # the balance claim, measured on the data: widest salted key group
+    # strictly smaller than the widest raw cell
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    assign = spark.sql(
+        f"""{_km_chain(_KM_LONG_SPARK, md5_int_spark("CAST(vec_id AS STRING)", salt="kmeans"))}
+SELECT vec_id, cluster_id FROM a2"""
+    ).cache()
+    widest_cell = (
+        assign.groupBy("cluster_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    widest_salted = (
+        assign.withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id", "cluster_id"), F.lit(IVF_SALT_N))
+        )
+        .groupBy("cluster_id", "salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assign.unpersist()
+    # xxhash scatter is not exactly uniform; assert a real split (>=2x)
+    assert widest_salted * 2 <= widest_cell

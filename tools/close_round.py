@@ -212,21 +212,43 @@ def main() -> int:
         "q1_pricing_summary",       # AQE skew path on the hot shuffle
     ]
 
+    SKEW_EMB_SUBSET = [
+        "sim_topk_ivf_hotsplit",    # salted cell join ≡ plain, hot cell engaged
+        "sim_topk_ivf_kmeans",      # the plain formulation it must match
+        "sim_ivf_recall_audit",     # recall audit on imbalanced cells
+    ]
+
+    def _build_emb_fixture() -> tuple[int, str]:
+        """(Re)build the Zipf-clustered embeddings fixture in-process
+        (deterministic seed; a no-op if already on disk)."""
+        return _run([
+            "-c",
+            "import sys; sys.path.insert(0, 'tools'); "
+            "from ann_recall import make_skew_clustered; "
+            "from posting_lines_spark.session import get_spark; "
+            "s = get_spark(app='emb_fixture'); "
+            "print(make_skew_clustered(s)); s.stop()",
+        ])
+
     if "--skip-skew" not in args:
         def skew_parity():
             tails = []
             for mode, rel, subset in (
                 ("hub", ".benchdata/skew01", SKEW_HUB_SUBSET),
                 ("order", ".benchdata/skeworder01", SKEW_ORDER_SUBSET),
+                ("emb", ".benchdata/emb_skewclustered", SKEW_EMB_SUBSET),
             ):
                 dst = os.path.join(REPO, rel)
-                cmd = ["tools/make_skew.py", SKEW_SRC, dst]
-                if mode == "order":
-                    cmd += ["--mode", "order"]
-                rc, out = _run(cmd)
+                if mode == "emb":
+                    rc, out = _build_emb_fixture()
+                else:
+                    cmd = ["tools/make_skew.py", SKEW_SRC, dst]
+                    if mode == "order":
+                        cmd += ["--mode", "order"]
+                    rc, out = _run(cmd)
                 if rc != 0:
                     return False, (
-                        [f"make_skew {mode} failed"]
+                        [f"fixture build ({mode}) failed"]
                         + out.strip().splitlines()[-3:]
                     )
                 rc, out = _run(["tools/check_oracle.py", dst] + subset)
