@@ -470,7 +470,11 @@ def test_ad_uniform_matches_python(spark):
         )
     (r,) = load_all()["stats_ad_uniform"].fn(spark, SF0001).collect()
     assert r["n"] == n
-    assert (r["ref_lo"], r["ref_hi"]) == (a / 100.0, b / 100.0)
+    # r14 (ADVICE r13): the emitted bounds are the endpoints of the
+    # reference ACTUALLY tested against — the continuity-corrected
+    # Uniform[a-1/2, b+1/2] on the cents grid — not the bare sample
+    # min/max this test originally pinned
+    assert (r["ref_lo"], r["ref_hi"]) == ((2 * a - 1) / 200.0, (2 * b + 1) / 200.0)
     # replay sums in float order (engine decimal-routes): 1e-9 rel
     assert r["a2"] == pytest.approx(-n - t_sum / n, rel=1e-9)
     assert r["a2"] > 0.0
