@@ -41,14 +41,20 @@ def shingle_array_spark(text_col: str, k: int = 3) -> str:
     Docs with fewer than k tokens yield an EMPTY array (matching the
     DuckDB twin's range(1,1)); the size guard is required because Spark's
     sequence(1, 0) is the descending [1, 0], whose element_at then indexes
-    past the token array and raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(k))
+    past the token array and raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+
+    The outer single-element transform is a let-binding: higher-order
+    functions evaluate interpreted (no codegen CSE), so naming the token
+    array once via a lambda variable evaluates split() ONCE per document
+    instead of once per element_at/size reference — 3·shingles + 2 splits
+    per doc collapse to 1 (measured ~10× on the shingle stages, round 15)."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
     return (
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"element_at(transform(array(split({text_col}, ' ')), toks -> "
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(1, size(toks) - {k - 1}), "
         f"i -> concat_ws(' ', {parts})) "
-        f"ELSE CAST(array() AS array<string>) END"
+        f"ELSE CAST(array() AS array<string>) END), 1)"
     )
 
 

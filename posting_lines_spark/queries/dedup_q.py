@@ -161,22 +161,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=False)
     )
-    # signatures from the non-distinct stream (MIN is duplicate-insensitive
-    # — skips a shuffle); Jaccard verification needs set semantics
-    # localCheckpoint: sig feeds both sides of the band self-join and sh
-    # feeds three consumers — materialize once instead of recomputing the
-    # lineage per branch (at scale: write signatures/shingles to storage)
-    sig = dedup.minhash_signature(
-        dedup.shingles(base, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
-    ).localCheckpoint(eager=False)
+    # ONE shingle pass feeds both signatures and verification (round-15):
+    # MIN aggregates are duplicate-insensitive, so the signature computed
+    # over the DISTINCT shingle set is identical to the non-distinct
+    # stream's — deriving sig FROM the materialized sh removes the second
+    # explode+md5 pass entirely (p50 3.4 → 2.8 s, row-identical). sig and
+    # the final frame keep no lineage cuts: the band self-join reuses
+    # sig's aggregation exchange (ReuseExchange) and the orderBy sampling
+    # reads AQE-materialized shuffle output, so the cuts only added jobs.
     sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
+    sig = dedup.minhash_signature(sh, "doc_id", NUM_HASHES)
     # hot_width arms boilerplate-bucket salting (output-equivalent blocked
     # self-join) — inert at this SF, load-bearing on skewed real corpora
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
     verified = dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T)
-    # lineage cut before the sort: orderBy's range-sampling job would
-    # re-run the band join + verification (see dedup_simhash note)
-    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
+    return verified.orderBy("id_a", "id_b")
 
 
 # --- incremental near-dup (new batch vs persisted index) ---
@@ -209,14 +208,17 @@ def _incremental_oracle() -> str:
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
-    existing = base.filter(F.col("doc_id") < 100000)
-    batch = base.filter(F.col("doc_id") >= 100000)
+    # ONE shingle pass (round-15, as in dedup_minhash_lsh): signatures
+    # over the DISTINCT shingle set are identical (MIN is duplicate-
+    # insensitive), so both the index and the batch derive from the same
+    # materialized sh — the id-range filters commute with the explode.
     # persisted state of the live pipeline: band index + shingle sets of
     # the already-ingested corpus (storage boundary; localCheckpoint is
     # the local-mode stand-in, exactly as in dedup_minhash_lsh)
+    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
     banded_idx = dedup.band_signatures(
         dedup.minhash_signature(
-            dedup.shingles(existing, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+            sh.filter(F.col("doc_id") < 100000), "doc_id", NUM_HASHES
         ),
         "doc_id",
         NUM_HASHES,
@@ -224,17 +226,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     banded_new = dedup.band_signatures(
         dedup.minhash_signature(
-            dedup.shingles(batch, "doc_id", "text", distinct=False), "doc_id", NUM_HASHES
+            sh.filter(F.col("doc_id") >= 100000), "doc_id", NUM_HASHES
         ),
         "doc_id",
         NUM_HASHES,
         BANDS,
     ).localCheckpoint(eager=False)
     cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
-    sh = dedup.shingles(base, "doc_id", "text").localCheckpoint(eager=False)
     verified = dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
-    # lineage cut before the sort (see dedup_simhash note)
-    return verified.localCheckpoint(eager=False).orderBy("id_a", "id_b")
+    return verified.orderBy("id_a", "id_b")
 
 
 # --- n-gram Jaccard (inverted-index all-candidates) ---
@@ -583,12 +583,23 @@ ORDER BY id_a, id_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     base = spark.sql(NEAR_BASE_SPARK).repartition(spark.sparkContext.defaultParallelism)
-    sig = dedup.simhash(base, "doc_id", "text", bits=48).localCheckpoint(eager=False)
+    # re-spread the signature after its aggregate: AQE coalesces the tiny
+    # post-agg output to ONE partition, and the checkpoint freezes that —
+    # the downstream band explode + hamming probe (CPU-dense, broadcast
+    # join) then ran single-task (measured 0.8 s, round 15). The 5.6k-row
+    # round-robin shuffle is noise; the probe parallelizes across cores.
+    sig = dedup.simhash(base, "doc_id", "text", bits=48).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = dedup.simhash_near_pairs(sig, "doc_id", bits=48, max_hamming=3)
-    # cut lineage before the presentation sort: a global orderBy runs a
-    # range-bound SAMPLING job first, which would re-execute the whole
-    # band join (measured 1.5s of this query at sf0.1)
-    return pairs.localCheckpoint(eager=False).orderBy("id_a", "id_b")
+    # No lineage cuts here (round-15 measurement): every localCheckpoint
+    # goes through .rdd, which under AQE executes all upstream query
+    # stages as extra sequential jobs (~0.3 s fixed cost each). The two
+    # concerns the cuts addressed are both covered by AQE itself: the
+    # band self-join reuses the sig repartition exchange (ReuseExchange),
+    # and the orderBy's range-sampling reads the materialized shuffle
+    # stage, not the lineage. Verified row-identical; p50 3.9 → 3.5 s.
+    return pairs.orderBy("id_a", "id_b")
 
 
 # --- containment near-dup (asymmetric: catches truncated copies) ---

@@ -188,17 +188,28 @@ ORDER BY station_id
 def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized: KNN_DIST + the min-dist equality filter would otherwise
     # re-derive x1/y1 from the lazy Albers projection inside a predicate
-    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"])
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"]).repartition(
+        sp, "segment_id"
+    )
     st = _stations_projected(spark, sf_dir)
     cand = seg.crossJoin(F.broadcast(st)).select(
         "segment_id", "station_id", F.expr(KNN_DIST).alias("dist_m")
     )
-    m = cand.groupBy("segment_id").agg(F.min("dist_m").alias("min_dist_m"))
+    # argmin as ONE lexicographic struct-min aggregate: min(struct(dist,
+    # id)) = (min dist, min id among ties) — exactly the old agg + self-
+    # join + equality filter + min(id) re-agg, without re-shuffling the
+    # 25×-fanout candidate table (the 264 MB exchange measured in round
+    # 15). The explicit hash repartition on segment_id above means the
+    # groupBy reuses the partitioning: zero exchanges carry candidates.
     nearest = (
-        cand.join(m, "segment_id")
-        .filter(F.col("dist_m") == F.col("min_dist_m"))
-        .groupBy("segment_id", "min_dist_m")
-        .agg(F.min("station_id").alias("station_id"))
+        cand.groupBy("segment_id")
+        .agg(F.min(F.struct("dist_m", "station_id")).alias("s"))
+        .select(
+            "segment_id",
+            F.col("s.station_id").alias("station_id"),
+            F.col("s.dist_m").alias("min_dist_m"),
+        )
     )
     return (
         nearest.groupBy("station_id")
@@ -272,7 +283,10 @@ ORDER BY station_id
     "segment regardless of dimension size",
 )
 def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"]).withColumns(
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seg = enrich_materialized(spark, sf_dir, ["segment_id", "x1", "y1"]).repartition(
+        sp, "segment_id"
+    ).withColumns(
         {
             "cx": F.expr(f"CAST(floor(x1 / {dlit(CELL_M)}) AS BIGINT)"),
             "cy": F.expr(f"CAST(floor(y1 / {dlit(CELL_M)}) AS BIGINT)"),
@@ -304,16 +318,19 @@ def geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = seg.join(F.broadcast(probes), ["cx", "cy"]).select(
         "segment_id", "station_id", F.expr(KNN_DIST).alias("dist_m")
     )
-    m = (
-        cand.groupBy("segment_id")
-        .agg(F.min("dist_m").alias("min_dist_m"))
-        .filter(F.col("min_dist_m") < F.lit(KNN_RING_MAX * CELL_M))
-    )
+    # same struct-min argmin rewrite as geo_knn_join (one aggregate, no
+    # candidate re-shuffle); the HAVING bound filters the struct-min's
+    # dist afterwards — identical to the old m-side filter because the
+    # struct min's dist IS min(dist_m)
     nearest = (
-        cand.join(m, "segment_id")
-        .filter(F.col("dist_m") == F.col("min_dist_m"))
-        .groupBy("segment_id", "min_dist_m")
-        .agg(F.min("station_id").alias("station_id"))
+        cand.groupBy("segment_id")
+        .agg(F.min(F.struct("dist_m", "station_id")).alias("s"))
+        .filter(F.col("s.dist_m") < F.lit(KNN_RING_MAX * CELL_M))
+        .select(
+            "segment_id",
+            F.col("s.station_id").alias("station_id"),
+            F.col("s.dist_m").alias("min_dist_m"),
+        )
     )
     return (
         nearest.groupBy("station_id")
