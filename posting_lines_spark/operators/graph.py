@@ -115,8 +115,15 @@ def connected_components(
     # Materialize the input edges once: each star round references `e`
     # several times (union + self-join), and without truncation round 1
     # re-evaluates the full upstream pipeline (e.g. MinHash candidate
-    # generation) per reference.
-    e = e.checkpoint(eager=True) if use_reliable else e.localCheckpoint(eager=True)
+    # generation) per reference. ALWAYS a local checkpoint (round 15):
+    # this entry cut is a lineage truncation, not the durability point —
+    # a reliable checkpoint here computes the whole upstream pipeline
+    # TWICE (the eager count job, then ReliableRDDCheckpointData's
+    # separate write job re-runs the uncached lineage) plus a filesystem
+    # round-trip, for state that round 1 supersedes anyway. Recovery
+    # depth stays bounded by the in-loop reliable cadence below
+    # (checkpoint_every), which is unchanged.
+    e = e.localCheckpoint(eager=True)
     from pyspark.sql import Observation
 
     prev_chk: tuple | None = None

@@ -488,18 +488,40 @@ def _hilbert_write_layouts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         f"WITH cells AS (SELECT DISTINCT cx, cy FROM pls_hilb_rows),\n{hsql}\n"
         f"SELECT cx, cy, hd FROM {hlast}"
     )
-    data = rows.join(F.broadcast(cell_hd), ["cx", "cy"]).select(
-        "segment_id", "len_m", "cx", "cy", "hd"
+    data = (
+        rows.join(F.broadcast(cell_hd), ["cx", "cy"])
+        .select("segment_id", "len_m", "cx", "cy", "hd")
+        # materialize the enriched+curve-indexed rows ONCE (round 15):
+        # both layout writes consume `data`, and without the cut each
+        # write re-ran the full enrich+join lineage (profiled: the rows
+        # subtree computed 3× per query — 2 writes + the cell distinct)
+        .localCheckpoint(eager=True)
     )
     p_clustered = scratch_dir(prefix="pls_hilbw_c_")
     p_hashed = scratch_dir(prefix="pls_hilbw_h_")
-    (
-        data.repartitionByRange(HILB_FILES, "hd")
-        .sortWithinPartitions("hd")
-        .write.mode("overwrite")
-        .parquet(p_clustered)
-    )
-    data.repartition(HILB_FILES, "segment_id").write.mode("overwrite").parquet(p_hashed)
+
+    # The two layout writes are independent jobs over the same
+    # materialized input — overlap them (guide §2.6: submit independent
+    # actions from a small thread pool so one job's task tail back-fills
+    # the other's executors; job descriptions are thread-local).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_clustered() -> None:
+        (
+            data.repartitionByRange(HILB_FILES, "hd")
+            .sortWithinPartitions("hd")
+            .write.mode("overwrite")
+            .parquet(p_clustered)
+        )
+
+    def _write_hashed() -> None:
+        data.repartition(HILB_FILES, "segment_id").write.mode("overwrite").parquet(
+            p_hashed
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fc, fh = ex.submit(_write_clustered), ex.submit(_write_hashed)
+        fc.result(), fh.result()
     return p_clustered, p_hashed
 
 
@@ -532,8 +554,13 @@ def _hilbert_write_and_prune(spark: SparkSession, sf_dir: str):
     p_clustered, p_hashed = _hilbert_write_layouts(spark, sf_dir)
 
     cx_lo, cx_hi, cy_lo, cy_hi = HILB_BBOX
-    keep_c = _bbox_kept_files(spark, p_clustered, HILB_BBOX)
-    keep_h = _bbox_kept_files(spark, p_hashed, HILB_BBOX)
+    # the two manifest scans are independent — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_c = ex.submit(_bbox_kept_files, spark, p_clustered, HILB_BBOX)
+        f_h = ex.submit(_bbox_kept_files, spark, p_hashed, HILB_BBOX)
+        keep_c, keep_h = f_c.result(), f_h.result()
     # Fail LOUDLY at the source if the comparison ever goes vacuous (a
     # future SF where the bbox overlaps every clustered file's extent,
     # or range partitioning yields fewer non-empty files) rather than as

@@ -575,10 +575,15 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # weighted distinct-coordinate collapse (r10): the quadratic stage
-    # must see each coordinate once, with its multiplicity as a weight
+    # must see each coordinate once, with its multiplicity as a weight.
+    # Eager cut (round 15): coords feeds three consumers (probe explode,
+    # join build side, the neighbor-count left join) and the runtime
+    # stage cache raced on the concurrently-submitted identical subtrees
+    # — the scan→enrich→distinct→agg chain ran 3× (profiled, 17.5 MB
+    # exchange map ×3). One materialization, three block reads.
     coords = pts.groupBy("x", "y", "cx", "cy").agg(
         F.count(F.lit(1)).cast("long").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     probes = coords.select(
         "x",
         "y",
@@ -625,13 +630,27 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y", "w", "bx", "by", "wb")
     )
     # coordinates are exact float copies, never arithmetic results, so
-    # the equality join/group keys below are safe
-    ends = pairs.select("x", "y", F.col("wb").alias("nw")).unionAll(
-        pairs.select(
-            F.col("bx").alias("x"), F.col("by").alias("y"),
-            F.col("w").alias("nw"),
-        )
-    )
+    # the equality join/group keys below are safe.
+    # Both directions from ONE pass over pairs (round 15): the unionAll
+    # form re-planned the whole quadratic cell join once per branch, and
+    # AQE stage reuse only partially deduped the copies at runtime
+    # (profiled: the coords subtree computed 3×, two 13 MB pair-join map
+    # stages). explode(array(...)) emits the same two (x, y, nw) rows per
+    # pair inside the join's own stage — identical multiset into the
+    # SUM aggregate, half the join work.
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x"), F.col("y"), F.col("wb").alias("nw")
+                ),
+                F.struct(
+                    F.col("bx").alias("x"), F.col("by").alias("y"),
+                    F.col("w").alias("nw"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y", "e.nw")
     neigh = (
         coords.join(
             ends.groupBy("x", "y").agg(F.sum("nw").cast("long").alias("s")),
