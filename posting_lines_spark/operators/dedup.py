@@ -201,22 +201,22 @@ def band_signatures(
     is the frame a production pipeline PERSISTS between increments (see
     `incremental_candidate_pairs`)."""
     rows = num_hashes // bands
-    return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    # one selectExpr string instead of ~5·bands Column-API calls: every
+    # Column operation is a py4j round-trip (~1-3 ms each), and this
+    # builder runs inside every LSH query's per-run construction path
+    # (round-15 driver-time finding; identical expression tree)
+    structs = ", ".join(
+        "struct({b} AS band_idx, concat_ws(',', {cols}) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.selectExpr(id_col, f"explode(array({structs})) AS band").selectExpr(
+        id_col, "band.band_idx", "band.band_key"
+    )
 
 
 def incremental_candidate_pairs(
@@ -335,43 +335,49 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     lanes_per_pack = 3
     lane_bits = 20  # capacity 2^20-1 distinct tokens per doc; guarded below
     n_packs = (bits + lanes_per_pack - 1) // lanes_per_pack
-    toks = df.select(
-        id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
-    ).withColumn("h", F.expr(md5_int_spark("tok", salt="simhash")))  # ONE md5 per token
-    packed_cols = []
+    # All expression trees below are built as SQL strings and shipped in
+    # a handful of selectExpr calls (round 15): the Column-API form made
+    # ~hundreds of py4j round-trips (~1-3 ms each) per construction —
+    # measured 1.6 s of driver time PER RUN of every simhash consumer.
+    # The parsed trees are identical; all arithmetic is integer-exact,
+    # so parity is untouched.
+    pack_exprs = []
     for p in range(n_packs):
-        lanes = [
-            F.shiftleft(
-                F.shiftright(F.col("h"), p * lanes_per_pack + l).bitwiseAND(F.lit(1)).cast("long"),
-                lane_bits * l,
-            )
+        terms = [
+            f"shiftleft(CAST(shiftright(h, {p * lanes_per_pack + l}) & 1"
+            f" AS BIGINT), {lane_bits * l})"
             for l in range(lanes_per_pack)
             if p * lanes_per_pack + l < bits
         ]
-        acc = lanes[0]
-        for ln in lanes[1:]:
-            acc = acc + ln
-        packed_cols.append(acc.alias(f"p{p}"))
-    toks = toks.select(id_col, *packed_cols)
+        pack_exprs.append(" + ".join(terms) + f" AS p{p}")
+    toks = (
+        df.selectExpr(
+            id_col, f"explode(array_distinct(split({text_col}, ' '))) AS tok"
+        )
+        .selectExpr(id_col, f"{md5_int_spark('tok', salt='simhash')} AS h")
+        .selectExpr(id_col, *pack_exprs)
+    )
     agg = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(f"p{p}").alias(f"s{p}") for p in range(n_packs)],
+        F.expr("count(1)").alias("n_tok"),
+        *[F.expr(f"sum(p{p})").alias(f"s{p}") for p in range(n_packs)],
     )
     mask = (1 << lane_bits) - 1
-    sig = None
+    sig_terms = []
     for b in range(bits):
         p, l = divmod(b, lanes_per_pack)
-        ones = F.shiftright(F.col(f"s{p}"), lane_bits * l).bitwiseAND(F.lit(mask))
-        term = F.when(ones * 2 > F.col("n_tok"), F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+        sig_terms.append(
+            f"CASE WHEN (shiftright(s{p}, {lane_bits * l}) & {mask}) * 2"
+            f" > n_tok THEN {1 << b} ELSE 0 END"
+        )
     # assert_true is NULL on success; folding it into the signature keeps
     # the optimizer from pruning the check away.
-    guard = F.assert_true(
-        F.col("n_tok") <= F.lit(mask),
-        F.lit(f"simhash lane overflow: document has > {mask} distinct tokens"),
+    guard = (
+        f"coalesce(CAST(assert_true(n_tok <= {mask}, 'simhash lane "
+        f"overflow: document has > {mask} distinct tokens') AS BIGINT), 0)"
     )
-    return agg.select(
-        id_col, (sig + F.coalesce(guard.cast("long"), F.lit(0))).cast("long").alias("simhash")
+    return agg.selectExpr(
+        id_col,
+        f"CAST({' + '.join(sig_terms)} + {guard} AS BIGINT) AS simhash",
     )
 
 
@@ -386,38 +392,37 @@ def simhash_near_pairs(
     bands = max_hamming + 1
     width = bits // bands
     mask = (1 << width) - 1
-    banded = sig.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_key")
+    # SQL-string construction (round 15, see simhash): identical trees,
+    # one py4j call per select instead of one per Column operation
+    structs = ", ".join(
+        f"struct({b} AS band_idx, shiftright(simhash, {b * width}) & {mask}"
+        f" AS band_key)"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        id_col, "simhash", f"explode(array({structs})) AS band"
+    ).selectExpr(id_col, "simhash", "band.band_idx", "band.band_key")
+    a = banded.selectExpr(
+        f"{id_col} AS id_a", "simhash AS sh_a", "band_idx", "band_key"
+    )
+    b = banded.selectExpr(
+        f"{id_col} AS id_b", "simhash AS sh_b", "band_idx", "band_key"
+    )
     # first-matching-band dedup: a pair colliding in several bands is kept
     # only where every EARLIER band differs — recomputable from the two
     # signatures as pure codegen math, so no distinct shuffle is needed
     # (both full signatures ride through the join anyway for the hamming
     # filter). Output set is identical to the distinct-based form.
-    first_band = F.lit(True)
-    for bp in range(bands - 1):
-        key_a = F.shiftright("sh_a", bp * width).bitwiseAND(F.lit(mask))
-        key_b = F.shiftright("sh_b", bp * width).bitwiseAND(F.lit(mask))
-        first_band = first_band & ((F.col("band_idx") <= F.lit(bp)) | (key_a != key_b))
+    first_band = " AND ".join(
+        f"(band_idx <= {bp} OR (shiftright(sh_a, {bp * width}) & {mask})"
+        f" != (shiftright(sh_b, {bp * width}) & {mask}))"
+        for bp in range(bands - 1)
+    ) or "TRUE"
     return (
         a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
+        .filter("id_a < id_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(f"hamming <= {max_hamming}")
         .filter(first_band)
         .select("id_a", "id_b", "hamming")
     )
