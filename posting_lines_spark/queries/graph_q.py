@@ -538,27 +538,43 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+
     from pyspark import StorageLevel
 
     e0 = spark.sql(_LPA_EDGES)
     edges = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        # Loop-invariant: the join side of every round — materialize
-        # once. SERIALIZED storage (not the deserialized default): the
-        # doubled edge table is ~180M rows at sf10 and deserialized
-        # row retention is what blew a 24 GiB heap there (round-9 OOM
-        # find, the SNM-r5/DBSCAN-r6/band-sweep-r8 memory class);
+        # Loop-invariant: ONE lazy materialization that every consumer
+        # (labels init, all rounds, modularity's final joins) scans.
+        # Without it the optimizer column-prunes the labels-init copy of
+        # the edge subtree differently (count(*) dropped), the exchanges
+        # stop being canonically equal, and the whole lineitem self-join
+        # runs twice (round-15 A/B: +1.3 s scan + 13 s task CPU).
+        # SERIALIZED storage (not the deserialized default): the doubled
+        # edge table is ~180M rows at sf10 and deserialized row
+        # retention is what blew a 24 GiB heap there (round-9 OOM find);
         # MEMORY_AND_DISK serialized is ~5× denser and spills cleanly.
         .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    # Eager per-round checkpoint + unpersist of round N−1's blocks: a
-    # lazy-checkpoint chain retains every round's partitions until the
-    # terminal action (measured >8 GiB driver heap at sf1 in local
-    # mode); the cycler keeps peak block-manager footprint at ~2 rounds.
-    cycler = graph.CheckpointCycler(spark)
+    # No per-round eager checkpoint (round 15; was a CheckpointCycler
+    # through round 14): the labels recurrence is LINEAR (each round
+    # consumed exactly once by the next), so its state lives in the
+    # rounds' shuffle files inside ONE job. The cycler cost a ~0.3 s
+    # sequential job + serialization barrier per round, and — the big
+    # one — by splitting rounds into separate jobs it defeated
+    # exchange reuse, so every round RE-SHUFFLED the 22.7 MB edge
+    # table by u (profiled: 4 identical 22.7 MB exchange writes per
+    # run; 6 for modularity). In one DAG the per-round
+    # hashpartitioning(u) exchange over the checkpoint RDD is
+    # canonically identical, so AQE's stage cache shuffles the edges
+    # ONCE and every later round reads the same shuffle files
+    # (asserted in plans/r15/graph_label_propagation_after.txt).
+    # (Contrast graph_kcore, whose rounds consume a SHRINKING edge set
+    # three times each — reuse cannot cover a changing subtree, so it
+    # keeps the cycler.)
     for _ in range(LPA_ROUNDS):
         votes = (
             edges.join(labels.withColumnRenamed("node", "u"), "u")
@@ -569,9 +585,8 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
         # (wt, -label) struct — a hash aggregate, not a sort-window (the
         # oracle's row_number formulation is the same rule, different
         # mechanism; measured 1.7× faster at sf1)
-        labels = cycler.step(
-            votes.groupBy("node")
-            .agg(F.expr("max_by(label, struct(wt, -label))").alias("label"))
+        labels = votes.groupBy("node").agg(
+            F.expr("max_by(label, struct(wt, -label))").alias("label")
         )
     return edges, labels
 
@@ -1600,6 +1615,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     edges, labels = _lpa_labels(spark, sf_dir)
+    # labels is consumed TWICE below (u- and v-side): one lazy lineage
+    # cut materializes the 4-round recurrence once — A/B'd round 15:
+    # without it AQE stage reuse does NOT dedup the re-aliased
+    # recurrence subtrees and modularity pays ~1 s of recompute.
+    labels = labels.localCheckpoint(eager=False)
     lw = (
         edges.join(labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu"), "u")
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv"), "v")
