@@ -1126,28 +1126,26 @@ def dedup_lsh_band_sweep(
     # is one explode, ONE self-join shuffle, one distinct. (The salted
     # production path stays dedup.lsh_candidate_pairs; this is the
     # audit, and the 12×1 flood it measures is band-bounded.)
-    structs = []
-    for b in SWEEP_BANDS:
-        rows = NUM_HASHES // b
-        for bi in range(b):
-            key = F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{bi * rows + r}").cast("string")
-                    for r in range(rows)
-                ],
-            )
-            structs.append(
-                F.struct(
-                    F.lit(b).alias("cfg"),
-                    F.lit(bi).alias("band_idx"),
-                    key.alias("band_key"),
-                )
-            )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*structs)).alias("x")
-    ).select("doc_id", "x.cfg", "x.band_idx", "x.band_key").localCheckpoint(
-        eager=False
+    # one selectExpr string instead of ~175 Column-API py4j round-trips
+    # (~1-3 ms each) per construction — identical expression tree
+    # (round-15 driver-time finding, same as operators/dedup.py)
+    structs = ", ".join(
+        "struct({b} AS cfg, {bi} AS band_idx, concat_ws(',', {cols})"
+        " AS band_key)".format(
+            b=b,
+            bi=bi,
+            cols=", ".join(
+                f"CAST(mh{bi * (NUM_HASHES // b) + r} AS STRING)"
+                for r in range(NUM_HASHES // b)
+            ),
+        )
+        for b in SWEEP_BANDS
+        for bi in range(b)
+    )
+    bands = (
+        sig.selectExpr("doc_id", f"explode(array({structs})) AS x")
+        .selectExpr("doc_id", "x.cfg", "x.band_idx", "x.band_key")
+        .localCheckpoint(eager=False)
     )
     # saturation guard: buckets wider than SWEEP_MAX_BUCKET are
     # excluded from pair generation and reported (the first draft
@@ -1236,12 +1234,28 @@ def dedup_lsh_band_sweep(
         .select("cfg", "id_a", "id_b")
         .localCheckpoint(eager=False)
     )
-    upairs = keep.select("id_a", "id_b").distinct()
+    # keyed explicit repartition: the verify joins otherwise run on ONE
+    # AQE-coalesced post-shuffle partition (~1 MB of pairs in, millions
+    # of joined shingle rows of work inside the stage — coalescing
+    # decides by input bytes and cannot see the fanout); an explicit
+    # partition count is exempt from coalescing and the first join
+    # reuses the partitioning (round-15 profile: 1.9 s single-task
+    # stage → wide)
+    upairs = (
+        keep.select("id_a", "id_b")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "id_a")
+    )
     truth = (
         dedup.jaccard_verify(upairs, sh, "doc_id", threshold=0.0)
         .filter(F.col("jaccard") >= F.lit(JACCARD_T))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        # EAGER: truth is consumed by two sibling subtrees (`tot` and
+        # `per_cfg`) that the final job schedules CONCURRENTLY — with a
+        # lazy cut both stages raced to compute the same blocks and the
+        # whole verify pipeline ran twice (round-15 profile: two ~1.9 s
+        # twin stages). Materializing once removes the duplicate.
+        .localCheckpoint(eager=True)
     )
     tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_union_true"))
     per_cfg = (
