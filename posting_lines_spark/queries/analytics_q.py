@@ -866,10 +866,20 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 BASKET_MIN_SUPPORT = 3
 
 
-def _basket_sql() -> str:
+def _basket_sql(b_src: str | None = None) -> str:
+    # b_src: pre-materialized DISTINCT (order, item) grain (Spark side
+    # only — round 15: without it the planner builds the lineitem scan
+    # exchange twice, keyed (o,p) for the distinct and (o) for the
+    # self-join, plus a third orderkey-pruned scan for n_orders; all
+    # three serialize on the single-file scan floor)
+    b_cte = (
+        f"SELECT l_orderkey, l_partkey FROM {b_src}"
+        if b_src
+        else "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    )
     return f"""
 WITH b AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  {b_cte}
 ),
 n_items AS (
   SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY l_partkey
@@ -908,7 +918,11 @@ ORDER BY lift DESC, p.item_a, p.item_b
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_basket_sql())
+    b = spark.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).localCheckpoint(eager=False)
+    b.createOrReplaceTempView("basket_b_grain")
+    return spark.sql(_basket_sql("basket_b_grain"))
 
 
 # --- two-sample Kolmogorov–Smirnov test (distribution drift) ---
