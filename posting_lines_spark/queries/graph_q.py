@@ -541,21 +541,23 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
 
     from pyspark import StorageLevel
 
-    e0 = spark.sql(_LPA_EDGES)
-    edges = (
-        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        # Loop-invariant: ONE lazy materialization that every consumer
-        # (labels init, all rounds, modularity's final joins) scans.
-        # Without it the optimizer column-prunes the labels-init copy of
-        # the edge subtree differently (count(*) dropped), the exchanges
-        # stop being canonically equal, and the whole lineitem self-join
-        # runs twice (round-15 A/B: +1.3 s scan + 13 s task CPU).
-        # SERIALIZED storage (not the deserialized default): the doubled
-        # edge table is ~180M rows at sf10 and deserialized row
-        # retention is what blew a 24 GiB heap there (round-9 OOM find);
-        # MEMORY_AND_DISK serialized is ~5× denser and spills cleanly.
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # Materialize the UNDOUBLED co-purchase edge table once: the union's
+    # two orientation branches each embedded the full quadratic basket
+    # self-join + partial aggregate, and the two pipelines are NOT
+    # reused at runtime (profiled: two heavy map stages, 33 s + 14 s
+    # task CPU, per run). Checkpointing BELOW the union makes both
+    # branches cheap projections over the same blocks; it also keeps the
+    # labels-init consumer from column-pruning its copy of the subtree
+    # differently (the round-15 A/B that showed the self-join running
+    # twice when the checkpoint was dropped entirely). SERIALIZED
+    # storage (not the deserialized default): ~90M rows at sf10 and
+    # deserialized row retention is what blew a 24 GiB heap there
+    # (round-9 OOM find); MEMORY_AND_DISK serialized is ~5× denser and
+    # spills cleanly.
+    e0 = spark.sql(_LPA_EDGES).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
+    edges = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
