@@ -281,10 +281,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Reliable checkpoints keep their durability cadence; the eager
+        # per-iteration localCheckpoints BETWEEN them were dropped in
+        # round 15: the rank recurrence is linear (each iteration
+        # consumed exactly once by the next), so between reliable cuts
+        # the state lives in the iterations' shuffle files inside one
+        # job — the per-iteration barrier cost a ~0.15-0.3 s sequential
+        # job each and defeated stage reuse of the loop-invariant
+        # ew/nodes_t exchanges (the LPA round-15 lesson; lineage depth
+        # stays bounded at checkpoint_every).
         if use_reliable and (it + 1) % checkpoint_every == 0:
             ranks = ranks.checkpoint(eager=True)
-        else:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
