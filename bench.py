@@ -120,7 +120,13 @@ def main() -> None:
     # it out in 30 s steps up to a bounded cooldown, then proceed either
     # way; BOTH readings are recorded so the artifact shows whether the
     # guard fired and what it achieved.
-    threshold = cpus / 4
+    # cpus/8 (floor 2), tightened from cpus/4 in round 15: BENCH_r14 was
+    # recorded at entry loadavg 3.85 — under the old threshold (8) the
+    # guard never fired, yet six small queries read 1.3-1.4x with zero
+    # code change while the loadavg-guarded close-gate p50s stayed flat
+    # (VERDICT r14 finding 2). The committed artifact should BE the
+    # guarded run.
+    threshold = max(2.0, cpus / 8)
     cooldown_sec = 0
     max_cooldown = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "300"))
     while os.getloadavg()[0] > threshold and cooldown_sec < max_cooldown:
