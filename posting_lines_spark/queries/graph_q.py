@@ -1633,32 +1633,53 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("intra"),
         F.sum("w").cast("long").alias("strength"),
     )
-    tw = lw.agg(F.sum("w").cast("long").alias("w2"))
+    # ONE pass over per_c replaces the old tw-subtree + crossJoin +
+    # re-aggregate (round-15 residual): because per_c groups ALL of lw,
+    # Σ_c strength_c = Σ lw.w = 2W exactly, and the modularity numerator
+    # distributes over the sum:
+    #   Σ_c (intra_c·2W − s_c²) = (Σ_c intra_c)·2W − Σ_c s_c²
+    # — the identical integer, so the VARCHAR-cast double is identical.
+    # This removes the second consumption of lw (the joined edge-label
+    # table was aggregated twice: per-community AND globally for 2W),
+    # the broadcast exchange, and the final groupBy("w2").
+    #
     # intra·2W and s_c² exceed int64 once Σw passes ~3e9 (well inside
     # the 100-TB envelope); DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0)
     # is exact on both engines (each operand < 9.3e18, product <
-    # 8.6e37), and the sum leaves through the parity.py VARCHAR
+    # 8.6e37; Σintra ≤ 2W and Σs_c² ≤ (2W)² keep the sums in the same
+    # envelope), and the result leaves through the parity.py VARCHAR
     # final cast so both engines round identically.
-    term = F.col("intra").cast("decimal(19,0)") * F.col("w2").cast(
-        "decimal(19,0)"
-    ) - F.col("strength").cast("decimal(19,0)") * F.col("strength").cast(
-        "decimal(19,0)"
+    tot = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("intra").cast("long").alias("sum_intra"),
+        F.sum("strength").cast("long").alias("two_w"),
+        F.sum(
+            F.col("strength").cast("decimal(19,0)")
+            * F.col("strength").cast("decimal(19,0)")
+        ).alias("sum_sq"),
+    )
+    q_num_int = (
+        F.col("sum_intra").cast("decimal(19,0)") * F.col("two_w").cast("decimal(19,0)")
+        - F.col("sum_sq")
     )
     return (
-        per_c.crossJoin(F.broadcast(tw))
-        .groupBy("w2")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.sum(term).cast("string").cast("double").alias("q_num"),
+        tot
+        # empty-graph parity: the old crossJoin/groupBy form returned 0
+        # rows on an empty per_c; a global agg returns one all-NULL row.
+        .where(F.col("two_w").isNotNull())
+        .select(
+            "n_communities",
+            "two_w",
+            q_num_int.cast("string").cast("double").alias("q_num"),
         )
         .select(
             "n_communities",
-            F.col("w2").alias("two_w"),
+            "two_w",
             "q_num",
             (
                 F.col("q_num").cast("double")
                 / F.nullif(
-                    F.col("w2").cast("double") * F.col("w2").cast("double"),
+                    F.col("two_w").cast("double") * F.col("two_w").cast("double"),
                     F.lit(0.0),
                 )
             ).alias("modularity"),
