@@ -209,14 +209,17 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"tumbling_{abs(hash(src)) % 10**8}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from posting_lines_spark.streaming.tuning import stream_shuffle_scope
+
+    with stream_shuffle_scope(spark, src):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("hour_start_us", "event_type")
 
 

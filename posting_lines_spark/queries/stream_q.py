@@ -1327,14 +1327,17 @@ def _attr_stateful_run(spark: SparkSession, sf_dir: str):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        credits.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from posting_lines_spark.streaming.tuning import stream_shuffle_scope
+
+    with stream_shuffle_scope(spark, src):
+        q = (
+            credits.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = [p for p in q.recentProgress]
     return spark.read.schema(
         "eff_first string, eff_last string, value double"

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from posting_lines_spark.fixtures import scratch_dir
 from posting_lines_spark.operators.pipeline import enrich_segments
+from posting_lines_spark.streaming.tuning import stream_shuffle_scope
 
 
 def enrich_available_now(
@@ -70,17 +71,18 @@ def dedup_stream_append_parquet(
         events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        stream.withWatermark(ts_col, watermark)
-        .dropDuplicates(key_cols)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark, src):
+        q = (
+            stream.withWatermark(ts_col, watermark)
+            .dropDuplicates(key_cols)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -123,16 +125,17 @@ def session_windows_append_parquet(
         events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        _session_agg(stream, gap, watermark)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark, src):
+        q = (
+            _session_agg(stream, gap, watermark)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -266,15 +269,16 @@ def stream_stream_join_append_parquet(
         F.col("b_id").alias("right_id"),
         (F.unix_micros("ts_b") - F.unix_micros("ts_a")).alias("gap_us"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark, src):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -289,15 +293,16 @@ def session_windows_available_now(
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     name = f"sessions_{abs(hash(src)) % 10**8}"
-    q = (
-        _session_agg(stream, gap, "1 hour")
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark, src):
+        q = (
+            _session_agg(stream, gap, "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -52,14 +52,17 @@ def running_user_stats(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_stats_{abs(hash(src)) % 10**8}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from posting_lines_spark.streaming.tuning import stream_shuffle_scope
+
+    with stream_shuffle_scope(spark, src):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode memory sink appends each batch's emissions; the final
     # state per user is the row with the max n_events
     latest = spark.table(name)
@@ -158,14 +161,17 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from posting_lines_spark.streaming.tuning import stream_shuffle_scope
+
+    with stream_shuffle_scope(spark, src):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return [p for p in q.recentProgress]
 
 
@@ -250,14 +256,17 @@ def interarrival_stateful(spark: SparkSession, src: str) -> DataFrame:
         )
     )
     name = f"gap_moments_{abs(hash(src)) % 10**8}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from posting_lines_spark.streaming.tuning import stream_shuffle_scope
+
+    with stream_shuffle_scope(spark, src):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     latest = spark.table(name)
     w = W.partitionBy("user_id", "event_type").orderBy(F.col("n").desc())
     return (
