@@ -2567,13 +2567,22 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "event_id",
             F.expr(f"abs(value - {mean}) / {sd}").alias("r"),
         )
-        m = d.groupBy("event_type").agg(F.max("r").alias("mr"))
+        # ONE pass finds the pick (round-15): the old max(r)-then-
+        # equality-join form consumed d TWICE (the broadcast m build and
+        # the probe side each recomputed the scan→anti-join→stats-join
+        # pipeline — map-only lineage, so exchange reuse cannot dedup
+        # it). max_by(event_id, struct(r, -event_id)) selects the same
+        # row — max r, ties to the SMALLER event_id — and max(r) is the
+        # same r_stat, in a single aggregate over one computation of d.
+        # The isNotNull guard reproduces the old join's null semantics
+        # (a null r could never equal max(r)).
         pk = (
-            d.join(F.broadcast(m), "event_type")
-            .where(F.col("r") == F.col("mr"))
+            d.where(F.col("r").isNotNull())
             .groupBy("event_type")
             .agg(
-                F.min("event_id").cast("long").alias("event_id"),
+                F.expr("max_by(event_id, struct(r, -event_id))")
+                .cast("long")
+                .alias("event_id"),
                 F.max("r").alias("r_stat"),
             )
             .localCheckpoint(eager=True)  # ROUNDS-bounded: <= 5 rows
