@@ -1125,8 +1125,6 @@ FROM {last} CROSS JOIN sgn ORDER BY dim"""
     "aggregate builds the matrix, everything after is DIM²-bounded",
 )
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from posting_lines_spark.operators.graph import CheckpointCycler
-
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     q = spark.sql(
         "SELECT vec_id, transform(embedding, "
@@ -1171,23 +1169,34 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(DIMS).select(
         F.col("id").cast("int").alias("j"), F.lit(PCA_VSCALE).cast("long").alias("v")
     )
-    cyc = CheckpointCycler(spark)
+    # One job for all 8 matvec rounds (round-15, the LPA lesson): the
+    # only non-linear consumption in the recurrence was y feeding BOTH
+    # the global max(|y|) aggregate and the scaling projection; a
+    # whole-frame window computes mx in the same pass (y is DIM = 64
+    # rows — the single-partition window is a non-issue), making the
+    # recurrence linear, so the per-round eager CheckpointCycler jobs
+    # (~0.3-0.6 s each, 8 of them) collapse into one DAG where every
+    # round's matvec reads the checkpointed mp blocks directly. Final v
+    # is cut once (lazy) because sgn + the output consume it twice.
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
     for _ in range(PCA_ITERS):
         y = (
             mp.join(v, mp["j"] == v["j"])
             .groupBy("i")
             .agg(F.sum(F.col("mp") * F.col("v")).cast("long").alias("y"))
         )
-        mx = y.agg(F.max(F.abs(F.col("y"))).cast("long").alias("mx"))
-        v = cyc.step(
-            y.crossJoin(F.broadcast(mx)).select(
-                F.col("i").alias("j"),
-                F.expr(
-                    "CAST(sign(y) AS BIGINT) * CAST((CAST(abs(y) AS DECIMAL(38,0))"
-                    f" * {PCA_VSCALE}) div CAST(mx AS DECIMAL(38,0)) AS BIGINT)"
-                ).alias("v"),
-            )
+        v = y.withColumn(
+            "mx", F.max(F.abs(F.col("y"))).over(w_all).cast("long")
+        ).select(
+            F.col("i").alias("j"),
+            F.expr(
+                "CAST(sign(y) AS BIGINT) * CAST((CAST(abs(y) AS DECIMAL(38,0))"
+                f" * {PCA_VSCALE}) div CAST(mx AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("v"),
         )
+    v = v.localCheckpoint(eager=False)
     sgn = (
         v.where(F.col("v") != 0)
         .orderBy("j")
