@@ -101,6 +101,24 @@ def _time_set(spark, qs, names: list[str], runs: int):
     return timings, errors
 
 
+def _cpu_marker_sec() -> float:
+    """Fixed single-core CPU throughput marker (VERDICT r15 item 1).
+
+    The loadavg contention guard measures queue depth, which misses
+    hypervisor-level CPU sharing: round 15 recorded code-untouched
+    queries uniformly 1.3-1.6x slower at ZERO load while this exact
+    20M-iteration loop read 2.6 s vs the ~1.2 s a healthy core takes.
+    Timing it BEFORE the Spark session and emitting it in the JSON line
+    lets the driver/judge normalize or discard a degraded window.
+    Additions-only: the timed region and JSON contract are unchanged.
+    """
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from posting_lines_spark.session import get_spark
@@ -113,6 +131,7 @@ def main() -> None:
     # engine, and the artifact of record should say so itself.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     load_entry = os.getloadavg()
+    cpu_marker = _cpu_marker_sec()
 
     # Contention guard (round-6 lesson: r4 AND r6 both shipped artifacts
     # taken under external load >12 — uniformly inflated, useless for
@@ -191,6 +210,7 @@ def main() -> None:
         "cooldown_sec": cooldown_sec,
         "cpus": cpus,
         "contended": contended,
+        "cpu_marker_sec": cpu_marker,
     }
     if tier == "both" and tier2 is not None:
         out["tier2"] = tier2
