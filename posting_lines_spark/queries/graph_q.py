@@ -533,8 +533,10 @@ ORDER BY community"""
 
 
 def _lpa_labels(spark: SparkSession, sf_dir: str):
-    """(doubled-edge table, final node→label table) — shared by the
-    LPA community query and the modularity audit."""
+    """(undoubled edge table, doubled-edge table, final node→label
+    table) — shared by the LPA community query and the modularity
+    audit (which consumes the UNDOUBLED e0: half the edge bytes, the
+    doubling reconstructed arithmetically after the label joins)."""
     from pyspark.sql import functions as F
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -590,7 +592,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
         labels = votes.groupBy("node").agg(
             F.expr("max_by(label, struct(wt, -label))").alias("label")
         )
-    return edges, labels
+    return e0, edges, labels
 
 
 @register(
@@ -605,7 +607,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    edges, labels = _lpa_labels(spark, sf_dir)
+    _e0, _edges, labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1616,22 +1618,56 @@ GROUP BY t.w2
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    edges, labels = _lpa_labels(spark, sf_dir)
+    e0, _edges, labels = _lpa_labels(spark, sf_dir)
     # labels is consumed TWICE below (u- and v-side): one lazy lineage
     # cut materializes the 4-round recurrence once — A/B'd round 15:
     # without it AQE stage reuse does NOT dedup the re-aliased
     # recurrence subtrees and modularity pays ~1 s of recompute.
+    # (The cut also means this final query is a SEPARATE execution, so
+    # exchange reuse against the recurrence's edges-by-u shuffle is
+    # structurally impossible — stage reuse is scoped to one query
+    # execution. The round-15 residual "final join re-shuffles the
+    # edge table" is therefore minimized rather than removed:)
     labels = labels.localCheckpoint(eager=False)
-    lw = (
-        edges.join(labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu"), "u")
-        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv"), "v")
-        .select("lu", "lv", "w")
+    # Round 16: join labels onto the UNDOUBLED e0 (half the edge bytes
+    # of the old doubled-edges join), and aggregate to the (v, lu)
+    # grain BETWEEN the two label joins — lv is functionally determined
+    # by v, so summing w per (v, lu) first is exact, and the partial
+    # (map-side) aggregate means both remaining exchanges carry the
+    # aggregated grain, not the edge multiset (guide §2.3). The
+    # doubling is reconstructed arithmetically after the second join:
+    # each undirected edge contributes its weight to BOTH endpoint
+    # communities' strength, and twice to intra when lu = lv — the
+    # explode emits exactly the two orientation rows the doubled join
+    # produced, so every per-community integer is identical.
+    half = (
+        e0.join(
+            labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu"),
+            "u",
+        )
+        .groupBy("v", "lu")
+        .agg(F.sum("w").alias("sw"))
     )
-    per_c = lw.groupBy(F.col("lu").alias("community")).agg(
-        F.sum(F.when(F.col("lu") == F.col("lv"), F.col("w")).otherwise(0))
+    oriented = (
+        half.join(
+            labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv"),
+            "v",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("lu").alias("community"), F.col("lv").alias("other"), F.col("sw")),
+                    F.struct(F.col("lv").alias("community"), F.col("lu").alias("other"), F.col("sw")),
+                )
+            ).alias("o")
+        )
+        .select("o.community", "o.other", "o.sw")
+    )
+    per_c = oriented.groupBy("community").agg(
+        F.sum(F.when(F.col("community") == F.col("other"), F.col("sw")).otherwise(0))
         .cast("long")
         .alias("intra"),
-        F.sum("w").cast("long").alias("strength"),
+        F.sum("sw").cast("long").alias("strength"),
     )
     # ONE pass over per_c replaces the old tw-subtree + crossJoin +
     # re-aggregate (round-15 residual): because per_c groups ALL of lw,

@@ -576,14 +576,18 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # weighted distinct-coordinate collapse (r10): the quadratic stage
     # must see each coordinate once, with its multiplicity as a weight.
-    # Eager cut (round 15): coords feeds three consumers (probe explode,
-    # join build side, the neighbor-count left join) and the runtime
-    # stage cache raced on the concurrently-submitted identical subtrees
-    # — the scan→enrich→distinct→agg chain ran 3× (profiled, 17.5 MB
-    # exchange map ×3). One materialization, three block reads.
+    # LAZY cut (round 16, settling the round-15 driver contradiction
+    # with an interleaved same-session A/B at sf0.1, 5 rounds each):
+    # eager 3.71 s / lazy 2.78 s / none 3.88 s. The checkpoint IS
+    # load-bearing — without it the scan→enrich→distinct→agg chain
+    # recomputes per consumer (probe explode, join build side, the
+    # neighbor-count left join) — but the round-15 EAGER barrier
+    # serialized the pipeline for ~0.9 s of pure wait; lazily
+    # checkpointed blocks are computed once under the block-manager
+    # lock and the downstream stages overlap.
     coords = pts.groupBy("x", "y", "cx", "cy").agg(
         F.count(F.lit(1)).cast("long").alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probes = coords.select(
         "x",
         "y",

@@ -1086,7 +1086,7 @@ def test_modularity_matches_python(spark):
     from posting_lines_spark.queries.graph_q import _lpa_labels
     from tests.conftest import SF001
 
-    edges, labels = _lpa_labels(spark, SF001)
+    _e0, edges, labels = _lpa_labels(spark, SF001)
     lab = {r["node"]: r["label"] for r in labels.collect()}
     ew = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
     w2 = sum(w for _, _, w in ew)
