@@ -349,14 +349,25 @@ def minhash_index_stream(
         return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        b = batch_df.localCheckpoint()  # static within the batch
-        sig = dedup.minhash_signature(
-            dedup.shingles(b, "doc_id", "text", distinct=False), "doc_id", num_hashes
+        # ONE shingle pass per batch (round 16; was two): MIN aggregates
+        # are duplicate-insensitive, so the MinHash signature computed
+        # over the DISTINCT shingle set is identical to the non-distinct
+        # stream's — the same equivalence dedup_minhash_lsh applies —
+        # and the distinct set is exactly what Jaccard verification and
+        # the persisted shingle state need. One explode feeds all three
+        # consumers through one lazy cut (blocks are computed once under
+        # the block-manager lock; the eager barrier measurably loses —
+        # the geo_dbscan_core round-16 A/B). The former `b` checkpoint
+        # is gone with the second pass: batch_df now has ONE consumer.
+        sh_new = dedup.shingles(batch_df, "doc_id", "text").localCheckpoint(
+            eager=False
         )
-        banded_new = dedup.band_signatures(sig, "doc_id", num_hashes, bands).localCheckpoint()
+        sig = dedup.minhash_signature(sh_new, "doc_id", num_hashes)
+        banded_new = dedup.band_signatures(
+            sig, "doc_id", num_hashes, bands
+        ).localCheckpoint(eager=False)
         banded_idx = _maybe(bands_dir, "doc_id long, band_idx int, band_key string")
         cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
-        sh_new = dedup.shingles(b, "doc_id", "text").localCheckpoint()
         sh_all = _maybe(sh_dir, "doc_id long, shingle string").unionByName(sh_new)
         verified = dedup.jaccard_verify(cand, sh_all, "doc_id", threshold)
         # RETRY IDEMPOTENCE: foreachBatch is at-least-once — a failure
@@ -366,15 +377,28 @@ def minhash_index_stream(
         # (which would double-count pairs and inflate every later
         # batch's shingle sets). This keeps the documented "every pair
         # discovered exactly once" invariant under retries.
-        verified.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"epoch_{epoch_id}")
+        #
+        # The three sink writes are INDEPENDENT actions (pairs, bands,
+        # shingles never read each other's epoch output): submit them
+        # from a small thread pool so the state writes back-fill cores
+        # behind the verify join's tail (guide §2.6); job descriptions
+        # are thread-local so each stays labelled.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            (verified, os.path.join(pairs_dir, f"epoch_{epoch_id}")),
+            (banded_new, os.path.join(bands_dir, f"epoch_{epoch_id}")),
+            (sh_new, os.path.join(sh_dir, f"epoch_{epoch_id}")),
         )
-        banded_new.write.mode("overwrite").parquet(
-            os.path.join(bands_dir, f"epoch_{epoch_id}")
-        )
-        sh_new.write.mode("overwrite").parquet(
-            os.path.join(sh_dir, f"epoch_{epoch_id}")
-        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, path=path: df.write.mode("overwrite").parquet(path)
+                )
+                for df, path in writes
+            ]
+            for f in futs:
+                f.result()
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
