@@ -326,7 +326,7 @@ def hits(
     key (co-partitioned under AQE); the edge set is loop-invariant and
     checkpointed once; normalization totals are 1-row aggregates crossed
     back onto the score table (broadcast), never driver collects; each
-    round's superseded blocks are freed by the CheckpointCycler."""
+    round's blocks are lazily cut and freed when the job ends (round_cut)."""
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -351,10 +351,13 @@ def hits(
             )
         )
 
-    # Two cyclers, one per evolving table: a shared cycler would free
-    # round-N authorities when the SAME round's hub step() lands, leaving
-    # the final returned `a` lineage-cut AND block-free (unreadable).
-    cyc_a, cyc_h = CheckpointCycler(spark), CheckpointCycler(spark)
+    # LAZY per-half-step cut (round 16; was two eager CheckpointCyclers):
+    # each half-step's raw table feeds BOTH the normalization total and
+    # the normalized output (a changing subtree — reuse cannot dedup it),
+    # so the cut stays, but all 2·iters half-steps now run in one job
+    # with stage overlap (A/B: 3.44→3.02 s sf0.1, wash at sf1). Score
+    # tables are node-grain, serialized and spillable — retaining every
+    # round's blocks to the job end is bounded (see round_cut).
     h = nodes.select("node", F.lit(scale).alias("h"))
     a = None
     for _ in range(iters):
@@ -363,13 +366,13 @@ def hits(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
         )
-        a = cyc_a.step(_normalize(a_raw, "a"))
+        a = round_cut(_normalize(a_raw, "a"))
         h_raw = (
             a.join(e, a["node"] == e["dst"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
         )
-        h = cyc_h.step(_normalize(h_raw, "h"))
+        h = round_cut(_normalize(h_raw, "h"))
     return a.join(h, "node").select("node", "a", "h")
 
 
@@ -382,9 +385,42 @@ def dedup_groups(components: DataFrame) -> DataFrame:
     )
 
 
+def round_cut(df: DataFrame) -> DataFrame:
+    """Per-round LAZY lineage cut for fixed-round loops over CHANGING
+    inputs (kcore/ktruss/HITS — round 16, replacing the eager
+    CheckpointCycler there).
+
+    The cut is still required: each round consumes its (changing) input
+    2-3 times and exchange reuse cannot cover a changing subtree. But
+    the EAGER form also imposed a per-round barrier (one sequential job
+    + ~0.15-0.3 s scheduling each, no inter-round stage overlap).
+    Lazily checkpointed blocks are computed exactly once under the
+    block-manager lock and every round runs inside ONE job — interleaved
+    A/Bs (sf0.1, 5 rounds; sf1, 3 rounds): kcore 1.31→1.19 / 1.71→1.49 s,
+    ktruss 1.59→1.46 / 2.09→1.85 s, HITS 3.44→3.02 s / wash.
+
+    Retention trade-off vs the cycler: ALL rounds' blocks stay persisted
+    until the terminal action ends (the cycler freed superseded rounds).
+    Safe here because these loops' tables are monotonically SHRINKING
+    edge sets or node-grain score tables, stored SERIALIZED
+    (MEMORY_AND_DISK, the PySpark serialized level — the round-9 lesson)
+    and disk-spillable, so peak footprint is bounded by ~2x the round-0
+    table. Do NOT apply to loops whose per-round state is data-shaped
+    and non-shrinking (LPA at sf10 needed the eager cycler's freeing
+    before the round-15 one-job rewrite made the point moot)."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 class CheckpointCycler:
     """Eager localCheckpoint per iteration + unpersist of the superseded
     round's blocks — the memory-bounded form of the lineage-cut loop.
+    (As of round 16 no in-tree loop uses it — kcore/ktruss/HITS moved to
+    the lazy `round_cut` above after interleaved A/Bs; kept as the
+    documented fallback for a future loop whose per-round state is
+    data-shaped and NON-shrinking, where lazy retention would blow the
+    round-4 memory envelope this class was built for.)
 
     A chain of lazy localCheckpoints retains EVERY round's block-manager
     partitions until the terminal action finishes (round-4 verdict: LPA

@@ -681,13 +681,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pairs = _spark_pairs(spark, sf_dir)
-    # eager checkpoint + unpersist of the superseded round (see LPA):
-    # peel rounds shrink the edge set, so peak footprint is ~2 rounds'
-    # blocks instead of all KCORE_ROUNDS. The initial edge build goes
-    # through the cycler too — unlike LPA's loop-invariant edge table,
-    # k-core's round 1 supersedes it.
-    cycler = graph.CheckpointCycler(spark)
-    edges = cycler.step(
+    # LAZY per-round cut (round 16; was the eager CheckpointCycler):
+    # the cut stays — each peel round consumes the previous edge set
+    # three times (degree aggregate + two semi-joins) and reuse cannot
+    # cover a changing subtree — but all rounds now run in ONE job with
+    # inter-round stage overlap (A/B: 1.31→1.19 s sf0.1, 1.71→1.49 s
+    # sf1). Peel rounds shrink the edge set monotonically and the
+    # blocks are serialized + spillable, so retaining every round's
+    # blocks to the end of the job is bounded (~2x round 0); see
+    # operators/graph.round_cut.
+    edges = graph.round_cut(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     )
@@ -697,7 +700,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("u")
         )
-        edges = cycler.step(
+        edges = graph.round_cut(
             edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
@@ -1088,9 +1091,9 @@ ORDER BY a.node"""
     "integer arithmetic with L1-normalized half-steps (engine-exact: "
     "int128 floor division, Spark DECIMAL div ≡ DuckDB HUGEINT //); "
     "each half-step one join + one aggregate on a co-partitioned edge "
-    "key, edges loop-invariant and checkpointed once, superseded rounds "
-    "freed by the CheckpointCycler; oracle = the identical integer "
-    "recurrence unrolled as chained CTEs",
+    "key, edges loop-invariant and checkpointed once, half-steps "
+    "lazily cut so all rounds run in one job; oracle = the identical "
+    "integer recurrence unrolled as chained CTEs",
 )
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -2109,8 +2112,9 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     pairs = _spark_pairs(spark, sf_dir)
-    cycler = graph.CheckpointCycler(spark)
-    edges = cycler.step(
+    # lazy per-round cut, one job, rounds overlap (round 16 — the
+    # graph_kcore rationale; A/B 1.59→1.46 s sf0.1, 2.09→1.85 s sf1)
+    edges = graph.round_cut(
         pairs.select(
             F.least("id_a", "id_b").alias("a"),
             F.greatest("id_a", "id_b").alias("b"),
@@ -2133,7 +2137,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("sup"))
             .filter(F.col("sup") >= TRUSS_K - 2)
         )
-        edges = cycler.step(
+        edges = graph.round_cut(
             edges.join(
                 support,
                 (edges.a == support.ea) & (edges.b == support.eb),
