@@ -2575,7 +2575,10 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row — max r, ties to the SMALLER event_id — and max(r) is the
         # same r_stat, in a single aggregate over one computation of d.
         # The isNotNull guard reproduces the old join's null semantics
-        # (a null r could never equal max(r)).
+        # (a null r could never equal max(r)). The -event_id tie-break
+        # assumes event_id > Long.MIN_VALUE (generator ids are small
+        # positive ints; a MIN_VALUE id would wrap silently under
+        # non-ANSI negation — ADVICE r15).
         pk = (
             d.where(F.col("r").isNotNull())
             .groupBy("event_type")

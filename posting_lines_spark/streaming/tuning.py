@@ -32,10 +32,31 @@ _FLOOR = 8
 
 
 def stream_partitions(spark: SparkSession, src_dir: str) -> int:
-    """Partition count for a stateful stream replaying `src_dir`."""
+    """Partition count for a stateful stream replaying `src_dir`.
+
+    Sizing walks the LOCAL filesystem under `src_dir`; a non-local
+    source (s3://, hdfs://) or a dir racing concurrent fixture writes
+    totals 0 bytes and silently falls to the 8-partition floor — size
+    such sources via SPARK_GRAFT_STREAM_SHUFFLE instead (ADVICE r15).
+    Note the sizing only takes effect for FRESH checkpoints: Spark pins
+    the stateful partition count in the offset log at checkpoint
+    creation, so a resumed query keeps its original partitioning and
+    this scope is a no-op for it."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env:
-        return max(1, int(env))
+        try:
+            n = int(env)
+        except ValueError as exc:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, "
+                f"got {env!r}"
+            ) from exc
+        if n <= 0:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_SHUFFLE must be a positive integer, "
+                f"got {n}"
+            )
+        return n
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     total = 0
     for root, _dirs, files in os.walk(src_dir):
