@@ -261,6 +261,16 @@ def pagerank(
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("outw"))
     ew = e.join(out_w, "src")  # loop-invariant: (src, dst, w, outw)
+    # NEGATIVE RESULT (round 16, do not re-try): persist-before-reliable-
+    # checkpoint (persist → checkpoint(eager) → unpersist, serialized
+    # MEMORY_AND_DISK) on these cuts LOST in interleaved A/Bs at BOTH
+    # sf0.1 and sf1 (graph_pagerank 6.18→7.31 s, personalized 6.48→8.05,
+    # textrank 7.49→8.92 at sf1; same direction at sf0.1) and did not
+    # reduce job counts (47→46 / 60→58 / 31→38). The checkpoint writer
+    # job does NOT re-run the full lineage: upstream shuffle stages are
+    # already materialized as shuffle files, so the "double compute" is
+    # only the final map stage — cheaper than the cache write + columnar
+    # InMemoryTableScan read-back the persist adds.
     ew = ew.checkpoint(eager=True) if use_reliable else ew.localCheckpoint(eager=True)
     ranks = nodes_t.select("node", F.col("r0").alias("rank"))
     for it in range(iters):

@@ -24,6 +24,8 @@ ACC = {
     "internal.metrics.shuffle.read.remoteBytesRead": "sh_r_rem",
     "internal.metrics.shuffle.read.localBytesRead": "sh_r_loc",
     "internal.metrics.jvmGCTime": "gc_ms",
+    "internal.metrics.memoryBytesSpilled": "spill_mem",
+    "internal.metrics.diskBytesSpilled": "spill_dsk",
 }
 
 
@@ -114,9 +116,14 @@ def main() -> int:
                 (sid, s) for sid, s in stages.items() if s["grp"] == grp
             )
             total_wall = sum(s["wall_ms"] for _, s in mine)
+            spill = sum(
+                s.get("spill_mem", 0) + s.get("spill_dsk", 0) for _, s in mine
+            )
             print(
                 f"\n=== {grp}: wall {walls[name][r]:.2f}s | {len(mine)} stages, "
-                f"sum stage wall {total_wall/1000:.2f}s ==="
+                f"sum stage wall {total_wall/1000:.2f}s"
+                + (f", SPILL {spill/1e6:.0f} MB" if spill else "")
+                + " ==="
             )
             print("stage  wall_ms  tasks  run_ms  gc_ms  sh_write  sh_read  name")
             for sid, s in mine:
