@@ -175,6 +175,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join) — inert at this SF, load-bearing on skewed real corpora
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", NUM_HASHES, BANDS, hot_width=256)
     verified = dedup.jaccard_verify(pairs, sh, "doc_id", JACCARD_T)
+    # Lazy cut BEFORE the orderBy (round 16): the sort's range-sampling
+    # pass re-computes everything between the last materialized exchange
+    # and the sort — here the whole verify tail (final n_common aggregate
+    # + two sizes joins), which AQE coalesces to ONE task. The sf1 scale
+    # tier caught it: twin ~1.9 s single-task stages reading the same
+    # 1.1 MB exchange. The cut makes sampling read materialized blocks
+    # instead. Interleaved A/B p50 (construction + noop timed): sf0.1
+    # 3.68 → 3.14 s, sf1 11.27 → 9.18 s. (An id_a re-spread of `inter`
+    # was also tried: wins at sf1 but LOSES at sf0.1 — not taken.)
+    verified = verified.localCheckpoint(eager=False)
     return verified.orderBy("id_a", "id_b")
 
 
@@ -234,6 +244,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     cand = dedup.incremental_candidate_pairs(banded_new, banded_idx, "doc_id")
     verified = dedup.jaccard_verify(cand, sh, "doc_id", JACCARD_T)
+    # Lazy cut before the sort, as in dedup_minhash_lsh above (the range-
+    # sampling pass otherwise re-computes the single-task verify tail).
+    # Interleaved A/B p50: sf0.1 2.93 → 2.81 s (wash), sf1 15.45 → 12.80 s.
+    verified = verified.localCheckpoint(eager=False)
     return verified.orderBy("id_a", "id_b")
 
 
