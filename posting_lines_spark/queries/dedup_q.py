@@ -799,9 +799,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["k", "doc_id"],
     )
     ranked.createOrReplaceTempView("snm_ranked")
-    return spark.sql(
-        _snm_sql(NEAR_BASE_SPARK, _snm_shingles_spark(), ranked_src="snm_ranked")
-    )
+    sql = _snm_sql(NEAR_BASE_SPARK, _snm_shingles_spark(), ranked_src="snm_ranked")
+    # Lazy cut before the final sort (round 16, the dedup_minhash_lsh
+    # sampling lesson): the ORDER BY's range-sampling pass re-computes
+    # the verify tail after the last materialized exchange. Interleaved
+    # A/B p50: sf1 11.31 → 10.02 s, sf0.1 4.38 → 4.31 s (wash). Also
+    # re-tried materializing the sh CTE once at sf1 (the r15 sf0.1 wash):
+    # within noise once this cut is in place — still not taken.
+    body = sql.rsplit("ORDER BY", 1)[0]
+    return spark.sql(body).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 # --- MinHash estimator quality audit (est vs exact Jaccard per pair) ---
