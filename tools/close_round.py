@@ -141,6 +141,11 @@ def main() -> int:
                 "headline": d.get("value"),
                 "tier2": d.get("tier2", {}).get("value"),
                 "contended": d.get("contended"),
+                # single-core throughput marker (VERDICT r15 item 1):
+                # loadavg can be clean while the hypervisor halves CPU
+                # throughput; the close artifact should carry the
+                # marker so a >1.5x case is adjudicable from it alone
+                "cpu_marker_sec": d.get("cpu_marker_sec"),
                 "loadavg_before": d.get("loadavg_before"),
                 "runs_per_query": d.get("runs_per_query"),
                 "queries_tier1": d.get("queries"),
